@@ -1,0 +1,66 @@
+"""Fixture table catalog: load the driver's parquet tables and register views.
+
+Tables (TESTDATA.md): region nation customer supplier part orders lineitem
+events documents embeddings — one parquet file each under an sf dir.
+
+At scale these would be partitioned/ bucketed external tables; the loader
+keeps the access path declarative (``spark.read.parquet``) so predicate
+pushdown, column pruning and partition pruning all apply unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Small dimension tables that are always broadcast-eligible in joins.
+# (customer/supplier/part grow with SF but stay dimension-sized relative to
+# the fact tables lineitem/orders/events.)
+DIM_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    # Nanosecond-timestamp columns arrive as long (nanosAsLong, session.py);
+    # convert to Spark's microsecond TimestampType. The fixture generator
+    # writes microsecond-precision values, so the floordiv loses nothing.
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # integral div: a double roundtrip would lose sub-µs exactness
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Load every fixture table as a DataFrame keyed by name."""
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Load tables and register each as a temp view for ``spark.sql`` use."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

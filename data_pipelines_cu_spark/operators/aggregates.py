@@ -1,0 +1,129 @@
+"""Aggregation operators (SURVEY.md §2.4).
+
+Re-expresses the reference's pandas groupbys as Spark hash aggregations with
+map-side partial aggregation (free via groupBy/agg). The hierarchical
+minute→hour→day cascade keeps the reference's exact semantics — daily stats
+are computed FROM the hourly pre-aggregate (mean-of-hourly-means, reference
+lecture3/14_binance_calculate_daily.py:46-59), not from raw rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def group_count(df: DataFrame, *keys: str, count_name: str = "count") -> DataFrame:
+    """THE canonical course query: ``groupby(keys).size()``.
+
+    Reference: lecture3/01_unscheduled.py:26-31 (events date/user counts).
+    Spark: hash aggregate with partial (map-side) combine — one shuffle on
+    the group keys, linear at any scale.
+    """
+    return df.groupBy(*keys).agg(F.count(F.lit(1)).alias(count_name))
+
+
+def multi_stat_time_bucket(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket: str = "hour",
+) -> DataFrame:
+    """Per-bucket avg/min/max/first/last/count of ``value_col``.
+
+    Reference: lecture3/13_binance_calculate_hourly.py:56-67. The reference's
+    first/last are positional (``iloc[0]/iloc[-1]`` of time-sorted rows,
+    :63-64); here they are order-defined via ``min_by/max_by(value, ts)`` —
+    deterministic without a sort, single shuffle, no window pass.
+
+    Emits ``date`` (DateType) and, for hour buckets, ``hour`` as a
+    zero-padded string (golden-output fidelity: lecture3/13:47 uses
+    ``strftime('%H')``).
+    """
+    ts, val = F.col(ts_col), F.col(value_col)
+    # date as 'YYYY-MM-DD' string — golden-output fidelity (the reference's
+    # partition keys and CSVs use string dates, FIXTURES.md §3) and
+    # engine-neutral for the oracle compare.
+    keys = [F.date_format(ts, "yyyy-MM-dd").alias("date")]
+    if bucket == "hour":
+        keys.append(F.date_format(ts, "HH").alias("hour"))
+    elif bucket != "day":
+        raise ValueError(f"unsupported bucket {bucket!r}")
+    return df.groupBy(*keys).agg(
+        F.avg(val).alias("avg_price"),
+        F.min(val).alias("min_price"),
+        F.max(val).alias("max_price"),
+        F.min_by(val, ts).alias("first_price"),
+        F.max_by(val, ts).alias("last_price"),
+        F.count(val).alias("data_points"),
+    )
+
+
+def daily_rollup(hourly: DataFrame) -> DataFrame:
+    """Daily stats FROM the hourly pre-aggregate (hierarchical re-agg).
+
+    Reference: lecture3/14_binance_calculate_daily.py:46-64. Faithfully
+    mean-of-hourly-means (NOT the raw mean — numerically different, §7.3),
+    opening = first hour's first_price, closing = last hour's last_price,
+    plus derived change columns guarded by ``opening_price > 0``.
+    """
+    hour = F.col("hour")
+    daily = hourly.groupBy("date").agg(
+        F.avg("avg_price").alias("avg_price"),
+        F.min("min_price").alias("min_price"),
+        F.max("max_price").alias("max_price"),
+        F.min_by("first_price", hour).alias("opening_price"),
+        F.max_by("last_price", hour).alias("closing_price"),
+        F.sum("data_points").alias("total_data_points"),
+        F.count(F.lit(1)).alias("hours_with_data"),
+    )
+    return derived_change(daily)
+
+
+def derived_change(
+    df: DataFrame,
+    open_col: str = "opening_price",
+    close_col: str = "closing_price",
+) -> DataFrame:
+    """price_change / price_change_pct, pct guarded against zero open.
+
+    Reference: lecture3/14_binance_calculate_daily.py:62-64.
+    """
+    o, c = F.col(open_col), F.col(close_col)
+    return df.withColumn("price_change", c - o).withColumn(
+        "price_change_pct", F.when(o > 0, (c - o) / o * 100.0)
+    )
+
+
+def zero_fill_counts(
+    df: DataFrame, keys: DataFrame, key_col: str, count_name: str = "count"
+) -> DataFrame:
+    """Counts per key with 0 for keys absent from ``df``.
+
+    Reference: lecture4/06_stocksense_complete.py:38 ``dict.fromkeys(pagenames, 0)``
+    then tally. Spark: aggregate first (shrinks the fact side to one row per
+    key), then right-join the key list — the key list is tiny, so Catalyst
+    broadcasts it.
+    """
+    counts = group_count(df, key_col, count_name=count_name)
+    return (
+        keys.join(counts, key_col, "left")
+        .na.fill(0, [count_name])
+        .select(key_col, count_name)
+    )
+
+
+def distinct_count(df: DataFrame, value_col: str, *group_keys: str) -> DataFrame:
+    """Exact distinct count per group (Spark expand + two-phase agg)."""
+    return df.groupBy(*group_keys).agg(
+        F.countDistinct(value_col).alias(f"distinct_{value_col}")
+    )
+
+
+def approx_distinct_count(
+    df: DataFrame, value_col: str, *group_keys: str, rsd: float = 0.05
+) -> DataFrame:
+    """HyperLogLog++ distinct count — the 100 TB path (no expand, one pass)."""
+    return df.groupBy(*group_keys).agg(
+        F.approx_count_distinct(value_col, rsd).alias(f"approx_distinct_{value_col}")
+    )

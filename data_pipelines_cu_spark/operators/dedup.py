@@ -1,0 +1,315 @@
+"""Deduplication operators for training-data pipelines (north-star set).
+
+Exact (hash groupBy), n-gram Jaccard, MinHash+LSH, SimHash — each a
+distributed Spark plan (explode→shuffle-on-key→agg; no driver loops), each
+with an engine-portable formulation (md5-based hashing) so DuckDB can run
+the identical computation as the correctness oracle.
+
+Reference grounding: the course dedups by key (drop_duplicates on closeTime,
+lecture3/15_binance_backfill_last_month.py:129) and upserts by anti-join
+(:186-188); content-level near-dup is the 100 TB training-data extension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+N_MINHASH = 16  # signature length
+N_BANDS = 8  # LSH bands of 2 rows each
+
+
+def normalized_text(text_col: str = "text") -> Column:
+    return F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+
+
+def exact_dedup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup by content hash: md5(normalized text) → canonical id =
+    min(id), dup count. One shuffle on the 32-byte digest (never on the
+    full text — at 100 TB the texts stay columnar and only digests move)."""
+    return (
+        df.select(F.col(id_col), F.md5(normalized_text(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def word_ngrams(text_col: str = "text", n: int = 3) -> Column:
+    """Distinct word n-grams (shingles) of the normalized text, empty array
+    when the doc has fewer than n words.
+
+    Uses 1-based element_at inside transform so the SQL twin (DuckDB list
+    indexing, also 1-based) is literally the same function.
+    """
+    ws = F.split(normalized_text(text_col), " ")
+    idx = F.when(F.size(ws) >= n, F.sequence(F.lit(1), F.size(ws) - (n - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    parts = lambda i: [F.element_at(ws, i + j) for j in range(n)]  # noqa: E731
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", *parts(i)))
+    return F.array_distinct(grams)
+
+
+def ngram_sets(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    return df.select(F.col(id_col), word_ngrams(text_col, n).alias("grams"))
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Jaccard over distinct-element arrays: |A∩B| / (|A|+|B|−|A∩B|)."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = (F.size(a) + F.size(b)).cast("double") - inter
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    block_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Blocked exact n-gram Jaccard: pairwise similarity within each
+    ``block_col`` group (classic blocking keeps the pair count tractable;
+    unblocked near-dup at scale goes through minhash_lsh_pairs below).
+    Emits (id_a, id_b, jac) for pairs ≥ threshold, id_a < id_b."""
+    g = ngram_sets(df, text_col, id_col, n).join(
+        df.select(id_col, block_col), id_col
+    )
+    a = g.select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col).alias("id_a"),
+        F.col("grams").alias("grams_a"),
+    )
+    b = g.select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col).alias("id_b"),
+        F.col("grams").alias("grams_b"),
+    )
+    pairs = a.join(b, "_blk").filter(F.col("id_a") < F.col("id_b"))
+    jac = jaccard(F.col("grams_a"), F.col("grams_b"))
+    return (
+        pairs.select("id_a", "id_b", F.round(jac, 6).alias("jac"))
+        .filter(F.col("jac") >= threshold)
+    )
+
+
+def _minhash_cols(gram_col: str = "gram") -> list[Column]:
+    """One md5-min per seed: h_i = min over shingles of md5('i:'||shingle).
+    Lexicographic min over uniformly-distributed hex digests is a valid
+    min-hash and is bit-identical across engines (md5 is standardized)."""
+    return [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col(gram_col)))).alias(f"h{i}")
+        for i in range(N_MINHASH)
+    ]
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """MinHash signature per doc: explode shingles → groupBy doc → N mins.
+    Plan: one explode (no data copied per hash — the md5s are computed in
+    the agg), one shuffle on id."""
+    grams = ngram_sets(df, text_col, id_col, n).select(
+        id_col, F.explode("grams").alias("gram")
+    )
+    return grams.groupBy(id_col).agg(*_minhash_cols())
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + LSH near-dup candidates, verified by exact Jaccard.
+
+    Bands of 2 signature rows → band hash; docs sharing any band hash are
+    candidates (explode by band → shuffle on (band, hash) → pairs within
+    bucket); candidates verified with exact shingle Jaccard ≥ threshold.
+    This is the scale path: pair generation is local to each LSH bucket, so
+    cost tracks true-duplicate density, not n².
+    """
+    sigs = minhash_signatures(df, text_col, id_col, n)
+    band_cols = [
+        F.md5(F.concat_ws("|", F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}"))).alias(
+            f"b{b}"
+        )
+        for b in range(N_BANDS)
+    ]
+    banded = sigs.select(id_col, *band_cols)
+    melted = banded.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"b{b}").alias("bhash"))
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bhash")
+    a = melted.select(F.col(id_col).alias("id_a"), "band", "bhash")
+    b = melted.select(F.col(id_col).alias("id_b"), "band", "bhash")
+    cands = (
+        a.join(b, ["band", "bhash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    grams = ngram_sets(df, text_col, id_col, n)
+    ga = grams.select(F.col(id_col).alias("id_a"), F.col("grams").alias("grams_a"))
+    gb = grams.select(F.col(id_col).alias("id_b"), F.col("grams").alias("grams_b"))
+    verified = cands.join(ga, "id_a").join(gb, "id_b")
+    jac = jaccard(F.col("grams_a"), F.col("grams_b"))
+    return (
+        verified.select("id_a", "id_b", F.round(jac, 6).alias("jac"))
+        .filter(F.col("jac") >= threshold)
+    )
+
+
+# --- SimHash -----------------------------------------------------------------
+# 64-bit simhash from word-level md5s: bit b of the hash of each word votes
+# ±1; the sign of each bit-sum forms the fingerprint. Engine-portable: bit b
+# of a word's md5 is derived from hex-digit arithmetic available in both
+# engines. We use 16 hex digits (64 bits) of md5.
+
+SIMHASH_BITS = 64
+
+
+def _hex_digit_val(c: Column) -> Column:
+    """hex char → 0..15 via position in the hex alphabet (portable)."""
+    return F.instr(F.lit("0123456789abcdef"), c) - 1
+
+
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """SimHash fingerprint as a 16-hex-char string (bit i = sign of the
+    vote sum for bit i across word hashes).
+
+    Distributed shape: explode words → per-word md5 → 64 conditional sums in
+    ONE hash aggregate → reassemble hex string. No Python UDFs.
+    """
+    words = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(F.split(normalized_text(text_col), " "))
+        ).alias("w"),
+    )
+    h = F.md5(F.col("w"))
+    # vote for bit (4*d + k) comes from hex digit d (0 = most significant)
+    sums = []
+    for d in range(16):
+        digit = _hex_digit_val(F.substring(h, d + 1, 1))
+        for k in range(4):
+            bit = F.shiftright(digit, 3 - k).bitwiseAND(F.lit(1))
+            sums.append(
+                F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"s{4 * d + k}")
+            )
+    votes = words.groupBy(id_col).agg(*sums)
+    # reassemble: hex digit d = sum over k of (s_{4d+k} > 0) << (3-k)
+    digits = []
+    for d in range(16):
+        val = None
+        for k in range(4):
+            bit = F.when(F.col(f"s{4 * d + k}") > 0, F.lit(1 << (3 - k))).otherwise(0)
+            val = bit if val is None else val + bit
+        digits.append(F.substring(F.lit("0123456789abcdef"), val + 1, 1))
+    return votes.select(F.col(id_col), F.concat(*digits).alias("simhash"))
+
+
+def simhash_oracle_sql(table: str = "documents", text_expr: str = "text", id_col: str = "doc_id") -> str:
+    """Generated SQL twin of simhash64 for the DuckDB oracle."""
+    norm = f"regexp_replace(lower(trim({text_expr})), '\\s+', ' ', 'g')"
+    sums, digits = [], []
+    for d in range(16):
+        digit = f"(strpos('0123456789abcdef', substr(md5(w), {d + 1}, 1)) - 1)"
+        for k in range(4):
+            i = 4 * d + k
+            bit = f"(({digit} >> {3 - k}) & 1)"
+            sums.append(f"SUM(CASE WHEN {bit} = 1 THEN 1 ELSE -1 END) AS s{i}")
+    for d in range(16):
+        parts = " + ".join(
+            f"(CASE WHEN s{4 * d + k} > 0 THEN {1 << (3 - k)} ELSE 0 END)"
+            for k in range(4)
+        )
+        digits.append(f"substr('0123456789abcdef', ({parts}) + 1, 1)")
+    return f"""
+    WITH words AS (
+        SELECT {id_col}, unnest(list_distinct(string_split({norm}, ' '))) AS w
+        FROM {table}
+    ),
+    votes AS (
+        SELECT {id_col}, {', '.join(sums)} FROM words GROUP BY {id_col}
+    )
+    SELECT {id_col}, {' || '.join(digits)} AS simhash FROM votes
+    """
+
+
+def minhash_oracle_sql(
+    table: str = "documents",
+    text_expr: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> str:
+    """Generated SQL twin of minhash_lsh_pairs for the DuckDB oracle."""
+    norm = f"regexp_replace(lower(trim({text_expr})), '\\s+', ' ', 'g')"
+    gram_parts = " || ' ' || ".join(f"ws[i + {j}]" for j in range(n))
+    mins = ", ".join(
+        f"MIN(md5('{i}:' || g)) AS h{i}" for i in range(N_MINHASH)
+    )
+    bands = ", ".join(
+        f"md5(h{2 * b} || '|' || h{2 * b + 1}) AS b{b}" for b in range(N_BANDS)
+    )
+    band_union = " UNION ALL ".join(
+        f"SELECT {id_col}, {b} AS band, b{b} AS bhash FROM bands"
+        for b in range(N_BANDS)
+    )
+    return f"""
+    WITH words AS (
+        SELECT {id_col}, string_split({norm}, ' ') AS ws FROM {table}
+    ),
+    grams AS (
+        SELECT {id_col},
+               unnest(CASE WHEN len(ws) >= {n}
+                      THEN range(1, len(ws) - {n - 2})
+                      ELSE [] END) AS i, ws
+        FROM words
+    ),
+    gram_rows AS (
+        SELECT DISTINCT {id_col}, {gram_parts} AS g FROM grams
+    ),
+    sigs AS (
+        SELECT {id_col}, {mins} FROM gram_rows GROUP BY {id_col}
+    ),
+    bands AS (
+        SELECT {id_col}, {bands} FROM sigs
+    ),
+    melted AS ({band_union}),
+    cands AS (
+        SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b
+        FROM melted a JOIN melted b
+          ON a.band = b.band AND a.bhash = b.bhash AND a.{id_col} < b.{id_col}
+    ),
+    gsets AS (
+        SELECT {id_col}, list_distinct(list(g)) AS grams FROM gram_rows GROUP BY {id_col}
+    )
+    SELECT id_a, id_b,
+           ROUND(len(list_intersect(ga.grams, gb.grams))::DOUBLE
+                 / (len(ga.grams) + len(gb.grams)
+                    - len(list_intersect(ga.grams, gb.grams))), 6) AS jac
+    FROM cands
+    JOIN gsets ga ON ga.{id_col} = id_a
+    JOIN gsets gb ON gb.{id_col} = id_b
+    WHERE len(list_intersect(ga.grams, gb.grams))::DOUBLE
+          / (len(ga.grams) + len(gb.grams)
+             - len(list_intersect(ga.grams, gb.grams))) >= {threshold}
+    """

@@ -1,0 +1,177 @@
+"""Similarity search over embedding columns (north-star set).
+
+Brute-force cosine top-k as the correctness baseline and a sign-LSH
+(random-hyperplane-style) bucketed variant as the scale path. Dot products
+are sequential left-to-right double folds (F.aggregate over zip_with) so the
+DuckDB oracle — a list comprehension with the same order — computes the
+bit-identical value.
+
+At 100 TB the brute-force path is a broadcast of the (small) query set
+against a partitioned corpus scan — embarrassingly parallel, no shuffle
+until the final per-query top-k; the LSH path prunes the corpus to matching
+buckets first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .windows import topk_per_group
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in double precision."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: Column) -> Column:
+    sq = F.transform(a, lambda x: x.cast("double") * x.cast("double"))
+    return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the query set, score every
+    (query, corpus) pair, per-query top-k via row_number. Excludes
+    self-matches. Deterministic ties: (cos DESC, neighbor id ASC)."""
+    q = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+    )
+    return topk_per_group(
+        scored,
+        ["query_id"],
+        [F.col("cos_sim").desc(), F.col("neighbor_id").asc()],
+        k=k,
+        rank_col="rank",
+    ).select("query_id", "neighbor_id", "cos_sim", "rank")
+
+
+def sign_lsh_bucket(vec: Column, n_bits: int = 8) -> Column:
+    """Sign-LSH bucket key: the sign pattern of the first n_bits components
+    (axis-aligned hyperplanes — deterministic, engine-portable; a production
+    variant would use seeded random hyperplanes the same way)."""
+    bits = [
+        F.when(F.element_at(vec, i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for i in range(n_bits)
+    ]
+    return F.concat(*bits)
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bucketed ANN: only corpus vectors in the query's sign-LSH bucket are
+    scored. Recall < 1 by design; the bucket join replaces the cross join so
+    cost scales with bucket occupancy (corpus/2^bits per query)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        sign_lsh_bucket(F.col(vec_col), n_bits).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        sign_lsh_bucket(F.col(vec_col), n_bits).alias("bucket"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+    )
+    return topk_per_group(
+        scored,
+        ["query_id"],
+        [F.col("cos_sim").desc(), F.col("neighbor_id").asc()],
+        k=k,
+        rank_col="rank",
+    ).select("query_id", "neighbor_id", "cos_sim", "rank")
+
+
+# --- oracle SQL twins --------------------------------------------------------
+
+def _cos_sql(av: str, bv: str) -> str:
+    """Cosine with the same sequential double fold as the Spark side."""
+    d = f"list_sum([CAST({av}[i] AS DOUBLE) * CAST({bv}[i] AS DOUBLE) for i in range(1, len({av}) + 1)])"
+    na = f"sqrt(list_sum([CAST({av}[i] AS DOUBLE) * CAST({av}[i] AS DOUBLE) for i in range(1, len({av}) + 1)]))"
+    nb = f"sqrt(list_sum([CAST({bv}[i] AS DOUBLE) * CAST({bv}[i] AS DOUBLE) for i in range(1, len({bv}) + 1)]))"
+    return f"({d} / ({na} * {nb}))"
+
+
+def cosine_topk_oracle_sql(
+    k: int = 5, n_queries: int = 5, table: str = "embeddings"
+) -> str:
+    cos = _cos_sql("q.qv", "c.cv")
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM {table}
+               WHERE vec_id < {n_queries}),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM {table}),
+         scored AS (
+            SELECT q.query_id, c.neighbor_id, ROUND({cos}, 6) AS cos_sim
+            FROM q CROSS JOIN c WHERE q.query_id <> c.neighbor_id),
+         ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cos_sim DESC, neighbor_id) AS rank
+            FROM scored)
+    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+def sign_bucket_sql(vec: str, n_bits: int = 8) -> str:
+    bits = " || ".join(
+        f"(CASE WHEN {vec}[{i + 1}] >= 0 THEN '1' ELSE '0' END)" for i in range(n_bits)
+    )
+    return f"({bits})"
+
+
+def cosine_topk_lsh_oracle_sql(
+    k: int = 5, n_queries: int = 5, n_bits: int = 8, table: str = "embeddings"
+) -> str:
+    cos = _cos_sql("q.qv", "c.cv")
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+                      {sign_bucket_sql('embedding', n_bits)} AS bucket
+               FROM {table} WHERE vec_id < {n_queries}),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
+                      {sign_bucket_sql('embedding', n_bits)} AS bucket
+               FROM {table}),
+         scored AS (
+            SELECT q.query_id, c.neighbor_id, ROUND({cos}, 6) AS cos_sim
+            FROM q JOIN c ON q.bucket = c.bucket
+            WHERE q.query_id <> c.neighbor_id),
+         ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cos_sim DESC, neighbor_id) AS rank
+            FROM scored)
+    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {k}
+    """

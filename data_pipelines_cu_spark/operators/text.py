@@ -1,0 +1,169 @@
+"""Text-analysis operators for training-data pipelines (north-star set).
+
+Grounded in the reference's text operators — sentiment scoring
+(Solutions/gold_war_etl_dag.py:134-139) and keyword scanning (:93-97) — and
+extended with language-ID, quality scoring, token counting and document
+fingerprinting. Everything is built-in-function column algebra (JVM-side,
+whole-stage codegen, no Python in the hot path) and every op has an exact
+ANSI-SQL twin so the DuckDB oracle can verify it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language function-word lexicons for the n-gram/stopword heuristic
+# language-ID (deterministic; ordered dict fixes tie-break priority).
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "in", "is", "that", "for", "with"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"),
+    "es": ("el", "la", "los", "las", "y", "es", "que", "de", "un", "una"),
+    "fr": ("le", "la", "les", "et", "est", "que", "un", "une", "pour", "dans"),
+    "zh": ("的", "是", "了", "在", "我", "有", "和", "就", "不", "人"),
+}
+
+POSITIVE_WORDS = ("good", "great", "fast", "best", "win", "up", "gain", "success")
+NEGATIVE_WORDS = ("bad", "slow", "worst", "loss", "down", "fail", "error", "crash")
+
+PUNCT_PATTERN = r"[.,!?;:]"
+
+
+def _words(text_col: str | Column) -> Column:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(F.lower(F.trim(c)), r"\s+")
+
+
+def _hits(words: Column, vocab: tuple[str, ...]) -> Column:
+    """Count of tokens that are in ``vocab`` (multiset count, not distinct)."""
+    return F.size(F.filter(words, lambda w: w.isin(*vocab)))
+
+
+def with_token_count(df: DataFrame, text_col: str = "text", out: str = "n_tokens") -> DataFrame:
+    """Whitespace token count (the standard pre-tokenizer length proxy)."""
+    return df.withColumn(out, F.size(_words(text_col)))
+
+
+def with_char_token_estimate(
+    df: DataFrame, text_col: str = "text", out: str = "n_tokens_bpe_est"
+) -> DataFrame:
+    """BPE-ish token estimate: word-piece regex matches — alpha runs, digit
+    runs, and isolated symbols — the usual ~chars/4 proxy made countable."""
+    return df.withColumn(
+        out, F.regexp_count(F.col(text_col), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
+    )
+
+
+def lang_hits(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-language stopword hit counts (columns hits_<lang>)."""
+    words = _words(text_col)
+    out = df
+    for lang, vocab in LANG_STOPWORDS.items():
+        out = out.withColumn(f"hits_{lang}", _hits(words, vocab))
+    return out
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -> DataFrame:
+    """Heuristic language-ID: argmax of stopword hits, ties broken by the
+    fixed lexicon priority order (first language with the max count)."""
+    scored = lang_hits(df, text_col)
+    langs = list(LANG_STOPWORDS)
+    expr = None
+    # CASE hits_en >= all_others THEN 'en' WHEN hits_de >= remaining ... —
+    # identical CASE chain is emitted for the SQL oracle (lang_id_oracle_sql).
+    for i, lang in enumerate(langs):
+        cond = F.lit(True)
+        for other in langs:
+            if other != lang:
+                cond = cond & (F.col(f"hits_{lang}") >= F.col(f"hits_{other}"))
+        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
+    return scored.withColumn(out, expr.otherwise(langs[0])).drop(
+        *[f"hits_{lang}" for lang in langs]
+    )
+
+
+def lang_id_case_sql(text_expr: str = "text") -> str:
+    """The oracle-SQL twin of ``with_lang_id`` (generated from the same
+    lexicons so both engines compute the same function)."""
+    w = f"regexp_split_to_array(lower(trim({text_expr})), '\\s+')"
+    hits = {
+        lang: f"len(list_filter({w}, t -> t IN ({', '.join(repr(v) for v in vocab)})))"
+        for lang, vocab in LANG_STOPWORDS.items()
+    }
+    langs = list(LANG_STOPWORDS)
+    cases = []
+    for lang in langs:
+        conds = " AND ".join(
+            f"{hits[lang]} >= {hits[o]}" for o in langs if o != lang
+        )
+        cases.append(f"WHEN {conds} THEN '{lang}'")
+    return "CASE " + " ".join(cases) + f" ELSE '{langs[0]}' END"
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text", out: str = "quality") -> DataFrame:
+    """Composite quality score from length / stopword ratio / punctuation
+    ratio (the classic pre-training quality heuristics). Deterministic
+    double arithmetic, rounded to 6dp; SQL twin in quality_oracle_sql."""
+    text = F.col(text_col)
+    words = _words(text_col)
+    n_tokens = F.size(words)
+    n_chars = F.length(text)
+    stop_hits = _hits(words, LANG_STOPWORDS["en"])
+    punct = F.regexp_count(text, F.lit(PUNCT_PATTERN))
+    length_score = F.least(n_chars.cast("double") / 500.0, F.lit(1.0))
+    stop_ratio = stop_hits.cast("double") / F.greatest(n_tokens, F.lit(1)).cast("double")
+    punct_ratio = punct.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double")
+    score = 0.3 * length_score + 0.4 * stop_ratio + 0.3 * (1.0 - punct_ratio)
+    return (
+        df.withColumn("n_tokens", n_tokens)
+        .withColumn("stop_ratio", F.round(stop_ratio, 6))
+        .withColumn("punct_ratio", F.round(punct_ratio, 6))
+        .withColumn(out, F.round(score, 6))
+    )
+
+
+def quality_oracle_sql(table: str = "documents", text_expr: str = "text") -> str:
+    w = f"regexp_split_to_array(lower(trim({text_expr})), '\\s+')"
+    en = ", ".join(repr(v) for v in LANG_STOPWORDS["en"])
+    return f"""
+    SELECT doc_id,
+           len({w}) AS n_tokens,
+           ROUND(len(list_filter({w}, t -> t IN ({en})))::DOUBLE
+                 / greatest(len({w}), 1), 6) AS stop_ratio,
+           ROUND(len(regexp_extract_all({text_expr}, '{PUNCT_PATTERN}'))::DOUBLE
+                 / greatest(length({text_expr}), 1), 6) AS punct_ratio,
+           ROUND(0.3 * least(length({text_expr})::DOUBLE / 500.0, 1.0)
+               + 0.4 * (len(list_filter({w}, t -> t IN ({en})))::DOUBLE
+                        / greatest(len({w}), 1))
+               + 0.3 * (1.0 - len(regexp_extract_all({text_expr}, '{PUNCT_PATTERN}'))::DOUBLE
+                        / greatest(length({text_expr}), 1)), 6) AS quality
+    FROM {table}
+    """
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerprint") -> DataFrame:
+    """Document fingerprint: md5 over whitespace-normalized lowercase text.
+    (md5 is engine-portable; the rolling/minhash variants live in
+    operators.dedup.)"""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return df.withColumn(out, F.md5(norm))
+
+
+def with_sentiment(df: DataFrame, text_col: str = "text", out: str = "sentiment") -> DataFrame:
+    """Deterministic lexicon sentiment polarity in [-1, 1]:
+    (pos−neg)/(pos+neg+1) over word hits — the engine-portable stand-in for
+    the reference's TextBlob polarity UDF (gold_war_etl_dag.py:134-139,
+    null→0.0 preserved: empty text scores 0)."""
+    words = _words(text_col)
+    pos = _hits(words, POSITIVE_WORDS).cast("double")
+    neg = _hits(words, NEGATIVE_WORDS).cast("double")
+    return df.withColumn(out, F.round((pos - neg) / (pos + neg + 1.0), 6))
+
+
+def sentiment_oracle_expr(text_expr: str = "text") -> str:
+    w = f"regexp_split_to_array(lower(trim({text_expr})), '\\s+')"
+    pos = ", ".join(repr(v) for v in POSITIVE_WORDS)
+    neg = ", ".join(repr(v) for v in NEGATIVE_WORDS)
+    p = f"len(list_filter({w}, t -> t IN ({pos})))::DOUBLE"
+    n = f"len(list_filter({w}, t -> t IN ({neg})))::DOUBLE"
+    return f"ROUND(({p} - {n}) / ({p} + {n} + 1.0), 6)"

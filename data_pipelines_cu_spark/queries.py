@@ -1,0 +1,825 @@
+"""Query registry: every SURVEY.md §2 operator as a (Spark, oracle-SQL) pair.
+
+Each entry is the Spark-first expression of one reference operator (cited in
+its docstring) over the driver's fixture tables, plus the ANSI-SQL oracle
+DuckDB runs for the differential correctness gate. Column names/aliases are
+identical on both sides (the driver sorts columns by name before hashing).
+
+Float discipline: aggregates whose value depends on summation order are
+rounded (sums→2dp, avgs/ratios→6dp) IDENTICALLY on both sides so the
+value-hash is stable across engines; raw row values pass through unrounded.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .catalog import load_table
+from .operators import aggregates as agg
+from .operators import dedup as dd
+from .operators import filters as flt
+from .operators import similarity as sim
+from .operators import text as tx
+from .operators import windows as win
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
+    doc: str
+
+
+QUERIES: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = Query(name, fn, oracle, fn.__doc__ or "")
+        return fn
+
+    return deco
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# A1 — canonical group-count (reference lecture3/01_unscheduled.py:26-31)
+# ---------------------------------------------------------------------------
+@register(
+    "events_user_daily_counts",
+    """
+    SELECT strftime(ts, '%Y-%m-%d') AS date, user_id, COUNT(*) AS n_events
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_user_daily_counts(spark, sf_dir):
+    """groupby(date, user).size() — the course's most-repeated query."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("date"), "user_id"
+    )
+    return agg.group_count(ev, "date", "user_id", count_name="n_events")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q1-style pricing summary (A2/A9 analog; SQL AVG+GROUP BY
+# Solutions/chapter04/scripts/select_pageview_counts.sql)
+# ---------------------------------------------------------------------------
+@register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                   AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                              AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 6)                                   AS avg_qty,
+           ROUND(AVG(l_extendedprice), 6)                              AS avg_price,
+           ROUND(AVG(l_discount), 6)                                   AS avg_disc,
+           COUNT(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark, sf_dir):
+    """Multi-stat grouped aggregation with derived measures — one shuffle,
+    map-side partial agg, filter pushed to the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2 — multi-stat hourly bucket (lecture3/13_binance_calculate_hourly.py:56-67)
+# events.value plays the minute-tick price role.
+# ---------------------------------------------------------------------------
+_HOURLY_ORACLE = """
+    SELECT strftime(ts, '%Y-%m-%d') AS date,
+           strftime(ts, '%H') AS hour,
+           ROUND(AVG(value), 6)  AS avg_price,
+           MIN(value)            AS min_price,
+           MAX(value)            AS max_price,
+           MIN_BY(value, ts)     AS first_price,
+           MAX_BY(value, ts)     AS last_price,
+           COUNT(value)          AS data_points
+    FROM events GROUP BY 1, 2
+"""
+
+
+@register("hourly_price_stats", _HOURLY_ORACLE)
+def hourly_price_stats(spark, sf_dir):
+    """Hourly avg/min/max/first/last/count; first/last are order-defined via
+    min_by/max_by(value, ts) — no sort, single shuffle. Hour is a zero-padded
+    string (golden fidelity, lecture3/13:47)."""
+    ev = _t(spark, sf_dir, "events")
+    out = agg.multi_stat_time_bucket(ev, "ts", "value", bucket="hour")
+    return out.withColumn("avg_price", F.round("avg_price", 6))
+
+
+# ---------------------------------------------------------------------------
+# A3/A4 — hierarchical daily rollup FROM hourly pre-agg
+# (lecture3/14_binance_calculate_daily.py:46-64; mean-of-hourly-means)
+# ---------------------------------------------------------------------------
+@register(
+    "daily_price_rollup",
+    """
+    WITH hourly AS (
+        SELECT strftime(ts, '%Y-%m-%d') AS date,
+               strftime(ts, '%H') AS hour,
+               AVG(value)        AS avg_price,
+               MIN(value)        AS min_price,
+               MAX(value)        AS max_price,
+               MIN_BY(value, ts) AS first_price,
+               MAX_BY(value, ts) AS last_price,
+               COUNT(value)      AS data_points
+        FROM events GROUP BY 1, 2
+    )
+    SELECT date,
+           ROUND(AVG(avg_price), 6)        AS avg_price,
+           MIN(min_price)                  AS min_price,
+           MAX(max_price)                  AS max_price,
+           MIN_BY(first_price, hour)       AS opening_price,
+           MAX_BY(last_price, hour)        AS closing_price,
+           SUM(data_points)                AS total_data_points,
+           COUNT(*)                        AS hours_with_data,
+           ROUND(MAX_BY(last_price, hour) - MIN_BY(first_price, hour), 6) AS price_change,
+           ROUND(CASE WHEN MIN_BY(first_price, hour) > 0
+                 THEN (MAX_BY(last_price, hour) - MIN_BY(first_price, hour))
+                      / MIN_BY(first_price, hour) * 100.0 END, 6) AS price_change_pct
+    FROM hourly GROUP BY date
+    """,
+)
+def daily_price_rollup(spark, sf_dir):
+    """Daily stats FROM hourly rows — faithfully mean-of-hourly-means (NOT
+    the raw mean; reference semantics §7.3), opening/closing via
+    min_by/max_by over hour, derived change columns."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = agg.multi_stat_time_bucket(ev, "ts", "value", bucket="hour")
+    daily = agg.daily_rollup(hourly)
+    return daily.select(
+        "date",
+        F.round("avg_price", 6).alias("avg_price"),
+        "min_price",
+        "max_price",
+        "opening_price",
+        "closing_price",
+        "total_data_points",
+        "hours_with_data",
+        F.round("price_change", 6).alias("price_change"),
+        F.round("price_change_pct", 6).alias("price_change_pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W1/O3 — top-k per group via ROW_NUMBER
+# (Solutions/chapter04/scripts/select_pageview_counts.sql:1-12)
+# ---------------------------------------------------------------------------
+@register(
+    "top_events_per_user",
+    """
+    SELECT user_id, event_id, value, rn FROM (
+        SELECT user_id, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY value DESC, event_id) AS rn
+        FROM events)
+    WHERE rn <= 3
+    """,
+)
+def top_events_per_user(spark, sf_dir):
+    """Argmax-k per partition — the pageview 'best hour per page' pattern."""
+    ev = _t(spark, sf_dir, "events")
+    return win.topk_per_group(
+        ev.select("user_id", "event_id", "value"),
+        ["user_id"],
+        [F.col("value").desc(), F.col("event_id").asc()],
+        k=3,
+    ).select("user_id", "event_id", "value", "rn")
+
+
+# ---------------------------------------------------------------------------
+# W2 — lead/next-row value (gold_war_etl_dag.py:143-146 shift(-1))
+# ---------------------------------------------------------------------------
+@register(
+    "next_event_value",
+    """
+    SELECT user_id, event_id, value,
+           LEAD(value) OVER (PARTITION BY user_id ORDER BY ts) AS value_next,
+           CASE WHEN LEAD(value) OVER (PARTITION BY user_id ORDER BY ts) > value
+                THEN 1 ELSE 0 END AS target
+    FROM events
+    """,
+)
+def next_event_value(spark, sf_dir):
+    """price_next = shift(-1); target = next > current (the reference's
+    training-label derivation). Partitioned by user → parallel windows."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    nxt = F.lead("value").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        nxt.alias("value_next"),
+        F.when(nxt > F.col("value"), 1).otherwise(0).alias("target"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# O4 — dedup keep-last by timestamp (lecture3/15:129)
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_keep_last",
+    """
+    SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us, value FROM (
+        SELECT user_id, event_type, event_id, ts, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts DESC) AS rn
+        FROM events)
+    WHERE rn = 1
+    """,
+)
+def dedup_keep_last_q(spark, sf_dir):
+    """Keep the latest row per (user, event_type) — 'last' defined by event
+    time, deterministic under any partitioning (§7.3 hard part 3). Timestamp
+    emitted as epoch micros (engine-neutral representation)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts", "value"
+    )
+    out = win.dedup_keep_last(ev, ["user_id", "event_type"], "ts")
+    return out.select(
+        "user_id", "event_type", "event_id",
+        F.unix_micros("ts").alias("ts_us"), "value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# J4 — star join over dims (01_umbrella.py join_datasets) + region rollup
+# ---------------------------------------------------------------------------
+@register(
+    "orders_by_region",
+    """
+    SELECT r.r_name AS region,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS total_revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1
+    """,
+)
+def orders_by_region(spark, sf_dir):
+    """Star join: fact (orders) joined through broadcast dims — zero
+    shuffle on the fact side until the final small aggregation."""
+    o = _t(spark, sf_dir, "orders")
+    c = F.broadcast(_t(spark, sf_dir, "customer"))
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1 — left join + zero-fill (gold_war_etl_dag.py:148-150)
+# ---------------------------------------------------------------------------
+@register(
+    "customer_order_totals",
+    """
+    SELECT c.c_custkey, c.c_name,
+           COALESCE(t.n_orders, 0) AS n_orders,
+           ROUND(COALESCE(t.total_spent, 0), 2) AS total_spent
+    FROM customer c
+    LEFT JOIN (
+        SELECT o_custkey, COUNT(*) AS n_orders, SUM(o_totalprice) AS total_spent
+        FROM orders GROUP BY 1
+    ) t ON c.c_custkey = t.o_custkey
+    """,
+)
+def customer_order_totals(spark, sf_dir):
+    """Left join with null-fill for unmatched keys — aggregate-then-join so
+    the join input is one row per key (shuffle the small side only)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    totals = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_totalprice").alias("total_spent"),
+    )
+    return (
+        c.join(totals, c.c_custkey == totals.o_custkey, "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.round(F.coalesce("total_spent", F.lit(0.0)), 2).alias("total_spent"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# O5-analog — anti join (upsert's ~isin, lecture3/15:186-188)
+# ---------------------------------------------------------------------------
+@register(
+    "customers_without_orders",
+    """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def customers_without_orders(spark, sf_dir):
+    """left_anti join — the distributed form of ``~isin``."""
+    from .operators.joins import anti_join
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return anti_join(c, o, "c_custkey").select("c_custkey", "c_name", "c_mktsegment")
+
+
+# ---------------------------------------------------------------------------
+# P7 — half-open date-range filter (app.py:61-65) + pushdown
+# ---------------------------------------------------------------------------
+@register(
+    "events_window_stats",
+    """
+    SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+    GROUP BY 1
+    """,
+)
+def events_window_stats(spark, sf_dir):
+    """start <= ts < end (half-open Airflow-interval semantics) pushed into
+    the parquet scan, then per-type stats."""
+    ev = _t(spark, sf_dir, "events")
+    windowed = flt.date_range_half_open(
+        ev, "ts", "2024-01-10 00:00:00", "2024-01-20 00:00:00"
+    )
+    return windowed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P8 — keyword any-of rlike (gold_war WAR_KEYWORDS :37,93-97)
+# ---------------------------------------------------------------------------
+@register(
+    "keyword_docs",
+    """
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE regexp_matches(lower(text), 'join|merge|window')
+    """,
+)
+def keyword_docs(spark, sf_dir):
+    """Any-of keyword filter as one JVM regex over lowercased text."""
+    d = _t(spark, sf_dir, "documents")
+    return flt.keyword_any(d, ["text"], ["join", "merge", "window"]).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+# ---------------------------------------------------------------------------
+# P6/A7 — membership filter + zero-fill lookup counts (lecture4/06:38-52)
+# ---------------------------------------------------------------------------
+@register(
+    "tracked_type_counts",
+    """
+    WITH tracked(event_type) AS (VALUES ('click'), ('purchase'), ('refund_xyz')),
+         counts AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1)
+    SELECT t.event_type, COALESCE(c.n, 0) AS n
+    FROM tracked t LEFT JOIN counts c ON t.event_type = c.event_type
+    """,
+)
+def tracked_type_counts(spark, sf_dir):
+    """Pageview-style tally over a tracked set with 0-default for absent
+    keys (dict.fromkeys(pagenames, 0)) — agg first, broadcast the key list."""
+    ev = _t(spark, sf_dir, "events")
+    tracked = ev.sparkSession.createDataFrame(
+        [("click",), ("purchase",), ("refund_xyz",)], ["event_type"]
+    )
+    return agg.zero_fill_counts(ev, tracked, "event_type", count_name="n")
+
+
+# ---------------------------------------------------------------------------
+# W1 verbatim — per-type argmax hour by avg value (select_pageview_counts.sql)
+# ---------------------------------------------------------------------------
+@register(
+    "best_hour_per_type",
+    """
+    SELECT event_type, hour, average FROM (
+        SELECT event_type, strftime(ts, '%H') AS hour,
+               ROUND(AVG(value), 6) AS average,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY ROUND(AVG(value), 6) DESC,
+                                           strftime(ts, '%H')) AS rn
+        FROM events GROUP BY 1, 2)
+    WHERE rn = 1
+    """,
+)
+def best_hour_per_type(spark, sf_dir):
+    """The chapter04 analysis query re-expressed: AVG GROUP BY then
+    ROW_NUMBER()=1 per partition (ties broken by hour for determinism)."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_format("ts", "HH").alias("hour")
+    ).agg(F.round(F.avg("value"), 6).alias("average"))
+    return win.topk_per_group(
+        hourly, ["event_type"], [F.col("average").desc(), F.col("hour").asc()], k=1
+    ).select("event_type", "hour", "average")
+
+
+# ---------------------------------------------------------------------------
+# J2/J3 — union of heterogeneous sources (tutorial2:222-259)
+# ---------------------------------------------------------------------------
+@register(
+    "union_sources_summary",
+    """
+    WITH unioned AS (
+        SELECT 'events' AS src, event_id AS id FROM events
+        UNION ALL
+        SELECT 'documents' AS src, doc_id AS id FROM documents
+        UNION ALL
+        SELECT 'embeddings' AS src, vec_id AS id FROM embeddings
+    )
+    SELECT src, COUNT(*) AS n, MIN(id) AS min_id, MAX(id) AS max_id
+    FROM unioned GROUP BY 1
+    """,
+)
+def union_sources_summary(spark, sf_dir):
+    """unionByName over heterogeneous sources, then per-source stats."""
+    from .operators.joins import union_sources
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.lit("events").alias("src"), F.col("event_id").alias("id")
+    )
+    doc = _t(spark, sf_dir, "documents").select(
+        F.lit("documents").alias("src"), F.col("doc_id").alias("id")
+    )
+    em = _t(spark, sf_dir, "embeddings").select(
+        F.lit("embeddings").alias("src"), F.col("vec_id").alias("id")
+    )
+    return union_sources([ev, doc, em]).groupBy("src").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("id").alias("min_id"),
+        F.max("id").alias("max_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 — intersect / except (Spark built-ins the reference lacks)
+# ---------------------------------------------------------------------------
+@register(
+    "clickers_who_purchased",
+    """
+    SELECT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def clickers_who_purchased(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return clicks.intersect(buys)
+
+
+@register(
+    "clickers_never_purchased",
+    """
+    SELECT user_id FROM events WHERE event_type = 'click'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def clickers_never_purchased(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    # subtract = SQL EXCEPT (set semantics): any purchase removes the user
+    return clicks.subtract(buys)
+
+
+# ---------------------------------------------------------------------------
+# §2.4 extras — distinct agg + rollup grouping sets
+# ---------------------------------------------------------------------------
+@register(
+    "daily_active_users",
+    """
+    SELECT strftime(ts, '%Y-%m-%d') AS date,
+           COUNT(DISTINCT user_id) AS dau,
+           COUNT(*) AS n_events
+    FROM events GROUP BY 1
+    """,
+)
+def daily_active_users(spark, sf_dir):
+    """Exact distinct per day (two-phase distinct aggregation)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("date")).agg(
+        F.countDistinct("user_id").alias("dau"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "event_type_rollup",
+    """
+    SELECT event_type, strftime(ts, '%Y-%m-%d') AS date, COUNT(*) AS n,
+           GROUPING(event_type) + 2 * GROUPING(strftime(ts, '%Y-%m-%d')) AS gid
+    FROM events GROUP BY ROLLUP (event_type, strftime(ts, '%Y-%m-%d'))
+    """,
+)
+def event_type_rollup(spark, sf_dir):
+    """ROLLUP grouping sets (hierarchical totals) — free in Spark, absent in
+    the reference (SURVEY §2.4 note)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("date")
+    )
+    return ev.rollup("event_type", "date").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.grouping("event_type") + 2 * F.grouping("date")).alias("gid"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.8 — scalar function suite over documents
+# ---------------------------------------------------------------------------
+@register(
+    "doc_scalar_suite",
+    """
+    SELECT doc_id,
+           trim(lower(text))                       AS norm_text_prefix,
+           length(text)                            AS text_len,
+           split_part(text, ' ', 1)                AS first_token,
+           concat_ws('|', lang, source)            AS lang_source,
+           substr(text, 1, 16)                     AS head16,
+           regexp_replace(text, '\\s+', '_', 'g')  AS underscored
+    FROM documents WHERE doc_id < 50
+    """,
+)
+def doc_scalar_suite(spark, sf_dir):
+    """String scalar functions (trim/lower/split/concat_ws/substr/regexp) —
+    all JVM-side, whole-stage codegen."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return d.select(
+        "doc_id",
+        F.trim(F.lower("text")).alias("norm_text_prefix"),
+        F.length("text").alias("text_len"),
+        F.split(F.col("text"), " ").getItem(0).alias("first_token"),
+        F.concat_ws("|", "lang", "source").alias("lang_source"),
+        F.substring("text", 1, 16).alias("head16"),
+        F.regexp_replace("text", r"\s+", "_").alias("underscored"),
+    )
+
+
+@register(
+    "event_props_extract",
+    """
+    SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k_value
+    FROM events WHERE event_id < 100
+    """,
+)
+def event_props_extract(spark, sf_dir):
+    """JSON extraction (from_json/get_json_object — reference nested .get()
+    chains, tutorial4:101-111)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 100)
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_value"),
+    )
+
+
+# ===========================================================================
+# North-star training-data operators (documents / embeddings tables)
+# ===========================================================================
+
+# --- text analysis ---------------------------------------------------------
+@register(
+    "doc_token_stats",
+    """
+    SELECT doc_id, lang,
+           len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+               AS n_tokens_bpe_est,
+           length(text) AS text_len
+    FROM documents
+    """,
+)
+def doc_token_stats(spark, sf_dir):
+    """Token counting: whitespace tokens + BPE-ish word-piece regex count."""
+    d = _t(spark, sf_dir, "documents")
+    d = tx.with_token_count(d)
+    d = tx.with_char_token_estimate(d)
+    return d.select(
+        "doc_id", "lang", "n_tokens", "n_tokens_bpe_est",
+        F.length("text").alias("text_len"),
+    )
+
+
+@register("doc_quality_scores", tx.quality_oracle_sql())
+def doc_quality_scores(spark, sf_dir):
+    """Quality scoring: length/stopword/punctuation heuristics composite."""
+    d = _t(spark, sf_dir, "documents")
+    return tx.with_quality_score(d).select(
+        "doc_id", "n_tokens", "stop_ratio", "punct_ratio", "quality"
+    )
+
+
+@register(
+    "doc_lang_id",
+    f"""
+    SELECT doc_id, lang AS lang_actual,
+           {tx.lang_id_case_sql('text')} AS lang_pred
+    FROM documents
+    """,
+)
+def doc_lang_id(spark, sf_dir):
+    """Heuristic language-ID: argmax of per-language stopword hits with a
+    fixed priority tie-break (CASE chain identical on both engines)."""
+    d = _t(spark, sf_dir, "documents")
+    return tx.with_lang_id(d).select(
+        "doc_id", F.col("lang").alias("lang_actual"), "lang_pred"
+    )
+
+
+@register(
+    "doc_sentiment_daily",
+    f"""
+    SELECT lang, ROUND(AVG({tx.sentiment_oracle_expr('text')}), 6) AS avg_sentiment,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY lang
+    """,
+)
+def doc_sentiment_daily(spark, sf_dir):
+    """Sentiment agg (reference gold_war daily sentiment mean+count,
+    :140-141) using the deterministic lexicon polarity."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        tx.with_sentiment(d)
+        .groupBy("lang")
+        .agg(
+            F.round(F.avg("sentiment"), 6).alias("avg_sentiment"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+@register(
+    "doc_fingerprints",
+    """
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprints(spark, sf_dir):
+    """Content fingerprint: md5 over normalized text (engine-portable)."""
+    d = _t(spark, sf_dir, "documents")
+    return tx.with_fingerprint(d).select("doc_id", "fingerprint")
+
+
+# --- dedup -----------------------------------------------------------------
+@register(
+    "dedup_exact_groups",
+    """
+    SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash,
+           MIN(doc_id) AS canonical_id,
+           COUNT(*) AS n_dups
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact_groups_q(spark, sf_dir):
+    """Exact dedup groups by content hash (hash-groupBy; only 32-byte
+    digests shuffle at scale)."""
+    return dd.exact_dedup_groups(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "ngram_jaccard_pairs",
+    """
+    WITH norm AS (
+        SELECT doc_id, lang,
+               string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+        FROM documents
+    ),
+    gidx AS (
+        SELECT doc_id, lang,
+               unnest(CASE WHEN len(ws) >= 3 THEN range(1, len(ws) - 1) ELSE [] END) AS i,
+               ws
+        FROM norm
+    ),
+    gram_rows AS (
+        SELECT DISTINCT doc_id, lang, ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS g
+        FROM gidx
+    ),
+    gsets AS (
+        SELECT doc_id, lang, list_distinct(list(g)) AS grams
+        FROM gram_rows GROUP BY doc_id, lang
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(len(list_intersect(a.grams, b.grams))::DOUBLE
+                 / (len(a.grams) + len(b.grams)
+                    - len(list_intersect(a.grams, b.grams))), 6) AS jac
+    FROM gsets a JOIN gsets b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+          / (len(a.grams) + len(b.grams)
+             - len(list_intersect(a.grams, b.grams))) >= 0.5
+    """,
+)
+def ngram_jaccard_pairs_q(spark, sf_dir):
+    """Blocked exact word-3gram Jaccard near-dup pairs (block = lang)."""
+    return dd.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), block_col="lang", threshold=0.5
+    )
+
+
+@register("minhash_lsh_pairs", dd.minhash_oracle_sql(threshold=0.5))
+def minhash_lsh_pairs_q(spark, sf_dir):
+    """MinHash(16)+LSH(8 bands) candidates verified by exact Jaccard — the
+    unblocked near-dup scale path."""
+    return dd.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@register("simhash_fingerprints", dd.simhash_oracle_sql())
+def simhash_fingerprints_q(spark, sf_dir):
+    """64-bit SimHash per doc as hex string (distributed bit-vote agg)."""
+    return dd.simhash64(_t(spark, sf_dir, "documents"))
+
+
+# --- similarity search -----------------------------------------------------
+@register("ann_cosine_topk", sim.cosine_topk_oracle_sql(k=5, n_queries=5))
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for 5 query vectors (broadcast queries,
+    per-query row_number top-k)."""
+    em = _t(spark, sf_dir, "embeddings")
+    queries = em.filter(F.col("vec_id") < 5)
+    return sim.cosine_topk(em, queries, k=5)
+
+
+@register("ann_lsh_topk", sim.cosine_topk_lsh_oracle_sql(k=5, n_queries=5))
+def ann_lsh_topk(spark, sf_dir):
+    """Sign-LSH bucketed ANN top-5 — scores only same-bucket candidates."""
+    em = _t(spark, sf_dir, "embeddings")
+    queries = em.filter(F.col("vec_id") < 5)
+    return sim.cosine_topk_lsh(em, queries, k=5)
+
+
+@register(
+    "embedding_label_centroids",
+    """
+    SELECT label,
+           COUNT(*) AS n,
+           ROUND(AVG(CAST(embedding[1] AS DOUBLE)), 6) AS dim0_mean,
+           ROUND(AVG(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+                               for i in range(1, len(embedding) + 1)])), 6) AS mean_sq_norm
+    FROM embeddings GROUP BY label
+    """,
+)
+def embedding_label_centroids(spark, sf_dir):
+    """Vector column aggregation: per-label count, first-dim mean, mean
+    squared norm (array math JVM-side via transform/aggregate)."""
+    em = _t(spark, sf_dir, "embeddings")
+    vec = F.col("embedding")
+    sq_norm = F.aggregate(
+        F.transform(vec, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return em.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(F.element_at(vec, 1).cast("double")), 6).alias("dim0_mean"),
+        F.round(F.avg(sq_norm), 6).alias("mean_sq_norm"),
+    )
+
+
+def all_queries() -> dict[str, Query]:
+    return dict(QUERIES)
