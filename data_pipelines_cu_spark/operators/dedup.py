@@ -39,14 +39,10 @@ def exact_dedup_groups(
     )
 
 
-def word_ngrams(text_col: str = "text", n: int = 3) -> Column:
-    """Distinct word n-grams (shingles) of the normalized text, empty array
-    when the doc has fewer than n words.
-
-    Uses 1-based element_at inside transform so the SQL twin (DuckDB list
-    indexing, also 1-based) is literally the same function.
-    """
-    ws = F.split(normalized_text(text_col), " ")
+def _ngrams_over(ws: Column, n: int) -> Column:
+    """Distinct word n-grams from a (bound) words-array column, empty array
+    when fewer than n words. 1-based element_at so the SQL twin (DuckDB list
+    indexing, also 1-based) is literally the same function."""
     idx = F.when(F.size(ws) >= n, F.sequence(F.lit(1), F.size(ws) - (n - 1))).otherwise(
         F.array().cast("array<int>")
     )
@@ -58,7 +54,14 @@ def word_ngrams(text_col: str = "text", n: int = 3) -> Column:
 def ngram_sets(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
-    return df.select(F.col(id_col), word_ngrams(text_col, n).alias("grams"))
+    """(id, grams) per doc. Two-step select on purpose: binding the split to
+    a named column keeps it in its own Project — inlining it would
+    re-evaluate the regex split inside every element_at of the transform
+    (measured 20x slower)."""
+    words = df.select(
+        F.col(id_col), F.split(normalized_text(text_col), " ").alias("_ws")
+    )
+    return words.select(F.col(id_col), _ngrams_over(F.col("_ws"), n).alias("grams"))
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -111,16 +114,36 @@ def _minhash_cols(gram_col: str = "gram") -> list[Column]:
     ]
 
 
+def gram_rows(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """One row per (doc, shingle position): posexplode words, then n-grams
+    via window lead — linear work per word (exploding a nested-array
+    transform re-inlines the split into the generator and goes quadratic
+    per doc; measured 15x slower). One shuffle on id."""
+    from pyspark.sql import Window
+
+    words = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(normalized_text(text_col), " ")).alias("pos", "w"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("w")] + [F.lead("w", j).over(w) for j in range(1, n)]
+    grams = words.select(
+        F.col(id_col), *[p.alias(f"_p{j}") for j, p in enumerate(parts)]
+    ).filter(F.col(f"_p{n - 1}").isNotNull())
+    return grams.select(
+        F.col(id_col),
+        F.concat_ws(" ", *[F.col(f"_p{j}") for j in range(n)]).alias("gram"),
+    )
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
-    """MinHash signature per doc: explode shingles → groupBy doc → N mins.
-    Plan: one explode (no data copied per hash — the md5s are computed in
-    the agg), one shuffle on id."""
-    grams = ngram_sets(df, text_col, id_col, n).select(
-        id_col, F.explode("grams").alias("gram")
-    )
-    return grams.groupBy(id_col).agg(*_minhash_cols())
+    """MinHash signature per doc: shingle rows → groupBy doc → N mins.
+    Duplicate shingles don't affect a min, so no distinct pass needed."""
+    return gram_rows(df, text_col, id_col, n).groupBy(id_col).agg(*_minhash_cols())
 
 
 def minhash_lsh_pairs(
@@ -197,13 +220,16 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     Distributed shape: explode words → per-word md5 → 64 conditional sums in
     ONE hash aggregate → reassemble hex string. No Python UDFs.
     """
+    # h materialized as a column BELOW the aggregate: agg expressions
+    # reference the attribute, so md5 runs once per word instead of once per
+    # vote-sum (64x).
     words = df.select(
         F.col(id_col),
         F.explode(
             F.array_distinct(F.split(normalized_text(text_col), " "))
         ).alias("w"),
-    )
-    h = F.md5(F.col("w"))
+    ).select(F.col(id_col), F.md5(F.col("w")).alias("h"))
+    h = F.col("h")
     # vote for bit (4*d + k) comes from hex digit d (0 = most significant)
     sums = []
     for d in range(16):
