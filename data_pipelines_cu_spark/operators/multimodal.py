@@ -1,0 +1,129 @@
+"""Multimodal column plumbing (north-star set; SURVEY.md §1.2 binary type).
+
+Reference grounding: the course downloads rocket-launch images as binary
+files (Solutions/chapter02/dags/download_rocket_launches.py:26-44). Here
+image/audio/video payloads are opaque ``binary`` columns with a typed
+metadata struct, processed by Arrow-batched ``mapInPandas`` stages.
+
+The actual codec work (image decode, resampling, frame extraction) needs
+libraries not present in this container, so the decode kernels are STUBS:
+``decode_image_stub`` produces a deterministic fake feature row per blob
+(so the Spark-side plumbing — schema, batch shape, partitioning, UDF
+signature — is real and testable), and ``decode_image_real`` raises
+NotImplementedError marking exactly where a PIL/ffmpeg kernel plugs in.
+
+Scale notes: blobs ride in parquet binary columns; ``mapInPandas`` streams
+Arrow record batches so executor memory holds one batch of blobs, not a
+partition of decoded tensors; ``spark.sql.execution.arrow.maxRecordsPerBatch``
+bounds batch size for fat rows.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType(), True),
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("n_bytes", T.LongType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sha256", T.StringType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def attach_media_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Typed metadata struct from the blob itself (JVM-side: no decode)."""
+    p = F.col(payload_col)
+    return df.withColumn(
+        "meta",
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.length(p).cast("long").alias("n_bytes"),
+        ),
+    )
+
+
+def decode_image_real(payload: bytes) -> list[float]:
+    """Plug point for a real decoder (PIL/libvips/ffmpeg). Not available in
+    this container by design."""
+    raise NotImplementedError(
+        "image decode requires PIL/libvips; wire a real kernel here"
+    )
+
+
+def decode_image_stub(payload: bytes, dim: int = 8) -> list[float]:
+    """Deterministic fake 'embedding': bytes of sha256 scaled to [0,1).
+    Keeps every test reproducible with zero native deps."""
+    digest = hashlib.sha256(payload or b"").digest()
+    return [b / 256.0 for b in digest[:dim]]
+
+
+def extract_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    dim: int = 8,
+    kernel=decode_image_stub,
+) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads via
+    mapInPandas — the real production shape; only ``kernel`` is a stub."""
+    import pandas as pd  # noqa: PLC0415
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            payloads = pdf[payload_col]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "sha256": [
+                        hashlib.sha256(p or b"").hexdigest() for p in payloads
+                    ],
+                    "n_bytes": [len(p or b"") for p in payloads],
+                    "feature": [kernel(p, dim) for p in payloads],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_plan(
+    df: DataFrame, every_n: int = 10, id_col: str = "media_id"
+) -> DataFrame:
+    """Video frame-sampling *plan*: one output row per sampled frame index
+    (JVM-side sequence/explode; the frame decode itself is the stubbed
+    kernel). Demonstrates fan-out partitioning: downstream decode
+    parallelism is per-frame, not per-video."""
+    n_frames = (F.col("meta.n_bytes") / 1000).cast("int") + 1  # fake frame count
+    return df.select(
+        id_col,
+        F.explode(
+            F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
+        ).alias("frame_idx"),
+    )

@@ -1,0 +1,106 @@
+"""Unit tests for operator modules against small inline frames."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_pipelines_cu_spark.operators import cleaning, filters, joins, windows
+from data_pipelines_cu_spark.sources import generators
+
+
+def test_trim_and_normalize(spark):
+    df = spark.createDataFrame(
+        [("  Alice ", " x@y.z ")], ["Full Name", "Email Addr"]
+    )
+    out = cleaning.trim_strings(cleaning.normalize_column_names(df))
+    assert out.columns == ["full_name", "email_addr"]
+    row = out.first()
+    assert row.full_name == "Alice" and row.email_addr == "x@y.z"
+
+
+def test_cast_with_reject(spark):
+    df = spark.createDataFrame(
+        [("1", "9.5"), ("oops", "2.0"), (None, "3.0")], ["id", "price"]
+    )
+    ok, bad = cleaning.cast_with_reject(df, {"id": "int", "price": "double"})
+    ok_rows = ok.collect()
+    # null id passes the cast check (cast of null is null, not a failure)
+    assert {r.id for r in ok_rows} == {1, None}
+    assert [r.id for r in bad.collect()] == ["oops"]
+    assert dict(ok.dtypes)["price"] == "double"
+
+
+def test_validate_split(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (None, "b"), (2, None)], ["id", "name"]
+    )
+    valid, quarantine = filters.validate_split(df, ["id", "name"])
+    assert valid.count() == 1
+    assert quarantine.count() == 2
+
+
+def test_truncate_strings(spark):
+    df = spark.createDataFrame([("x" * 300,)], ["title"])
+    out = cleaning.truncate_strings(df, {"title": 200})
+    assert len(out.first().title) == 200
+
+
+def test_upsert_replaces_matching_keys(spark):
+    existing = spark.createDataFrame([("h1", 1.0), ("h2", 2.0)], ["hour", "v"])
+    new = spark.createDataFrame([("h2", 99.0), ("h3", 3.0)], ["hour", "v"])
+    out = joins.upsert(existing, new, ["hour"]).collect()
+    got = {r.hour: r.v for r in out}
+    assert got == {"h1": 1.0, "h2": 99.0, "h3": 3.0}
+
+
+def test_asof_join_basic(spark):
+    left = spark.createDataFrame(
+        [("s", 10, "L1"), ("s", 20, "L2"), ("s", 5, "L0")], ["sym", "t", "l"]
+    )
+    right = spark.createDataFrame(
+        [("s", 8, 100.0), ("s", 15, 200.0)], ["sym", "t", "px"]
+    )
+    out = joins.asof_join(left, right, on_time="t", by=["sym"])
+    got = {r.t: r.r_px for r in out.collect()}
+    # t=5: no right row yet → null; t=10: px@8; t=20: px@15
+    assert got == {5: None, 10: 100.0, 20: 200.0}
+
+
+def test_asof_join_exact_ts_and_tolerance(spark):
+    left = spark.createDataFrame([("s", 15, "L")], ["sym", "t", "l"])
+    right = spark.createDataFrame([("s", 15, 1.0), ("s", 2, 9.0)], ["sym", "t", "px"])
+    out = joins.asof_join(left, right, on_time="t", by=["sym"])
+    assert out.first().r_px == 1.0  # exact-ts right row visible (<=)
+    out2 = joins.asof_join(
+        left.withColumn("t", F.col("t").cast("long")),
+        right.filter(F.col("t") == 2).withColumn("t", F.col("t").cast("long")),
+        on_time="t",
+        by=["sym"],
+        tolerance="10",
+    )
+    assert out2.first().r_px is None  # match at t=2 older than 15-10
+
+
+def test_first_last_in_bucket(spark):
+    df = spark.createDataFrame(
+        [("b", 1, 10.0), ("b", 3, 30.0), ("b", 2, 20.0)], ["k", "t", "v"]
+    )
+    out = windows.first_last_in_bucket(df, ["k"], "v", "t").collect()
+    assert all(r.first_v == 10.0 and r.last_v == 30.0 for r in out)
+
+
+def test_generate_events_deterministic(spark):
+    a = generators.generate_events(spark, "2024-01-01", "2024-01-04", seed=7)
+    b = generators.generate_events(spark, "2024-01-01", "2024-01-04", seed=7)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    per_day = {r.date: r["count"] for r in a.groupBy("date").count().collect()}
+    assert set(per_day) == {"2024-01-01", "2024-01-02", "2024-01-03"}
+    assert all(5 <= n <= 15 for n in per_day.values())
+    types = {r.event_type for r in a.select("event_type").distinct().collect()}
+    assert types <= set(generators.EVENT_TYPES)
+
+
+def test_generate_minute_ticks_shape(spark):
+    t = generators.generate_minute_ticks(spark, "2024-02-01")
+    assert t.count() == 1440
+    assert t.select(F.min("price_float"), F.max("price_float")).first()[0] > 0

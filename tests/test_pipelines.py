@@ -1,0 +1,106 @@
+"""End-to-end pipeline tests: binance cascade + upsert idempotency,
+stocksense pageviews, goldwar training table."""
+
+from __future__ import annotations
+
+import gzip
+
+from pyspark.sql import functions as F
+
+from data_pipelines_cu_spark.pipelines import binance, goldwar, stocksense
+from data_pipelines_cu_spark.sources.generators import generate_minute_ticks
+
+
+def test_binance_hourly_daily_semantics(spark):
+    raw = generate_minute_ticks(spark, "2024-02-01")
+    hourly = binance.hourly_stats(raw)
+    assert hourly.count() == 24
+    h0 = hourly.filter(F.col("hour") == "00").first()
+    assert h0.data_points == 60
+    assert h0.min_price <= h0.avg_price <= h0.max_price
+    daily = binance.daily_stats(hourly)
+    d = daily.first()
+    assert d.hours_with_data == 24 and d.total_data_points == 1440
+    # mean-of-hourly-means fidelity: equals avg of the hourly avg column
+    expect = hourly.agg(F.avg("avg_price")).first()[0]
+    assert abs(d.avg_price - expect) < 1e-9
+    # opening/closing from first/last hour
+    h23 = hourly.filter(F.col("hour") == "23").first()
+    assert d.opening_price == h0.first_price
+    assert d.closing_price == h23.last_price
+    assert abs(d.price_change - (d.closing_price - d.opening_price)) < 1e-9
+
+
+def test_binance_backfill_idempotent(spark, tmp_path):
+    base = str(tmp_path / "binance")
+    raw = generate_minute_ticks(spark, "2024-02-01")
+    binance.run_backfill(spark, raw, base)
+    first = spark.read.parquet(f"{base}/daily").collect()
+    # re-run: dynamic partition overwrite → same state, no duplication
+    binance.run_backfill(spark, raw, base)
+    second = spark.read.parquet(f"{base}/daily").collect()
+    assert sorted(map(tuple, first)) == sorted(map(tuple, second))
+    assert len(second) == 1
+
+
+def test_backfill_new_day_preserves_old_partitions(spark, tmp_path):
+    base = str(tmp_path / "binance")
+    binance.run_backfill(spark, generate_minute_ticks(spark, "2024-02-01"), base)
+    binance.run_backfill(spark, generate_minute_ticks(spark, "2024-02-02"), base)
+    # partition column values are re-inferred as DateType on read
+    days = {str(r.date) for r in spark.read.parquet(f"{base}/daily").collect()}
+    assert days == {"2024-02-01", "2024-02-02"}
+
+
+def test_dedup_ticks_keep_last(spark):
+    raw = generate_minute_ticks(spark, "2024-02-01").limit(10)
+    dup = raw.withColumn("fetch_time", F.col("fetch_time") + F.expr("INTERVAL 1 SECOND"))
+    merged = raw.unionByName(dup)
+    out = binance.dedup_ticks(merged)
+    assert out.count() == 10
+    # kept rows are the later fetch (keep-last semantics)
+    assert out.agg(F.min(F.second("fetch_time"))).first()[0] == 1
+
+
+def test_stocksense_pageview_counts(spark, tmp_path):
+    p = tmp_path / "pv.gz"
+    with gzip.open(p, "wt") as f:
+        f.write("en Google 42 1\nen Google 8 1\nen Apple 7 1\nde Google 999 1\nen Other 5 1\n")
+    out = stocksense.pageview_counts(spark, str(p))
+    got = {r.pagename: r.pageviewcount for r in out.collect()}
+    assert got["Google"] == 50  # en only, summed
+    assert got["Apple"] == 7
+    assert got["Microsoft"] == 0  # zero-fill for untracked-in-dump pages
+    assert len(got) == 5
+
+
+def test_stocksense_best_hour(spark):
+    rows = [
+        ("Google", "10", 100), ("Google", "11", 300), ("Apple", "10", 50),
+    ]
+    hourly = spark.createDataFrame(rows, ["pagename", "hr", "pageviewcount"])
+    best = stocksense.best_hour_per_page(hourly)
+    got = {r.pagename: r.hr for r in best.collect()}
+    assert got == {"Google": "11", "Apple": "10"}
+
+
+def test_goldwar_training_table(spark):
+    gold = spark.createDataFrame(
+        [("2024-01-01", 100.0), ("2024-01-02", 110.0), ("2024-01-03", 105.0)],
+        ["date", "close"],
+    )
+    news = spark.createDataFrame(
+        [
+            ("2024-01-01", "War escalates", "bad loss crash"),
+            ("2024-01-01", "Conflict zone", "fail down"),
+            ("2024-01-02", "Cooking tips", "great success"),  # filtered out
+        ],
+        ["date", "title", "summary"],
+    )
+    out = goldwar.training_table(gold, news).orderBy("date").collect()
+    # last gold row dropped (no next day)
+    assert [r.date for r in out] == ["2024-01-01", "2024-01-02"]
+    assert out[0].target == 1 and out[1].target == 0
+    assert out[0].news_count == 2
+    assert out[0].sentiment_mean < 0  # war+negative lexicon
+    assert out[1].news_count == 0 and out[1].sentiment_mean == 0.0  # zero-fill
