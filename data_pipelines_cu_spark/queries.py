@@ -821,5 +821,271 @@ def embedding_label_centroids(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# J5 — as-of join (time-series alignment; reference aligns by exact date,
+# gold_war:143-148 — this is the general operator, SURVEY §2.3)
+# ---------------------------------------------------------------------------
+@register(
+    "asof_last_purchase",
+    """
+    WITH clicks AS (
+        SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'click'),
+         purchases AS (
+        SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+    SELECT c.user_id, c.event_id AS click_id, epoch_us(c.ts) AS ts_us,
+           c.value AS click_value, p.value AS r_value
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND p.ts <= c.ts
+    """,
+)
+def asof_last_purchase(spark, sf_dir):
+    """For each click, the user's most recent purchase value at or before
+    it. Implemented as ONE window pass over a tagged union (single shuffle,
+    no range-join blowup) — verified against DuckDB's native ASOF JOIN."""
+    from .operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id"),
+        F.col("value").alias("click_value"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(clicks, purchases, on_time="ts", by=["user_id"])
+    return out.select(
+        "user_id", "click_id", F.unix_micros("ts").alias("ts_us"),
+        "click_value", "r_value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# P12 — multi-column threshold gate (tutorial4 go/no-go checks :158-176)
+# ---------------------------------------------------------------------------
+@register(
+    "go_nogo_gate",
+    """
+    SELECT CASE WHEN value >= 50 AND value <= 150
+                AND hour(ts) >= 6 AND hour(ts) < 22 THEN 'GO' ELSE 'NO GO' END
+               AS decision,
+           event_type, COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def go_nogo_gate(spark, sf_dir):
+    """Conjunctive threshold predicates folded into a labeled gate —
+    the rocket-launcher pre-flight pattern."""
+    ev = _t(spark, sf_dir, "events")
+    cond = (
+        (F.col("value") >= 50) & (F.col("value") <= 150)
+        & (F.hour("ts") >= 6) & (F.hour("ts") < 22)
+    )
+    return (
+        ev.withColumn("decision", F.when(cond, "GO").otherwise("NO GO"))
+        .groupBy("decision", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# P10 — validation split stats (warn-and-skip, tutorial1:146-161)
+# ---------------------------------------------------------------------------
+@register(
+    "validation_split_stats",
+    """
+    SELECT source,
+           CASE WHEN text IS NOT NULL AND n_chars > 200 THEN 'valid'
+                ELSE 'quarantined' END AS status,
+           COUNT(*) AS n
+    FROM documents GROUP BY 1, 2
+    """,
+)
+def validation_split_stats(spark, sf_dir):
+    """Valid/quarantine split surfaced as per-source counts (both sides of
+    filters.validate_split consumed in one aggregation)."""
+    d = _t(spark, sf_dir, "documents")
+    status = F.when(
+        F.col("text").isNotNull() & (F.col("n_chars") > 200), "valid"
+    ).otherwise("quarantined")
+    return d.withColumn("status", status).groupBy("source", "status").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.8 — date/time scalar suite
+# ---------------------------------------------------------------------------
+@register(
+    "datetime_scalar_suite",
+    """
+    SELECT event_id,
+           epoch_ms(ts)                                  AS ts_ms,
+           hour(ts)                                      AS hr,
+           strftime(CAST(ts AS DATE) + 7, '%Y-%m-%d')    AS week_later,
+           month(ts)                                     AS mon,
+           dayofweek(ts) + 1                             AS dow
+    FROM events WHERE event_id < 200
+    """,
+)
+def datetime_scalar_suite(spark, sf_dir):
+    """Epoch-ms conversion, hour/month/dow extraction, date arithmetic —
+    the reference's strftime/fromtimestamp/timedelta idioms (§2.8).
+    (DuckDB dow is 0=Sunday; Spark dayofweek is 1=Sunday — oracle adds 1.)"""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    return ev.select(
+        "event_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.hour("ts").alias("hr"),
+        F.date_format(F.date_add(F.to_date("ts"), 7), "yyyy-MM-dd").alias("week_later"),
+        F.month("ts").alias("mon"),
+        F.dayofweek("ts").alias("dow"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 — CUBE grouping sets
+# ---------------------------------------------------------------------------
+@register(
+    "doc_lang_source_cube",
+    """
+    SELECT lang, source, COUNT(*) AS n, ROUND(AVG(n_chars), 6) AS avg_chars
+    FROM documents GROUP BY CUBE (lang, source)
+    """,
+)
+def doc_lang_source_cube(spark, sf_dir):
+    """CUBE over (lang, source) — all four grouping sets in one pass."""
+    d = _t(spark, sf_dir, "documents")
+    return d.cube("lang", "source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL surface — the chapter04 analysis query executed via spark.sql verbatim
+# (Solutions/chapter04/scripts/select_pageview_counts.sql)
+# ---------------------------------------------------------------------------
+@register(
+    "sql_best_hour_verbatim",
+    """
+    SELECT event_type, hour, average FROM (
+        SELECT event_type, strftime(ts, '%H') AS hour,
+               ROUND(AVG(value), 6) AS average,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY ROUND(AVG(value), 6) DESC,
+                                           strftime(ts, '%H')) AS rn
+        FROM events GROUP BY 1, 2)
+    WHERE rn = 1
+    """,
+)
+def sql_best_hour_verbatim(spark, sf_dir):
+    """Same analysis as best_hour_per_type but through the engine's SQL
+    surface: register the view, run the SQL text (window fn verbatim)."""
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events_sql_v")
+    return spark.sql(
+        """
+        SELECT event_type, hour, average FROM (
+            SELECT event_type, date_format(ts, 'HH') AS hour,
+                   ROUND(AVG(value), 6) AS average,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY ROUND(AVG(value), 6) DESC,
+                                               date_format(ts, 'HH')) AS rn
+            FROM events_sql_v GROUP BY 1, 2)
+        WHERE rn = 1
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing — binary payload feature extraction via mapInPandas
+# (kernel = deterministic digest; the decode stub is the plug point)
+# ---------------------------------------------------------------------------
+@register(
+    "doc_payload_features",
+    """
+    SELECT doc_id,
+           sha256(text)                    AS sha256,
+           octet_length(encode(text))      AS n_bytes
+    FROM documents
+    """,
+)
+def doc_payload_features(spark, sf_dir):
+    """Treats each doc's UTF-8 bytes as an opaque binary payload and runs
+    the Arrow-batched mapInPandas feature extractor (multimodal plumbing
+    exercised for real; only the decode kernel is fake)."""
+    from .operators.multimodal import extract_features
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("payload")
+    )
+    feats = extract_features(d)
+    return feats.select(
+        F.col("media_id").alias("doc_id"), "sha256", "n_bytes"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup pairs via sign-LSH buckets (dedup x similarity)
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_near_dup_pairs",
+    f"""
+    WITH b AS (SELECT vec_id, embedding,
+                      {sim.sign_bucket_sql('embedding', 8)} AS bucket
+               FROM embeddings)
+    SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+           ROUND({sim._cos_sql('a.embedding', 'c.embedding')}, 6) AS cos_sim
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    WHERE {sim._cos_sql('a.embedding', 'c.embedding')} >= 0.3
+    """,
+)
+def embedding_near_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup: candidate pairs from shared sign-LSH
+    bucket, kept when cosine >= 0.3 — the vector twin of minhash_lsh_pairs."""
+    em = _t(spark, sf_dir, "embeddings")
+    b = em.select(
+        "vec_id", "embedding", sim.sign_lsh_bucket(F.col("embedding"), 8).alias("bucket")
+    )
+    a = b.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"), "bucket"
+    )
+    c = b.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"), "bucket"
+    )
+    cos = sim.cosine(F.col("ea"), F.col("eb"))
+    return (
+        a.join(c, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cos >= 0.3)
+        .select("id_a", "id_b", F.round(cos, 6).alias("cos_sim"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rows-only entries (genuinely non-SQL-expressible paths; driver records a
+# weaker rows-only check — SURVEY §2.10 U4, §2.4 approx aggregates)
+# ---------------------------------------------------------------------------
+@register("llm_extract_structured", None)
+def llm_extract_structured(spark, sf_dir):
+    """LLM unstructured→struct extraction over documents (deterministic
+    mock extractor — weather_ollama mock-mode pattern). Non-SQL: the
+    extractor is an external model call."""
+    from .operators.llm import extract_structured
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return extract_structured(d, text_col="text", id_col="doc_id")
+
+
+@register("approx_daily_users", None)
+def approx_daily_users(spark, sf_dir):
+    """HyperLogLog++ distinct users per day — the 100 TB cardinality path
+    (sketch internals differ per engine, so no exact oracle by design;
+    exact twin is daily_active_users)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("date")).agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_dau")
+    )
+
+
 def all_queries() -> dict[str, Query]:
     return dict(QUERIES)
