@@ -53,6 +53,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def events_between(
+    spark: SparkSession, sf_dir: str, start_ts: str, end_ts: str
+) -> DataFrame:
+    """events in the half-open window [start_ts, end_ts) with the range
+    predicate applied to the RAW int64 nanosecond column, BEFORE the
+    µs-timestamp conversion.
+
+    Filtering the converted column can't reach the parquet scan (the
+    predicate wraps an expression, so only IsNotNull pushes down); filtering
+    the stored int64 pushes as a plain range → row-group/page pruning works,
+    which is the difference between scanning a day and scanning 100 TB.
+    """
+    raw = spark.read.parquet(table_path(sf_dir, "events"))
+    if dict(raw.dtypes).get("ts") == "bigint":
+        lo = F.lit(start_ts).cast("timestamp")
+        hi = F.lit(end_ts).cast("timestamp")
+        raw = raw.filter(
+            (F.col("ts") >= F.unix_micros(lo) * 1000)
+            & (F.col("ts") < F.unix_micros(hi) * 1000)
+        ).withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return raw
+    return raw.filter(
+        (F.col("ts") >= F.lit(start_ts).cast("timestamp"))
+        & (F.col("ts") < F.lit(end_ts).cast("timestamp"))
+    )
+
+
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     """Load every fixture table as a DataFrame keyed by name."""
     return {name: load_table(spark, sf_dir, name) for name in TABLES}

@@ -39,6 +39,14 @@ def _hits(words: Column, vocab: tuple[str, ...]) -> Column:
     return F.size(F.filter(words, lambda w: w.isin(*vocab)))
 
 
+def _with_words(df: DataFrame, text_col: str) -> DataFrame:
+    """Bind the tokenization to a named column so downstream expressions
+    reference the attribute instead of embedding their own copy of the
+    regex split (multiple embedded copies = split re-evaluated per
+    consumer; same plan pitfall as operators.dedup.ngram_sets)."""
+    return df.withColumn("_ws", _words(text_col))
+
+
 def with_token_count(df: DataFrame, text_col: str = "text", out: str = "n_tokens") -> DataFrame:
     """Whitespace token count (the standard pre-tokenizer length proxy)."""
     return df.withColumn(out, F.size(_words(text_col)))
@@ -56,11 +64,11 @@ def with_char_token_estimate(
 
 def lang_hits(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-language stopword hit counts (columns hits_<lang>)."""
-    words = _words(text_col)
-    out = df
+    out = _with_words(df, text_col)
+    words = F.col("_ws")
     for lang, vocab in LANG_STOPWORDS.items():
         out = out.withColumn(f"hits_{lang}", _hits(words, vocab))
-    return out
+    return out.drop("_ws")
 
 
 def with_lang_id(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -> DataFrame:
@@ -105,7 +113,8 @@ def with_quality_score(df: DataFrame, text_col: str = "text", out: str = "qualit
     ratio (the classic pre-training quality heuristics). Deterministic
     double arithmetic, rounded to 6dp; SQL twin in quality_oracle_sql."""
     text = F.col(text_col)
-    words = _words(text_col)
+    df = _with_words(df, text_col)
+    words = F.col("_ws")
     n_tokens = F.size(words)
     n_chars = F.length(text)
     stop_hits = _hits(words, LANG_STOPWORDS["en"])
@@ -119,6 +128,7 @@ def with_quality_score(df: DataFrame, text_col: str = "text", out: str = "qualit
         .withColumn("stop_ratio", F.round(stop_ratio, 6))
         .withColumn("punct_ratio", F.round(punct_ratio, 6))
         .withColumn(out, F.round(score, 6))
+        .drop("_ws")
     )
 
 
@@ -154,10 +164,11 @@ def with_sentiment(df: DataFrame, text_col: str = "text", out: str = "sentiment"
     (pos−neg)/(pos+neg+1) over word hits — the engine-portable stand-in for
     the reference's TextBlob polarity UDF (gold_war_etl_dag.py:134-139,
     null→0.0 preserved: empty text scores 0)."""
-    words = _words(text_col)
+    df = _with_words(df, text_col)
+    words = F.col("_ws")
     pos = _hits(words, POSITIVE_WORDS).cast("double")
     neg = _hits(words, NEGATIVE_WORDS).cast("double")
-    return df.withColumn(out, F.round((pos - neg) / (pos + neg + 1.0), 6))
+    return df.withColumn(out, F.round((pos - neg) / (pos + neg + 1.0), 6)).drop("_ws")
 
 
 def sentiment_oracle_expr(text_expr: str = "text") -> str:

@@ -378,10 +378,13 @@ def customers_without_orders(spark, sf_dir):
 )
 def events_window_stats(spark, sf_dir):
     """start <= ts < end (half-open Airflow-interval semantics) pushed into
-    the parquet scan, then per-type stats."""
-    ev = _t(spark, sf_dir, "events")
-    windowed = flt.date_range_half_open(
-        ev, "ts", "2024-01-10 00:00:00", "2024-01-20 00:00:00"
+    the parquet scan AS AN INT64 RANGE on the stored nanos column (see
+    catalog.events_between — filtering the converted timestamp would defeat
+    row-group pruning), then per-type stats."""
+    from .catalog import events_between
+
+    windowed = events_between(
+        spark, sf_dir, "2024-01-10 00:00:00", "2024-01-20 00:00:00"
     )
     return windowed.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
