@@ -42,8 +42,11 @@ HEADLINE = [
     "simhash_fingerprints",
     "minhash_lsh_pairs",
     "ann_cosine_topk",
+    "ann_cosine_topk_arrow",
     "ann_lsh_topk",
 ]
+
+REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
 
 
 def main() -> None:
@@ -56,12 +59,17 @@ def main() -> None:
     # timed query doesn't absorb session startup.
     queries["orders_by_region"].fn(spark, sf_dir).count()
 
+    # min over REPEATS runs per query: the local box is shared, so a single
+    # sample can absorb unrelated load; min-of-2 is the steady-state cost
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name].fn
-        start = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 3)
+        best = float("inf")
+        for _ in range(REPEATS):
+            start = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - start)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -199,6 +199,79 @@ def minhash_lsh_pairs(
     )
 
 
+def near_dup_survivors(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy survivor set from near-dup pairs: a doc is removed iff it
+    appears as the larger id of any pair (keep-lowest-id policy, one pass).
+    The anti-join form of the reference's ``~isin`` upsert filter."""
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    id_col_a: str = "id_a",
+    id_col_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over the near-dup pair graph → (doc_id,
+    canonical_id), canonical = min id in the component.
+
+    Iterative label propagation: each round every node adopts the min
+    label among itself and its neighbors; converges in O(diameter) rounds
+    (dup clusters are shallow in practice). Each round is one join + one
+    aggregation — the standard large-graph pattern when a true graph
+    engine isn't warranted. Genuinely non-SQL-expressible (unbounded
+    iteration), so its gate entry is rows-only.
+    """
+    edges = (
+        pairs.select(F.col(id_col_a).alias("a"), F.col(id_col_b).alias("b"))
+        .unionByName(
+            pairs.select(F.col(id_col_b).alias("a"), F.col(id_col_a).alias("b"))
+        )
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        # fixpoint check: any label changed this round?
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        # localCheckpoint truncates the growing iterative lineage — without
+        # it each round's plan re-derives all prior rounds
+        labels = new_labels.localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("canonical_id")
+    )
+
+
 # --- SimHash -----------------------------------------------------------------
 # 64-bit simhash from word-level md5s: bit b of the hash of each word votes
 # ±1; the sign of each bit-sum forms the fingerprint. Engine-portable: bit b

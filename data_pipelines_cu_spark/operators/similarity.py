@@ -118,6 +118,56 @@ def cosine_topk_lsh(
     ).select("query_id", "neighbor_id", "cos_sim", "rank")
 
 
+def cosine_topk_arrow(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k via an Arrow-batched numpy kernel — the
+    high-throughput variant of cosine_topk for wide embeddings: one BLAS
+    matmul per (batch × query set) instead of per-element column algebra.
+
+    The query set is shipped to executors inside the closure (it is small
+    by contract — the corpus never is); scoring is partition-local and the
+    only shuffle is the final per-query top-k.
+    """
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows])
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    def score(batches):
+        for pdf in batches:
+            c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            c_norm = np.linalg.norm(c_mat, axis=1, keepdims=True)
+            sims = (c_mat / c_norm) @ q_norm.T  # (batch, n_queries)
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(q_ids, n),
+                    "neighbor_id": np.tile(pdf[id_col].to_numpy(), len(q_ids)),
+                    "cos_sim": np.round(sims.T.ravel(), 6),
+                }
+            )
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(
+        score, schema="query_id long, neighbor_id long, cos_sim double"
+    )
+    scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    return topk_per_group(
+        scored,
+        ["query_id"],
+        [F.col("cos_sim").desc(), F.col("neighbor_id").asc()],
+        k=k,
+        rank_col="rank",
+    ).select("query_id", "neighbor_id", "cos_sim", "rank")
+
+
 # --- oracle SQL twins --------------------------------------------------------
 
 def _cos_sql(av: str, bv: str) -> str:

@@ -1068,6 +1068,80 @@ def embedding_near_dup_pairs(spark, sf_dir):
 # Rows-only entries (genuinely non-SQL-expressible paths; driver records a
 # weaker rows-only check — SURVEY §2.10 U4, §2.4 approx aggregates)
 # ---------------------------------------------------------------------------
+@register("ann_cosine_topk_arrow", sim.cosine_topk_oracle_sql(k=5, n_queries=5))
+def ann_cosine_topk_arrow(spark, sf_dir):
+    """Same result as ann_cosine_topk through the Arrow/numpy kernel (one
+    BLAS matmul per batch × query set) — the wide-embedding scale path,
+    held to the same DuckDB oracle."""
+    em = _t(spark, sf_dir, "embeddings")
+    queries = em.filter(F.col("vec_id") < 5)
+    return sim.cosine_topk_arrow(em, queries, k=5)
+
+
+@register(
+    "exact_dedup_survivors",
+    """
+    WITH h AS (
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS ch
+        FROM documents)
+    SELECT doc_id FROM h
+    WHERE doc_id = (SELECT MIN(doc_id) FROM h h2 WHERE h2.ch = h.ch)
+    """,
+)
+def exact_dedup_survivors(spark, sf_dir):
+    """Survivor set after exact dedup: keep the min doc_id per content
+    hash — the materialized 'deduplicated corpus' output."""
+    d = _t(spark, sf_dir, "documents")
+    groups = dd.exact_dedup_groups(d)
+    return groups.select(F.col("canonical_id").alias("doc_id"))
+
+
+@register(
+    "near_dup_survivors",
+    """
+    WITH norm AS (
+        SELECT doc_id, lang,
+               string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+        FROM documents),
+    gidx AS (
+        SELECT doc_id, lang,
+               unnest(CASE WHEN len(ws) >= 3 THEN range(1, len(ws) - 1) ELSE [] END) AS i,
+               ws
+        FROM norm),
+    gram_rows AS (
+        SELECT DISTINCT doc_id, lang, ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS g
+        FROM gidx),
+    gsets AS (
+        SELECT doc_id, lang, list_distinct(list(g)) AS grams
+        FROM gram_rows GROUP BY doc_id, lang),
+    losers AS (
+        SELECT DISTINCT b.doc_id
+        FROM gsets a JOIN gsets b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+              / (len(a.grams) + len(b.grams)
+                 - len(list_intersect(a.grams, b.grams))) >= 0.5)
+    SELECT d.doc_id, d.lang FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+    """,
+)
+def near_dup_survivors_q(spark, sf_dir):
+    """Deduplicated corpus after near-dup removal: greedy keep-lowest-id
+    over the blocked Jaccard pairs (anti-join materialization)."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(d, block_col="lang", threshold=0.5)
+    return dd.near_dup_survivors(d, pairs).select("doc_id", "lang")
+
+
+@register("dedup_cluster_assignment", None)
+def dedup_cluster_assignment(spark, sf_dir):
+    """Connected-components canonicalization over the near-dup pair graph
+    (iterative label propagation — unbounded iteration, hence rows-only)."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(d, block_col="lang", threshold=0.5)
+    return dd.dedup_clusters(pairs)
+
+
 @register("llm_extract_structured", None)
 def llm_extract_structured(spark, sf_dir):
     """LLM unstructured→struct extraction over documents (deterministic
