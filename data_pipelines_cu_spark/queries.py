@@ -1142,6 +1142,73 @@ def dedup_cluster_assignment(spark, sf_dir):
     return dd.dedup_clusters(pairs)
 
 
+@register(
+    "top_words",
+    """
+    WITH words AS (
+        SELECT unnest(string_split(
+            regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
+        FROM documents)
+    SELECT w, COUNT(*) AS n FROM words GROUP BY w
+    ORDER BY n DESC, w LIMIT 20
+    """,
+)
+def top_words(spark, sf_dir):
+    """Distributed wordcount top-k: explode normalized tokens → count →
+    global top-20 (deterministic ties by word). The canonical
+    explode-shuffle-aggregate shape."""
+    from .operators.dedup import normalized_text
+
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(F.explode(F.split(normalized_text("text"), " ")).alias("w"))
+    return (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("w").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "user_sessions",
+    """
+    WITH o AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    s AS (
+        SELECT user_id, ts,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM o)
+    SELECT user_id,
+           epoch_us(MIN(ts)) AS session_start_us,
+           epoch_us(MAX(ts)) AS session_end_us,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def user_sessions(spark, sf_dir):
+    """Sessionization: 30-minute inactivity gap via session_window —
+    verified against the gaps-and-islands SQL formulation (a new session
+    starts when the gap is >= 30min, matching Spark's half-open
+    [start, last+gap) merge rule)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("sw"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.unix_micros(F.min("ts")).alias("session_start_us"),
+            F.unix_micros(F.max("ts")).alias("session_end_us"),
+        )
+        .select("user_id", "session_start_us", "session_end_us", "n_events")
+    )
+
+
 @register("llm_extract_structured", None)
 def llm_extract_structured(spark, sf_dir):
     """LLM unstructured→struct extraction over documents (deterministic

@@ -1,0 +1,115 @@
+"""Property-based differential tests (hypothesis): engine operators vs
+trusted oracles (pandas, plain-Spark equivalents) on generated inputs.
+Deterministic profile — the fixture SparkSession is session-scoped, so
+examples must be reproducible."""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from data_pipelines_cu_spark.operators import joins, skew, windows
+
+SETTINGS = dict(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["k1", "k2", "k3", "hot"]),
+        st.integers(min_value=0, max_value=1000),
+        st.floats(min_value=-100, max_value=100, allow_nan=False, width=32),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(rows=rows_strategy)
+@settings(**SETTINGS)
+def test_salted_agg_equals_plain_groupby(spark, rows):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, ["k", "t", "v"])
+    plain = {
+        r.k: (round(r.s, 6), r.n)
+        for r in df.groupBy("k")
+        .agg(F.round(F.sum("v"), 6).alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    salted = {
+        r.k: (round(r.s, 6), r.n)
+        for r in skew.salted_agg(
+            df, ["k"], {"s": ("sum", "v"), "n": ("count", "v")}, n_salts=4
+        ).collect()
+    }
+    assert salted == plain
+
+
+@given(rows=rows_strategy)
+@settings(**SETTINGS)
+def test_dedup_keep_last_matches_pandas(spark, rows):
+    df = spark.createDataFrame(rows, ["k", "t", "v"])
+    got = {
+        r.k: r.t
+        for r in windows.dedup_keep_last(df, ["k"], "t").collect()
+    }
+    pdf = pd.DataFrame(rows, columns=["k", "t", "v"])
+    want = pdf.groupby("k")["t"].max().to_dict()
+    assert got == want
+
+
+@given(
+    left=st.lists(
+        st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 100)),
+        min_size=1,
+        max_size=30,
+    ),
+    right=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(0, 100),
+            st.floats(0, 10, allow_nan=False, width=32),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+)
+@settings(**SETTINGS)
+def test_asof_join_matches_pandas_merge_asof(spark, left, right):
+    # pandas merge_asof requires unique sort keys per side for a clean
+    # comparison: dedupe (key, t), keeping the LAST value for the right
+    # side (matching asof_join's max-by-time-then-last-wins window fill)
+    lpdf = (
+        pd.DataFrame(left, columns=["k", "t"])
+        .drop_duplicates()
+        .sort_values(["t", "k"])
+        .reset_index(drop=True)
+    )
+    rpdf = (
+        pd.DataFrame(right, columns=["k", "t", "px"])
+        .drop_duplicates(subset=["k", "t"], keep="last")
+        .sort_values(["t", "k"])
+        .reset_index(drop=True)
+    )
+    ldf = spark.createDataFrame(lpdf)
+    rdf = spark.createDataFrame(rpdf)
+    got = {
+        (r.k, r.t): r.r_px
+        for r in joins.asof_join(ldf, rdf, on_time="t", by=["k"]).collect()
+    }
+    want_df = pd.merge_asof(
+        lpdf.sort_values("t"),
+        rpdf.sort_values("t"),
+        on="t",
+        by="k",
+        direction="backward",
+    )
+    want = {
+        (r.k, r.t): (None if pd.isna(r.px) else r.px)
+        for r in want_df.itertuples()
+    }
+    assert got == want
