@@ -1133,10 +1133,48 @@ def near_dup_survivors_q(spark, sf_dir):
     return dd.near_dup_survivors(d, pairs).select("doc_id", "lang")
 
 
-@register("dedup_cluster_assignment", None)
+@register(
+    "dedup_cluster_assignment",
+    r"""
+    WITH RECURSIVE norm AS (
+        SELECT doc_id, lang,
+               string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+        FROM documents),
+    gidx AS (
+        SELECT doc_id, lang,
+               unnest(CASE WHEN len(ws) >= 3 THEN range(1, len(ws) - 1) ELSE [] END) AS i,
+               ws
+        FROM norm),
+    gram_rows AS (
+        SELECT DISTINCT doc_id, lang, ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS g
+        FROM gidx),
+    gsets AS (
+        SELECT doc_id, lang, list_distinct(list(g)) AS grams
+        FROM gram_rows GROUP BY doc_id, lang),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM gsets a JOIN gsets b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+              / (len(a.grams) + len(b.grams)
+                 - len(list_intersect(a.grams, b.grams))) >= 0.5),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+    SELECT a AS doc_id, LEAST(a, MIN(b)) AS canonical_id FROM reach GROUP BY a
+    """,
+)
 def dedup_cluster_assignment(spark, sf_dir):
-    """Connected-components canonicalization over the near-dup pair graph
-    (iterative label propagation — unbounded iteration, hence rows-only)."""
+    """Connected-components canonicalization over the near-dup pair graph.
+
+    Spark side: iterative min-label propagation (one join + one agg per
+    round, lineage truncated via localCheckpoint) — the scalable pattern
+    for 100 TB dup graphs where transitive closure is infeasible. Oracle:
+    DuckDB recursive-CTE transitive closure (fine at sf0.01 where the
+    pair graph is tiny), so the gate hash-checks cluster assignments."""
     d = _t(spark, sf_dir, "documents")
     pairs = dd.ngram_jaccard_pairs(d, block_col="lang", threshold=0.5)
     return dd.dedup_clusters(pairs)

@@ -101,6 +101,141 @@ def run_hourly_to_sink(
     return writer.start()
 
 
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+    ]
+)
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("session_start_us", T.LongType(), True),
+        T.StructField("session_end_us", T.LongType(), True),
+        T.StructField("n_events", T.LongType(), True),
+    ]
+)
+
+# state = (session_start_us, session_end_us, n_events) for the one open
+# session per user. Epoch-microsecond ints: Arrow-stable across the
+# Python<->JVM state store boundary.
+_SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType(), True),
+        T.StructField("end_us", T.LongType(), True),
+        T.StructField("n", T.LongType(), True),
+    ]
+)
+
+
+def sessionize_stateful(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "30 minutes",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Custom stateful streaming operator: per-user sessionization with an
+    inactivity gap, via ``applyInPandasWithState`` (the template for
+    operators Spark's built-ins can't express — per-key state machines).
+
+    Semantics match the batch ``session_window``/gaps-and-islands query: a
+    session closes when no event arrives within ``gap_minutes`` of its last
+    event (half-open merge rule: gap >= threshold starts a new session).
+    Closed sessions emit either when a later in-stream event proves the gap,
+    or when the event-time timeout fires (watermark passed end+gap).
+
+    State is one tiny fixed-width row per ACTIVE user — at 100 TB/day this
+    is bounded by key cardinality, not data volume, and the state store
+    shards by key hash across executors.
+    """
+    import pandas as pd  # noqa: PLC0415 — executor-side import
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(key, pdfs, state):
+        (user_id,) = key
+        closed: list[tuple[int, int, int, int]] = []
+        if state.hasTimedOut:
+            s, e, n = state.get
+            closed.append((user_id, s, e, n))
+            state.remove()
+        else:
+            ts_us: list[int] = []
+            for pdf in pdfs:
+                # pandas datetime64[ns] → epoch micros
+                ts_us.extend(pdf[ts_col].astype("int64") // 1000)
+            ts_us.sort()
+            s = e = n = None
+            if state.exists:
+                s, e, n = state.get
+            for t in ts_us:
+                if s is None:
+                    s, e, n = t, t, 1
+                elif t - e >= gap_us:
+                    closed.append((user_id, s, e, n))
+                    s, e, n = t, t, 1
+                else:
+                    e, n = t, n + 1
+            if s is not None:
+                timeout_ms = e // 1000 + gap_us // 1000
+                if timeout_ms <= state.getCurrentWatermarkMs():
+                    # watermark already proves no event can extend it (e.g.
+                    # this key's first batch arrived after a long idle gap)
+                    closed.append((user_id, s, e, n))
+                    if state.exists:
+                        state.remove()
+                else:
+                    state.update((s, e, n))
+                    # fire once the watermark proves no event can extend it
+                    state.setTimeoutTimestamp(timeout_ms)
+        yield pd.DataFrame(
+            closed,
+            columns=["user_id", "session_start_us", "session_end_us", "n_events"],
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def streaming_session_window(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Native session-window twin of ``sessionize_stateful`` — the preferred
+    scale path when plain per-session aggregates suffice (JVM-side state,
+    no Python round-trip). Append mode emits a session when the watermark
+    passes its close."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("sw"), key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.unix_micros(F.min(ts_col)).alias("session_start_us"),
+            F.unix_micros(F.max(ts_col)).alias("session_end_us"),
+        )
+        .select(key_col, "session_start_us", "session_end_us", "n_events")
+    )
+
+
 def run_cascade(
     ticks: DataFrame,
     hourly_path: str,

@@ -4,6 +4,7 @@ agg parity with the batch operator, and the hourly→daily cascade."""
 from __future__ import annotations
 
 import json
+import os
 
 from pyspark.sql import functions as F
 
@@ -79,3 +80,111 @@ def test_streaming_cascade_daily(spark, tmp_path):
     assert len(daily) == 1
     d = daily[0]
     assert d.hours_with_data == 24 and d.total_data_points == 1440
+
+
+def _write_event_files(spark, path, n_users=12):
+    """Real events (users 0..n_users-1) in file 0; two far-future sentinel
+    events (user -1) in files 1 and 2. maxFilesPerTrigger=1 makes each file
+    its own micro-batch: the sentinels advance the watermark in two steps so
+    every real session's event-time timeout provably fires before the
+    availableNow run drains (a live stream's later traffic does this
+    naturally)."""
+    from data_pipelines_cu_spark.catalog import load_table
+
+    ev = (
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .filter(F.col("user_id") < n_users)
+        .select("event_id", F.unix_micros("ts").alias("ts_us"), "user_id")
+    )
+    rows = [r.asDict() for r in ev.collect()]
+    max_us = max(r["ts_us"] for r in rows)
+    day_us = 86_400 * 1_000_000
+    chunks = [
+        rows,
+        [{"event_id": -1, "ts_us": max_us + 10 * day_us, "user_id": -1}],
+        [{"event_id": -2, "ts_us": max_us + 20 * day_us, "user_id": -1}],
+    ]
+    for i, chunk in enumerate(chunks):
+        fname = f"{path}/part-{i}.json"
+        with open(fname, "w") as f:
+            for r in chunk:
+                f.write(json.dumps(r) + "\n")
+        # file source orders batches by modification time; force the intended
+        # order (real events first, then the two watermark-advancing sentinels)
+        os.utime(fname, (1_700_000_000 + i, 1_700_000_000 + i))
+
+
+def _read_event_stream(spark, path):
+    raw_schema = "event_id long, ts_us long, user_id long"
+    return (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(path)
+        .select("event_id", F.timestamp_micros("ts_us").alias("ts"), "user_id")
+    )
+
+
+def _batch_sessions(spark, src):
+    """Gaps-and-islands reference answer over the same files."""
+    ev = (
+        spark.read.json(str(src))
+        .filter(F.col("user_id") >= 0)
+        .select(F.timestamp_micros("ts_us").alias("ts"), "user_id")
+    )
+    return {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+        for r in ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.unix_micros(F.min("ts")).alias("session_start_us"),
+            F.unix_micros(F.max("ts")).alias("session_end_us"),
+        )
+        .select("user_id", "session_start_us", "session_end_us", "n_events")
+        .collect()
+    }
+
+
+def test_stateful_sessionization_matches_batch(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_event_files(spark, str(src))
+    sink = str(tmp_path / "sessions")
+    q = (
+        jobs.sessionize_stateful(_read_event_stream(spark, str(src)))
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+        for r in spark.read.parquet(sink).filter(F.col("user_id") >= 0).collect()
+    }
+    expected = _batch_sessions(spark, src)
+    assert got == expected
+    assert len(expected) > 0
+
+
+def test_streaming_session_window_matches_batch(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_event_files(spark, str(src))
+    sink = str(tmp_path / "sessions")
+    q = (
+        jobs.streaming_session_window(_read_event_stream(spark, str(src)))
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+        for r in spark.read.parquet(sink).filter(F.col("user_id") >= 0).collect()
+    }
+    assert got == _batch_sessions(spark, src)
