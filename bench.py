@@ -44,6 +44,7 @@ HEADLINE = [
     "ann_cosine_topk",
     "ann_cosine_topk_arrow",
     "ann_lsh_topk",
+    "ann_ivf_topk",
 ]
 
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))

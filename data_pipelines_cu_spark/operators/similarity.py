@@ -168,6 +168,95 @@ def cosine_topk_arrow(
     ).select("query_id", "neighbor_id", "cos_sim", "rank")
 
 
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "cell",
+    n_best: int = 1,
+    centroid_id_col: str = "vec_id",
+    centroid_vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its ``n_best`` nearest centroid cells by cosine
+    (argmax via row_number; ties break on centroid id). The centroid set is
+    broadcast — at 100 TB the corpus scan stays partition-local and the only
+    shuffle is whatever the caller does with the cells."""
+    c = F.broadcast(
+        centroids.select(
+            F.col(centroid_id_col).alias(out_col),
+            F.col(centroid_vec_col).alias("_centroid_v"),
+        )
+    )
+    scored = vectors.crossJoin(c).withColumn(
+        "_cscore", cosine(F.col(vec_col), F.col("_centroid_v"))
+    )
+    best = topk_per_group(
+        scored,
+        [id_col],
+        [F.col("_cscore").desc(), F.col(out_col).asc()],
+        k=n_best,
+        rank_col="_crank",
+    )
+    return best.drop("_centroid_v", "_cscore", "_crank")
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: corpus vectors are inverted-file-indexed by nearest centroid;
+    each query scores only the corpus cells of its ``n_probe`` nearest
+    centroids. Deterministic seeding — centroids are the ``n_centroids``
+    lowest-id vectors — so the index (and the DuckDB oracle) is reproducible
+    without RNG. Cost: corpus×centroids (broadcast, linear) + per-query work
+    ~ n_probe/n_centroids of the corpus instead of all of it.
+
+    At scale the assignment step is materialized once (`ivf_assign` output
+    written partitioned BY cell) and amortized across query batches; a
+    production variant would refine centroids with Lloyd iterations before
+    freezing the index — the probe/search path is identical.
+    """
+    centroids = corpus.filter(F.col(id_col) < n_centroids).select(id_col, vec_col)
+    indexed = ivf_assign(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
+        centroids,
+        id_col="neighbor_id",
+        vec_col="cv",
+    )
+    probes = ivf_assign(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
+        centroids,
+        id_col="query_id",
+        vec_col="qv",
+        n_best=n_probe,
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(indexed, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+        # a (query, neighbor) pair can surface via several probed cells
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    return topk_per_group(
+        scored,
+        ["query_id"],
+        [F.col("cos_sim").desc(), F.col("neighbor_id").asc()],
+        k=k,
+        rank_col="rank",
+    ).select("query_id", "neighbor_id", "cos_sim", "rank")
+
+
 # --- oracle SQL twins --------------------------------------------------------
 
 def _cos_sql(av: str, bv: str) -> str:
@@ -202,6 +291,45 @@ def sign_bucket_sql(vec: str, n_bits: int = 8) -> str:
         f"(CASE WHEN {vec}[{i + 1}] >= 0 THEN '1' ELSE '0' END)" for i in range(n_bits)
     )
     return f"({bits})"
+
+
+def cosine_topk_ivf_oracle_sql(
+    k: int = 5,
+    n_queries: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    table: str = "embeddings",
+) -> str:
+    cos_assign = _cos_sql("v.emb", "cent.cv")
+    cos_score = _cos_sql("p.qv", "ix.cv")
+    return f"""
+    WITH cent AS (
+        SELECT vec_id AS cell, embedding AS cv FROM {table}
+        WHERE vec_id < {n_centroids}),
+    corpus_assign AS (
+        SELECT v.vec_id AS neighbor_id, v.emb AS cv, cent.cell,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                   ORDER BY {cos_assign} DESC, cent.cell) AS r
+        FROM (SELECT vec_id, embedding AS emb FROM {table}) v CROSS JOIN cent),
+    ix AS (SELECT neighbor_id, cv, cell FROM corpus_assign WHERE r = 1),
+    query_assign AS (
+        SELECT v.vec_id AS query_id, v.emb AS qv, cent.cell,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                   ORDER BY {cos_assign} DESC, cent.cell) AS r
+        FROM (SELECT vec_id, embedding AS emb FROM {table}
+              WHERE vec_id < {n_queries}) v CROSS JOIN cent),
+    p AS (SELECT query_id, qv, cell FROM query_assign WHERE r <= {n_probe}),
+    scored AS (
+        SELECT DISTINCT p.query_id, ix.neighbor_id,
+               ROUND({cos_score}, 6) AS cos_sim
+        FROM p JOIN ix ON p.cell = ix.cell
+        WHERE p.query_id <> ix.neighbor_id),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM scored)
+    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {k}
+    """
 
 
 def cosine_topk_lsh_oracle_sql(

@@ -796,6 +796,16 @@ def ann_lsh_topk(spark, sf_dir):
     return sim.cosine_topk_lsh(em, queries, k=5)
 
 
+@register("ann_ivf_topk", sim.cosine_topk_ivf_oracle_sql(k=5, n_queries=5))
+def ann_ivf_topk(spark, sf_dir):
+    """IVF ANN top-5: corpus inverted-indexed by nearest of 8 deterministic
+    seed centroids; queries probe their 2 nearest cells. The scale path when
+    bucket occupancy (not hash bits) should control candidate count."""
+    em = _t(spark, sf_dir, "embeddings")
+    queries = em.filter(F.col("vec_id") < 5)
+    return sim.cosine_topk_ivf(em, queries, k=5, n_centroids=8, n_probe=2)
+
+
 @register(
     "embedding_label_centroids",
     """

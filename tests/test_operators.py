@@ -104,3 +104,23 @@ def test_generate_minute_ticks_shape(spark):
     t = generators.generate_minute_ticks(spark, "2024-02-01")
     assert t.count() == 1440
     assert t.select(F.min("price_float"), F.max("price_float")).first()[0] > 0
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    """IVF is approximate by design; assert it still finds a solid fraction
+    of the true top-5 at the default 8-cells/2-probe config."""
+    from data_pipelines_cu_spark.catalog import load_table
+    from data_pipelines_cu_spark.operators import similarity as sim
+
+    em = load_table(spark, sf_dir, "embeddings")
+    queries = em.filter(F.col("vec_id") < 10)
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.cosine_topk(em, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.cosine_topk_ivf(em, queries, k=5, n_centroids=8, n_probe=2).collect()
+    }
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.4, f"IVF recall@5 collapsed: {recall:.2f}"
