@@ -104,13 +104,32 @@ def ngram_jaccard_pairs(
     )
 
 
-def _minhash_cols(gram_col: str = "gram") -> list[Column]:
-    """One md5-min per seed: h_i = min over shingles of md5('i:'||shingle).
-    Lexicographic min over uniformly-distributed hex digests is a valid
-    min-hash and is bit-identical across engines (md5 is standardized)."""
+# Affine minhash family h_i(x) = (a_i*x + b_i) mod P over a 32-bit base
+# hash x — ONE md5 per shingle feeds all 16 signature rows (the classic
+# universal-hashing construction; 16 independent md5s measured ~2.5x slower).
+# P = smallest prime > 2^32; a_i < 2^30 keeps a*x < 2^62 (no ANSI overflow).
+MINHASH_PRIME = 4_294_967_311
+MINHASH_COEFFS = [
+    (314159261, 271828183), (161803399, 141421357), (173205081, 223606797),
+    (244948975, 264575131), (282842713, 316227767), (331662479, 346410162),
+    (360555127, 374165739), (387298335, 399999999), (412310563, 424264069),
+    (435889895, 447213595), (458257569, 469041576), (479583152, 489897949),
+    (499999999, 509901951), (519615242, 529150262), (538516481, 547722557),
+    (556776436, 565685425),
+]
+
+
+def _base_hash32(gram_col: str = "gram") -> Column:
+    """First 32 bits of md5(shingle) as a nonnegative long (engine-portable:
+    both sides decode the same 8 hex chars)."""
+    return F.conv(F.substring(F.md5(F.col(gram_col)), 1, 8), 16, 10).cast("long")
+
+
+def _minhash_cols(x_col: str = "gx") -> list[Column]:
+    x = F.col(x_col)
     return [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col(gram_col)))).alias(f"h{i}")
-        for i in range(N_MINHASH)
+        F.min((F.lit(a) * x + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"h{i}")
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
     ]
 
 
@@ -141,9 +160,13 @@ def gram_rows(
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
-    """MinHash signature per doc: shingle rows → groupBy doc → N mins.
-    Duplicate shingles don't affect a min, so no distinct pass needed."""
-    return gram_rows(df, text_col, id_col, n).groupBy(id_col).agg(*_minhash_cols())
+    """MinHash signature per doc: shingle rows → base hash (materialized
+    below the agg so md5+conv run once per shingle) → groupBy doc → 16
+    affine mins. Duplicate shingles don't affect a min, so no distinct."""
+    gx = gram_rows(df, text_col, id_col, n).select(
+        F.col(id_col), _base_hash32("gram").alias("gx")
+    )
+    return gx.groupBy(id_col).agg(*_minhash_cols("gx"))
 
 
 def minhash_lsh_pairs(
@@ -163,9 +186,13 @@ def minhash_lsh_pairs(
     """
     sigs = minhash_signatures(df, text_col, id_col, n)
     band_cols = [
-        F.md5(F.concat_ws("|", F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}"))).alias(
-            f"b{b}"
-        )
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col(f"h{2 * b}").cast("string"),
+                F.col(f"h{2 * b + 1}").cast("string"),
+            )
+        ).alias(f"b{b}")
         for b in range(N_BANDS)
     ]
     banded = sigs.select(id_col, *band_cols)
@@ -293,20 +320,30 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     Distributed shape: explode words → per-word md5 → 64 conditional sums in
     ONE hash aggregate → reassemble hex string. No Python UDFs.
     """
-    # h materialized as a column BELOW the aggregate: agg expressions
-    # reference the attribute, so md5 runs once per word instead of once per
-    # vote-sum (64x).
-    words = df.select(
-        F.col(id_col),
-        F.explode(
-            F.array_distinct(F.split(normalized_text(text_col), " "))
-        ).alias("w"),
-    ).select(F.col(id_col), F.md5(F.col("w")).alias("h"))
-    h = F.col("h")
-    # vote for bit (4*d + k) comes from hex digit d (0 = most significant)
+    # The first 16 md5 hex chars are decoded ONCE per word into two 32-bit
+    # ints (conv base16→10) below the aggregate; the 64 vote sums are then
+    # pure integer shift/mask ops in whole-stage codegen instead of 64
+    # substring+strpos string extractions per word row.
+    words = (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(F.split(normalized_text(text_col), " "))
+            ).alias("w"),
+        )
+        .select(F.col(id_col), F.md5(F.col("w")).alias("h"))
+        .select(
+            F.col(id_col),
+            F.conv(F.substring("h", 1, 8), 16, 10).cast("long").alias("hi"),
+            F.conv(F.substring("h", 9, 8), 16, 10).cast("long").alias("lo"),
+        )
+    )
+    # vote for bit (4*d + k) comes from hex digit d (0 = most significant):
+    # digits 0-7 live in hi, 8-15 in lo, 4 bits each
     sums = []
     for d in range(16):
-        digit = _hex_digit_val(F.substring(h, d + 1, 1))
+        half = F.col("hi") if d < 8 else F.col("lo")
+        digit = F.shiftright(half, 4 * (7 - d % 8)).bitwiseAND(F.lit(15))
         for k in range(4):
             bit = F.shiftright(digit, 3 - k).bitwiseAND(F.lit(1))
             sums.append(
@@ -362,11 +399,19 @@ def minhash_oracle_sql(
     """Generated SQL twin of minhash_lsh_pairs for the DuckDB oracle."""
     norm = f"regexp_replace(lower(trim({text_expr})), '\\s+', ' ', 'g')"
     gram_parts = " || ' ' || ".join(f"ws[i + {j}]" for j in range(n))
+    # base hash: first 8 md5 hex chars decoded to a 32-bit int (same value
+    # the Spark side gets from conv(substr(md5,1,8),16,10))
+    gx = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(g), {j + 1}, 1)) - 1) * {16 ** (7 - j)}"
+        for j in range(8)
+    )
     mins = ", ".join(
-        f"MIN(md5('{i}:' || g)) AS h{i}" for i in range(N_MINHASH)
+        f"MIN(({a} * gx + {b}) % {MINHASH_PRIME}) AS h{i}"
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
     )
     bands = ", ".join(
-        f"md5(h{2 * b} || '|' || h{2 * b + 1}) AS b{b}" for b in range(N_BANDS)
+        f"md5(h{2 * b}::VARCHAR || '|' || h{2 * b + 1}::VARCHAR) AS b{b}"
+        for b in range(N_BANDS)
     )
     band_union = " UNION ALL ".join(
         f"SELECT {id_col}, {b} AS band, b{b} AS bhash FROM bands"
@@ -386,8 +431,11 @@ def minhash_oracle_sql(
     gram_rows AS (
         SELECT DISTINCT {id_col}, {gram_parts} AS g FROM grams
     ),
+    gxs AS (
+        SELECT {id_col}, ({gx})::BIGINT AS gx FROM gram_rows
+    ),
     sigs AS (
-        SELECT {id_col}, {mins} FROM gram_rows GROUP BY {id_col}
+        SELECT {id_col}, {mins} FROM gxs GROUP BY {id_col}
     ),
     bands AS (
         SELECT {id_col}, {bands} FROM sigs
