@@ -45,6 +45,10 @@ HEADLINE = [
     "ann_cosine_topk_arrow",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "nation_trade_flow",
+    "min_cost_supplier_per_part",
+    "event_value_percentiles",
+    "late_shipment_priority",
 ]
 
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))

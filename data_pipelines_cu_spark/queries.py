@@ -1279,5 +1279,175 @@ def approx_daily_users(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Classic OLAP shapes beyond the reference's literal surface: exact
+# percentiles, pivot, correlated min-per-group, multi-dimension-path join,
+# EXISTS semi-join aggregate. All Catalyst built-ins — listed so the engine's
+# SQL surface is demonstrably wider than the course's pandas ops.
+# ---------------------------------------------------------------------------
+@register(
+    "event_value_percentiles",
+    """
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.25), 6) AS p25,
+           ROUND(quantile_cont(value, 0.50), 6) AS p50,
+           ROUND(quantile_cont(value, 0.75), 6) AS p75,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def event_value_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont`). The exact path; percentile_approx is the
+    sketch twin at 100 TB when a full sort-per-group is unaffordable."""
+    ev = _t(spark, sf_dir, "events")
+    pct = F.percentile("value", F.lit([0.25, 0.5, 0.75]))
+    return ev.groupBy("event_type").agg(
+        F.round(F.element_at(pct, 1), 6).alias("p25"),
+        F.round(F.element_at(pct, 2), 6).alias("p50"),
+        F.round(F.element_at(pct, 3), 6).alias("p75"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+@register(
+    "order_priority_pivot",
+    """
+    SELECT o_orderstatus,
+           COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS urgent,
+           COUNT(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS high,
+           COUNT(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS medium,
+           COUNT(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS unspecified,
+           COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS low
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def order_priority_pivot(spark, sf_dir):
+    """Pivot (long→wide conditional aggregation) with an EXPLICIT value
+    list — implicit pivot would scan distinct values first (extra job) and
+    produce non-deterministic column order."""
+    o = _t(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderstatus").pivot("o_orderpriority", _PRIORITIES).count()
+    names = ["urgent", "high", "medium", "unspecified", "low"]
+    return wide.select(
+        "o_orderstatus",
+        *[
+            F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(a)
+            for p, a in zip(_PRIORITIES, names)
+        ],
+    )
+
+
+@register(
+    "min_cost_supplier_per_part",
+    """
+    WITH m AS (
+        SELECT l_partkey, MIN(l_extendedprice) AS min_price
+        FROM lineitem GROUP BY l_partkey)
+    SELECT m.l_partkey AS partkey,
+           ROUND(m.min_price, 2) AS min_price,
+           MIN(l.l_suppkey) AS suppkey
+    FROM m JOIN lineitem l
+      ON l.l_partkey = m.l_partkey AND l.l_extendedprice = m.min_price
+    GROUP BY m.l_partkey, m.min_price
+    """,
+)
+def min_cost_supplier_per_part(spark, sf_dir):
+    """Correlated min-per-group join-back (TPC-H Q2 shape): cheapest
+    supplier per part, ties to the lowest suppkey. Same-key groupBy then
+    self-join — AQE reuses the shuffle partitioning, no extra exchange."""
+    li = _t(spark, sf_dir, "lineitem")
+    m = li.groupBy("l_partkey").agg(F.min("l_extendedprice").alias("min_price"))
+    return (
+        m.join(li, ["l_partkey"])
+        .filter(F.col("l_extendedprice") == F.col("min_price"))
+        .groupBy("l_partkey", "min_price")
+        .agg(F.min("l_suppkey").alias("suppkey"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.round("min_price", 2).alias("min_price"),
+            "suppkey",
+        )
+    )
+
+
+@register(
+    "nation_trade_flow",
+    """
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                          AS DECIMAL(18,6)))::DOUBLE, 2) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+    GROUP BY cn.n_name, sn.n_name
+    """,
+)
+def nation_trade_flow(spark, sf_dir):
+    """TPC-H Q7 shape: revenue by (customer nation × supplier nation) —
+    one genuine fact-to-fact shuffle join (lineitem×orders) plus two
+    broadcast dimension paths hanging off each side."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = F.broadcast(_t(spark, sf_dir, "customer"))
+    s = F.broadcast(_t(spark, sf_dir, "supplier"))
+    n = _t(spark, sf_dir, "nation")
+    cn = F.broadcast(n.select(F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("cust_nation")))
+    sn = F.broadcast(n.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation")))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(cn, c.c_nationkey == F.col("cnk"))
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(sn, s.s_nationkey == F.col("snk"))
+        .groupBy("cust_nation", "supp_nation")
+        .agg(
+            # decimal accumulation: exact, summation-order-independent —
+            # float sums can differ in the last 2dp digit across engines
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                ).cast("double"),
+                2,
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "late_shipment_priority",
+    """
+    SELECT o.o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def late_shipment_priority(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS → left-semi join (never a count-changing
+    inner join), then the priority tally."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.date_add(o.o_orderdate, 60)),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
 def all_queries() -> dict[str, Query]:
     return dict(QUERIES)
