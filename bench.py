@@ -45,6 +45,7 @@ HEADLINE = [
     "ann_cosine_topk_arrow",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "doc_winnowed_fingerprints",
     "nation_trade_flow",
     "min_cost_supplier_per_part",
     "event_value_percentiles",

@@ -299,6 +299,116 @@ def dedup_clusters(
     )
 
 
+# --- Winnowing (rolling-hash fingerprints) -----------------------------------
+# MOSS-style local fingerprinting: word-level rolling hash over k-grams, then
+# the min hash of every window of w consecutive k-gram hashes. Guarantees any
+# shared run of >= k+w-1 words between two docs shares a fingerprint, at
+# ~1/w the storage of full shingling.
+
+WINNOW_C = 1_000_003  # rolling-hash radix (prime)
+# winnow modulus: Mersenne prime < 2^31 so radix_weight * hash < 2^62
+# (ANSI-safe long arithmetic in both engines)
+WINNOW_P = 2_147_483_647
+
+
+def winnowed_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Distinct winnowed fingerprints per doc → (id, fingerprint) rows.
+
+    Shape: posexplode words → 32-bit base hash per word → k-gram rolling
+    hash via window leads (radix combine mod P) → min over each w-window
+    (rows-between frame) → distinct. Two window passes over the same
+    (doc, pos) partitioning, so Spark sorts each doc's words once and
+    reuses the shuffle. All JVM-side integer ops."""
+    from pyspark.sql import Window
+
+    words = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(normalized_text(text_col), " ")).alias("pos", "w"),
+    ).select(
+        F.col(id_col),
+        "pos",
+        F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    ord_w = Window.partitionBy(id_col).orderBy("pos")
+    # rolling k-gram hash: sum_{j<k} C^(k-1-j) * h_{i+j} mod P — radix
+    # weights keep it order-sensitive, mod keeps products < 2^62 (ANSI-safe)
+    parts = []
+    for j in range(k):
+        hj = F.col("h") if j == 0 else F.lead("h", j).over(ord_w)
+        weight = pow(WINNOW_C, k - 1 - j, WINNOW_P)
+        parts.append((F.lit(weight) * (hj % F.lit(WINNOW_P))) % F.lit(WINNOW_P))
+    rh = parts[0]
+    for p in parts[1:]:
+        rh = (rh + p) % F.lit(WINNOW_P)
+    # null lead (tail of doc) nulls the whole rolling hash → dropping nulls
+    # keeps exactly the positions where a full k-gram exists
+    grams = words.select(F.col(id_col), "pos", rh.alias("rh")).filter(
+        F.col("rh").isNotNull()
+    )
+    win = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
+    fps = grams.select(
+        F.col(id_col),
+        "pos",
+        F.min("rh").over(win).alias("fingerprint"),
+        F.count("rh").over(win).alias("_n"),
+    ).filter(F.col("_n") == w)
+    return fps.select(id_col, "fingerprint").distinct()
+
+
+def winnowed_oracle_sql(
+    table: str = "documents",
+    text_expr: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+) -> str:
+    """Generated SQL twin of winnowed_fingerprints for the DuckDB oracle."""
+    norm = f"regexp_replace(lower(trim({text_expr})), '\\s+', ' ', 'g')"
+    gx = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(w), {j + 1}, 1)) - 1) * {16 ** (7 - j)}"
+        for j in range(8)
+    )
+    rh_parts = " + ".join(
+        f"({pow(WINNOW_C, k - 1 - j, WINNOW_P)} * (h{j} % {WINNOW_P})) % {WINNOW_P}"
+        for j in range(k)
+    )
+    lead_cols = ", ".join(
+        f"lead(h, {j}) OVER (PARTITION BY {id_col} ORDER BY pos) AS h{j}"
+        if j
+        else "h AS h0"
+        for j in range(k)
+    )
+    return f"""
+    WITH words AS (
+        SELECT {id_col}, i - 1 AS pos, ws[i] AS w
+        FROM (SELECT {id_col}, string_split({norm}, ' ') AS ws FROM {table}),
+             LATERAL unnest(range(1, len(ws) + 1)) AS t(i)),
+    hashed AS (
+        SELECT {id_col}, pos, ({gx})::BIGINT AS h FROM words),
+    led AS (
+        SELECT {id_col}, pos, {lead_cols} FROM hashed),
+    grams AS (
+        SELECT {id_col}, pos, ({rh_parts}) % {WINNOW_P} AS rh
+        FROM led WHERE h{k - 1} IS NOT NULL),
+    winnowed AS (
+        SELECT {id_col}, pos,
+               MIN(rh) OVER (PARTITION BY {id_col} ORDER BY pos
+                             ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS fingerprint,
+               COUNT(rh) OVER (PARTITION BY {id_col} ORDER BY pos
+                               ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS _n
+        FROM grams)
+    SELECT DISTINCT {id_col}, fingerprint FROM winnowed WHERE _n = {w}
+    """
+
+
 # --- SimHash -----------------------------------------------------------------
 # 64-bit simhash from word-level md5s: bit b of the hash of each word votes
 # ±1; the sign of each bit-sum forms the fingerprint. Engine-portable: bit b

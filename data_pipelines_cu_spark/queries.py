@@ -1449,5 +1449,47 @@ def late_shipment_priority(spark, sf_dir):
     return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
 
 
+@register("doc_winnowed_fingerprints", dd.winnowed_oracle_sql())
+def doc_winnowed_fingerprints(spark, sf_dir):
+    """Winnowing (MOSS-style rolling-hash fingerprinting): word-level
+    k-gram rolling hash, min per w-window, distinct per doc. The
+    local-fingerprint twin of simhash/minhash — any shared run of
+    >= k+w-1 words between two docs shares a fingerprint."""
+    d = _t(spark, sf_dir, "documents")
+    return dd.winnowed_fingerprints(d)
+
+
+@register(
+    "daily_revenue_moving_avg",
+    """
+    WITH daily AS (
+        SELECT strftime(o_orderdate, '%Y-%m-%d') AS date,
+               ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4)))::DOUBLE, 2) AS revenue
+        FROM orders GROUP BY 1)
+    SELECT date, revenue,
+           ROUND(AVG(revenue) OVER (ORDER BY date
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS ma7
+    FROM daily
+    """,
+)
+def daily_revenue_moving_avg(spark, sf_dir):
+    """7-day moving average over daily revenue — explicit rows-between
+    frame spec. The outer window is unpartitioned BUT runs over the
+    already-aggregated daily table (one row per day), so the single-
+    partition sort is bounded by calendar days, not data volume."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("date")
+    ).agg(
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double"), 2
+        ).alias("revenue")
+    )
+    w = Window.orderBy("date").rowsBetween(-6, 0)
+    return daily.select(
+        "date", "revenue", F.round(F.avg("revenue").over(w), 6).alias("ma7")
+    )
+
+
 def all_queries() -> dict[str, Query]:
     return dict(QUERIES)
