@@ -50,3 +50,56 @@ def upsert_partitions(
 
 def read_partitioned(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
     return spark.read.format(fmt).load(path)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """CDC-style snapshot comparison: full-outer join on the key →
+    ``change_type`` in {added, removed, changed} (unchanged rows are
+    dropped). The declarative form of the reference's delete-matching-
+    then-insert upsert inspection (lecture3/15_binance_backfill_last_month
+    .py:184-194): at 100 TB both snapshots shuffle once on the key and
+    compare columns never leave the executors.
+
+    Output: key cols + per-compare-col old_/new_ pairs + change_type.
+    """
+    from pyspark.sql import functions as F
+
+    o = old.select(
+        *[F.col(k).alias(f"_ok_{k}") for k in key_cols],
+        *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *[F.col(k).alias(f"_nk_{k}") for k in key_cols],
+        *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+    )
+    cond = None
+    for k in key_cols:
+        eq = F.col(f"_ok_{k}") == F.col(f"_nk_{k}")
+        cond = eq if cond is None else cond & eq
+    j = o.join(n, cond, "full_outer")
+    old_present = F.col(f"_ok_{key_cols[0]}").isNotNull()
+    new_present = F.col(f"_nk_{key_cols[0]}").isNotNull()
+    differs = None
+    for c in compare_cols:
+        ne = ~(F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}")))
+        differs = ne if differs is None else differs | ne
+    change = (
+        F.when(~old_present, F.lit("added"))
+        .when(~new_present, F.lit("removed"))
+        .when(differs, F.lit("changed"))
+    )
+    keyed = j.select(
+        *[
+            F.coalesce(F.col(f"_nk_{k}"), F.col(f"_ok_{k}")).alias(k)
+            for k in key_cols
+        ],
+        *[F.col(f"old_{c}") for c in compare_cols],
+        *[F.col(f"new_{c}") for c in compare_cols],
+        change.alias("change_type"),
+    )
+    return keyed.filter(F.col("change_type").isNotNull())

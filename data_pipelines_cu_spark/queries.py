@@ -1491,5 +1491,88 @@ def daily_revenue_moving_avg(spark, sf_dir):
     )
 
 
+@register(
+    "customer_snapshot_diff",
+    """
+    WITH old AS (
+        SELECT o_custkey, COUNT(*) AS n_orders,
+               ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4)))::DOUBLE, 2) AS total
+        FROM orders WHERE o_orderdate < DATE '1997-01-01' GROUP BY o_custkey),
+    new AS (
+        SELECT o_custkey, COUNT(*) AS n_orders,
+               ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4)))::DOUBLE, 2) AS total
+        FROM orders WHERE o_orderdate < DATE '1998-01-01' GROUP BY o_custkey)
+    SELECT COALESCE(new.o_custkey, old.o_custkey) AS o_custkey,
+           old.n_orders AS old_n_orders, old.total AS old_total,
+           new.n_orders AS new_n_orders, new.total AS new_total,
+           CASE WHEN old.o_custkey IS NULL THEN 'added'
+                WHEN new.o_custkey IS NULL THEN 'removed'
+                WHEN old.n_orders IS DISTINCT FROM new.n_orders
+                     OR old.total IS DISTINCT FROM new.total THEN 'changed'
+           END AS change_type
+    FROM old FULL OUTER JOIN new ON old.o_custkey = new.o_custkey
+    WHERE CASE WHEN old.o_custkey IS NULL THEN 'added'
+               WHEN new.o_custkey IS NULL THEN 'removed'
+               WHEN old.n_orders IS DISTINCT FROM new.n_orders
+                    OR old.total IS DISTINCT FROM new.total THEN 'changed'
+          END IS NOT NULL
+    """,
+)
+def customer_snapshot_diff(spark, sf_dir):
+    """CDC snapshot diff: per-customer order totals at two orderdate
+    cutoffs → added/removed/changed keys (incremental-recompute audit,
+    the reference's upsert pattern made declarative)."""
+    from .operators.upsert import snapshot_diff
+
+    o = _t(spark, sf_dir, "orders")
+
+    def snap(cutoff):
+        return (
+            o.filter(F.col("o_orderdate") < F.lit(cutoff).cast("timestamp"))
+            .groupBy("o_custkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast(
+                        "double"
+                    ),
+                    2,
+                ).alias("total"),
+            )
+        )
+
+    return snapshot_diff(
+        snap("1997-01-01"), snap("1998-01-01"), ["o_custkey"], ["n_orders", "total"]
+    )
+
+
+_HIST_BINS, _HIST_LO, _HIST_HI = 20, 0.0, 500.0
+
+
+@register(
+    "event_value_histogram",
+    f"""
+    SELECT event_type,
+           LEAST(CAST(FLOOR((value - {_HIST_LO}) / (({_HIST_HI} - {_HIST_LO})
+                 / {_HIST_BINS})) AS BIGINT), {_HIST_BINS - 1}) AS bucket,
+           COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def event_value_histogram(spark, sf_dir):
+    """Fixed-width histogram per group (20 bins over [0, 500)) — explicit
+    bucket arithmetic, one partial-aggregated shuffle; the building block
+    for distribution profiling over 100 TB without a sort."""
+    ev = _t(spark, sf_dir, "events")
+    width = (_HIST_HI - _HIST_LO) / _HIST_BINS
+    bucket = F.least(
+        F.floor((F.col("value") - _HIST_LO) / width).cast("long"),
+        F.lit(_HIST_BINS - 1),
+    )
+    return ev.groupBy("event_type", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
 def all_queries() -> dict[str, Query]:
     return dict(QUERIES)

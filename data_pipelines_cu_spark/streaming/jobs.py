@@ -236,6 +236,21 @@ def streaming_session_window(
     )
 
 
+def streaming_dedup(
+    events: DataFrame,
+    key_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: first occurrence of each key wins; state for
+    a key is dropped once the watermark passes (bounded state — the 100 TB
+    requirement; unbounded dropDuplicates state would grow forever).
+    Batch twin: dropDuplicates / windows.dedup_keep_last."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols or ["event_id"]
+    )
+
+
 def run_cascade(
     ticks: DataFrame,
     hourly_path: str,

@@ -188,3 +188,36 @@ def test_streaming_session_window_matches_batch(spark, tmp_path):
         for r in spark.read.parquet(sink).filter(F.col("user_id") >= 0).collect()
     }
     assert got == _batch_sessions(spark, src)
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Duplicate event_ids across two micro-batches inside the watermark
+    horizon dedup to one row each; the batch distinct count is the truth."""
+    src = tmp_path / "in"
+    src.mkdir()
+    rows = [
+        {"event_id": i % 50, "ts_us": 1_700_000_000_000_000 + i * 60_000_000,
+         "user_id": i % 7}
+        for i in range(200)  # every id appears 4x within ~3.3h
+    ]
+    for i, chunk in enumerate([rows[:100], rows[100:]]):
+        fname = f"{src}/part-{i}.json"
+        with open(fname, "w") as f:
+            for r in chunk:
+                f.write(json.dumps(r) + "\n")
+        os.utime(fname, (1_700_000_000 + i, 1_700_000_000 + i))
+    sink = str(tmp_path / "deduped")
+    stream = _read_event_stream(spark, str(src))
+    q = (
+        jobs.streaming_dedup(stream, ["event_id"], watermark="6 hours")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(sink)
+    assert got.count() == 50
+    assert got.select("event_id").distinct().count() == 50
