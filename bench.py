@@ -26,6 +26,8 @@ from data_pipelines_cu_spark.session import get_spark  # noqa: E402
 # rollup, star join, window/top-k, dedup) + the north-star training-data ops.
 HEADLINE = [
     "events_user_daily_counts",
+    "cohort_retention",
+    "purchase_funnel",
     "pricing_summary",
     "hourly_price_stats",
     "daily_price_rollup",

@@ -1574,5 +1574,107 @@ def event_value_histogram(spark, sf_dir):
     )
 
 
+@register(
+    "cohort_retention",
+    """
+    WITH firsts AS (
+        SELECT user_id, MIN(strftime(ts, '%Y-%m-%d')) AS cohort_date
+        FROM events GROUP BY user_id),
+    activity AS (
+        SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS active_date
+        FROM events)
+    SELECT f.cohort_date,
+           CAST(date_diff('day', cohort_date::DATE, active_date::DATE) AS BIGINT) AS day_offset,
+           COUNT(DISTINCT a.user_id) AS n_active
+    FROM firsts f JOIN activity a ON f.user_id = a.user_id
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark, sf_dir):
+    """Cohort retention triangle: users grouped by first-seen day; for
+    each (cohort, day-offset) the count of still-active users. Two
+    aggregations over the same user_id shuffle key — Catalyst reuses the
+    partitioning for the self-join."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.date_format("ts", "yyyy-MM-dd").alias("d")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("d").alias("cohort_date"))
+    activity = ev.distinct().withColumnRenamed("d", "active_date")
+    return (
+        firsts.join(activity, "user_id")
+        .groupBy(
+            "cohort_date",
+            F.datediff(
+                F.to_date("active_date"), F.to_date("cohort_date")
+            ).cast("long").alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+
+
+@register(
+    "purchase_funnel",
+    """
+    WITH stages AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events GROUP BY user_id)
+    SELECT COUNT(CASE WHEN t_view IS NOT NULL THEN 1 END) AS viewed,
+           COUNT(CASE WHEN t_view IS NOT NULL AND t_click > t_view THEN 1 END) AS clicked_after_view,
+           COUNT(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                       AND t_purchase > t_click THEN 1 END) AS purchased_after_click
+    FROM stages
+    """,
+)
+def purchase_funnel(spark, sf_dir):
+    """Ordered funnel (view → click → purchase): conditional-min per stage
+    in ONE aggregation pass, then ordering predicates — no joins, no
+    window sort; the scalable funnel formulation."""
+    ev = _t(spark, sf_dir, "events")
+    stage = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))  # noqa: E731
+    stages = ev.groupBy("user_id").agg(
+        stage("view").alias("t_view"),
+        stage("click").alias("t_click"),
+        stage("purchase").alias("t_purchase"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return stages.agg(
+        F.count(F.when(viewed, 1)).alias("viewed"),
+        F.count(F.when(clicked, 1)).alias("clicked_after_view"),
+        F.count(F.when(purchased, 1)).alias("purchased_after_click"),
+    )
+
+
+@register(
+    "daily_stats_unpivot",
+    """
+    WITH daily AS (
+        SELECT strftime(ts, '%Y-%m-%d') AS date,
+               ROUND(AVG(value), 6) AS avg_value,
+               ROUND(MIN(value), 6) AS min_value,
+               ROUND(MAX(value), 6) AS max_value
+        FROM events GROUP BY 1)
+    SELECT date, metric, val FROM daily
+    UNPIVOT (val FOR metric IN (avg_value, min_value, max_value))
+    """,
+)
+def daily_stats_unpivot(spark, sf_dir):
+    """Unpivot (wide→long melt) of a daily stats table — the inverse of
+    order_priority_pivot, via the native stack()/unpivot operator."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("date")).agg(
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+    )
+    return daily.unpivot(
+        "date", ["avg_value", "min_value", "max_value"], "metric", "val"
+    )
+
+
 def all_queries() -> dict[str, Query]:
     return dict(QUERIES)
