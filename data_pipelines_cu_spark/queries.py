@@ -1676,5 +1676,41 @@ def daily_stats_unpivot(spark, sf_dir):
     )
 
 
+@register(
+    "fuzzy_part_name_pairs",
+    """
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           levenshtein(a.p_name, b.p_name) AS edit_dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+      AND a.p_name <> b.p_name
+    """,
+)
+def fuzzy_part_name_pairs(spark, sf_dir):
+    """Blocked fuzzy join: near-identical part names (edit distance ≤ 2)
+    within a brand block. Blocking bounds the candidate pairs (n²/25 here,
+    bucket-sized in general); levenshtein runs JVM-side on candidates only
+    — the standard entity-resolution shape at scale."""
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand")
+    a = p.select(
+        F.col("p_brand").alias("_blk"),
+        F.col("p_partkey").alias("id_a"),
+        F.col("p_name").alias("name_a"),
+    )
+    b = p.select(
+        F.col("p_brand").alias("_blk"),
+        F.col("p_partkey").alias("id_b"),
+        F.col("p_name").alias("name_b"),
+    )
+    return (
+        a.join(b, "_blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .filter((F.col("edit_dist") <= 2) & (F.col("name_a") != F.col("name_b")))
+        .select("id_a", "id_b", "edit_dist")
+    )
+
+
 def all_queries() -> dict[str, Query]:
     return dict(QUERIES)

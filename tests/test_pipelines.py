@@ -104,3 +104,34 @@ def test_goldwar_training_table(spark):
     assert out[0].news_count == 2
     assert out[0].sentiment_mean < 0  # war+negative lexicon
     assert out[1].news_count == 0 and out[1].sentiment_mean == 0.0  # zero-fill
+
+
+def test_compact_partitions_reduces_files(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from data_pipelines_cu_spark.operators.upsert import compact_partitions
+
+    path = str(tmp_path / "t")
+    df = spark.range(2000).select(
+        (F.col("id") % 4).cast("string").alias("date"), F.col("id").alias("v")
+    )
+    # simulate a per-trigger accreting sink: 10 appends -> many small files
+    for _ in range(10):
+        df.write.mode("append").partitionBy("date").parquet(path)
+    import os
+
+    def count_files():
+        return sum(
+            1
+            for root, _d, fs in os.walk(path)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    before = count_files()
+    compact_partitions(spark, path, ["date"])
+    after = count_files()
+    assert before > 40 and after <= 8
+    got = spark.read.parquet(path)
+    assert got.count() == 20000
+    assert got.groupBy("date").count().count() == 4
