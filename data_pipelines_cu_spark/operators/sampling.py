@@ -1,0 +1,68 @@
+"""Deterministic sampling / dataset splitting (north-star training-data ops).
+
+Training pipelines need splits that are (a) stable under repartitioning,
+retries, and engine changes — so NEVER ``rand()`` or ``TABLESAMPLE`` — and
+(b) keyed on a business id so all rows of an entity land in one split.
+The portable construction: bucket = md5-derived 32-bit hash of the key,
+mod 100; split boundaries are percentile cutoffs over buckets. The same
+arithmetic runs in any engine (the DuckDB oracle runs it verbatim).
+
+Reference grounding: the course's only split is sklearn
+``train_test_split(random_state=42)`` (Solutions/gold_war_etl_dag.py:171-172)
+— process-local RNG, unreproducible across engines; this is its
+distributed, content-addressed replacement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket(key: Column, n_buckets: int = 100, salt: str = "") -> Column:
+    """Deterministic bucket in [0, n_buckets): first 32 bits of
+    md5(salt || key) mod n_buckets. Engine-portable and partition-
+    independent."""
+    h = F.md5(F.concat(F.lit(salt), key.cast("string")))
+    return (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_buckets
+    ).alias("bucket")
+
+
+def with_split(
+    df: DataFrame,
+    key_col: str,
+    train_pct: int = 80,
+    val_pct: int = 10,
+    salt: str = "",
+    out: str = "split",
+) -> DataFrame:
+    """Assign train/val/test by hash bucket of the key column. All rows
+    sharing a key get the same split (no leakage across splits); adding
+    data never reassigns existing keys."""
+    b = hash_bucket(F.col(key_col), 100, salt)
+    return df.withColumn(
+        out,
+        F.when(b < train_pct, F.lit("train"))
+        .when(b < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
+def hash_bucket_sql(key_expr: str, n_buckets: int = 100, salt: str = "") -> str:
+    """DuckDB twin of hash_bucket."""
+    gx = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5('{salt}' || CAST({key_expr} AS VARCHAR)), {j + 1}, 1)) - 1) * {16 ** (7 - j)}"
+        for j in range(8)
+    )
+    return f"(({gx})::BIGINT % {n_buckets})"
+
+
+def split_sql(
+    key_expr: str, train_pct: int = 80, val_pct: int = 10, salt: str = ""
+) -> str:
+    b = hash_bucket_sql(key_expr, 100, salt)
+    return (
+        f"(CASE WHEN {b} < {train_pct} THEN 'train' "
+        f"WHEN {b} < {train_pct + val_pct} THEN 'val' ELSE 'test' END)"
+    )

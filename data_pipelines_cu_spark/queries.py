@@ -22,6 +22,7 @@ from .catalog import load_table
 from .operators import aggregates as agg
 from .operators import dedup as dd
 from .operators import filters as flt
+from .operators import sampling as smp
 from .operators import similarity as sim
 from .operators import text as tx
 from .operators import windows as win
@@ -1709,6 +1710,50 @@ def fuzzy_part_name_pairs(spark, sf_dir):
         .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
         .filter((F.col("edit_dist") <= 2) & (F.col("name_a") != F.col("name_b")))
         .select("id_a", "id_b", "edit_dist")
+    )
+
+
+@register(
+    "doc_train_val_test_split",
+    f"""
+    SELECT {smp.split_sql('doc_id')} AS split,
+           lang, COUNT(*) AS n_docs
+    FROM documents GROUP BY 1, 2
+    """,
+)
+def doc_train_val_test_split(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test split keyed on doc_id
+    (content-addressed — stable under repartitioning/retries, no RNG;
+    replaces the reference's process-local train_test_split). Returns
+    split×lang counts for auditability."""
+    d = _t(spark, sf_dir, "documents")
+    return smp.with_split(d, "doc_id").groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+@register(
+    "event_stratified_sample_stats",
+    f"""
+    SELECT event_type, COUNT(*) AS n,
+           ROUND(AVG(value), 6) AS avg_value
+    FROM events
+    WHERE {smp.hash_bucket_sql('event_id')} < 10
+    GROUP BY event_type
+    """,
+)
+def event_stratified_sample_stats(spark, sf_dir):
+    """Deterministic 10% hash sample (bucket < 10 of 100 on event_id) —
+    the reproducible TABLESAMPLE replacement; the filter runs before the
+    aggregate so the sample never materializes."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(smp.hash_bucket(F.col("event_id")) < 10)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
     )
 
 
