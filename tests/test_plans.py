@@ -1,0 +1,58 @@
+"""Physical-plan regression guards: the scale-critical plan properties
+(pushdown, pruning, broadcast, no stray sort-merge joins) asserted from
+`.explain`-level output — what ARCHITECTURE.md §9 documents, kept true.
+
+These are the properties that decide 100 TB behavior; a silent regression
+(e.g. a refactor breaking filter pushdown) changes no sf0.01 result but
+10x-es a production scan."""
+
+from __future__ import annotations
+
+from data_pipelines_cu_spark.queries import all_queries
+
+QUERIES = all_queries()
+
+
+def _formatted_plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_pricing_summary_pushdown_and_pruning(spark, sf_dir):
+    plan = _formatted_plan(QUERIES["pricing_summary"].fn(spark, sf_dir))
+    assert "LessThanOrEqual(l_shipdate" in plan  # filter reached the scan
+    # projection pruned: key columns absent from the parquet read schema
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" not in read_schema and "l_partkey" not in read_schema
+
+
+def test_star_join_broadcasts_dimensions(spark, sf_dir):
+    plan = _formatted_plan(QUERIES["orders_by_region"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_event_time_range_pushed_to_int64_scan(spark, sf_dir):
+    plan = _formatted_plan(QUERIES["events_window_stats"].fn(spark, sf_dir))
+    # the range predicate must hit the raw nanosecond column at the scan
+    assert "GreaterThanOrEqual(ts" in plan and "LessThan(ts" in plan
+
+
+def test_semi_join_stays_semi(spark, sf_dir):
+    plan = _formatted_plan(QUERIES["late_shipment_priority"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan  # never a count-changing inner join
+
+
+def test_events_agg_prunes_columns(spark, sf_dir):
+    plan = _formatted_plan(QUERIES["events_user_daily_counts"].fn(spark, sf_dir))
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "props" not in read_schema and "event_type" not in read_schema
+
+
+def test_ann_brute_force_broadcasts_queries(spark, sf_dir):
+    plan = _formatted_plan(QUERIES["ann_cosine_topk"].fn(spark, sf_dir))
+    # query set broadcast: corpus side never shuffles for the cross join
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
