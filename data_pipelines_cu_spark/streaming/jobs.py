@@ -251,6 +251,49 @@ def streaming_dedup(
     )
 
 
+def stream_stream_interval_join(
+    events: DataFrame,
+    within: str = "30 minutes",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Stream-stream interval self-join: each purchase matched to every
+    click by the same user in the preceding ``within`` interval. Both
+    sides carry watermarks + the time-bound join condition, so Spark can
+    evict join state once the watermark passes click_ts + within —
+    bounded state, the requirement for an unbounded 100 TB/day stream.
+    Inner-join matches emit as they arrive (no watermark wait)."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col(key_col).alias("c_user"),
+            F.col(ts_col).alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col(key_col).alias("p_user"),
+            F.col(ts_col).alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return clicks.join(purchases, cond, "inner").select(
+        F.col("c_user").alias("user_id"),
+        F.unix_micros("click_ts").alias("click_us"),
+        F.unix_micros("purchase_ts").alias("purchase_us"),
+        "purchase_value",
+    )
+
+
 def run_cascade(
     ticks: DataFrame,
     hourly_path: str,

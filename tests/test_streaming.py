@@ -221,3 +221,75 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     got = spark.read.parquet(sink)
     assert got.count() == 50
     assert got.select("event_id").distinct().count() == 50
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Click->purchase attribution joined across two micro-batches equals
+    the batch interval join over the same files."""
+    src = tmp_path / "in"
+    src.mkdir()
+    from data_pipelines_cu_spark.catalog import load_table
+
+    ev = (
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .filter(F.col("user_id") < 40)
+        .select(
+            "event_id", F.unix_micros("ts").alias("ts_us"), "user_id",
+            "event_type", "value",
+        )
+    )
+    rows = [r.asDict() for r in ev.collect()]
+    for i, chunk in enumerate([rows[: len(rows) // 2], rows[len(rows) // 2:]]):
+        fname = f"{src}/part-{i}.json"
+        with open(fname, "w") as f:
+            for r in chunk:
+                f.write(json.dumps(r) + "\n")
+        os.utime(fname, (1_700_000_000 + i, 1_700_000_000 + i))
+    raw_schema = "event_id long, ts_us long, user_id long, event_type string, value double"
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .select(
+            "event_id", F.timestamp_micros("ts_us").alias("ts"), "user_id",
+            "event_type", "value",
+        )
+    )
+    sink = str(tmp_path / "joined")
+    q = (
+        jobs.stream_stream_interval_join(stream)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.user_id, r.click_us, r.purchase_us)
+        for r in spark.read.parquet(sink).collect()
+    }
+    b = spark.read.json(str(src)).select(
+        F.timestamp_micros("ts_us").alias("ts"), "user_id", "event_type"
+    )
+    clicks = b.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    purchases = b.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    expected = {
+        (r.cu, r.click_us, r.purchase_us)
+        for r in clicks.join(
+            purchases,
+            (F.col("cu") == F.col("pu"))
+            & (F.col("pts") >= F.col("cts"))
+            & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 30 minutes")),
+        )
+        .select("cu", F.unix_micros("cts").alias("click_us"),
+                F.unix_micros("pts").alias("purchase_us"))
+        .collect()
+    }
+    assert got == expected
+    assert len(expected) > 0
