@@ -1757,5 +1757,105 @@ def event_stratified_sample_stats(spark, sf_dir):
     )
 
 
+@register(
+    "click_purchase_attribution",
+    """
+    WITH c AS (SELECT user_id, ts AS cts FROM events WHERE event_type = 'click'),
+         p AS (SELECT user_id, ts AS pts, value FROM events WHERE event_type = 'purchase')
+    SELECT c.user_id,
+           epoch_us(cts) AS click_us,
+           epoch_us(pts) AS purchase_us,
+           p.value AS purchase_value
+    FROM c JOIN p ON c.user_id = p.user_id
+     AND pts >= cts AND pts <= cts + INTERVAL 30 MINUTE
+    """,
+)
+def click_purchase_attribution(spark, sf_dir):
+    """Batch range join (attribution): every purchase matched to clicks by
+    the same user in the preceding 30 minutes — the batch twin of
+    streaming.stream_stream_interval_join, hash-checked by the gate. The
+    equi-key (user_id) carries the shuffle; the range predicate filters
+    within each key group."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("pts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return (
+        c.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("pts") >= F.col("cts"))
+            & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 30 minutes")),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("cts").alias("click_us"),
+            F.unix_micros("pts").alias("purchase_us"),
+            "purchase_value",
+        )
+    )
+
+
+@register(
+    "customer_value_quartiles",
+    """
+    WITH t AS (
+        SELECT c_mktsegment, c_custkey, c_acctbal,
+               ntile(4) OVER (PARTITION BY c_mktsegment
+                              ORDER BY c_acctbal, c_custkey) AS quartile
+        FROM customer)
+    SELECT c_mktsegment, quartile,
+           COUNT(*) AS n,
+           ROUND(MIN(c_acctbal), 2) AS lo,
+           ROUND(MAX(c_acctbal), 2) AS hi
+    FROM t GROUP BY 1, 2
+    """,
+)
+def customer_value_quartiles(spark, sf_dir):
+    """ntile quartile assignment per segment (deterministic tie-break on
+    custkey), then per-quartile bounds — the windowed bucketing pattern."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        c.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("c_mktsegment", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("c_acctbal"), 2).alias("lo"),
+            F.round(F.max("c_acctbal"), 2).alias("hi"),
+        )
+    )
+
+
+@register(
+    "lineitem_price_discount_corr",
+    """
+    SELECT l_returnflag,
+           ROUND(corr(l_extendedprice, l_discount), 6) AS price_discount_corr,
+           ROUND(covar_samp(l_extendedprice, l_quantity), 2) AS price_qty_cov,
+           ROUND(stddev_samp(l_extendedprice), 4) AS price_std
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def lineitem_price_discount_corr(spark, sf_dir):
+    """Statistical aggregates (corr / sample covariance / stddev) per
+    group — single partial-aggregated pass, no second scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_extendedprice", "l_discount"), 6).alias(
+            "price_discount_corr"
+        ),
+        F.round(F.covar_samp("l_extendedprice", "l_quantity"), 2).alias(
+            "price_qty_cov"
+        ),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_std"),
+    )
+
+
 def all_queries() -> dict[str, Query]:
     return dict(QUERIES)
