@@ -40,9 +40,21 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Make any externally-created SparkSession (e.g. the driver's own)
+    able to run this engine's queries: the events fixture stores
+    TIMESTAMP(NANOS) which Spark only reads with nanosAsLong; date_format
+    output (compared against the naive-timestamp DuckDB oracle) requires a
+    UTC session. Both confs are runtime-settable; get_spark sessions
+    already carry them."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    ensure_session_confs(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     # Nanosecond-timestamp columns arrive as long (nanosAsLong, session.py);
     # convert to Spark's microsecond TimestampType. The fixture generator
@@ -65,6 +77,7 @@ def events_between(
     the stored int64 pushes as a plain range → row-group/page pruning works,
     which is the difference between scanning a day and scanning 100 TB.
     """
+    ensure_session_confs(spark)
     raw = spark.read.parquet(table_path(sf_dir, "events"))
     if dict(raw.dtypes).get("ts") == "bigint":
         lo = F.lit(start_ts).cast("timestamp")

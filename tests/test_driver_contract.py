@@ -1,0 +1,36 @@
+"""The driver imports __spark_entry__ and calls entry()/queries() with ITS
+OWN SparkSession — one built without this engine's session.py confs. The
+engine must self-provision any conf it needs (nanosAsLong for the
+TIMESTAMP(NANOS) events fixture, UTC session TZ for oracle-comparable
+date strings) on whatever session it is handed. Regression test runs the
+contract in a clean subprocess with a vanilla session."""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+SCRIPT = """
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[2]")
+         .appName("vanilla-driver").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+import sys
+sys.path.insert(0, "/root/repo")
+import __spark_entry__ as e
+assert e.entry(spark).count() > 0
+q = e.queries()
+assert q["events_user_daily_counts"](spark, "/root/testdata/sf0.001").count() > 0
+assert q["hourly_price_stats"](spark, "/root/testdata/sf0.001").count() > 0
+print("CONTRACT_OK")
+"""
+
+
+def test_entry_contract_with_vanilla_session():
+    out = subprocess.run(
+        [sys.executable, "-c", SCRIPT],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert "CONTRACT_OK" in out.stdout, out.stderr[-2000:]
