@@ -1857,5 +1857,64 @@ def lineitem_price_discount_corr(spark, sf_dir):
     )
 
 
+@register(
+    "order_status_grouping_sets",
+    """
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n,
+           ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4)))::DOUBLE, 2) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                            (o_orderstatus, o_orderpriority))
+    """,
+)
+def order_status_grouping_sets(spark, sf_dir):
+    """Arbitrary GROUPING SETS (not derivable from rollup/cube): status
+    margins, priority margins, and the full cross — one pass, Spark
+    expands to a single aggregate over the grouping-id."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_gs_orders")
+    return o.sparkSession.sql(
+        """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               COUNT(*) AS n,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS total
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority))
+        """
+    )
+
+
+@register(
+    "region_nation_listing",
+    """
+    SELECT r.r_name AS region,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+           COUNT(*) AS n_nations
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def region_nation_listing(spark, sf_dir):
+    """Ordered string aggregation (listagg): deterministic via
+    sort_array(collect_list) — collect_list alone is partition-order-
+    dependent and would break under any repartitioning."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias(
+                "nations"
+            ),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+    )
+
+
 def all_queries() -> dict[str, Query]:
     return dict(QUERIES)
