@@ -1916,5 +1916,60 @@ def region_nation_listing(spark, sf_dir):
     )
 
 
+@register(
+    "doc_number_extraction",
+    r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[0-9]+')) AS n_numbers,
+           COALESCE(TRY_CAST(regexp_extract(text, '([0-9]+)', 1) AS BIGINT), -1)
+               AS first_number
+    FROM documents
+    """,
+)
+def doc_number_extraction(spark, sf_dir):
+    """Regex extraction suite: count of numeric tokens + first numeric
+    value per doc (regexp_extract_all / regexp_extract, JVM-side)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(r"[0-9]+"))).alias("n_numbers"),
+        F.coalesce(
+            F.try_element_at(
+                F.regexp_extract_all("text", F.lit(r"([0-9]+)"), 1), F.lit(1)
+            ).cast("long"),
+            F.lit(-1),
+        ).alias("first_number"),
+    )
+
+
+@register(
+    "top_value_ranks_with_ties",
+    """
+    WITH r AS (
+        SELECT event_type, event_id, value,
+               RANK() OVER (PARTITION BY event_type ORDER BY value DESC) AS rnk,
+               DENSE_RANK() OVER (PARTITION BY event_type ORDER BY value DESC) AS drnk
+        FROM events)
+    SELECT event_type, event_id, value, rnk, drnk
+    FROM r WHERE rnk <= 3
+    """,
+)
+def top_value_ranks_with_ties(spark, sf_dir):
+    """rank vs dense_rank top-3 per group — tie-INCLUSIVE top-k (row_number
+    top-k drops ties; rank keeps them, the auditable variant)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.col("value").desc())
+    return (
+        ev.select(
+            "event_type",
+            "event_id",
+            "value",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+
+
 def all_queries() -> dict[str, Query]:
     return dict(QUERIES)
