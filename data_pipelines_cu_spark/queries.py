@@ -1258,11 +1258,35 @@ def user_sessions(spark, sf_dir):
     )
 
 
-@register("llm_extract_structured", None)
+@register(
+    "llm_extract_structured",
+    r"""
+    WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
+    calc AS (
+        SELECT doc_id, text,
+            (COALESCE(list_sum(list_transform(string_split(text, ''),
+                                              c -> unicode(c))), 0)::BIGINT
+             % 40) - 10 AS h,
+            string_split(text, ',')[1] AS head
+        FROM base)
+    SELECT doc_id, text,
+           CASE WHEN head = '' OR head IS NULL THEN 'unknown'
+                ELSE substr(head, 1, 64) END AS city_label,
+           '2024-01-01' AS observation_date,
+           h::DOUBLE AS temp_c_current,
+           (h + 3)::DOUBLE AS temp_c_max,
+           (h - 3)::DOUBLE AS temp_c_min,
+           'mock conditions' AS conditions_short,
+           0.0 AS precipitation_mm
+    FROM calc
+    """,
+)
 def llm_extract_structured(spark, sf_dir):
-    """LLM unstructured→struct extraction over documents (deterministic
-    mock extractor — weather_ollama mock-mode pattern). Non-SQL: the
-    extractor is an external model call."""
+    """LLM unstructured→struct extraction over documents (weather_ollama
+    mock-mode pattern): mapInPandas extractor → from_json → flatten. The
+    production extractor is an external model call (rows-only by nature);
+    the deterministic mock IS SQL-expressible, so the gate hash-checks the
+    whole mapInPandas→from_json→flatten plumbing end-to-end."""
     from .operators.llm import extract_structured
 
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
