@@ -1995,5 +1995,48 @@ def top_value_ranks_with_ties(spark, sf_dir):
     )
 
 
+@register(
+    "brand_revenue_share",
+    """
+    WITH b AS (
+        SELECT p.p_brand,
+               SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                        AS DECIMAL(18,6))) AS rev
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_brand)
+    SELECT p_brand,
+           ROUND(rev::DOUBLE, 2) AS revenue,
+           ROUND((rev / SUM(rev) OVER ())::DOUBLE, 6) AS share
+    FROM b
+    """,
+)
+def brand_revenue_share(spark, sf_dir):
+    """Ratio-to-report: per-brand revenue share via an unpartitioned window
+    sum OVER the aggregated table (25 brand rows — the window runs over the
+    agg output, never the fact table). Decimal accumulation end-to-end so
+    both the total and every share are summation-order-independent."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = F.broadcast(_t(spark, sf_dir, "part").select("p_partkey", "p_brand"))
+    b = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            ).alias("rev")
+        )
+    )
+    w = Window.partitionBy()
+    return b.select(
+        "p_brand",
+        F.round(F.col("rev").cast("double"), 2).alias("revenue"),
+        F.round((F.col("rev") / F.sum("rev").over(w)).cast("double"), 6).alias(
+            "share"
+        ),
+    )
+
+
 def all_queries() -> dict[str, Query]:
     return dict(QUERIES)
