@@ -2038,5 +2038,75 @@ def brand_revenue_share(spark, sf_dir):
     )
 
 
+@register(
+    "value_outliers_by_type",
+    """
+    WITH s AS (
+        SELECT event_type,
+               AVG(value) AS mu,
+               stddev_samp(value) AS sigma
+        FROM events GROUP BY event_type)
+    SELECT e.event_type,
+           COUNT(*) AS n_outliers,
+           ROUND(MIN(e.value), 6) AS min_outlier,
+           ROUND(MAX(e.value), 6) AS max_outlier
+    FROM events e JOIN s ON e.event_type = s.event_type
+    WHERE ABS(e.value - s.mu) > 2.5 * s.sigma
+    GROUP BY e.event_type
+    """,
+)
+def value_outliers_by_type(spark, sf_dir):
+    """Z-score outlier detection per group (data-quality gate for training
+    pipelines): tiny per-group stats aggregate broadcast back against the
+    fact scan — two passes over events, no window sort."""
+    ev = _t(spark, sf_dir, "events")
+    s = ev.groupBy(F.col("event_type").alias("s_type")).agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    return (
+        ev.join(F.broadcast(s), ev.event_type == F.col("s_type"))
+        .filter(F.abs(F.col("value") - F.col("mu")) > 2.5 * F.col("sigma"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_outliers"),
+            F.round(F.min("value"), 6).alias("min_outlier"),
+            F.round(F.max("value"), 6).alias("max_outlier"),
+        )
+    )
+
+
+@register(
+    "orders_column_profile",
+    """
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT o_orderstatus) AS status_card,
+           COUNT(DISTINCT o_orderpriority) AS priority_card,
+           COUNT(DISTINCT o_custkey) AS custkey_card,
+           COUNT(*) - COUNT(o_totalprice) AS price_nulls,
+           ROUND(MIN(o_totalprice), 2) AS price_min,
+           ROUND(MAX(o_totalprice), 2) AS price_max,
+           strftime(MIN(o_orderdate), '%Y-%m-%d') AS first_date,
+           strftime(MAX(o_orderdate), '%Y-%m-%d') AS last_date
+    FROM orders
+    """,
+)
+def orders_column_profile(spark, sf_dir):
+    """One-pass table profile (row count, per-column cardinalities, null
+    counts, ranges) — the schema-drift / data-quality snapshot an
+    ingestion pipeline records per batch."""
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("o_orderstatus").alias("status_card"),
+        F.count_distinct("o_orderpriority").alias("priority_card"),
+        F.count_distinct("o_custkey").alias("custkey_card"),
+        (F.count(F.lit(1)) - F.count("o_totalprice")).alias("price_nulls"),
+        F.round(F.min("o_totalprice"), 2).alias("price_min"),
+        F.round(F.max("o_totalprice"), 2).alias("price_max"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_date"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("last_date"),
+    )
+
+
 def all_queries() -> dict[str, Query]:
     return dict(QUERIES)
