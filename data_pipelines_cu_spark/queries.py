@@ -2108,5 +2108,524 @@ def orders_column_profile(spark, sf_dir):
     )
 
 
+@register(
+    "doc_token_rarity",
+    r"""
+    WITH words AS (
+        SELECT doc_id,
+               unnest(string_split(
+                   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+        FROM documents),
+    freq AS (
+        SELECT w, COUNT(*) AS cnt FROM words GROUP BY w)
+    SELECT words.doc_id,
+           quantile_cont(freq.cnt, 0.5) AS median_token_freq,
+           MIN(freq.cnt) AS rarest_token_freq,
+           COUNT(*) AS n_tokens
+    FROM words JOIN freq ON words.w = freq.w
+    GROUP BY words.doc_id
+    """,
+)
+def doc_token_rarity(spark, sf_dir):
+    """Token-rarity quality signal: per-doc median and min CORPUS frequency
+    of its tokens (docs full of rare tokens → noise/garble candidates; the
+    frequency-based cousin of the lexical quality score). Two shuffles:
+    corpus term frequencies, then token-level join back — the frequency
+    table is Zipf-small relative to the corpus and broadcasts at scale.
+    Exact integer inputs + interpolated median keep the oracle bit-stable."""
+    from .operators.dedup import normalized_text
+
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.split(normalized_text("text"), " ")).alias("w")
+    )
+    freq = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        words.join(freq, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.percentile("cnt", F.lit(0.5)).alias("median_token_freq"),
+            F.min("cnt").alias("rarest_token_freq"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+
+
+@register(
+    "unshipped_order_revenue",
+    """
+    SELECT l.l_orderkey,
+           ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                          AS DECIMAL(18,6)))::DOUBLE, 2) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < DATE '1998-01-01'
+      AND l.l_shipdate  > DATE '1998-01-01'
+    GROUP BY l.l_orderkey, order_date, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def unshipped_order_revenue(spark, sf_dir):
+    """TPC-H Q3 shape: top-10 unshipped BUILDING orders by open revenue.
+    Both date predicates sit on base columns, so they push to the parquet
+    scans; customer is a broadcast dim; the only shuffle is the
+    lineitem-orders fact join + final agg. Deterministic total order
+    (revenue DESC, orderkey) makes LIMIT stable across engines."""
+    c = F.broadcast(
+        _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                ).cast("double"),
+                2,
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "regional_supplier_volume",
+    """
+    SELECT n.n_name AS nation,
+           ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                          AS DECIMAL(18,6)))::DOUBLE, 2) AS revenue,
+           COUNT(*) AS n_lines
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= DATE '1996-01-01'
+      AND o.o_orderdate <  DATE '1997-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def regional_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: local-supplier revenue per ASIA nation. The
+    customer-nation = supplier-nation equality rides the supplier join;
+    nation x region collapses to one broadcast dim pre-filtered to the
+    region, so only the fact-fact lineitem-orders join shuffles."""
+    nr = (
+        _t(spark, sf_dir, "nation")
+        .join(
+            _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", F.col("n_name").alias("nation"))
+    )
+    s = F.broadcast(
+        _t(spark, sf_dir, "supplier").join(
+            F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+    )
+    c = F.broadcast(_t(spark, sf_dir, "customer"))
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .groupBy("nation")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                ).cast("double"),
+                2,
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "returned_item_losses",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation, c.c_acctbal,
+           ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                          AS DECIMAL(18,6)))::DOUBLE, 2) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= DATE '1997-01-01'
+      AND o.o_orderdate <  DATE '1997-04-01'
+    GROUP BY c.c_custkey, c.c_name, nation, c.c_acctbal
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def returned_item_losses(spark, sf_dir):
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns in a
+    quarter. Return-flag + date filters push to the scans; customer and
+    nation broadcast; one fact-fact shuffle join then a customer-grain
+    agg with a deterministic top-k order."""
+    c = F.broadcast(_t(spark, sf_dir, "customer"))
+    n = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            "n_nationkey", F.col("n_name").alias("nation")
+        )
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "nation", "c_acctbal")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                ).cast("double"),
+                2,
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "customer_order_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+          FROM customer c
+          LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                            AND o.o_orderpriority <> '5-LOW'
+          GROUP BY c.c_custkey) t
+    GROUP BY c_count
+    """,
+)
+def customer_order_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: histogram of per-customer order counts with a
+    join-condition filter (not a WHERE — customers with zero qualifying
+    orders must survive with c_count=0). Two cascaded aggregations; the
+    second input is one row per customer, so the second shuffle is
+    trivial."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "5-LOW"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "promo_revenue_share",
+    """
+    SELECT ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                    THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                              AS DECIMAL(18,6)) ELSE 0 END)::DOUBLE
+                 / SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                            AS DECIMAL(18,6)))::DOUBLE, 6) AS promo_share_pct,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= DATE '1997-09-01'
+      AND l.l_shipdate <  DATE '1997-10-01'
+    """,
+)
+def promo_revenue_share(spark, sf_dir):
+    """TPC-H Q14 shape: promo share of one month's revenue — conditional
+    aggregate ratio. Ship-date range pushes to the lineitem scan; part is
+    a broadcast dim; both sums accumulate as exact decimals and the
+    division happens once, driver-side-free, after casting to double."""
+    p = F.broadcast(_t(spark, sf_dir, "part").select("p_partkey", "p_type"))
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", rev).otherwise(
+                        F.lit(0).cast("decimal(18,6)")
+                    )
+                ).cast("double")
+                / F.sum(rev).cast("double"),
+                6,
+            ).alias("promo_share_pct"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "small_quantity_revenue",
+    """
+    SELECT ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)))::DOUBLE / 7.0,
+                 2) AS avg_yearly,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN (SELECT l_partkey, 0.2 * AVG(l_quantity) AS qty_threshold
+          FROM lineitem GROUP BY l_partkey) t
+      ON t.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#3' AND l.l_quantity < t.qty_threshold
+    """,
+)
+def small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: revenue from below-average-quantity lines of one
+    brand — the per-part correlated AVG subquery becomes a self-agg of
+    lineitem joined back on partkey. Quantities are integer-valued, so the
+    double AVG is exact and the 0.2x threshold compares identically across
+    engines. The per-part threshold table is part-grain (small) and
+    broadcasts; only the threshold agg itself shuffles."""
+    li = _t(spark, sf_dir, "lineitem")
+    thresholds = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_threshold")
+    )
+    p = F.broadcast(
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#3")
+        .select("p_partkey")
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(F.broadcast(thresholds), li.l_partkey == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast(
+                    "double"
+                )
+                / 7.0,
+                2,
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "large_volume_customers",
+    """
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+           o.o_totalprice, t.total_qty
+    FROM (SELECT l_orderkey, SUM(l_quantity) AS total_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING SUM(l_quantity) > 300) t
+    JOIN orders o   ON o.o_orderkey = t.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def large_volume_customers(spark, sf_dir):
+    """TPC-H Q18 shape: orders whose total quantity exceeds 300, with
+    their customers. The HAVING filter runs on the order-grain aggregate
+    BEFORE the joins, shrinking the probe side to a handful of rows that
+    then broadcast against orders/customer. Quantity sums are
+    integer-valued doubles — exact, no decimal cast needed."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = F.broadcast(_t(spark, sf_dir, "customer").select("c_custkey", "c_name"))
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_totalprice",
+            "total_qty",
+        )
+    )
+
+
+@register(
+    "disjunctive_predicate_revenue",
+    """
+    SELECT ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                          AS DECIMAL(18,6)))::DOUBLE, 2) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def disjunctive_predicate_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: OR-of-ANDs across both join sides. Catalyst
+    derives the single-side residuals (quantity <= 30 on lineitem, the
+    brand/size union on part) and pushes them below the join, so the scan
+    doesn't read the full fact table even though the full predicate needs
+    both tables."""
+    p = F.broadcast(_t(spark, sf_dir, "part"))
+    li = _t(spark, sf_dir, "lineitem")
+    q, b, sz = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    pred = (
+        ((b == "Brand#1") & sz.between(1, 5) & q.between(1, 11))
+        | ((b == "Brand#2") & sz.between(1, 10) & q.between(10, 20))
+        | ((b == "Brand#3") & sz.between(1, 15) & q.between(20, 30))
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .filter(pred)
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                ).cast("double"),
+                2,
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "idle_customer_balances",
+    """
+    WITH thr AS (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+                        / COUNT(*) AS avg_bal
+                 FROM customer WHERE c_acctbal > 0.0)
+    SELECT CAST(c.c_custkey % 10 AS BIGINT) AS segment_code,
+           COUNT(*) AS n_customers,
+           ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(18,4)))::DOUBLE, 2)
+               AS total_bal
+    FROM customer c, thr
+    WHERE c.c_acctbal > thr.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= DATE '2001-01-01')
+    GROUP BY segment_code
+    """,
+)
+def idle_customer_balances(spark, sf_dir):
+    """TPC-H Q22 shape: above-average-balance customers with no recent
+    orders (every fixture customer has SOME order, so 'recent' replaces
+    the original's no-orders-ever; the plan shape — scalar aggregate
+    threshold, anti join, grouped tally — is identical). The threshold is
+    an exact decimal sum over count, so both engines compute the same
+    double; it crossJoin-broadcasts rather than collecting to the driver."""
+    c = _t(spark, sf_dir, "customer")
+    thr = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_bal")
+        )
+    )
+    recent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    )
+    return (
+        c.crossJoin(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy((F.col("c_custkey") % 10).cast("bigint").alias("segment_code"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double"), 2
+            ).alias("total_bal"),
+        )
+    )
+
+
+@register(
+    "doc_repetition_ratio",
+    """
+    WITH words AS (
+        SELECT doc_id, i - 1 AS pos, ws[i] AS w
+        FROM (SELECT doc_id,
+                     string_split(regexp_replace(lower(trim(text)),
+                                                 '\\s+', ' ', 'g'), ' ') AS ws
+              FROM documents),
+             LATERAL unnest(range(1, len(ws) + 1)) AS t(i)),
+    grams AS (
+        SELECT doc_id,
+               w || ' ' || lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos)
+                 AS gram
+        FROM words)
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           COUNT(DISTINCT gram) AS n_distinct,
+           ROUND(1.0 - COUNT(DISTINCT gram)::DOUBLE / COUNT(*), 6)
+               AS repetition_ratio
+    FROM grams WHERE gram IS NOT NULL
+    GROUP BY doc_id
+    """,
+)
+def doc_repetition_ratio(spark, sf_dir):
+    """Gopher-style within-document repetition filter: fraction of
+    duplicate word bigrams per doc (high ratio => boilerplate/looping
+    text, a standard LLM-corpus quality gate). Reuses the linear
+    posexplode+lead gram builder; one doc-keyed shuffle feeds both the
+    gram window and the final per-doc aggregate."""
+    d = _t(spark, sf_dir, "documents")
+    grams = dd.gram_rows(d, n=2)
+    return grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.countDistinct("gram").alias("n_distinct"),
+        F.round(
+            1.0 - F.countDistinct("gram").cast("double") / F.count(F.lit(1)), 6
+        ).alias("repetition_ratio"),
+    )
+
+
 def all_queries() -> dict[str, Query]:
     return dict(QUERIES)
