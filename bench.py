@@ -52,6 +52,13 @@ HEADLINE = [
     "min_cost_supplier_per_part",
     "event_value_percentiles",
     "late_shipment_priority",
+    "unshipped_order_revenue",
+    "regional_supplier_volume",
+    "returned_item_losses",
+    "customer_order_distribution",
+    "disjunctive_predicate_revenue",
+    "doc_repetition_ratio",
+    "doc_token_rarity",
 ]
 
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))

@@ -56,3 +56,50 @@ def test_ann_brute_force_broadcasts_queries(spark, sf_dir):
     plan = _formatted_plan(QUERIES["ann_cosine_topk"].fn(spark, sf_dir))
     # query set broadcast: corpus side never shuffles for the cross join
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_q3_shape_pushes_both_date_filters(spark, sf_dir):
+    plan = _formatted_plan(QUERIES["unshipped_order_revenue"].fn(spark, sf_dir))
+    # each date predicate reaches its own parquet scan — at 100 TB these
+    # prune most of both fact tables before the join
+    assert "GreaterThan(l_shipdate,1998-01-01" in plan
+    assert "LessThan(o_orderdate,1998-01-01" in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+
+
+def test_q5_shape_broadcasts_all_dims(spark, sf_dir):
+    plan = _formatted_plan(QUERIES["regional_supplier_volume"].fn(spark, sf_dir))
+    # region filter pushed, all dimension paths broadcast (no SMJ cascade)
+    assert "EqualTo(r_name,ASIA)" in plan
+    assert "GreaterThanOrEqual(o_orderdate,1996-01-01" in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_q19_shape_pushes_cnf_residuals_to_both_scans(spark, sf_dir):
+    plan = _formatted_plan(
+        QUERIES["disjunctive_predicate_revenue"].fn(spark, sf_dir)
+    )
+    # Catalyst's CNF conversion must derive single-side residuals of the
+    # OR-of-ANDs and push them below the join into BOTH parquet scans
+    assert "LessThanOrEqual(l_quantity,11.0)" in plan  # lineitem-side residual
+    assert "EqualTo(p_brand,Brand#1)" in plan  # part-side residual
+    read_schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert all("l_shipdate" not in rs for rs in read_schemas)  # pruned
+
+
+def test_q13_shape_keeps_outer_join_filter_on_right_scan(spark, sf_dir):
+    plan = _formatted_plan(
+        QUERIES["customer_order_distribution"].fn(spark, sf_dir)
+    )
+    # the priority filter belongs to the join condition, NOT the customer
+    # side: it must reach the orders scan while the join stays LeftOuter
+    assert "Not(EqualTo(o_orderpriority,5-LOW))" in plan
+    assert "LeftOuter" in plan
+
+
+def test_q22_shape_anti_join_and_scalar_broadcast(spark, sf_dir):
+    plan = _formatted_plan(QUERIES["idle_customer_balances"].fn(spark, sf_dir))
+    assert "LeftAnti" in plan  # "no recent order" never an inner join
+    assert "GreaterThanOrEqual(o_orderdate,2001-01-01" in plan
+    # the scalar threshold arrives via broadcast, not a driver collect
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
