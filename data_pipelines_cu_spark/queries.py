@@ -2627,5 +2627,94 @@ def doc_repetition_ratio(spark, sf_dir):
     )
 
 
+@register(
+    "embedding_vector_stats",
+    """
+    SELECT vec_id,
+           len(embedding) AS n_dims,
+           ROUND(sqrt(list_sum([CAST(embedding[i] AS DOUBLE)
+                                * CAST(embedding[i] AS DOUBLE)
+                                for i in range(1, len(embedding) + 1)])), 6)
+               AS l2_norm,
+           ROUND(list_sum([CAST(embedding[i] AS DOUBLE)
+                           for i in range(1, len(embedding) + 1)])
+                 / len(embedding), 6) AS mean_val,
+           ROUND(CAST(list_min(embedding) AS DOUBLE), 6) AS min_val,
+           ROUND(CAST(list_max(embedding) AS DOUBLE), 6) AS max_val
+    FROM embeddings
+    """,
+)
+def embedding_vector_stats(spark, sf_dir):
+    """Per-vector component statistics (norm / mean / range) via
+    higher-order array functions — all JVM-side, no UDF, no explode: the
+    64-float array never leaves its row, so the 100 TB plan is a pure map
+    over the parquet scan. Sums are sequential left-to-right double folds
+    to match the DuckDB list-comprehension oracle bit-for-bit."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    comp_sum = F.aggregate(
+        F.transform(v, lambda x: x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return emb.select(
+        "vec_id",
+        F.size(v).alias("n_dims"),
+        F.round(sim.norm(v), 6).alias("l2_norm"),
+        F.round(comp_sum / F.size(v), 6).alias("mean_val"),
+        F.round(F.array_min(v).cast("double"), 6).alias("min_val"),
+        F.round(F.array_max(v).cast("double"), 6).alias("max_val"),
+    )
+
+
+@register(
+    "embedding_quantization",
+    """
+    WITH base AS (
+        SELECT vec_id, embedding,
+               CAST(list_min(embedding) AS DOUBLE) AS lo,
+               CAST(list_max(embedding) AS DOUBLE) AS hi
+        FROM embeddings)
+    SELECT vec_id,
+           ROUND((hi - lo) / 255.0, 6) AS scale,
+           ROUND(lo, 6) AS zero_point,
+           list_sum([CAST(round((CAST(embedding[i] AS DOUBLE) - lo)
+                                / ((hi - lo) / 255.0)) AS INTEGER)
+                     for i in range(1, len(embedding) + 1)])::BIGINT AS q_sum,
+           list_sum([(CAST(round((CAST(embedding[i] AS DOUBLE) - lo)
+                                 / ((hi - lo) / 255.0)) AS INTEGER)
+                      * CAST(round((CAST(embedding[i] AS DOUBLE) - lo)
+                                   / ((hi - lo) / 255.0)) AS INTEGER))
+                     for i in range(1, len(embedding) + 1)])::BIGINT AS q_sumsq
+    FROM base
+    """,
+)
+def embedding_quantization(spark, sf_dir):
+    """Affine uint8 quantization of each embedding (min/max -> scale +
+    zero-point, the standard int8 storage recipe for ANN indexes at
+    scale). Row-local array math only — the 4x-smaller quantized corpus is
+    what a 100 TB index build would persist. The oracle checks the exact
+    quantized integer sums, not just the parameters; rounding happens on
+    identically-computed doubles, so HALF_UP agrees across engines for the
+    non-negative codes."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    lo = F.array_min(v).cast("double")
+    hi = F.array_max(v).cast("double")
+    scale = (hi - lo) / F.lit(255.0)
+    q = F.transform(v, lambda x: F.round((x.cast("double") - lo) / scale).cast("int"))
+    return emb.select(
+        "vec_id",
+        F.round(scale, 6).alias("scale"),
+        F.round(lo, 6).alias("zero_point"),
+        F.aggregate(q, F.lit(0).cast("bigint"), lambda a, x: a + x).alias("q_sum"),
+        F.aggregate(
+            F.transform(q, lambda x: (x * x).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x,
+        ).alias("q_sumsq"),
+    )
+
+
 def all_queries() -> dict[str, Query]:
     return dict(QUERIES)

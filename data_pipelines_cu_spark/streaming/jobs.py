@@ -294,6 +294,23 @@ def stream_stream_interval_join(
     )
 
 
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str = "user_id",
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against a
+    static dimension snapshot (the streaming twin of J1's
+    left-join-and-fill, Solutions/gold_war_etl_dag.py:148-150). The dim is
+    broadcast, so the stream side never shuffles and no join state
+    accrues — stream-static joins are stateless by construction, the
+    right default for a 100 TB/day stream against a reference table.
+    The static side is re-planned per micro-batch, so an updated dim
+    parquet is picked up on the next trigger without restarting."""
+    return stream.join(F.broadcast(dim), on, how)
+
+
 def run_cascade(
     ticks: DataFrame,
     hourly_path: str,

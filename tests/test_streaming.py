@@ -293,3 +293,55 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     }
     assert got == expected
     assert len(expected) > 0
+
+
+def test_stream_static_enrich_matches_batch(spark, tmp_path):
+    """Streamed events enriched against a static user-tier dim equal the
+    batch broadcast join over the same rows; no shuffle state involved."""
+    src = tmp_path / "in"
+    src.mkdir()
+    from data_pipelines_cu_spark.catalog import load_table
+
+    ev = (
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .filter(F.col("user_id") < 60)
+        .select("event_id", F.unix_micros("ts").alias("ts_us"), "user_id", "value")
+    )
+    rows = [r.asDict() for r in ev.collect()]
+    for i, chunk in enumerate([rows[: len(rows) // 2], rows[len(rows) // 2:]]):
+        fname = f"{src}/part-{i}.json"
+        with open(fname, "w") as f:
+            for r in chunk:
+                f.write(json.dumps(r) + "\n")
+        os.utime(fname, (1_700_000_000 + i, 1_700_000_000 + i))
+    dim = spark.range(0, 60).select(
+        F.col("id").alias("user_id"),
+        F.when(F.col("id") % 3 == 0, "gold").otherwise("basic").alias("tier"),
+    )
+    raw_schema = "event_id long, ts_us long, user_id long, value double"
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    sink = str(tmp_path / "enriched")
+    q = (
+        jobs.stream_static_enrich(stream, dim)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(sink)
+    batch = jobs.stream_static_enrich(
+        spark.createDataFrame([tuple(r.values()) for r in rows], raw_schema), dim
+    )
+    assert got.count() == len(rows)
+    assert sorted(
+        (r.event_id, r.tier) for r in got.select("event_id", "tier").collect()
+    ) == sorted(
+        (r.event_id, r.tier) for r in batch.select("event_id", "tier").collect()
+    )
