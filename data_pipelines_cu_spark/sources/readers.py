@@ -86,3 +86,52 @@ PAGEVIEWS_COLUMNS: list[tuple[str, str]] = [
 def read_pageviews(spark: SparkSession, path: str) -> DataFrame:
     """The stocksense scan: gz text → 4 typed columns (S8+S9)."""
     return parse_space_delimited(read_text(spark, path), PAGEVIEWS_COLUMNS)
+
+
+def read_jsonl_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    line_col: str = "_raw",
+) -> tuple[DataFrame, DataFrame]:
+    """JSONL scan with a malformed-record side-output: (valid, quarantine).
+
+    Reads lines as text and applies ``from_json`` explicitly, so bad rows
+    land in the quarantine frame with their raw line preserved — the
+    reference's warn-and-skip ingestion (lecture2/tutorial1_basic_etl.py:
+    146-161) as a two-output split. The corrupt-record marker lives
+    INSIDE the from_json schema (PERMISSIVE from_json yields a struct of
+    nulls, not a null struct, so marker-less null checks can't tell a bad
+    line from a valid all-null record) — and unlike the file-source
+    _corrupt_record column this form needs no cache to filter on. One
+    pass, uncached, any input size. Blank lines are dropped, not
+    quarantined."""
+    marker = "_corrupt"
+    with_marker = T.StructType(
+        [*schema.fields, T.StructField(marker, T.StringType())]
+    )
+    lines = read_text(spark, path).filter(F.length(F.trim("value")) > 0)
+    parsed = lines.select(
+        F.col("value").alias(line_col),
+        F.from_json(
+            "value", with_marker, {"columnNameOfCorruptRecord": marker}
+        ).alias("_parsed"),
+    )
+    ok = F.col(f"_parsed.{marker}").isNull()
+    valid = parsed.filter(ok).select(
+        *[F.col(f"_parsed.{f.name}") for f in schema.fields]
+    )
+    quarantine = parsed.filter(~ok).select(line_col)
+    return valid, quarantine
+
+
+def read_parquet_evolved(
+    spark: SparkSession, *paths: str
+) -> DataFrame:
+    """Parquet read across schema generations: ``mergeSchema`` unions the
+    footers so files written before a column existed read as null — the
+    engine-side analog of unionByName(allowMissingColumns) for data that
+    accumulated under an evolving pipeline (the reference's CSVs gain
+    columns between lecture versions). Merge happens over footers only;
+    at 100 TB the data pages are untouched and pruning still applies."""
+    return spark.read.option("mergeSchema", True).parquet(*paths)

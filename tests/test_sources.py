@@ -97,3 +97,42 @@ def test_paginate_by_time_half_open():
     pages = paginate_by_time(0, 12, 5)
     spans = [(int(p["startTime"]), int(p["endTime"])) for p in pages]
     assert spans == [(0, 5), (5, 10), (10, 12)]
+
+
+def test_read_jsonl_quarantine_splits_bad_lines(spark, tmp_path):
+    """Malformed JSONL rows land in quarantine with the raw line kept;
+    valid rows parse to the declared schema."""
+    p = tmp_path / "mixed.jsonl"
+    p.write_text(
+        '{"id": 1, "name": "a"}\n'
+        "not json at all\n"
+        '{"id": 2, "name": "b"}\n'
+        "\n"
+        '{"id": oops}\n'
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+        ]
+    )
+    valid, quarantine = readers.read_jsonl_quarantine(spark, str(p), schema)
+    assert sorted((r.id, r.name) for r in valid.collect()) == [(1, "a"), (2, "b")]
+    assert sorted(r._raw for r in quarantine.collect()) == [
+        "not json at all",
+        '{"id": oops}',
+    ]
+
+
+def test_read_parquet_evolved_merges_schemas(spark, tmp_path):
+    """A file written before a column existed reads as null alongside a
+    newer file that has it."""
+    old, new = str(tmp_path / "gen1"), str(tmp_path / "gen2")
+    spark.createDataFrame([(1, "x")], "id long, name string").write.parquet(old)
+    spark.createDataFrame(
+        [(2, "y", 9.5)], "id long, name string, score double"
+    ).write.parquet(new)
+    df = readers.read_parquet_evolved(spark, old, new)
+    assert set(df.columns) == {"id", "name", "score"}
+    rows = {r.id: r.score for r in df.collect()}
+    assert rows[1] is None and rows[2] == 9.5
