@@ -59,6 +59,10 @@ HEADLINE = [
     "disjunctive_predicate_revenue",
     "doc_repetition_ratio",
     "doc_token_rarity",
+    "discount_band_revenue",
+    "sole_late_supplier_orders",
+    "doc_tfidf_top_terms",
+    "user_activity_streaks",
 ]
 
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))

@@ -2716,5 +2716,298 @@ def embedding_quantization(spark, sf_dir):
     )
 
 
+@register(
+    "discount_band_revenue",
+    """
+    SELECT ROUND(SUM(CAST(l_extendedprice * l_discount
+                          AS DECIMAL(18,6)))::DOUBLE, 2) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+def discount_band_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: forecast-revenue-change — a pure scan-filter-agg
+    with no join at all. All three predicates push to the parquet scan and
+    only three columns are read, so at 100 TB this is I/O-bound on a
+    fraction of one table: the query Spark should execute closest to
+    hardware speed."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * F.col("l_discount")).cast(
+                        "decimal(18,6)"
+                    )
+                ).cast("double"),
+                2,
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "top_revenue_supplier",
+    """
+    WITH rev AS (
+        SELECT l_suppkey,
+               ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(18,6)))::DOUBLE, 2) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1997-01-01'
+          AND l_shipdate <  DATE '1997-04-01'
+        GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, rev.total_rev
+    FROM supplier s JOIN rev ON s.s_suppkey = rev.l_suppkey
+    WHERE rev.total_rev = (SELECT MAX(total_rev) FROM rev)
+    """,
+)
+def top_revenue_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: supplier(s) with the max quarterly revenue. The
+    revenue CTE computes once; its max arrives by broadcast (no driver
+    collect, no global window over the aggregate). Comparing ROUNDED
+    revenue to its own max keeps the equality engine-stable."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            ).cast("double"),
+            2,
+        ).alias("total_rev")
+    )
+    best = rev.agg(F.max("total_rev").alias("max_rev"))
+    s = F.broadcast(_t(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
+    return (
+        rev.crossJoin(F.broadcast(best))
+        .filter(F.col("total_rev") == F.col("max_rev"))
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+@register(
+    "supplier_count_by_part_attrs",
+    """
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#5'
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def supplier_count_by_part_attrs(spark, sf_dir):
+    """TPC-H Q16 shape: distinct suppliers per part attribute combo (the
+    fixtures have no partsupp table, so lineitem supplies the
+    part-supplier relation). Brand exclusion pushes to the part scan; the
+    distinct count expands to a two-phase aggregate (partial distinct
+    per partition, then merge) rather than a naive global distinct."""
+    p = F.broadcast(
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") != "Brand#5")
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "sole_late_supplier_orders",
+    """
+    WITH late AS (
+        SELECT DISTINCT l.l_orderkey, l.l_suppkey
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY),
+    supps AS (
+        SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS n_supps
+        FROM lineitem GROUP BY l_orderkey),
+    per_order AS (
+        SELECT late.l_orderkey, COUNT(*) AS n_late_supps,
+               MIN(late.l_suppkey) AS only_supp
+        FROM late GROUP BY late.l_orderkey)
+    SELECT s.s_suppkey, s.s_name, COUNT(*) AS n_orders
+    FROM per_order
+    JOIN supps ON supps.l_orderkey = per_order.l_orderkey
+    JOIN supplier s ON s.s_suppkey = per_order.only_supp
+    WHERE supps.n_supps >= 2 AND per_order.n_late_supps = 1
+    GROUP BY s.s_suppkey, s.s_name
+    """,
+)
+def sole_late_supplier_orders(spark, sf_dir):
+    """TPC-H Q21 shape: suppliers solely to blame for a late
+    multi-supplier order (no receiptdate in the fixtures — ship > order
+    date + 90d defines late). The EXISTS / NOT-EXISTS pair of the
+    original becomes two order-grain aggregates joined back — each a
+    single shuffle on orderkey, no correlated re-scans."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    supps = li.groupBy(F.col("l_orderkey").alias("s_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("n_supps")
+    )
+    per_order = late.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_late_supps"),
+        F.min("l_suppkey").alias("only_supp"),
+    )
+    s = F.broadcast(_t(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
+    return (
+        per_order.join(supps, per_order.l_orderkey == supps.s_orderkey)
+        .filter((F.col("n_supps") >= 2) & (F.col("n_late_supps") == 1))
+        .join(s, F.col("only_supp") == s.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "doc_tfidf_top_terms",
+    r"""
+    WITH words AS (
+        SELECT doc_id,
+               unnest(string_split(
+                   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+        FROM documents),
+    doc_len AS (SELECT doc_id, COUNT(*) AS n FROM words GROUP BY doc_id),
+    tf AS (SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY doc_id, w),
+    df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM words GROUP BY w),
+    nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.w AS term,
+               ROUND((tf.c::DOUBLE / doc_len.n)
+                     * ln(nd.n_docs::DOUBLE / df.df), 6) AS tfidf
+        FROM tf
+        JOIN doc_len ON doc_len.doc_id = tf.doc_id
+        JOIN df ON df.w = tf.w
+        CROSS JOIN nd),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY tfidf DESC, term) AS rnk
+        FROM scored)
+    SELECT doc_id, term, tfidf, rnk FROM ranked WHERE rnk <= 3
+    """,
+)
+def doc_tfidf_top_terms(spark, sf_dir):
+    """TF-IDF top-3 terms per document — the classic distinctive-term
+    extractor for corpus exploration. Term and document frequencies are
+    two aggregates off one tokenization pass; the df table and the scalar
+    doc count broadcast back onto the doc-grain tf rows. Deterministic
+    tiebreak (score DESC, term ASC) keeps top-3 engine-stable."""
+    from .operators.dedup import normalized_text
+
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.split(normalized_text("text"), " ")).alias("w")
+    )
+    doc_len = words.groupBy(F.col("doc_id").alias("dl_doc")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tf = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    df_tbl = words.groupBy(F.col("w").alias("df_w")).agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    nd = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(doc_len, F.col("doc_id") == F.col("dl_doc"))
+        .join(F.broadcast(df_tbl), F.col("w") == F.col("df_w"))
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            F.col("w").alias("term"),
+            F.round(
+                (F.col("c").cast("double") / F.col("n"))
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w_rank = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return scored.withColumn("rnk", F.row_number().over(w_rank)).filter(
+        F.col("rnk") <= 3
+    )
+
+
+@register(
+    "user_favorite_event_type",
+    """
+    WITH cnt AS (SELECT user_id, event_type, COUNT(*) AS n_events
+                 FROM events GROUP BY user_id, event_type),
+    ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                         ORDER BY n_events DESC, event_type) AS r
+               FROM cnt)
+    SELECT user_id, event_type AS favorite_type, n_events
+    FROM ranked WHERE r = 1
+    """,
+)
+def user_favorite_event_type(spark, sf_dir):
+    """Deterministic per-group mode: most frequent event type per user.
+    Built as count + row_number rather than F.mode because mode's
+    tie-breaking is engine- (and run-) dependent; (count DESC, value ASC)
+    is total, so results are reproducible anywhere."""
+    ev = _t(spark, sf_dir, "events")
+    cnt = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"), "event_type")
+    return (
+        cnt.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("user_id", F.col("event_type").alias("favorite_type"), "n_events")
+    )
+
+
+@register(
+    "user_activity_streaks",
+    """
+    WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    grp AS (SELECT user_id, d,
+                   d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                            AS INTEGER) AS g
+            FROM days),
+    streaks AS (SELECT user_id, COUNT(*) AS len
+                FROM grp GROUP BY user_id, g)
+    SELECT user_id, MAX(len) AS longest_streak, COUNT(*) AS n_streaks
+    FROM streaks GROUP BY user_id
+    """,
+)
+def user_activity_streaks(spark, sf_dir):
+    """Gaps-and-islands: longest run of consecutive active days per user
+    (date minus row_number is constant within a consecutive run). The
+    grouping date never leaves the query, so the date-representation
+    hash trap doesn't apply; outputs are pure ints."""
+    ev = _t(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    grp = days.withColumn("g", F.date_sub("d", F.row_number().over(w)))
+    streaks = grp.groupBy("user_id", "g").agg(F.count(F.lit(1)).alias("len"))
+    return streaks.groupBy("user_id").agg(
+        F.max("len").alias("longest_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )
+
+
 def all_queries() -> dict[str, Query]:
     return dict(QUERIES)
