@@ -127,3 +127,55 @@ def frame_sample_plan(
             F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
         ).alias("frame_idx"),
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("resized", T.BinaryType(), True),
+        T.StructField("out_w", T.IntegerType(), False),
+        T.StructField("out_h", T.IntegerType(), False),
+    ]
+)
+
+
+def resize_image_stub(payload: bytes, w: int, h: int) -> bytes:
+    """Deterministic fake resize: sha256-keyed byte stream of exactly
+    w*h bytes (one 'pixel' per byte) so size contracts are testable
+    without a codec. A real kernel (PIL.Image.resize / libvips) swaps in
+    with the same signature."""
+    seed = hashlib.sha256((payload or b"") + f"{w}x{h}".encode()).digest()
+    reps = (w * h + len(seed) - 1) // len(seed)
+    return (seed * reps)[: w * h]
+
+
+def resize_images(
+    df: DataFrame,
+    out_w: int,
+    out_h: int,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    kernel=resize_image_stub,
+) -> DataFrame:
+    """Arrow-batched image resize over binary payloads — the normalize
+    step of an image-pretraining pipeline (reference grounding: the
+    downloaded launch images, Solutions/chapter02/dags/
+    download_rocket_launches.py:26-44, would be size-normalized before
+    training). mapInPandas streams batches so executor memory holds one
+    Arrow batch of blobs, never a partition of decoded bitmaps; output
+    blobs are again an opaque binary column, so stages compose:
+    resize -> extract_features chains without leaving Arrow."""
+    import pandas as pd  # noqa: PLC0415
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "resized": [kernel(p, out_w, out_h) for p in pdf[payload_col]],
+                    "out_w": out_w,
+                    "out_h": out_h,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=RESIZED_SCHEMA)

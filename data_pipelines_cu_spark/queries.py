@@ -3009,5 +3009,43 @@ def user_activity_streaks(spark, sf_dir):
     )
 
 
+@register(
+    "rolling_7d_active_users",
+    """
+    WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+    contrib AS (SELECT user_id, d + CAST(i AS INTEGER) AS day
+                FROM days, LATERAL unnest(range(0, 7)) AS t(i)),
+    base AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+    SELECT strftime(base.day, '%Y-%m-%d') AS day,
+           COUNT(DISTINCT c.user_id) AS active_7d
+    FROM base JOIN contrib c ON c.day = base.day
+    GROUP BY base.day
+    """,
+)
+def rolling_7d_active_users(spark, sf_dir):
+    """Trailing-7-day distinct active users per day — the sliding
+    DISTINCT that window frames can't express (count distinct over a
+    range frame is unsupported; collect_set-over-window materializes the
+    whole set per row). Scalable formulation: each (user, active-day)
+    contributes itself to the 7 calendar days it affects (a 7x row
+    explode of the already-deduped user-day table — tiny), then one
+    groupBy day + countDistinct. No per-row set state, no self-join of
+    the raw events."""
+    ev = _t(spark, sf_dir, "events")
+    days = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    contrib = days.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+        "d",
+    ).select("user_id", F.date_add("d", F.col("i")).alias("day"))
+    base = ev.select(F.to_date("ts").alias("day")).distinct()
+    return (
+        base.join(contrib, "day")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("active_7d"))
+        .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "active_7d")
+    )
+
+
 def all_queries() -> dict[str, Query]:
     return dict(QUERIES)

@@ -72,3 +72,24 @@ def test_llm_extractor_deterministic(spark):
     a = llm.extract_structured(docs, id_col="id").first()
     b = llm.extract_structured(docs, id_col="id").first()
     assert a == b
+
+
+def test_resize_images_stub_contract(spark):
+    """Resize yields exactly out_w*out_h bytes per blob, deterministically,
+    and composes with feature extraction without leaving binary columns."""
+    from data_pipelines_cu_spark.operators import multimodal as mm
+
+    df = spark.createDataFrame(
+        [(1, b"abc"), (2, b"defg"), (3, None)], "media_id long, payload binary"
+    )
+    out = mm.resize_images(df, 4, 3)
+    rows = {r.media_id: r for r in out.collect()}
+    assert all(len(r.resized) == 12 for r in rows.values())
+    assert all(r.out_w == 4 and r.out_h == 3 for r in rows.values())
+    again = {r.media_id: r.resized for r in mm.resize_images(df, 4, 3).collect()}
+    assert {k: r.resized for k, r in rows.items()} == again
+    assert rows[1].resized != rows[2].resized
+    chained = mm.extract_features(
+        out.select("media_id", F.col("resized").alias("payload"))
+    )
+    assert chained.count() == 3
