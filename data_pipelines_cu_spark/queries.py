@@ -2856,27 +2856,33 @@ def sole_late_supplier_orders(spark, sf_dir):
     """TPC-H Q21 shape: suppliers solely to blame for a late
     multi-supplier order (no receiptdate in the fixtures — ship > order
     date + 90d defines late). The EXISTS / NOT-EXISTS pair of the
-    original becomes two order-grain aggregates joined back — each a
-    single shuffle on orderkey, no correlated re-scans."""
-    li = _t(spark, sf_dir, "lineitem")
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
-    late = (
+    original collapses into ONE order-grain aggregate with conditional
+    distinct counts — a single lineitem scan and a single shuffle where
+    the naive two-CTE form (all-suppliers agg + late-suppliers agg)
+    scans and shuffles the fact table twice."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderstatus"
+    )
+    is_late = (F.col("o_orderstatus") == "F") & (
+        F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90)
+    )
+    per_order = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90))
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-    )
-    supps = li.groupBy(F.col("l_orderkey").alias("s_orderkey")).agg(
-        F.countDistinct("l_suppkey").alias("n_supps")
-    )
-    per_order = late.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_late_supps"),
-        F.min("l_suppkey").alias("only_supp"),
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.countDistinct(F.when(is_late, F.col("l_suppkey"))).alias(
+                "n_late_supps"
+            ),
+            F.min(F.when(is_late, F.col("l_suppkey"))).alias("only_supp"),
+        )
     )
     s = F.broadcast(_t(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
     return (
-        per_order.join(supps, per_order.l_orderkey == supps.s_orderkey)
-        .filter((F.col("n_supps") >= 2) & (F.col("n_late_supps") == 1))
+        per_order.filter((F.col("n_supps") >= 2) & (F.col("n_late_supps") == 1))
         .join(s, F.col("only_supp") == s.s_suppkey)
         .groupBy("s_suppkey", "s_name")
         .agg(F.count(F.lit(1)).alias("n_orders"))

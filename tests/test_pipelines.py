@@ -135,3 +135,31 @@ def test_compact_partitions_reduces_files(spark, tmp_path):
     got = spark.read.parquet(path)
     assert got.count() == 20000
     assert got.groupBy("date").count().count() == 4
+
+
+def test_write_range_clustered_files_have_disjoint_ranges(spark, tmp_path):
+    """Range clustering must yield per-file value ranges that do not
+    overlap — the property parquet min/max skipping depends on."""
+    from data_pipelines_cu_spark.catalog import load_table
+    from data_pipelines_cu_spark.operators.upsert import write_range_clustered
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    out = str(tmp_path / "clustered")
+    write_range_clustered(ev, out, ["ts"], n_files=4)
+    import glob
+
+    ranges = []
+    for f in sorted(glob.glob(f"{out}/part-*.parquet")):
+        pdf = spark.read.parquet(f).agg(
+            F.min("ts").alias("lo"), F.max("ts").alias("hi")
+        ).collect()[0]
+        if pdf.lo is not None:
+            ranges.append((pdf.lo, pdf.hi))
+    assert len(ranges) >= 2
+    ranges.sort()
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert hi_prev <= lo_next  # disjoint: skipping can work
+    # round-trip: nothing lost
+    assert spark.read.parquet(out).count() == ev.count()
