@@ -178,3 +178,39 @@ def sentiment_oracle_expr(text_expr: str = "text") -> str:
     p = f"len(list_filter({w}, t -> t IN ({pos})))::DOUBLE"
     n = f"len(list_filter({w}, t -> t IN ({neg})))::DOUBLE"
     return f"ROUND(({p} - {n}) / ({p} + {n} + 1.0), 6)"
+
+
+# PII redaction patterns — written in the common subset of Java regex
+# (Spark) and RE2 (DuckDB): character classes, bounded repeats, \b, \d
+# only, so the exact same pattern string runs on both engines and the
+# differential oracle can verify the scrub byte-for-byte. Order matters
+# (SSN before phone: both match ddd-dd-dddd prefixes) and is fixed here.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+)
+
+
+def scrub_pii(
+    df: DataFrame, text_col: str = "text", out: str = "scrubbed"
+) -> DataFrame:
+    """Redact emails / SSNs / phone numbers from ``text_col`` into ``out``
+    plus one ``n_<kind>`` match-count column per pattern.
+
+    Training-data hygiene stage (north-star text analysis; the
+    reference's closest analog is the keyword scan in
+    Solutions/gold_war_etl_dag.py:93-97). Pure regexp_replace /
+    regexp_count column algebra: JVM-side, whole-stage codegen, no
+    Python in the hot path, trivially parallel — at 100 TB this is a
+    map-only stage with zero shuffle. Counts are computed on the
+    ORIGINAL text (before any replacement) so pattern overlap with the
+    replacement tokens cannot occur."""
+    c: Column = F.col(text_col)
+    scrubbed = c
+    for _kind, pat, repl in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    out_df = df.withColumn(out, scrubbed)
+    for kind, pat, _repl in PII_PATTERNS:
+        out_df = out_df.withColumn(f"n_{kind}", F.regexp_count(c, F.lit(pat)))
+    return out_df

@@ -3053,5 +3053,363 @@ def rolling_7d_active_users(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# PII redaction (north-star text hygiene; single-sourced patterns from
+# operators.text.PII_PATTERNS so Spark and the oracle run the SAME regex)
+# ---------------------------------------------------------------------------
+_PII_SCRUB_SQL = "text"
+for _kind, _pat, _repl in tx.PII_PATTERNS:
+    _PII_SCRUB_SQL = f"regexp_replace({_PII_SCRUB_SQL}, '{_pat}', '{_repl}', 'g')"
+_PII_COUNT_SQL = " + ".join(
+    f"len(regexp_extract_all(text, '{_pat}'))" for _kind, _pat, _repl in tx.PII_PATTERNS
+)
+
+
+@register(
+    "doc_pii_scrub",
+    f"""
+    SELECT doc_id,
+           md5({_PII_SCRUB_SQL}) AS scrub_md5,
+           {_PII_COUNT_SQL} AS n_pii
+    FROM documents
+    """,
+)
+def doc_pii_scrub(spark, sf_dir):
+    """PII redaction over the corpus (emails / SSNs / phones →
+    placeholder tokens), verified byte-for-byte through an md5 of the
+    scrubbed text against the oracle running the identical regex chain.
+    Map-only column algebra — zero shuffle at any scale. The fixture
+    corpus is PII-free, so the md5 equality proves the no-op path and
+    tests/test_operators exercises the positive path on synthetic PII."""
+    docs = tx.scrub_pii(_t(spark, sf_dir, "documents"), "text", out="scrubbed")
+    return docs.select(
+        "doc_id",
+        F.md5("scrubbed").alias("scrub_md5"),
+        (F.col("n_email") + F.col("n_ssn") + F.col("n_phone")).alias("n_pii"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8 shape — nation market share by order year
+# ---------------------------------------------------------------------------
+@register(
+    "nation_market_share",
+    """
+    SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS order_year,
+           ROUND(SUM(CASE WHEN sn.n_name = 'NATION_3'
+                          THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                                    AS DECIMAL(18,6))
+                          ELSE CAST(0 AS DECIMAL(18,6)) END)::DOUBLE
+                 / SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                            AS DECIMAL(18,6)))::DOUBLE, 6) AS mkt_share
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+    JOIN region r   ON cn.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+      AND o.o_orderdate >= DATE '1996-01-01'
+      AND o.o_orderdate <  DATE '1998-01-01'
+    GROUP BY order_year
+    """,
+)
+def nation_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one nation's share of ECONOMY-part revenue sold
+    into ASIA customers, per order year. Every dimension (part filtered
+    to the type, supplier+nation, customer+nation+region filtered to the
+    market) broadcasts, so the only shuffle is the lineitem-orders
+    fact-fact join; the share is a conditional-sum ratio computed in one
+    aggregate pass over the joined fact."""
+    p = F.broadcast(
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    sn = F.broadcast(
+        _t(spark, sf_dir, "supplier")
+        .join(
+            _t(spark, sf_dir, "nation").select(
+                F.col("n_nationkey").alias("sn_key"),
+                F.col("n_name").alias("supp_nation"),
+            ),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    market_cust = F.broadcast(
+        _t(spark, sf_dir, "customer")
+        .join(
+            _t(spark, sf_dir, "nation"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("c_custkey")
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .join(sn, li.l_suppkey == sn.s_suppkey)
+        .join(market_cust, o.o_custkey == market_cust.c_custkey)
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(
+                        F.lit(0).cast("decimal(18,6)")
+                    )
+                ).cast("double")
+                / F.sum(vol).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q9 shape — profit by supplier nation and order year
+# ---------------------------------------------------------------------------
+@register(
+    "part_profit_by_nation",
+    """
+    SELECT sn.n_name AS nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS order_year,
+           ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                          - 0.5 * p.p_retailprice * l.l_quantity
+                          AS DECIMAL(18,6)))::DOUBLE, 2) AS profit
+    FROM lineitem l
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY nation, order_year
+    """,
+)
+def part_profit_by_nation(spark, sf_dir):
+    """TPC-H Q9 shape: profit on 'widget' parts per supplier nation and
+    year. The fixtures carry no partsupp/supplycost, so cost is proxied
+    as half the part's retail price — the join/agg topology (name-LIKE
+    filtered part dim, supplier-nation path, order-year grouping over
+    the fact) is what the shape exercises. Part filter broadcasts and
+    prunes the fact before the one fact-fact shuffle with orders."""
+    p = F.broadcast(
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    sn = F.broadcast(
+        _t(spark, sf_dir, "supplier")
+        .join(
+            _t(spark, sf_dir, "nation").select(
+                F.col("n_nationkey").alias("sn_key"),
+                F.col("n_name").alias("nation"),
+            ),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .select("s_suppkey", "nation")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(18,6)")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(sn, li.l_suppkey == sn.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("nation", F.year("o_orderdate").alias("order_year"))
+        .agg(F.round(F.sum(amount).cast("double"), 2).alias("profit"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q11 shape — revenue concentration above a global-fraction threshold
+# ---------------------------------------------------------------------------
+@register(
+    "concentrated_part_revenue",
+    """
+    WITH pr AS (
+      SELECT l.l_partkey,
+             SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                      AS DECIMAL(18,6))) AS val
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name = 'NATION_7'
+      GROUP BY l.l_partkey)
+    SELECT l_partkey, ROUND(val::DOUBLE, 2) AS part_value
+    FROM pr
+    WHERE val::DOUBLE > (SELECT SUM(val)::DOUBLE * 0.001 FROM pr)
+    """,
+)
+def concentrated_part_revenue(spark, sf_dir):
+    """TPC-H Q11 shape: parts whose revenue from one nation's suppliers
+    exceeds a fraction of that nation's total — a group aggregate
+    filtered against a scalar subquery over the SAME aggregate. The
+    per-part aggregate computes once; the global total is a second
+    trivial agg over its (already tiny) output, joined back as a
+    broadcast scalar — no second pass over the fact table."""
+    s = F.broadcast(
+        _t(spark, sf_dir, "supplier")
+        .join(
+            _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    pr = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            ).alias("val")
+        )
+    )
+    total = pr.agg(
+        (F.sum("val").cast("double") * 0.001).alias("threshold")
+    )
+    return (
+        pr.join(F.broadcast(total))
+        .filter(F.col("val").cast("double") > F.col("threshold"))
+        .select(
+            "l_partkey", F.round(F.col("val").cast("double"), 2).alias("part_value")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q12 shape — conditional priority counts per shipping-delay band
+# ---------------------------------------------------------------------------
+@register(
+    "shipping_delay_priority_mix",
+    """
+    SELECT CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 30
+                THEN 'fast'
+                WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 60
+                THEN 'medium'
+                ELSE 'slow' END AS delay_band,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= DATE '1997-01-01'
+      AND l.l_shipdate <  DATE '1998-01-01'
+    GROUP BY delay_band
+    """,
+)
+def shipping_delay_priority_mix(spark, sf_dir):
+    """TPC-H Q12 shape: high/low-priority line counts per delivery-delay
+    band (the fixtures carry no l_shipmode, so the band is derived from
+    ship-minus-order days — same join + CASE-categorize + two
+    conditional counts topology). Ship-date range pushes to the lineitem
+    scan; one fact-fact shuffle; the three-row result aggregates
+    map-side."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_shipdate")
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    band = (
+        F.when(delay <= 30, "fast").when(delay <= 60, "medium").otherwise("slow")
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(band.alias("delay_band"))
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q20 shape — dominant suppliers of a part-name family
+# ---------------------------------------------------------------------------
+@register(
+    "dominant_part_suppliers",
+    """
+    WITH sp AS (
+      SELECT l.l_suppkey, l.l_partkey, SUM(l.l_quantity) AS qty
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE p.p_name LIKE 'red%'
+      GROUP BY l.l_suppkey, l.l_partkey),
+    tot AS (SELECT l_partkey, SUM(qty) AS total_qty FROM sp GROUP BY l_partkey)
+    SELECT s.s_suppkey, s.s_name, n.n_name AS nation
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE s.s_suppkey IN (
+      SELECT sp.l_suppkey FROM sp
+      JOIN tot ON sp.l_partkey = tot.l_partkey
+      WHERE sp.qty > 0.5 * tot.total_qty)
+    """,
+)
+def dominant_part_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape: suppliers who shipped more than half of all
+    shipped quantity of some 'red' part (no partsupp/availqty in the
+    fixtures — dominance over shipped volume replaces excess-stock, same
+    nested-aggregate + IN-subquery → semi-join topology). The name-LIKE
+    part dim broadcasts and prunes the fact scan; the part-total is a
+    second agg over the already-aggregated (supplier, part) rows; the
+    final IN becomes a left-semi join against the small supplier dim."""
+    p = F.broadcast(
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_partkey", "l_quantity"
+    )
+    sp = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    tot = sp.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum("qty").alias("total_qty")
+    )
+    dominant = (
+        sp.join(tot, sp.l_partkey == tot.t_partkey)
+        .filter(F.col("qty") > 0.5 * F.col("total_qty"))
+        .select("l_suppkey")
+    )
+    n = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            "n_nationkey", F.col("n_name").alias("nation")
+        )
+    )
+    return (
+        _t(spark, sf_dir, "supplier")
+        .join(dominant, F.col("s_suppkey") == dominant.l_suppkey, "left_semi")
+        .join(n, F.col("s_nationkey") == n.n_nationkey)
+        .select("s_suppkey", "s_name", "nation")
+    )
+
+
 def all_queries() -> dict[str, Query]:
     return dict(QUERIES)

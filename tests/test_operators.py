@@ -124,3 +124,26 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     }
     recall = len(truth & approx) / len(truth)
     assert recall >= 0.4, f"IVF recall@5 collapsed: {recall:.2f}"
+
+
+def test_scrub_pii_positive_path(spark):
+    from data_pipelines_cu_spark.operators import text as tx
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.co then call 555-123-4567 or ssn 123-45-6789"),
+            (2, "clean row, nothing to redact"),
+            (3, "two mails x@y.io y@z.org and 999-88-7777"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in tx.scrub_pii(df, "text").orderBy("doc_id").collect()
+    }
+    assert rows[1]["scrubbed"] == "mail <EMAIL> then call <PHONE> or ssn <SSN>"
+    assert (rows[1]["n_email"], rows[1]["n_ssn"], rows[1]["n_phone"]) == (1, 1, 1)
+    assert rows[2]["scrubbed"] == "clean row, nothing to redact"
+    assert (rows[2]["n_email"], rows[2]["n_ssn"], rows[2]["n_phone"]) == (0, 0, 0)
+    assert rows[3]["scrubbed"] == "two mails <EMAIL> <EMAIL> and <SSN>"
+    assert rows[3]["n_email"] == 2 and rows[3]["n_ssn"] == 1
