@@ -9,8 +9,24 @@ lecture3/14_binance_calculate_daily.py:46-59), not from raw rows.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def decimal_avg(val: Column, count_of: Column | None = None) -> Column:
+    """Order-independent mean: exact decimal sum, then one double division.
+
+    ``AVG`` over doubles is summation-order dependent under partial (map-side)
+    aggregation — the same query can hash-diverge from an oracle engine, or
+    from itself across shuffle layouts, by 1 ulp, which ``ROUND(x, 6)`` then
+    amplifies at rounding boundaries. Summing as ``DECIMAL(38,12)`` is exact
+    and associative, so the result is bit-stable for any partitioning; the
+    single decimal→double cast and division are deterministic IEEE ops.
+    Oracle twin: ``CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(x)``.
+    """
+    if count_of is None:
+        count_of = val
+    return F.sum(val.cast("decimal(38,12)")).cast("double") / F.count(count_of)
 
 
 def group_count(df: DataFrame, *keys: str, count_name: str = "count") -> DataFrame:
@@ -50,7 +66,7 @@ def multi_stat_time_bucket(
     elif bucket != "day":
         raise ValueError(f"unsupported bucket {bucket!r}")
     return df.groupBy(*keys).agg(
-        F.avg(val).alias("avg_price"),
+        decimal_avg(val).alias("avg_price"),
         F.min(val).alias("min_price"),
         F.max(val).alias("max_price"),
         F.min_by(val, ts).alias("first_price"),
@@ -69,7 +85,7 @@ def daily_rollup(hourly: DataFrame) -> DataFrame:
     """
     hour = F.col("hour")
     daily = hourly.groupBy("date").agg(
-        F.avg("avg_price").alias("avg_price"),
+        decimal_avg(F.col("avg_price")).alias("avg_price"),
         F.min("min_price").alias("min_price"),
         F.max("max_price").alias("max_price"),
         F.min_by("first_price", hour).alias("opening_price"),

@@ -24,6 +24,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
+from ..operators.aggregates import decimal_avg
+
 TICK_SCHEMA = T.StructType(
     [
         T.StructField("fetch_time", T.TimestampType(), True),
@@ -59,7 +61,7 @@ def hourly_window_agg(
         ticks.withWatermark(ts_col, watermark)
         .groupBy(F.window(ts, "1 hour").alias("w"))
         .agg(
-            F.avg(val).alias("avg_price"),
+            decimal_avg(val).alias("avg_price"),
             F.min(val).alias("min_price"),
             F.max(val).alias("max_price"),
             F.min_by(val, ts).alias("first_price"),
