@@ -5,7 +5,10 @@ new key, concat, rewrite (lecture3/13_binance_calculate_hourly.py:79-85,
 14:76-89, 15:184-194). At scale that becomes dynamic partition overwrite:
 recomputing a partition replaces exactly that partition, touching nothing
 else — the idempotent-recompute property Airflow catchup/backfill relies on
-(SURVEY.md §2.9). ``partitionOverwriteMode=dynamic`` is set in session.py.
+(SURVEY.md §2.9). ``partitionOverwriteMode=dynamic`` is pinned per-writer in
+upsert_partitions (not only at session level): the driver contract hands this
+engine vanilla SparkSessions, where the default is static overwrite — which
+would wipe every partition, not just matching ones.
 
 Hour-level upserts use an hour-partitioned layout (date + hour partition
 columns) rather than row-level merge inside a day file — SURVEY §7.3 hard
@@ -39,10 +42,15 @@ def upsert_partitions(
     overwrite ONLY the partitions present in ``df`` (dynamic mode), leaving
     all other partitions untouched. Re-running the same computation is a
     no-op state-wise — the atomicity/idempotency lesson of
-    lecture3/10_non_atomic_send.py made structural."""
+    lecture3/10_non_atomic_send.py made structural.
+
+    Dynamic overwrite is pinned on the writer itself so the semantics hold
+    on any session (a vanilla session defaults to static overwrite, which
+    would delete ALL partitions)."""
     (
         df.write.format(fmt)
         .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy(*partition_cols)
         .save(path)
     )
@@ -140,10 +148,16 @@ def compact_partitions(
     n_parts = df.select(*partition_cols).distinct().count()
     per_part = total_bytes / max(n_parts, 1)
     files_per_part = max(1, math.ceil(per_part / target_file_bytes))
+    # Shuffle on (partition cols + within-partition salt), not the partition
+    # cols alone: hashing only the partition key sends every row of a
+    # partition to ONE task, so a fat partition could never split into
+    # files_per_part files. The salt is a stable row-hash bucket.
+    salt = F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(files_per_part))
     (
-        df.repartition(n_parts * files_per_part, *partition_cols)
+        df.repartition(n_parts * files_per_part, *partition_cols, salt)
         .write.format(fmt)
         .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy(*partition_cols)
         .save(path)
     )

@@ -35,14 +35,17 @@ TICK_SCHEMA = T.StructType(
 
 
 def read_tick_stream(
-    spark: SparkSession, path: str, schema: T.StructType = TICK_SCHEMA
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType = TICK_SCHEMA,
+    max_files_per_trigger: int = 96,
 ) -> DataFrame:
     """File-arrival micro-batch source (the minute-ingest analog). New
     files under ``path`` are discovered per trigger; maxFilesPerTrigger
     bounds batch size for backpressure."""
     return (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 96)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .json(path)
     )
 
@@ -333,7 +336,11 @@ def run_cascade(
         if batch.isEmpty():
             return
         spark = batch.sparkSession
-        upsert_partitions(batch, hourly_path, ["date"])
+        # Hour-granularity partitions: each closed window overwrites only
+        # its own (date, hour) directory. Partitioning by date alone would
+        # make every micro-batch replace the whole day with just that
+        # batch's windows, deleting hours closed in earlier batches.
+        upsert_partitions(batch, hourly_path, ["date", "hour"])
         affected = [r.date for r in batch.select("date").distinct().collect()]
         hourly_all = spark.read.parquet(hourly_path).filter(
             F.col("date").isin(affected)

@@ -137,6 +137,63 @@ def test_compact_partitions_reduces_files(spark, tmp_path):
     assert got.groupBy("date").count().count() == 4
 
 
+def test_upsert_partitions_dynamic_on_static_session(spark, tmp_path):
+    """upsert_partitions must overwrite only matching partitions even when
+    the session-level overwrite mode is static (the driver hands this
+    engine vanilla sessions) — the writer pins dynamic mode itself."""
+    from pyspark.sql import functions as F
+
+    from data_pipelines_cu_spark.operators.upsert import upsert_partitions
+
+    path = str(tmp_path / "t")
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        d1 = spark.createDataFrame([("2024-01-01", 1)], ["date", "v"])
+        d2 = spark.createDataFrame([("2024-01-02", 2)], ["date", "v"])
+        upsert_partitions(d1, path, ["date"])
+        upsert_partitions(d2, path, ["date"])
+        # partitioned read re-infers date as DateType → normalize via str()
+        got = {(str(r.date), r.v) for r in spark.read.parquet(path).collect()}
+        # static mode would have wiped the 01-01 partition on the second write
+        assert got == {("2024-01-01", 1), ("2024-01-02", 2)}
+        upsert_partitions(
+            spark.createDataFrame([("2024-01-02", 9)], ["date", "v"]),
+            path,
+            ["date"],
+        )
+        got = {(str(r.date), r.v) for r in spark.read.parquet(path).collect()}
+        assert got == {("2024-01-01", 1), ("2024-01-02", 9)}
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def test_compact_partitions_splits_fat_partitions(spark, tmp_path):
+    """With a small file-size target, one fat partition must split into
+    several files — requires the within-partition salt in the repartition
+    key (partition-cols-only hashing sends each partition to ONE task)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_pipelines_cu_spark.operators.upsert import compact_partitions
+
+    path = str(tmp_path / "t")
+    spark.range(50_000).select(
+        F.lit("2024-01-01").alias("date"), F.col("id").alias("v")
+    ).coalesce(1).write.partitionBy("date").parquet(path)
+    compact_partitions(spark, path, ["date"], target_file_bytes=50_000)
+    files = [
+        f
+        for root, _d, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    assert len(files) >= 2
+    got = spark.read.parquet(path)
+    assert got.count() == 50_000
+
+
 def test_write_range_clustered_files_have_disjoint_ranges(spark, tmp_path):
     """Range clustering must yield per-file value ranges that do not
     overlap — the property parquet min/max skipping depends on."""

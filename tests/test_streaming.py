@@ -82,6 +82,47 @@ def test_streaming_cascade_daily(spark, tmp_path):
     assert d.hours_with_data == 24 and d.total_data_points == 1440
 
 
+def test_streaming_cascade_multi_microbatch(spark, tmp_path):
+    """Hours close across SEVERAL micro-batches (maxFilesPerTrigger=1):
+    every emission must land in its own (date, hour) partition. Regression
+    guard — a date-only hourly sink let each batch's dynamic overwrite
+    replace the whole day with just that batch's windows, silently deleting
+    hours closed earlier."""
+    src = tmp_path / "in"
+    src.mkdir()
+    ticks = generate_minute_ticks(spark, "2024-02-01").select(
+        F.date_format("fetch_time", "yyyy-MM-dd HH:mm:ss").alias("fetch_time"),
+        "price_float",
+    )
+    rows = [
+        {"fetch_time": r.fetch_time, "price_float": r.price_float}
+        for r in ticks.collect()
+    ]
+    sentinel = [{"fetch_time": "2024-02-02 02:30:00", "price_float": 1.0}]
+    # hours 0-11 | hours 12-23 | watermark sentinel — one micro-batch each
+    for i, chunk in enumerate([rows[:720], rows[720:], sentinel]):
+        fname = f"{src}/part-{i}.json"
+        with open(fname, "w") as f:
+            for r in chunk:
+                f.write(json.dumps(r) + "\n")
+        os.utime(fname, (1_700_000_000 + i, 1_700_000_000 + i))
+    hourly_path = str(tmp_path / "hourly")
+    daily_path = str(tmp_path / "daily")
+    q = jobs.run_cascade(
+        jobs.read_tick_stream(spark, str(src), max_files_per_trigger=1),
+        hourly_path,
+        daily_path,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+    hourly = spark.read.parquet(hourly_path).filter(F.col("date") == "2024-02-01")
+    assert hourly.count() == 24
+    daily = spark.read.parquet(daily_path).collect()
+    assert len(daily) == 1
+    d = daily[0]
+    assert d.hours_with_data == 24 and d.total_data_points == 1440
+
+
 def _write_event_files(spark, path, n_users=12):
     """Real events (users 0..n_users-1) in file 0; two far-future sentinel
     events (user -1) in files 1 and 2. maxFilesPerTrigger=1 makes each file
