@@ -1048,7 +1048,7 @@ def doc_payload_features(spark, sf_dir):
     "embedding_near_dup_pairs",
     f"""
     WITH b AS (SELECT vec_id, embedding,
-                      {sim.sign_bucket_sql('embedding', 8)} AS bucket
+                      {sim.hyperplane_bucket_sql('embedding')} AS bucket
                FROM embeddings)
     SELECT a.vec_id AS id_a, c.vec_id AS id_b,
            ROUND({sim._cos_sql('a.embedding', 'c.embedding')}, 6) AS cos_sim
@@ -1057,11 +1057,14 @@ def doc_payload_features(spark, sf_dir):
     """,
 )
 def embedding_near_dup_pairs(spark, sf_dir):
-    """Embedding-cosine near-dup: candidate pairs from shared sign-LSH
-    bucket, kept when cosine >= 0.3 — the vector twin of minhash_lsh_pairs."""
+    """Embedding-cosine near-dup: candidate pairs from a shared seeded
+    random-hyperplane LSH bucket, kept when cosine >= 0.3 — the vector twin
+    of minhash_lsh_pairs."""
     em = _t(spark, sf_dir, "embeddings")
     b = em.select(
-        "vec_id", "embedding", sim.sign_lsh_bucket(F.col("embedding"), 8).alias("bucket")
+        "vec_id",
+        "embedding",
+        sim.random_hyperplane_bucket(F.col("embedding")).alias("bucket"),
     )
     a = b.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"), "bucket"

@@ -118,12 +118,63 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
         (r.query_id, r.neighbor_id)
         for r in sim.cosine_topk(em, queries, k=5).collect()
     }
-    approx = {
-        (r.query_id, r.neighbor_id)
-        for r in sim.cosine_topk_ivf(em, queries, k=5, n_centroids=8, n_probe=2).collect()
-    }
-    recall = len(truth & approx) / len(truth)
-    assert recall >= 0.4, f"IVF recall@5 collapsed: {recall:.2f}"
+
+    def recall(lloyd_iters):
+        approx = {
+            (r.query_id, r.neighbor_id)
+            for r in sim.cosine_topk_ivf(
+                em, queries, k=5, n_centroids=8, n_probe=2, lloyd_iters=lloyd_iters
+            ).collect()
+        }
+        return len(truth & approx) / len(truth)
+
+    refined = recall(2)
+    assert refined >= 0.4, f"IVF recall@5 collapsed: {refined:.2f}"
+    # Lloyd-refined centroids must not lose recall vs the raw lowest-id
+    # seeds (they generally gain: cells cover the space instead of
+    # clustering around whichever vectors had the lowest ids).
+    assert refined >= recall(0) - 0.1
+
+
+def test_random_hyperplane_buckets_balanced(spark, sf_dir):
+    """On embeddings whose leading dimensions are correlated (here: made
+    non-negative, as activation-style embeddings often are), the axis-aligned
+    sign pattern collapses every vector into one bucket; seeded random
+    hyperplanes mix ALL dimensions into each bit and must stay spread —
+    largest-bucket occupancy is the recall/throughput killer at scale."""
+    from data_pipelines_cu_spark.catalog import load_table
+    from data_pipelines_cu_spark.operators import similarity as sim
+
+    em = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x, i: F.when(i < 8, F.abs(x)).otherwise(x)
+        ).alias("embedding"),
+    )
+    n = em.count()
+
+    def max_share(bucket_col):
+        counts = em.select(bucket_col.alias("b")).groupBy("b").count().collect()
+        return max(r["count"] for r in counts) / n, len(counts)
+
+    axis_share, axis_buckets = max_share(sim.sign_lsh_bucket(F.col("embedding"), 8))
+    rand_share, rand_buckets = max_share(
+        sim.random_hyperplane_bucket(F.col("embedding"))
+    )
+    assert axis_buckets == 1  # the failure mode: all vectors share one bucket
+    assert rand_buckets > 50
+    assert rand_share < 0.25, f"largest bucket holds {rand_share:.0%} of vectors"
+
+
+def test_hyperplanes_deterministic():
+    from data_pipelines_cu_spark.operators import similarity as sim
+
+    a = sim.seeded_hyperplanes()
+    b = sim.seeded_hyperplanes()
+    assert a == b
+    assert {w for plane in a for w in plane} == {1.0, -1.0}
+    # planes differ from each other (md5 mixing, not a constant pattern)
+    assert len({tuple(p) for p in a}) == len(a)
 
 
 def test_scrub_pii_positive_path(spark):
