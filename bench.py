@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -63,9 +64,85 @@ HEADLINE = [
     "sole_late_supplier_orders",
     "doc_tfidf_top_terms",
     "user_activity_streaks",
+    "ml_linear_scores",
 ]
 
-REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+
+
+def _timed(run, repeats: int = REPEATS) -> float:
+    """Median of ``repeats`` wall-clock runs — robust to one-off load spikes
+    on a shared box (min hides queueing, mean absorbs it; median reports the
+    typical run)."""
+    samples = []
+    for _ in range(repeats):
+        start = time.perf_counter()
+        run()
+        samples.append(time.perf_counter() - start)
+    return round(statistics.median(samples), 3)
+
+
+def _noop_write(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def skew_demo(spark, sf_dir: str) -> dict[str, float]:
+    """Salted vs unsalted sort-merge join on a deliberately skewed key:
+    events amplified 50× with ~90% of rows on one hot key (the rest over
+    ~1000 cold keys), with per-row hash work in the join's reduce stage so
+    the straggler is compute-bound, as it is at 100 TB. Broadcast and AQE
+    skew-splitting are disabled FOR THIS DEMO ONLY so the shuffle actually
+    concentrates the hot key on one task — the failure mode when the dim
+    is too big to broadcast and the engine lacks runtime skew handling;
+    operators.skew.salted_broadcast_left spreads it over n_salts tasks.
+    (In production this engine broadcasts small dims and leaves AQE on —
+    the salt is the explicit fallback for the cases neither covers.)"""
+    from pyspark.sql import functions as F
+
+    from data_pipelines_cu_spark.catalog import load_table
+    from data_pipelines_cu_spark.operators.skew import salted_broadcast_left
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    amp = ev.withColumn("_r", F.explode(F.sequence(F.lit(1), F.lit(50))))
+    skewed = amp.withColumn(
+        "k",
+        F.when(F.pmod("event_id", 10) < 9, F.lit(0)).otherwise(
+            F.pmod("event_id", 1000) + 1
+        ),
+    )
+    dim = spark.range(0, 1001).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("weight")
+    )
+
+    def heavy(joined):
+        # md5 runs in the join's output stage: the hot task pays it for
+        # every hot-key row, peers idle — unless the salt spreads them
+        out = joined.select(
+            "k",
+            F.md5(F.concat_ws(":", "k", "event_id", "_r", "value", "weight")).alias(
+                "h"
+            ),
+        )
+        return out.select(F.count(F.lit(1)).alias("n"), F.max("h").alias("hmax"))
+
+    prev_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_skew = spark.conf.get("spark.sql.adaptive.skewJoin.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    try:
+        unsalted = _timed(
+            lambda: _noop_write(heavy(skewed.join(dim, "k"))), repeats=2
+        )
+        salted = _timed(
+            lambda: _noop_write(
+                heavy(salted_broadcast_left(skewed, dim, "k", n_salts=32))
+            ),
+            repeats=2,
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bcast)
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", prev_skew)
+    return {"skew_join_unsalted": unsalted, "skew_join_salted": salted}
 
 
 def main() -> None:
@@ -78,19 +155,14 @@ def main() -> None:
     # timed query doesn't absorb session startup.
     queries["orders_by_region"].fn(spark, sf_dir).count()
 
-    # min over REPEATS runs per query: the local box is shared, so a single
-    # sample can absorb unrelated load; min-of-2 is the steady-state cost
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name].fn
-        best = float("inf")
-        for _ in range(REPEATS):
-            start = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - start)
-        timings[name] = round(best, 3)
+        timings[name] = _timed(lambda: _noop_write(fn(spark, sf_dir)))
 
     total = round(sum(timings.values()), 3)
+    # diagnostic entries (skew mitigation proof) — reported, not in the total
+    extras = skew_demo(spark, sf_dir)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -98,7 +170,9 @@ def main() -> None:
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
+                "n": REPEATS,
                 "queries": timings,
+                "diagnostics": extras,
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
             }
         )

@@ -61,10 +61,28 @@ def best_hour_per_page(hourly_counts: DataFrame) -> DataFrame:
     )
 
 
-def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append") -> None:
-    """K5: the PostgresOperator insert as a JDBC sink (needs a driver jar
-    at runtime; wrapped so pipelines can inject a test sink)."""
-    df.write.jdbc(url, table, mode=mode)
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    properties: dict[str, str] | None = None,
+) -> None:
+    """K5: the PostgresOperator insert (listing_4_20.py:73-79) as a JDBC
+    sink. ``properties`` carries the driver class and credentials; tested
+    end-to-end against embedded Derby (bundled with Spark), the same write
+    path a Postgres URL + driver jar uses in production."""
+    df.write.jdbc(url, table, mode=mode, properties=properties or {})
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    properties: dict[str, str] | None = None,
+) -> DataFrame:
+    """JDBC read-back (the analysis side of the reference's SQL sink)."""
+    return spark.read.jdbc(url, table, properties=properties or {})
 
 
 __all__ = [
@@ -72,5 +90,6 @@ __all__ = [
     "pageview_counts",
     "best_hour_per_page",
     "write_jdbc",
+    "read_jdbc",
     "zero_fill_counts",
 ]

@@ -18,6 +18,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from . import ml
 from .catalog import load_table
 from .operators import aggregates as agg
 from .operators import dedup as dd
@@ -1061,11 +1062,7 @@ def embedding_near_dup_pairs(spark, sf_dir):
     random-hyperplane LSH bucket, kept when cosine >= 0.3 — the vector twin
     of minhash_lsh_pairs."""
     em = _t(spark, sf_dir, "embeddings")
-    b = em.select(
-        "vec_id",
-        "embedding",
-        sim.random_hyperplane_bucket(F.col("embedding")).alias("bucket"),
-    )
+    b = sim.with_hyperplane_buckets(em.select("vec_id", "embedding"))
     a = b.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"), "bucket"
     )
@@ -1093,6 +1090,52 @@ def ann_cosine_topk_arrow(spark, sf_dir):
     em = _t(spark, sf_dir, "embeddings")
     queries = em.filter(F.col("vec_id") < 5)
     return sim.cosine_topk_arrow(em, queries, k=5)
+
+
+# ---------------------------------------------------------------------------
+# U5 — ML scoring as a distributed DataFrame stage. Training is Spark ML
+# (ml.train_classifier, pytest-verified: seed-deterministic RandomForest,
+# gold_war_etl_dag.py:158-181); the GATED query is batch inference of a
+# fixed-weight linear model — the oracle-expressible half of train/score.
+# The margin's sign is the class (z >= 0 ⇔ sigmoid >= 0.5); no exp in the
+# hashed output because libm exp is not cross-engine bit-stable.
+# ---------------------------------------------------------------------------
+_ML_FEATS = ("value", "hour_of_day")
+_ML_WEIGHTS = (0.002, -0.125)
+_ML_BIAS = 0.25
+
+
+@register(
+    "ml_linear_scores",
+    f"""
+    WITH feats AS (
+        SELECT event_id, value,
+               CAST(strftime(ts, '%H') AS DOUBLE) AS hour_of_day
+        FROM events)
+    SELECT event_id,
+           ROUND({ml.linear_margin_sql(_ML_FEATS, _ML_WEIGHTS, _ML_BIAS)}, 6)
+             AS margin,
+           CASE WHEN {ml.linear_margin_sql(_ML_FEATS, _ML_WEIGHTS, _ML_BIAS)} >= 0
+                THEN 1 ELSE 0 END AS pred
+    FROM feats
+    """,
+)
+def ml_linear_scores(spark, sf_dir):
+    """Distributed batch inference of a trained linear classifier (fixed
+    coefficients): margin + class per event, pure JVM column algebra — the
+    scoring half of U5 (train half: ml.train_classifier, seed-pinned
+    RandomForest over the goldwar training table, pytest-verified)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "value",
+        F.date_format("ts", "HH").cast("double").alias("hour_of_day"),
+    )
+    z = ml.linear_margin(_ML_FEATS, _ML_WEIGHTS, _ML_BIAS)
+    return ev.select(
+        "event_id",
+        F.round(z, 6).alias("margin"),
+        F.when(z >= 0, 1).otherwise(0).alias("pred"),
+    )
 
 
 @register(

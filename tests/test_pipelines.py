@@ -84,6 +84,29 @@ def test_stocksense_best_hour(spark):
     assert got == {"Google": "11", "Apple": "10"}
 
 
+def test_jdbc_sink_roundtrip_derby(spark, tmp_path):
+    """K5 executed for real: write pageview counts through df.write.jdbc to
+    embedded Derby (bundled with Spark) and read the rows back — the same
+    code path as the reference's Postgres insert (listing_4_20.py:73-79),
+    with only the URL/driver swapped."""
+    url = f"jdbc:derby:{tmp_path}/pvdb;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    df = spark.createDataFrame(
+        [("Google", 50), ("Apple", 7), ("Microsoft", 0)],
+        ["pagename", "pageviewcount"],
+    )
+    stocksense.write_jdbc(df, url, "pageview_counts", mode="overwrite", properties=props)
+    # idempotent re-run: overwrite replaces, not duplicates
+    stocksense.write_jdbc(df, url, "pageview_counts", mode="overwrite", properties=props)
+    back = stocksense.read_jdbc(spark, url, "pageview_counts", properties=props)
+    got = {(r.pagename, r.pageviewcount) for r in back.collect()}
+    assert got == {("Google", 50), ("Apple", 7), ("Microsoft", 0)}
+    # append adds rows through the same path
+    extra = spark.createDataFrame([("Amazon", 9)], ["pagename", "pageviewcount"])
+    stocksense.write_jdbc(extra, url, "pageview_counts", mode="append", properties=props)
+    assert stocksense.read_jdbc(spark, url, "pageview_counts", properties=props).count() == 4
+
+
 def test_goldwar_training_table(spark):
     gold = spark.createDataFrame(
         [("2024-01-01", 100.0), ("2024-01-02", 110.0), ("2024-01-03", 105.0)],
@@ -104,6 +127,58 @@ def test_goldwar_training_table(spark):
     assert out[0].news_count == 2
     assert out[0].sentiment_mean < 0  # war+negative lexicon
     assert out[1].news_count == 0 and out[1].sentiment_mean == 0.0  # zero-fill
+
+
+def test_ml_train_score_deterministic(spark):
+    """U5: RandomForest over the goldwar-shaped training table — fixed seed
+    must give identical predictions across two fits, train accuracy must
+    beat chance, and scoring must be a plain DataFrame stage (the
+    reference's gold_war_etl_dag.py:158-181 + lecture6/test_model.py:26-52
+    check, re-expressed on Spark ML)."""
+    from data_pipelines_cu_spark import ml
+
+    # learnable synthetic table in the goldwar feature space: target is
+    # (mostly) whether sentiment is positive, with some noise rows
+    rows = []
+    for i in range(200):
+        sent = (i % 7 - 3) / 3.0
+        close = 100.0 + (i % 13)
+        noisy = i % 11 == 0
+        target = int((sent > 0) ^ noisy)
+        rows.append((f"2024-{1 + i // 28:02d}-{1 + i % 28:02d}", close, sent, i % 5, target))
+    df = spark.createDataFrame(
+        rows, ["date", "close", "sentiment_mean", "news_count", "target"]
+    )
+    feats = ["close", "sentiment_mean", "news_count"]
+    m1 = ml.train_classifier(df, feats, seed=42)
+    m2 = ml.train_classifier(df, feats, seed=42)
+    s1 = {r.date: r.prediction for r in ml.score(m1, df, ["date"]).collect()}
+    s2 = {r.date: r.prediction for r in ml.score(m2, df, ["date"]).collect()}
+    assert s1 == s2  # seed-deterministic
+    acc = ml.accuracy(m1, df)
+    assert acc > 0.7, f"train accuracy collapsed: {acc:.2f}"
+
+
+def test_goldwar_end_to_end_train(spark):
+    """The full U5 path: training_table → train → score on the same frame."""
+    from data_pipelines_cu_spark import ml
+
+    gold = spark.createDataFrame(
+        [(f"2024-01-{d:02d}", 100.0 + ((d * 7) % 11)) for d in range(1, 29)],
+        ["date", "close"],
+    )
+    news = spark.createDataFrame(
+        [
+            (f"2024-01-{d:02d}", "War conflict attack", "loss crash fail")
+            for d in range(1, 29, 2)
+        ],
+        ["date", "title", "summary"],
+    )
+    table = goldwar.training_table(gold, news)
+    model = ml.train_classifier(table, goldwar.feature_columns(), seed=7)
+    scored = ml.score(model, table)
+    assert scored.count() == table.count()
+    assert set(scored.select("prediction").distinct().toPandas()["prediction"]) <= {0.0, 1.0}
 
 
 def test_compact_partitions_reduces_files(spark, tmp_path):
