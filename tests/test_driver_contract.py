@@ -34,3 +34,24 @@ def test_entry_contract_with_vanilla_session():
         timeout=300,
     )
     assert "CONTRACT_OK" in out.stdout, out.stderr[-2000:]
+
+
+def test_flagship_rollup_stable_across_partitionings(spark):
+    """The round-1 flagship failure mode: AVG over doubles flaking with
+    partition layout. The decimal-sum rollup must produce IDENTICAL rounded
+    values for any spark.sql.shuffle.partitions setting."""
+    from data_pipelines_cu_spark.queries import all_queries
+
+    fn = all_queries()["daily_price_rollup"].fn
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    results = []
+    try:
+        for n in ("2", "17", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            rows = sorted(
+                tuple(r) for r in fn(spark, "/root/testdata/sf0.01").collect()
+            )
+            results.append(rows)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert results[0] == results[1] == results[2]

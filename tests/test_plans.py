@@ -58,6 +58,24 @@ def test_ann_brute_force_broadcasts_queries(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
 
 
+def test_ml_scores_scan_prunes_and_stays_codegen(spark, sf_dir):
+    """Batch inference of the linear model must be a pure projected scan:
+    only the three feature/id columns read, no shuffle, no Python."""
+    plan = _formatted_plan(QUERIES["ml_linear_scores"].fn(spark, sf_dir))
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "props" not in read_schema and "user_id" not in read_schema
+    assert "Exchange" not in plan  # row-wise scoring never shuffles
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_lsh_join_is_bucket_equi_join_not_cross(spark, sf_dir):
+    """The LSH candidate join must be an equi-join on the bucket key —
+    a cross join here means bucketing silently stopped pruning."""
+    plan = _formatted_plan(QUERIES["ann_lsh_topk"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_q3_shape_pushes_both_date_filters(spark, sf_dir):
     plan = _formatted_plan(QUERIES["unshipped_order_revenue"].fn(spark, sf_dir))
     # each date predicate reaches its own parquet scan — at 100 TB these
