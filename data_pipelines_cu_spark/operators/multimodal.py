@@ -129,6 +129,128 @@ def frame_sample_plan(
     )
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+        T.StructField("out_w", T.IntegerType(), False),
+        T.StructField("out_h", T.IntegerType(), False),
+    ]
+)
+
+
+def decode_frame_stub(payload: bytes, frame_idx: int, w: int, h: int) -> bytes:
+    """Deterministic fake frame decode: sha256-keyed w*h bytes per
+    (video, frame) pair. A real kernel (ffmpeg/pyav seek+decode) swaps in
+    with the same signature."""
+    seed = hashlib.sha256(
+        (payload or b"") + f"#{frame_idx}:{w}x{h}".encode()
+    ).digest()
+    reps = (w * h + len(seed) - 1) // len(seed)
+    return (seed * reps)[: w * h]
+
+
+def sample_frames(
+    df: DataFrame,
+    every_n: int = 10,
+    out_w: int = 32,
+    out_h: int = 32,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    kernel=decode_frame_stub,
+) -> DataFrame:
+    """Video frame sampling end-to-end: JVM-side index fan-out (one row per
+    sampled frame, carrying the blob) → Arrow-batched per-frame decode.
+    Fan-out BEFORE decode is the scale-critical ordering: a 2-hour video's
+    frames decode on many tasks instead of serially inside one, and a
+    repartition on (media_id, frame_idx) between the two stages spreads
+    one viral video across the cluster. Decode kernel is the declared stub
+    (no codec in this container); schema, batching and partitioning are
+    the production shape."""
+    import pandas as pd  # noqa: PLC0415
+
+    n_frames = (F.col("meta.n_bytes") / 1000).cast("int") + 1  # fake frame count
+    frames = df.select(
+        id_col,
+        payload_col,
+        F.explode(F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))).alias(
+            "frame_idx"
+        ),
+    ).repartition(id_col, "frame_idx")
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "frame_idx": pdf["frame_idx"].astype("int32"),
+                    "frame": [
+                        kernel(p, int(i), out_w, out_h)
+                        for p, i in zip(pdf[payload_col], pdf["frame_idx"])
+                    ],
+                    "out_w": out_w,
+                    "out_h": out_h,
+                }
+            )
+
+    return frames.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+AUDIO_CHUNK_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("chunk_idx", T.IntegerType(), False),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def audio_chunk_features(
+    df: DataFrame,
+    bytes_per_chunk: int = 4000,
+    dim: int = 8,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Audio feature extraction per fixed-size chunk (the windowed-fbank
+    shape): JVM-side chunk fan-out → Arrow-batched per-chunk features over
+    the chunk's OWN byte slice (a real DSP kernel swaps into the hash
+    stand-in). Chunk rows carry only their slice, so executor memory is
+    bounded by chunk size, not clip length."""
+    import pandas as pd  # noqa: PLC0415
+
+    p = F.col(payload_col)
+    n_chunks = F.greatest(
+        F.ceil(F.length(p) / bytes_per_chunk).cast("int"), F.lit(1)
+    )
+    chunks = df.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.substring(
+                    p, i * bytes_per_chunk + 1, bytes_per_chunk
+                ),
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "chunk_idx": pdf["chunk_idx"].astype("int32"),
+                    "feature": [
+                        decode_image_stub(c, dim) for c in pdf["chunk"]
+                    ],
+                }
+            )
+
+    return chunks.mapInPandas(run, schema=AUDIO_CHUNK_SCHEMA)
+
+
 RESIZED_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),

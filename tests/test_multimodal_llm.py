@@ -44,6 +44,46 @@ def test_frame_sample_plan(spark):
     assert per[0] == 1
 
 
+def test_sample_frames_decode_stage(spark):
+    """Frame fan-out carries the blob to the Arrow decode stage: one row
+    per sampled frame, per-frame deterministic bytes of out_w*out_h."""
+    big = spark.createDataFrame(
+        [(1, b"v" * 5000), (2, b"w" * 1000)], ["media_id", "payload"]
+    )
+    df = multimodal.attach_media_meta(big)
+    frames = multimodal.sample_frames(df, every_n=2, out_w=4, out_h=3)
+    rows = frames.collect()
+    # media 1: fake frame count 6 → indices 0,2,4; media 2: count 2 → 0
+    got = {(r.media_id, r.frame_idx) for r in rows}
+    assert got == {(1, 0), (1, 2), (1, 4), (2, 0)}
+    assert all(len(r.frame) == 12 for r in rows)
+    # frames differ per index but are deterministic across runs
+    by_key = {(r.media_id, r.frame_idx): r.frame for r in rows}
+    assert by_key[(1, 0)] != by_key[(1, 2)]
+    again = {
+        (r.media_id, r.frame_idx): r.frame
+        for r in multimodal.sample_frames(df, every_n=2, out_w=4, out_h=3).collect()
+    }
+    assert by_key == again
+
+
+def test_audio_chunk_features(spark):
+    """Chunk fan-out slices the payload JVM-side; features depend on the
+    chunk's own bytes (different chunks → different features)."""
+    audio = spark.createDataFrame(
+        [(1, bytes(range(256)) * 40), (2, b"")], ["media_id", "payload"]
+    )  # 10240 bytes → 3 chunks at 4000; empty payload → 1 chunk
+    out = multimodal.audio_chunk_features(audio, bytes_per_chunk=4000, dim=4)
+    rows = out.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.media_id, {})[r.chunk_idx] = tuple(r.feature)
+    assert set(per[1]) == {0, 1, 2}
+    assert set(per[2]) == {0}
+    assert per[1][0] != per[1][2]  # chunk content drives the feature
+    assert all(len(f) == 4 for c in per.values() for f in c.values())
+
+
 def test_llm_extract_mock_and_contract(spark):
     docs = spark.createDataFrame(
         [(1, "Paris, cloudy"), (2, "Oslo, snow")], ["id", "text"]
