@@ -230,6 +230,72 @@ def cosine_topk_lsh(
     ).select("query_id", "neighbor_id", "cos_sim", "rank")
 
 
+def probe_buckets(bucket: Column, n_bits: int = 8) -> Column:
+    """Multi-probe set for a bucket key: the bucket itself plus every
+    single-bit flip (Hamming radius 1) — 1 + n_bits probes. Near neighbors
+    that land one hyperplane-sign away from the query become reachable,
+    the standard recall fix for sign-LSH without growing bucket size."""
+    variants = [bucket]
+    for i in range(n_bits):
+        flipped = F.when(
+            F.substring(bucket, i + 1, 1) == "1", F.lit("0")
+        ).otherwise(F.lit("1"))
+        variants.append(
+            F.concat(
+                F.substring(bucket, 1, i),
+                flipped,
+                F.substring(bucket, i + 2, n_bits - i - 1),
+            )
+        )
+    return F.array(*variants)
+
+
+def cosine_topk_lsh_multiprobe(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe bucketed ANN: each query scores the corpus of its own
+    bucket AND the n_bits single-flip neighbor buckets (9 probes at 8
+    bits). Cost ≈ (1+n_bits) × single-probe — still bucket-local, never a
+    cross join — for recall close to brute force on near-threshold pairs.
+    Probes are distinct buckets and a corpus vector lives in exactly one,
+    so no pair dedup is needed."""
+    planes = seeded_hyperplanes(n_bits=n_bits)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(
+            probe_buckets(random_hyperplane_bucket(F.col(vec_col), planes), n_bits)
+        ).alias("bucket"),
+    )
+    c = with_hyperplane_buckets(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
+        planes,
+        vec_col="cv",
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+    )
+    return topk_per_group(
+        scored,
+        ["query_id"],
+        [F.col("cos_sim").desc(), F.col("neighbor_id").asc()],
+        k=k,
+        rank_col="rank",
+    ).select("query_id", "neighbor_id", "cos_sim", "rank")
+
+
 def cosine_topk_arrow(
     corpus: DataFrame,
     queries: DataFrame,
@@ -601,6 +667,41 @@ def cosine_topk_ivf_oracle_sql(
     joined = ",\n    ".join(ctes)
     return f"""
     WITH {joined}
+    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+def cosine_topk_lsh_multiprobe_oracle_sql(
+    k: int = 5, n_queries: int = 5, n_bits: int = 8, table: str = "embeddings"
+) -> str:
+    """DuckDB twin of cosine_topk_lsh_multiprobe: same bucket expression,
+    probe list unrolled as [bucket, flip_0, …, flip_n-1] and unnested."""
+    cos = _cos_sql("q.qv", "c.cv")
+    bucket = hyperplane_bucket_sql("embedding", seeded_hyperplanes(n_bits=n_bits))
+    flips = ["bucket"]
+    for i in range(n_bits):
+        flips.append(
+            f"substr(bucket, 1, {i}) || "
+            f"(CASE WHEN substr(bucket, {i + 1}, 1) = '1' THEN '0' ELSE '1' END)"
+            f" || substr(bucket, {i + 2}, {n_bits - i - 1})"
+        )
+    probe_list = "[" + ", ".join(flips) + "]"
+    return f"""
+    WITH qb AS (SELECT vec_id AS query_id, embedding AS qv,
+                       {bucket} AS bucket
+                FROM {table} WHERE vec_id < {n_queries}),
+         q AS (SELECT query_id, qv, unnest({probe_list}) AS bucket FROM qb),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
+                      {bucket} AS bucket
+               FROM {table}),
+         scored AS (
+            SELECT q.query_id, c.neighbor_id, ROUND({cos}, 6) AS cos_sim
+            FROM q JOIN c ON q.bucket = c.bucket
+            WHERE q.query_id <> c.neighbor_id),
+         ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cos_sim DESC, neighbor_id) AS rank
+            FROM scored)
     SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {k}
     """
 

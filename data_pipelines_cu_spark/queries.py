@@ -801,6 +801,19 @@ def ann_lsh_topk(spark, sf_dir):
     return sim.cosine_topk_lsh(em, queries, k=5)
 
 
+@register(
+    "ann_lsh_multiprobe_topk",
+    sim.cosine_topk_lsh_multiprobe_oracle_sql(k=5, n_queries=5),
+)
+def ann_lsh_multiprobe_topk(spark, sf_dir):
+    """Multi-probe LSH ANN top-5: each query also probes the 8 buckets one
+    hyperplane-flip away (9 probes) — recall close to brute force at
+    ~9 buckets of candidates instead of the whole corpus."""
+    em = _t(spark, sf_dir, "embeddings")
+    queries = em.filter(F.col("vec_id") < 5)
+    return sim.cosine_topk_lsh_multiprobe(em, queries, k=5)
+
+
 @register("ann_ivf_topk", sim.cosine_topk_ivf_oracle_sql(k=5, n_queries=5))
 def ann_ivf_topk(spark, sf_dir):
     """IVF ANN top-5: corpus inverted-indexed by nearest of 8 deterministic

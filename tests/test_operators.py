@@ -166,6 +166,32 @@ def test_random_hyperplane_buckets_balanced(spark, sf_dir):
     assert rand_share < 0.25, f"largest bucket holds {rand_share:.0%} of vectors"
 
 
+def test_multiprobe_lsh_recall_dominates_single_probe(spark, sf_dir):
+    """Hamming-radius-1 probing must recover at least every pair the
+    single-probe variant finds, and typically more of the true top-k."""
+    from data_pipelines_cu_spark.catalog import load_table
+    from data_pipelines_cu_spark.operators import similarity as sim
+
+    em = load_table(spark, sf_dir, "embeddings")
+    queries = em.filter(F.col("vec_id") < 10)
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.cosine_topk(em, queries, k=5).collect()
+    }
+    single = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.cosine_topk_lsh(em, queries, k=5).collect()
+    }
+    multi = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.cosine_topk_lsh_multiprobe(em, queries, k=5).collect()
+    }
+    # every single-probe candidate set is a subset of the multi-probe set,
+    # so found-true-pairs can only grow
+    assert len(multi & truth) >= len(single & truth)
+    assert len(multi) >= len(single)
+
+
 def test_hyperplanes_deterministic():
     from data_pipelines_cu_spark.operators import similarity as sim
 
