@@ -130,15 +130,17 @@ def skew_demo(spark, sf_dir: str) -> dict[str, float]:
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
     try:
-        unsalted = _timed(
-            lambda: _noop_write(heavy(skewed.join(dim, "k"))), repeats=2
+        run_unsalted = lambda: _noop_write(heavy(skewed.join(dim, "k")))  # noqa: E731
+        run_salted = lambda: _noop_write(  # noqa: E731
+            heavy(salted_broadcast_left(skewed, dim, "k", n_salts=32))
         )
-        salted = _timed(
-            lambda: _noop_write(
-                heavy(salted_broadcast_left(skewed, dim, "k", n_salts=32))
-            ),
-            repeats=2,
-        )
+        # One untimed warmup per variant: the first execution of each plan
+        # shape pays codegen+JIT (~5s here, measured), which with 2 samples
+        # poisons the median and hides the straggler contrast being measured.
+        run_unsalted()
+        run_salted()
+        unsalted = _timed(run_unsalted, repeats=2)
+        salted = _timed(run_salted, repeats=2)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bcast)
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", prev_skew)

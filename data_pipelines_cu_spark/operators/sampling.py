@@ -15,7 +15,7 @@ distributed, content-addressed replacement.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -65,4 +65,32 @@ def split_sql(
     return (
         f"(CASE WHEN {b} < {train_pct} THEN 'train' "
         f"WHEN {b} < {train_pct + val_pct} THEN 'val' ELSE 'test' END)"
+    )
+
+
+def quota_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    n_per_group: int = 20,
+    salt: str = "",
+    rank_col: str = "rk",
+) -> DataFrame:
+    """Deterministic per-group quota sample: rank rows within each group by
+    md5(salt || key) — a content-addressed shuffle order, stable under
+    repartitioning and engine changes — and keep the first ``n_per_group``.
+    The language-rebalancing step of corpus curation (cap the dominant
+    language, keep every row of the rare ones).
+
+    One shuffle on the group key. At 100 TB a whole-language total order
+    would straggle; the production refinement is a broadcast per-group
+    count → keep hash < (oversampled n/count) cutoff → rank only the
+    pre-filtered sliver. The cutoff pass is omitted here because the exact
+    semantics ARE the ranked order and the driver gate must match it
+    bit-for-bit; the prefilter preserves the result whenever >= n rows
+    survive it (near-certain at any realistic n)."""
+    h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(h, F.col(key_col))
+    return df.withColumn(rank_col, F.row_number().over(w)).filter(
+        F.col(rank_col) <= n_per_group
     )

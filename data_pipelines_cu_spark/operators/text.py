@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .dedup import normalized_text
+
 # Tiny per-language function-word lexicons for the n-gram/stopword heuristic
 # language-ID (deterministic; ordered dict fixes tie-break priority).
 LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
@@ -214,3 +216,82 @@ def scrub_pii(
     for kind, pat, _repl in PII_PATTERNS:
         out_df = out_df.withColumn(f"n_{kind}", F.regexp_count(c, F.lit(pat)))
     return out_df
+
+
+# --- Fixed-size token-window chunking ----------------------------------------
+
+def token_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 50,
+    stride: int = 40,
+) -> DataFrame:
+    """Chunk each document into fixed ``size``-token windows every ``stride``
+    tokens (overlap = size - stride) → (doc_id, chunk_id, n_tokens,
+    chunk_hash). Every doc yields >= 1 chunk; the last chunk may be short;
+    chunk_hash is md5 of the space-joined window (the join key for
+    chunk-level dedup / provenance, so downstream never re-carries text).
+
+    The context-window prep step of a training pipeline (documents >
+    sequence length must be split, with overlap so no span is seen only at
+    a boundary). Row-local by construction: split → per-row window count →
+    explode chunk ids → slice — no shuffle at all, whatever the corpus
+    size; chunk rows amplify the scan by ~n_tokens/stride, the unavoidable
+    output size. Reference grounding: the course never chunks (pandas rows
+    are short); this is the 100 TB training-data extension.
+    """
+    words = df.select(
+        F.col(id_col), F.split(normalized_text(text_col), " ").alias("_ws")
+    )
+    n_chunks = F.lit(1) + F.ceil(
+        F.greatest(F.size("_ws") - F.lit(size), F.lit(0)) / F.lit(stride)
+    ).cast("int")
+    chunks = words.select(
+        F.col(id_col),
+        F.col("_ws"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    ).select(
+        F.col(id_col),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.slice("_ws", F.col("chunk_id") * stride + 1, size).alias("_chunk"),
+    )
+    return chunks.select(
+        id_col,
+        "chunk_id",
+        F.size("_chunk").cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", "_chunk")).alias("chunk_hash"),
+    )
+
+
+def token_chunks_oracle_sql(
+    table: str = "documents",
+    text_expr: str = "text",
+    id_col: str = "doc_id",
+    size: int = 50,
+    stride: int = 40,
+) -> str:
+    """DuckDB twin of token_chunks (list_slice is begin/end-inclusive, so
+    end = start + size - 1 mirrors Spark's slice(start, length))."""
+    norm = f"regexp_replace(lower(trim({text_expr})), '\\s+', ' ', 'g')"
+    return f"""
+    WITH words AS (
+        SELECT {id_col}, string_split({norm}, ' ') AS ws FROM {table}
+    ),
+    counted AS (
+        SELECT {id_col}, ws,
+               1 + CAST(ceil(greatest(len(ws) - {size}, 0) / {stride}.0) AS BIGINT)
+                   AS n_chunks
+        FROM words
+    ),
+    chunks AS (
+        SELECT {id_col}, ws, unnest(range(0, n_chunks)) AS chunk_id FROM counted
+    )
+    SELECT {id_col}, chunk_id,
+           len(list_slice(ws, chunk_id * {stride} + 1,
+                          chunk_id * {stride} + {size})) AS n_tokens,
+           md5(array_to_string(list_slice(ws, chunk_id * {stride} + 1,
+                                          chunk_id * {stride} + {size}), ' '))
+               AS chunk_hash
+    FROM chunks
+    """

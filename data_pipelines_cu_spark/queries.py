@@ -1207,6 +1207,79 @@ def near_dup_survivors_q(spark, sf_dir):
 
 
 @register(
+    "doc_decontamination",
+    dd.contamination_oracle_sql(
+        corpus_pred="source <> 'src0'", benchmark_pred="source = 'src0'", n=3
+    ),
+)
+def doc_decontamination(spark, sf_dir):
+    """Benchmark decontamination: src0 plays the held-out eval suite; every
+    other doc is scored by how many distinct trigrams it shares with it.
+    Broadcast benchmark gram digests, one corpus scan, matches-only
+    shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    return dd.contamination_hits(
+        d.filter(F.col("source") != "src0"), d.filter(F.col("source") == "src0"), n=3
+    )
+
+
+@register(
+    "incremental_dedup_new_docs",
+    """
+    WITH hashed AS (
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                   AS content_hash,
+               doc_id % 5 = 0 AS in_index
+        FROM documents),
+    index_hashes AS (SELECT DISTINCT content_hash FROM hashed WHERE in_index),
+    firsts AS (
+        SELECT MIN(doc_id) AS doc_id, content_hash
+        FROM hashed WHERE NOT in_index GROUP BY content_hash)
+    SELECT doc_id, content_hash FROM firsts
+    WHERE content_hash NOT IN (SELECT content_hash FROM index_hashes)
+    """,
+)
+def incremental_dedup_new_docs(spark, sf_dir):
+    """Incremental ingest dedup: docs with id % 5 == 0 play the persisted
+    corpus index; the rest arrive as a new batch and survive only if
+    first-in-batch AND absent from the index. Digest-only shuffles."""
+    d = _t(spark, sf_dir, "documents")
+    return dd.incremental_dedup(
+        d.filter(F.col("doc_id") % 5 != 0), d.filter(F.col("doc_id") % 5 == 0)
+    )
+
+
+@register("doc_token_chunks", tx.token_chunks_oracle_sql(size=50, stride=40))
+def doc_token_chunks(spark, sf_dir):
+    """Context-window chunking: 50-token windows every 40 tokens (10-token
+    overlap) per doc — shuffle-free explode; chunk identity travels as an
+    md5, never text."""
+    return tx.token_chunks(_t(spark, sf_dir, "documents"), size=50, stride=40)
+
+
+@register(
+    "lang_quota_sample",
+    f"""
+    WITH ranked AS (
+        SELECT lang, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM documents)
+    SELECT lang, doc_id, rk FROM ranked WHERE rk <= 20
+    """,
+)
+def lang_quota_sample(spark, sf_dir):
+    """Language rebalancing: deterministic 20-doc quota per language by
+    content-addressed hash order (stable under repartitioning — no rand())."""
+    d = _t(spark, sf_dir, "documents")
+    return smp.quota_sample(d, "lang", "doc_id", n_per_group=20).select(
+        "lang", "doc_id", "rk"
+    )
+
+
+@register(
     "dedup_cluster_assignment",
     r"""
     WITH RECURSIVE norm AS (

@@ -224,3 +224,79 @@ def test_scrub_pii_positive_path(spark):
     assert (rows[2]["n_email"], rows[2]["n_ssn"], rows[2]["n_phone"]) == (0, 0, 0)
     assert rows[3]["scrubbed"] == "two mails <EMAIL> <EMAIL> and <SSN>"
     assert rows[3]["n_email"] == 2 and rows[3]["n_ssn"] == 1
+
+
+def test_contamination_hits_inline(spark):
+    from data_pipelines_cu_spark.operators import dedup as dd
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "something about the quick brown fox here"),  # shares 2 trigrams +
+            (2, "entirely different words only"),
+            (3, "QUICK  brown fox jumps twice quick brown fox jumps"),  # normalized hit
+        ],
+        ["doc_id", "text"],
+    )
+    hits = {r.doc_id: r.n_shared_grams for r in dd.contamination_hits(corpus, bench).collect()}
+    assert 2 not in hits  # clean doc never surfaces
+    # doc 1 shares: "the quick brown", "quick brown fox" → 2 distinct
+    assert hits[1] == 2
+    # doc 3: normalization lowercases/collapses; repeated grams counted once;
+    # shared set = {quick brown fox, brown fox jumps}
+    assert hits[3] == 2
+
+
+def test_incremental_dedup_batch_and_index(spark):
+    from data_pipelines_cu_spark.operators import dedup as dd
+
+    index = spark.createDataFrame([(0, "known doc")], ["doc_id", "text"])
+    incoming = spark.createDataFrame(
+        [
+            (10, "Known   DOC"),      # dup of index after normalization
+            (11, "fresh content"),
+            (12, "fresh content"),    # in-batch dup, loses to 11
+            (13, "other fresh"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = dd.incremental_dedup(incoming, index)
+    assert {r.doc_id for r in out.collect()} == {11, 13}
+
+
+def test_token_chunks_shapes(spark):
+    from data_pipelines_cu_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(130))),  # 3 chunks: 50/50/50
+            (2, "tiny doc"),                              # 1 short chunk
+            (3, " ".join(f"w{i}" for i in range(90))),    # 2 chunks: 50/50
+        ],
+        ["doc_id", "text"],
+    )
+    out = tx.token_chunks(docs, size=50, stride=40).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_id, r.n_tokens))
+    assert sorted(by_doc[1]) == [(0, 50), (1, 50), (2, 50)]
+    assert sorted(by_doc[2]) == [(0, 2)]
+    assert sorted(by_doc[3]) == [(0, 50), (1, 50)]
+    # overlap: chunk 1 of doc 3 starts at token 41 → both chunks cover 41..50
+    # (verified structurally by n_tokens; hash identity is the oracle's job)
+
+
+def test_quota_sample_stability(spark):
+    from data_pipelines_cu_spark.operators import sampling as smp
+
+    rows = [(i, "en" if i % 3 else "de") for i in range(60)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    a = smp.quota_sample(df, "lang", "doc_id", n_per_group=5)
+    b = smp.quota_sample(df.repartition(7), "lang", "doc_id", n_per_group=5)
+    sa = sorted((r.lang, r.doc_id, r.rk) for r in a.collect())
+    sb = sorted((r.lang, r.doc_id, r.rk) for r in b.collect())
+    assert sa == sb                      # partition-independent
+    assert len(sa) == 10                 # 5 per language
+    assert all(rk <= 5 for _, _, rk in sa)
