@@ -65,6 +65,11 @@ HEADLINE = [
     "doc_tfidf_top_terms",
     "user_activity_streaks",
     "ml_linear_scores",
+    "ann_lsh_multiprobe_topk",
+    "doc_decontamination",
+    "incremental_dedup_new_docs",
+    "doc_token_chunks",
+    "lang_quota_sample",
 ]
 
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))

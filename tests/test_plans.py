@@ -121,3 +121,37 @@ def test_q22_shape_anti_join_and_scalar_broadcast(spark, sf_dir):
     assert "GreaterThanOrEqual(o_orderdate,2001-01-01" in plan
     # the scalar threshold arrives via broadcast, not a driver collect
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_decontamination_broadcasts_benchmark_grams(spark, sf_dir):
+    plan = _formatted_plan(QUERIES["doc_decontamination"].fn(spark, sf_dir))
+    # benchmark gram digests broadcast; corpus grams never sort-merge-shuffle
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # source predicate pushed to both parquet scans
+    assert plan.count("src0") >= 2
+
+
+def test_token_chunks_is_shuffle_free(spark, sf_dir):
+    plan = _formatted_plan(QUERIES["doc_token_chunks"].fn(spark, sf_dir))
+    assert "Exchange" not in plan  # pure scan → explode → project
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "lang" not in read_schema and "source" not in read_schema
+
+
+def test_incremental_dedup_shuffles_digests_only(spark, sf_dir):
+    plan = _formatted_plan(QUERIES["incremental_dedup_new_docs"].fn(spark, sf_dir))
+    # the anti join must stay an anti join (never materialize the index side)
+    assert "LeftAnti" in plan
+    # text column pruned away before any exchange: the only columns moving
+    # are doc_id + the md5 digest ("formatted" mode puts partitioning on
+    # Arguments lines)
+    exchanges = [l for l in plan.splitlines() if "hashpartitioning(" in l]
+    assert exchanges and all("text" not in l for l in exchanges)
+    assert all("content_hash" in l for l in exchanges)
+
+
+def test_quota_sample_single_shuffle_on_group(spark, sf_dir):
+    plan = _formatted_plan(QUERIES["lang_quota_sample"].fn(spark, sf_dir))
+    parts = [l for l in plan.splitlines() if "hashpartitioning(" in l]
+    assert len(parts) == 1 and "lang" in parts[0]  # one shuffle, on the group
