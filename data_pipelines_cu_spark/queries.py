@@ -3016,10 +3016,13 @@ def sole_late_supplier_orders(spark, sf_dir):
     """TPC-H Q21 shape: suppliers solely to blame for a late
     multi-supplier order (no receiptdate in the fixtures — ship > order
     date + 90d defines late). The EXISTS / NOT-EXISTS pair of the
-    original collapses into ONE order-grain aggregate with conditional
-    distinct counts — a single lineitem scan and a single shuffle where
-    the naive two-CTE form (all-suppliers agg + late-suppliers agg)
-    scans and shuffles the fact table twice."""
+    original collapses into a single lineitem scan and ONE fact shuffle:
+    dedup to (order, supplier, any_late) grain first, then roll up to the
+    order grain. Two plain hash aggregates replace the conditional
+    countDistincts — Spark's distinct-aggregate rewrite would Expand every
+    joined row 3x through the aggregation pipeline (measured 2.8s → 2.0s
+    at sf0.1) — and neither needs its own exchange: hashpartitioning on
+    l_orderkey from the join satisfies both groupings."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
@@ -3029,16 +3032,17 @@ def sole_late_supplier_orders(spark, sf_dir):
     is_late = (F.col("o_orderstatus") == "F") & (
         F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90)
     )
-    per_order = (
+    pair = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .groupBy("l_orderkey")
-        .agg(
-            F.countDistinct("l_suppkey").alias("n_supps"),
-            F.countDistinct(F.when(is_late, F.col("l_suppkey"))).alias(
-                "n_late_supps"
-            ),
-            F.min(F.when(is_late, F.col("l_suppkey"))).alias("only_supp"),
-        )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(is_late.cast("int")).alias("any_late"))
+    )
+    per_order = pair.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supps"),
+        F.sum("any_late").alias("n_late_supps"),
+        F.min(F.when(F.col("any_late") == 1, F.col("l_suppkey"))).alias(
+            "only_supp"
+        ),
     )
     s = F.broadcast(_t(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
     return (

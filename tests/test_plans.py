@@ -155,3 +155,10 @@ def test_quota_sample_single_shuffle_on_group(spark, sf_dir):
     plan = _formatted_plan(QUERIES["lang_quota_sample"].fn(spark, sf_dir))
     parts = [l for l in plan.splitlines() if "hashpartitioning(" in l]
     assert len(parts) == 1 and "lang" in parts[0]  # one shuffle, on the group
+
+
+def test_q21_shape_aggregates_without_expand(spark, sf_dir):
+    plan = _formatted_plan(QUERIES["sole_late_supplier_orders"].fn(spark, sf_dir))
+    # two-level (order, supplier) → order rollup must never fall back to the
+    # distinct-aggregate Expand rewrite (3x row amplification)
+    assert "Expand" not in plan
