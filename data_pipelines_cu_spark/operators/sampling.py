@@ -94,3 +94,91 @@ def quota_sample(
     return df.withColumn(rank_col, F.row_number().over(w)).filter(
         F.col(rank_col) <= n_per_group
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    weights: dict[str, int],
+    key_col: str,
+    salt: str = "",
+    rank_col: str = "rk",
+) -> DataFrame:
+    """Resample to a target mixture: keep ``w_g * m`` rows of each group,
+    where ``weights`` are integer mixture parts (e.g. {"web": 3, "code": 1}
+    = 3:1) and ``m = min_g floor(count_g / w_g)`` is the largest multiplier
+    every group can serve — the biggest corpus with EXACTLY the target
+    proportions. Rows are chosen per group by md5 hash order (deterministic,
+    partition-independent); groups outside ``weights`` are dropped.
+
+    The data-mixture step of pre-training curation (rebalance web/code/
+    reference shares before packing). All quota arithmetic is integer —
+    no double ratios that could round differently across engines. Plan
+    shape: one count aggregate (tiny), its min broadcast back as a scalar,
+    one rank shuffle on the group key; the corpus never moves twice.
+    """
+    spark = df.sparkSession
+    weights_df = F.broadcast(
+        spark.createDataFrame(
+            [(g, int(w)) for g, w in sorted(weights.items())],
+            f"{group_col} string, _w long",
+        )
+    )
+    counts = (
+        df.join(weights_df, group_col)
+        .groupBy(group_col, "_w")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    m = F.broadcast(
+        counts.select(
+            F.min(F.floor(F.col("_cnt") / F.col("_w"))).alias("_m")
+        )
+    )
+    quotas = F.broadcast(
+        counts.crossJoin(m).select(
+            group_col, (F.col("_w") * F.col("_m")).alias("_quota")
+        )
+    )
+    ranked = quota_sample(
+        df.join(weights_df.select(group_col), group_col),
+        group_col,
+        key_col,
+        n_per_group=2**62,
+        salt=salt,
+        rank_col=rank_col,
+    )
+    return ranked.join(quotas, group_col).filter(F.col(rank_col) <= F.col("_quota")).drop(
+        "_quota"
+    )
+
+
+def mixture_sample_sql(
+    weights: dict[str, int],
+    table: str = "documents",
+    group_expr: str = "source",
+    key_expr: str = "doc_id",
+    salt: str = "",
+) -> str:
+    """DuckDB twin of mixture_sample (same integer quota arithmetic)."""
+    wvals = ", ".join(f"('{g}', {int(w)})" for g, w in sorted(weights.items()))
+    return f"""
+    WITH w(grp, wt) AS (VALUES {wvals}),
+    counts AS (
+        SELECT {group_expr} AS grp, wt, COUNT(*) AS cnt
+        FROM {table} JOIN w ON w.grp = {group_expr}
+        GROUP BY {group_expr}, wt
+    ),
+    m AS (SELECT MIN(cnt // wt) AS m FROM counts),
+    quotas AS (SELECT grp, wt * m.m AS quota FROM counts, m),
+    ranked AS (
+        SELECT {group_expr} AS grp, {key_expr} AS key_val,
+               ROW_NUMBER() OVER (
+                   PARTITION BY {group_expr}
+                   ORDER BY md5('{salt}' || CAST({key_expr} AS VARCHAR)),
+                            {key_expr}) AS rk
+        FROM {table} JOIN w ON w.grp = {group_expr}
+    )
+    SELECT grp AS {group_expr}, key_val AS {key_expr}, rk
+    FROM ranked JOIN quotas USING (grp)
+    WHERE rk <= quota
+    """

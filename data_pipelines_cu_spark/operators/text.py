@@ -10,7 +10,7 @@ ANSI-SQL twin so the DuckDB oracle can verify it.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import normalized_text
@@ -294,4 +294,91 @@ def token_chunks_oracle_sql(
                                           chunk_id * {stride} + {size}), ' '))
                AS chunk_hash
     FROM chunks
+    """
+
+
+# --- Sequence packing (concat-and-split) -------------------------------------
+
+def pack_sequences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seq_len: int = 512,
+    bucket_size: int = 1000,
+) -> DataFrame:
+    """Assign every doc a position in the packed token stream: docs are
+    concatenated in ``id_col`` order and cut every ``seq_len`` tokens
+    (GPT-style concat-and-split packing) → (doc_id, n_tokens, bin_id,
+    bin_offset): the training sequence this doc starts in and where.
+
+    The global running token count is a distributed prefix-sum, NOT a
+    global sort: docs cumsum within ``id_col // bucket_size`` buckets
+    (one shuffle, parallel across buckets), bucket totals — metadata-sized,
+    one row per bucket — cumsum in a single tiny window, and the broadcast
+    join-back adds the bucket offset. Deterministic under any
+    partitioning; no stage ever holds a corpus-sized ordered partition.
+    Reference grounding: no analog in the course (pandas never packs);
+    this is the 100 TB training-data extension.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.size(F.split(normalized_text(text_col), " ")).cast("long").alias("n_tokens"),
+        (F.col(id_col) / bucket_size).cast("long").alias("_bkt"),
+    )
+    w_local = (
+        Window.partitionBy("_bkt")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = toks.withColumn(
+        "_local_before", F.sum("n_tokens").over(w_local) - F.col("n_tokens")
+    )
+    w_bkt = (
+        Window.orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = (
+        toks.groupBy("_bkt")
+        .agg(F.sum("n_tokens").alias("_bkt_total"))
+        .withColumn(
+            "_bkt_before", F.sum("_bkt_total").over(w_bkt) - F.col("_bkt_total")
+        )
+        .select("_bkt", "_bkt_before")
+    )
+    cum = local.join(F.broadcast(offsets), "_bkt").withColumn(
+        "_before", F.col("_bkt_before") + F.col("_local_before")
+    )
+    return cum.select(
+        id_col,
+        "n_tokens",
+        F.floor(F.col("_before") / seq_len).alias("bin_id"),
+        (F.col("_before") % seq_len).alias("bin_offset"),
+    )
+
+
+def pack_sequences_oracle_sql(
+    table: str = "documents",
+    text_expr: str = "text",
+    id_col: str = "doc_id",
+    seq_len: int = 512,
+) -> str:
+    """DuckDB twin of pack_sequences: one global window cumsum (the oracle
+    may afford what the engine must not)."""
+    norm = f"regexp_replace(lower(trim({text_expr})), '\\s+', ' ', 'g')"
+    return f"""
+    WITH toks AS (
+        SELECT {id_col},
+               len(string_split({norm}, ' '))::BIGINT AS n_tokens
+        FROM {table}
+    ),
+    cum AS (
+        SELECT {id_col}, n_tokens,
+               SUM(n_tokens) OVER (ORDER BY {id_col}
+                   ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_before
+        FROM toks
+    )
+    SELECT {id_col}, n_tokens,
+           cum_before // {seq_len} AS bin_id,
+           cum_before % {seq_len} AS bin_offset
+    FROM cum
     """

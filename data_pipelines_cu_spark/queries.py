@@ -1280,6 +1280,30 @@ def lang_quota_sample(spark, sf_dir):
 
 
 @register(
+    "doc_source_mixture",
+    smp.mixture_sample_sql({"src0": 3, "src1": 2, "src2": 1}),
+)
+def doc_source_mixture(spark, sf_dir):
+    """Pre-training data mixture: resample sources to exact 3:2:1 parts —
+    the largest corpus every source can serve at those proportions,
+    chosen by hash order. Integer-only quota arithmetic; one tiny count
+    aggregate broadcast back, one rank shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    return smp.mixture_sample(
+        d, "source", {"src0": 3, "src1": 2, "src2": 1}, "doc_id"
+    ).select("source", "doc_id", "rk")
+
+
+@register("doc_packed_sequences", tx.pack_sequences_oracle_sql(seq_len=512))
+def doc_packed_sequences(spark, sf_dir):
+    """Concat-and-split sequence packing: each doc's start bin/offset in
+    the packed 512-token training stream. Global prefix-sum as bucketed
+    cumsum + broadcast bucket offsets — never a corpus-wide ordered
+    partition."""
+    return tx.pack_sequences(_t(spark, sf_dir, "documents"), seq_len=512)
+
+
+@register(
     "dedup_cluster_assignment",
     r"""
     WITH RECURSIVE norm AS (

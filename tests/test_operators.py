@@ -300,3 +300,54 @@ def test_quota_sample_stability(spark):
     assert sa == sb                      # partition-independent
     assert len(sa) == 10                 # 5 per language
     assert all(rk <= 5 for _, _, rk in sa)
+
+
+def test_pack_sequences_prefix_sum(spark):
+    from data_pipelines_cu_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in [(0, 300), (1, 300), (2, 100), (3, 50)]],
+        ["doc_id", "text"],
+    )
+    # bucket_size=2 forces multi-bucket offsets: bucket0={0,1}, bucket1={2,3}
+    out = {
+        r.doc_id: (r.n_tokens, r.bin_id, r.bin_offset)
+        for r in tx.pack_sequences(docs, seq_len=512, bucket_size=2).collect()
+    }
+    assert out[0] == (300, 0, 0)
+    assert out[1] == (300, 0, 300)      # starts in bin 0, spills into bin 1
+    assert out[2] == (100, 1, 88)       # cum_before=600 → bin 1 offset 88
+    assert out[3] == (50, 1, 188)
+    # partition-independence
+    out2 = {
+        r.doc_id: (r.n_tokens, r.bin_id, r.bin_offset)
+        for r in tx.pack_sequences(
+            docs.repartition(5), seq_len=512, bucket_size=2
+        ).collect()
+    }
+    assert out == out2
+
+
+def test_mixture_sample_exact_proportions(spark):
+    from data_pipelines_cu_spark.operators import sampling as smp
+
+    rows = (
+        [(i, "web") for i in range(100)]
+        + [(i + 100, "code") for i in range(25)]
+        + [(i + 200, "ref") for i in range(40)]
+        + [(i + 300, "junk") for i in range(99)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = smp.mixture_sample(df, "source", {"web": 3, "code": 1, "ref": 1}, "doc_id")
+    by_src = {r[0]: r[1] for r in out.groupBy("source").count().collect()}
+    # m = min(100//3, 25//1, 40//1) = 25 → quotas 75/25/25, junk dropped
+    assert by_src == {"web": 75, "code": 25, "ref": 25}
+    # deterministic under repartitioning
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(
+        r.doc_id
+        for r in smp.mixture_sample(
+            df.repartition(7), "source", {"web": 3, "code": 1, "ref": 1}, "doc_id"
+        ).collect()
+    )
+    assert a == b
