@@ -70,6 +70,8 @@ HEADLINE = [
     "incremental_dedup_new_docs",
     "doc_token_chunks",
     "lang_quota_sample",
+    "doc_packed_sequences",
+    "doc_source_mixture",
 ]
 
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))

@@ -46,9 +46,43 @@ def ensure_session_confs(spark: SparkSession) -> None:
     TIMESTAMP(NANOS) which Spark only reads with nanosAsLong; date_format
     output (compared against the naive-timestamp DuckDB oracle) requires a
     UTC session. Both confs are runtime-settable; get_spark sessions
-    already carry them."""
+    already carry them. Also ships the engine package to Python workers
+    (addPyFile) so Arrow kernels survive a driver process whose cwd /
+    PYTHONPATH doesn't cover the repo."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _ensure_workers_can_import(spark)
+
+
+def _ensure_workers_can_import(spark: SparkSession) -> None:
+    """mapInPandas/Arrow kernels cloudpickle references to this package by
+    MODULE NAME; workers resolve it via their own sys.path, which does NOT
+    inherit driver-side ``sys.path`` edits. If the driver process imported
+    us from a path workers can't see (cwd elsewhere, no PYTHONPATH), every
+    Python-worker stage dies with ModuleNotFoundError. Zip the package once
+    per session and addPyFile it — workers unpack onto their sys.path."""
+    sc = spark.sparkContext
+    if getattr(sc, "_dpcs_pyfile_added", False):
+        return
+    import tempfile  # noqa: PLC0415
+    import zipfile  # noqa: PLC0415
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(
+        tempfile.gettempdir(), "data_pipelines_cu_spark_pyfile.zip"
+    )
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for fname in files:
+                if not fname.endswith(".py"):
+                    continue
+                full = os.path.join(root, fname)
+                rel = os.path.join(
+                    "data_pipelines_cu_spark", os.path.relpath(full, pkg_dir)
+                )
+                zf.write(full, rel)
+    sc.addPyFile(zpath)
+    sc._dpcs_pyfile_added = True
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -55,3 +55,35 @@ def test_flagship_rollup_stable_across_partitionings(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert results[0] == results[1] == results[2]
+
+
+ARROW_CWD_SCRIPT = """
+import os, sys
+os.chdir("/tmp")                       # hostile cwd: repo not implicitly on path
+sys.path.insert(0, "/root/repo")       # driver-side import works...
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[2]")
+         .appName("vanilla-arrow").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+import __spark_entry__ as e
+q = e.queries()
+# ...but Python WORKERS resolve the package through their own sys.path:
+# without ensure_session_confs shipping the package via addPyFile these
+# mapInPandas queries die with ModuleNotFoundError in the worker.
+assert q["ann_ivf_topk"](spark, "/root/testdata/sf0.001").count() > 0
+assert q["llm_extract_structured"](spark, "/root/testdata/sf0.001").count() > 0
+print("ARROW_CWD_OK")
+"""
+
+
+def test_arrow_kernels_survive_foreign_cwd():
+    """Regression: driver process with cwd outside the repo (workers can't
+    inherit driver sys.path edits) must still run every Arrow kernel."""
+    out = subprocess.run(
+        [sys.executable, "-c", ARROW_CWD_SCRIPT],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env={k: v for k, v in __import__("os").environ.items() if k != "PYTHONPATH"},
+    )
+    assert "ARROW_CWD_OK" in out.stdout, out.stderr[-2000:]

@@ -351,3 +351,27 @@ def test_mixture_sample_exact_proportions(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_persisted_ivf_index_matches_inline_and_prunes(spark, sf_dir, tmp_path):
+    """build_ivf_index + query_ivf_index must reproduce cosine_topk_ivf
+    exactly (same seeding/refinement), and the query-side scan must prune
+    non-probed cell partitions at the file listing."""
+    from data_pipelines_cu_spark.catalog import load_table
+    from data_pipelines_cu_spark.operators import similarity as sim
+
+    em = load_table(spark, sf_dir, "embeddings")
+    queries = em.filter(F.col("vec_id") < 5)
+    path = str(tmp_path / "ivf_index")
+    cents = sim.build_ivf_index(em, path, n_centroids=8, lloyd_iters=2)
+    assert len(cents) == 8
+
+    via_index = sim.query_ivf_index(spark, path, cents, queries, k=5, n_probe=2)
+    inline = sim.cosine_topk_ivf(em, queries, k=5, n_centroids=8, n_probe=2)
+    got = sorted(map(tuple, via_index.collect()))
+    want = sorted(map(tuple, inline.collect()))
+    assert got == want
+
+    plan = via_index._jdf.queryExecution().executedPlan().toString()
+    # probe cells pruned at the file listing, not filtered after the read
+    assert "PartitionFilters: [cell" in plan
