@@ -707,3 +707,52 @@ def incremental_dedup(
     idx = index.select(F.md5(normalized_text(text_col)).alias("content_hash")).distinct()
     firsts = inc.groupBy("content_hash").agg(F.min(id_col).alias(id_col))
     return firsts.join(idx, "content_hash", "left_anti").select(id_col, "content_hash")
+
+
+def boilerplate_ngram_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Cross-document boilerplate detection (CCNet/RefinedWeb-style, done
+    at n-gram granularity because the fixture docs are single-line): a
+    word n-gram appearing in >= min_docs DISTINCT documents is
+    boilerplate; report per-doc gram totals and the fraction of gram
+    positions covered by boilerplate. Returns
+    (doc_id, n_grams, n_boiler, boiler_fraction).
+
+    100 TB shape: grams are md5-digested immediately after construction,
+    so every shuffle moves 32-hex digests, never text. Three shuffles —
+    (doc, digest) combine with map-side partial counts, digest-keyed
+    doc-frequency agg, and the digest join-back — all on uniformly
+    hash-distributed digest keys (no skew by construction). The
+    boilerplate side is NOT assumed broadcastable: at corpus scale the
+    duplicated-gram table can be huge, so the join-back is a plain
+    shuffle join Catalyst may still downgrade to broadcast when small.
+    Oracle twin uses DuckDB md5 over the identically-normalized grams, so
+    even hash collisions agree."""
+    g = gram_rows(df, text_col, id_col, n).select(
+        F.col(id_col), F.md5("gram").alias("g")
+    )
+    cnt = g.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
+    dpg = cnt.groupBy("g").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        cnt.join(dpg, "g")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_grams"),
+            F.sum(
+                F.when(F.col("n_docs") >= min_docs, F.col("c")).otherwise(F.lit(0))
+            ).alias("n_boiler"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_boiler",
+            F.round(
+                F.col("n_boiler").cast("double") / F.col("n_grams"), 6
+            ).alias("boiler_fraction"),
+        )
+    )

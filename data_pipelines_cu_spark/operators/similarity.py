@@ -810,3 +810,130 @@ def query_ivf_index(
         k=k,
         rank_col="rank",
     ).select("query_id", "neighbor_id", "cos_sim", "rank")
+
+
+def cosine_topk_seq_arrow(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k through the j-sequential Arrow kernel:
+    same output contract as `cosine_topk`, bit-identical scores to the
+    F.aggregate fold AND the DuckDB list-comprehension oracle (see
+    `_seq_cosine_matrix`), at numpy throughput. Use this variant when the
+    result feeds a downstream decision (e.g. kNN voting) where a one-ulp
+    rank flip at the k boundary would change the answer."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows])
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            sims = _seq_cosine_matrix(q_mat, c_mat)  # (n_queries, batch)
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(q_ids, n),
+                    "neighbor_id": np.tile(pdf[id_col].to_numpy(), len(q_ids)),
+                    "cos_sim": np.round(sims.ravel(), 6),
+                }
+            )
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(
+        score, schema="query_id long, neighbor_id long, cos_sim double"
+    )
+    scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    return topk_per_group(
+        scored,
+        ["query_id"],
+        [F.col("cos_sim").desc(), F.col("neighbor_id").asc()],
+        k=k,
+        rank_col="rank",
+    ).select("query_id", "neighbor_id", "cos_sim", "rank")
+
+
+def knn_label_predict(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """kNN classification by majority vote over exact cosine top-k: for
+    each query vector, take its k nearest corpus neighbors (self
+    excluded), vote on their labels, break vote ties by smallest label.
+    Returns (query_id, true_label, pred_label, votes, correct).
+
+    The scoring pass is the `cosine_topk_seq_arrow` corpus scan (query
+    set broadcast in the closure, corpus never collected); voting is two
+    narrow aggregations on the tiny (queries × k) result. This is the
+    standard embedding-quality / label-propagation health check a
+    training-data pipeline runs after computing embeddings."""
+    top = cosine_topk_seq_arrow(corpus, queries, k=k, id_col=id_col, vec_col=vec_col)
+    neighbor_labels = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("n_label")
+    )
+    votes = (
+        top.join(neighbor_labels, "neighbor_id")
+        .groupBy("query_id", "n_label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    pred = topk_per_group(
+        votes,
+        ["query_id"],
+        [F.col("votes").desc(), F.col("n_label").asc()],
+        k=1,
+        rank_col="_pr",
+    )
+    truth = queries.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("true_label")
+    )
+    return (
+        pred.join(F.broadcast(truth), "query_id")
+        .select(
+            "query_id",
+            "true_label",
+            F.col("n_label").alias("pred_label"),
+            "votes",
+            (F.col("n_label") == F.col("true_label")).cast("bigint").alias("correct"),
+        )
+    )
+
+
+def knn_label_oracle_sql(k: int = 10, mod: int = 100, table: str = "embeddings") -> str:
+    """DuckDB twin of `knn_label_predict` over every `mod`-th vector."""
+    cos = _cos_sql("q.qv", "c.cv")
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS true_label
+               FROM {table} WHERE vec_id % {mod} = 0),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label AS n_label
+               FROM {table}),
+         scored AS (
+            SELECT q.query_id, q.true_label, c.neighbor_id, c.n_label,
+                   ROUND({cos}, 6) AS cos_sim
+            FROM q CROSS JOIN c WHERE q.query_id <> c.neighbor_id),
+         ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cos_sim DESC, neighbor_id) AS rk
+            FROM scored),
+         votes AS (
+            SELECT query_id, true_label, n_label,
+                   CAST(COUNT(*) AS BIGINT) AS votes
+            FROM ranked WHERE rk <= {k} GROUP BY 1, 2, 3),
+         pred AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY votes DESC, n_label) AS pr
+            FROM votes)
+    SELECT query_id, true_label, n_label AS pred_label, votes,
+           CAST(n_label = true_label AS BIGINT) AS correct
+    FROM pred WHERE pr = 1
+    """

@@ -3599,6 +3599,64 @@ def dominant_part_suppliers(spark, sf_dir):
     )
 
 
+@register(
+    "doc_boilerplate_ngrams",
+    """
+    WITH words AS (
+        SELECT doc_id, i - 1 AS pos, ws[i] AS w
+        FROM (SELECT doc_id,
+                     string_split(regexp_replace(lower(trim(text)),
+                                                 '\\s+', ' ', 'g'), ' ') AS ws
+              FROM documents),
+             LATERAL unnest(range(1, len(ws) + 1)) AS t(i)),
+    grams AS (
+        SELECT doc_id,
+               md5(w || ' ' || lead(w, 1) OVER dw || ' ' || lead(w, 2) OVER dw)
+                 AS g
+        FROM words
+        WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)),
+    cnt AS (
+        SELECT doc_id, g, COUNT(*) AS c
+        FROM grams WHERE g IS NOT NULL GROUP BY 1, 2),
+    dpg AS (SELECT g, COUNT(*) AS n_docs FROM cnt GROUP BY 1)
+    SELECT cnt.doc_id,
+           CAST(SUM(cnt.c) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN dpg.n_docs >= 3 THEN cnt.c ELSE 0 END) AS BIGINT)
+               AS n_boiler,
+           ROUND(SUM(CASE WHEN dpg.n_docs >= 3 THEN cnt.c ELSE 0 END)::DOUBLE
+                 / SUM(cnt.c), 6) AS boiler_fraction
+    FROM cnt JOIN dpg USING (g)
+    GROUP BY cnt.doc_id
+    """,
+)
+def doc_boilerplate_ngrams(spark, sf_dir):
+    """Cross-document boilerplate n-gram detection (CCNet-style corpus
+    cleaning, the cross-doc complement of doc_repetition_ratio's
+    within-doc gate): fraction of each doc's word trigrams that occur in
+    >= 3 distinct documents. All shuffles move md5 digests, never text —
+    see operators/dedup.boilerplate_ngram_stats for the 100 TB notes."""
+    d = _t(spark, sf_dir, "documents")
+    return dd.boilerplate_ngram_stats(d, n=3, min_docs=3)
+
+
+@register(
+    "knn_label_predict",
+    sim.knn_label_oracle_sql(k=10, mod=100),
+)
+def knn_label_predict(spark, sf_dir):
+    """kNN classification over the embeddings table: every 100th vector
+    is a query, its label predicted by majority vote of its 10 exact
+    cosine nearest neighbors (j-sequential Arrow kernel — bit-identical
+    scores to the SQL fold, so the vote is deterministic cross-engine).
+    The embedding-quality health check a curation pipeline runs before
+    trusting embedding-based filters; query count scales with the corpus
+    while the per-query cost stays one corpus scan + a (queries × k)
+    aggregation."""
+    em = _t(spark, sf_dir, "embeddings")
+    q = em.filter(F.col("vec_id") % 100 == 0)
+    return sim.knn_label_predict(em, q, k=10)
+
+
 # Queries with a green row in CORRECTNESS_r01.json (driver gate, round 1).
 # The driver verifies queries in registration order and stopped at 50 in
 # round 1, so all_queries() front-loads the not-yet-gated entries each round

@@ -375,3 +375,48 @@ def test_persisted_ivf_index_matches_inline_and_prunes(spark, sf_dir, tmp_path):
     plan = via_index._jdf.queryExecution().executedPlan().toString()
     # probe cells pruned at the file listing, not filtered after the read
     assert "PartitionFilters: [cell" in plan
+
+
+def test_boilerplate_ngram_stats_flags_shared_trigrams(spark):
+    """Docs 1-3 share the trigram 'the quick fox'; doc 4 shares nothing.
+    min_docs=3 must flag exactly that trigram's positions."""
+    from data_pipelines_cu_spark.operators import dedup as dd
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick fox jumped high"),
+            (2, "see the quick fox run"),
+            (3, "the quick fox sat down"),
+            (4, "entirely different words here now"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_boiler"], r["boiler_fraction"])
+        for r in dd.boilerplate_ngram_stats(df, n=3, min_docs=3).collect()
+    }
+    assert got[1] == (3, 1, round(1 / 3, 6))
+    assert got[2] == (3, 1, round(1 / 3, 6))
+    assert got[3] == (3, 1, round(1 / 3, 6))
+    assert got[4] == (3, 0, 0.0)
+
+
+def test_knn_label_predict_majority_vote(spark):
+    """Three tight clusters along distinct axes: each query's neighbors
+    are its own cluster, so every prediction must be correct; tie-break
+    path exercised with k spanning two clusters."""
+    from data_pipelines_cu_spark.operators import similarity as sim
+
+    rows = []
+    for cid, base in [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0]), (2, [0.0, 0.0, 1.0])]:
+        for j in range(4):
+            v = [x + 0.01 * j * x for x in base]
+            rows.append((cid * 4 + j, v, cid))
+    em = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    q = em.filter(F.col("vec_id") % 4 == 0)
+    got = {r["query_id"]: r for r in sim.knn_label_predict(em, q, k=3).collect()}
+    assert len(got) == 3
+    for qid, r in got.items():
+        assert r["pred_label"] == r["true_label"]
+        assert r["correct"] == 1
+        assert r["votes"] == 3
