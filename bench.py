@@ -72,6 +72,13 @@ HEADLINE = [
     "lang_quota_sample",
     "doc_packed_sequences",
     "doc_source_mixture",
+    "simhash_near_dup_pairs",
+    "doc_lexical_diversity",
+    "embedding_kmeans_clusters",
+    "lang_bigram_top",
+    "gopher_quality_gate",
+    "source_dup_stats",
+    "semantic_dedup_pairs",
 ]
 
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))

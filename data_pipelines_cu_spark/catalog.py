@@ -96,6 +96,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # integral div: a double roundtrip would lose sub-µs exactness
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # tz-naive parquet timestamps (timestamp[us], isAdjustedToUTC=false) read
+    # as TIMESTAMP_NTZ in Spark 4; normalize to TimestampType so the whole
+    # engine (unix_micros, windows, streaming watermarks) sees one type.
+    # Under the UTC session the NTZ→LTZ cast is instant-preserving, and it
+    # matches the DuckDB oracle, which reads the same column as naive UTC.
+    for cname, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(cname, F.col(cname).cast("timestamp"))
     return df
 
 
@@ -113,13 +121,23 @@ def events_between(
     """
     ensure_session_confs(spark)
     raw = spark.read.parquet(table_path(sf_dir, "events"))
-    if dict(raw.dtypes).get("ts") == "bigint":
+    ts_type = dict(raw.dtypes).get("ts")
+    if ts_type == "bigint":
         lo = F.lit(start_ts).cast("timestamp")
         hi = F.lit(end_ts).cast("timestamp")
         raw = raw.filter(
             (F.col("ts") >= F.unix_micros(lo) * 1000)
             & (F.col("ts") < F.unix_micros(hi) * 1000)
         ).withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return raw
+    if ts_type == "timestamp_ntz":
+        # Compare against NTZ literals so the range predicate stays a plain
+        # column comparison the parquet scan can push down (a cast around the
+        # COLUMN would block row-group pruning); convert the column after.
+        raw = raw.filter(
+            (F.col("ts") >= F.lit(start_ts).cast("timestamp_ntz"))
+            & (F.col("ts") < F.lit(end_ts).cast("timestamp_ntz"))
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
         return raw
     return raw.filter(
         (F.col("ts") >= F.lit(start_ts).cast("timestamp"))

@@ -756,3 +756,174 @@ def boilerplate_ngram_stats(
             ).alias("boiler_fraction"),
         )
     )
+
+
+# --- SimHash banded near-dup pairs ------------------------------------------
+# The Manku/Das/Sarma WWW'07 pattern for web-scale near-dup detection: split
+# the 64-bit fingerprint into 4 contiguous 16-bit bands and bucket-join on
+# (band index, band value). By pigeonhole, any pair with Hamming distance
+# <= 3 differs in at most 3 bands, so it MUST agree on at least one band —
+# the band join has exact recall for max_hamming <= n_bands - 1 while only
+# comparing same-bucket candidates (never all pairs).
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance, banded for scale.
+
+    Distributed shape: simhash64 (one hash aggregate) → 4 band rows per doc
+    → self-join on (band_idx, band_val) — the only shuffle that touches all
+    docs, keyed on 16-bit buckets → distinct candidate pairs → integer
+    XOR/bit_count verify. No all-pairs stage; candidate count is bounded by
+    bucket occupancy exactly like MinHash-LSH banding.
+    """
+    if not 0 <= max_hamming <= 3:
+        raise ValueError("exact recall holds only for max_hamming <= 3 with 4 bands")
+    sh = simhash64(df, text_col, id_col)
+    h = sh.select(
+        F.col(id_col),
+        F.conv(F.substring("simhash", 1, 8), 16, 10).cast("long").alias("hi"),
+        F.conv(F.substring("simhash", 9, 8), 16, 10).cast("long").alias("lo"),
+    )
+    mask = F.lit((1 << 16) - 1)
+    bands = h.select(
+        F.col(id_col),
+        "hi",
+        "lo",
+        F.posexplode(
+            F.array(
+                F.shiftright("hi", 16),
+                F.col("hi").bitwiseAND(mask),
+                F.shiftright("lo", 16),
+                F.col("lo").bitwiseAND(mask),
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a = bands.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("hi").alias("hi_a"),
+        F.col("lo").alias("lo_a"),
+        "band_idx",
+        "band_val",
+    )
+    b = bands.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("hi").alias("hi_b"),
+        F.col("lo").alias("lo_b"),
+        "band_idx",
+        "band_val",
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "hi_a", "lo_a", "hi_b", "lo_b")
+        .distinct()
+    )
+    hamming = (
+        F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+        + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+    ).cast("long")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def simhash_pairs_oracle_sql(
+    max_hamming: int = 3,
+    table: str = "documents",
+    text_expr: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of simhash_near_dup_pairs: same fingerprints (via
+    simhash_oracle_sql), same 4×16-bit banding, same XOR/bit_count verify."""
+    base = simhash_oracle_sql(table=table, text_expr=text_expr, id_col=id_col)
+    return f"""
+    WITH sh AS ({base}),
+    h AS (
+        SELECT {id_col} AS doc_id,
+               ('0x' || substr(simhash, 1, 8))::UBIGINT AS hi,
+               ('0x' || substr(simhash, 9, 8))::UBIGINT AS lo
+        FROM sh
+    ),
+    bands AS (
+        SELECT doc_id, hi, lo, 0 AS band_idx, hi >> 16 AS band_val FROM h
+        UNION ALL SELECT doc_id, hi, lo, 1, hi & 65535 FROM h
+        UNION ALL SELECT doc_id, hi, lo, 2, lo >> 16 FROM h
+        UNION ALL SELECT doc_id, hi, lo, 3, lo & 65535 FROM h
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.hi AS hi_a, a.lo AS lo_a, b.hi AS hi_b, b.lo AS lo_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           (bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)))::BIGINT
+               AS hamming
+    FROM cand
+    WHERE (bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b))) <= {max_hamming}
+    """
+
+
+# --- Per-source duplication-rate profile ------------------------------------
+# The curation dashboard metric that decides which crawl/source to down-weight
+# before mixing: how much of each source is exact-duplicated content
+# (corpus-wide, so a text shared across two sources marks BOTH docs as dups).
+
+
+def source_dup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source exact-duplication profile: doc count, docs whose normalized
+    text occurs more than once corpus-wide, distinct texts, dup ratio.
+
+    Distributed shape: md5 digests → corpus-wide hash counts (one 32-byte-key
+    shuffle, the exact_dedup_groups shape) → join back on the digest → small
+    per-source aggregate. The join is digest-to-digest (both sides shrink to
+    32 bytes + source), never text-to-text; at 100 TB only hashes move.
+    """
+    hashes = df.select(
+        F.col(source_col), F.md5(normalized_text(text_col)).alias("h")
+    )
+    corpus_counts = hashes.groupBy("h").agg(F.count(F.lit(1)).alias("n"))
+    joined = hashes.join(corpus_counts, "h")
+    dup_docs = F.sum(F.when(F.col("n") > 1, 1).otherwise(0))
+    return joined.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        dup_docs.alias("n_dup_docs"),
+        F.count_distinct(F.col("h")).alias("n_distinct_texts"),
+        F.round(dup_docs.cast("double") / F.count(F.lit(1)), 6).alias("dup_ratio"),
+    )
+
+
+def source_dup_oracle_sql(
+    table: str = "documents", text_expr: str = "text", source_col: str = "source"
+) -> str:
+    """DuckDB twin of source_dup_stats (same md5-of-normalized-text digest
+    as dedup_exact_groups)."""
+    return f"""
+    WITH h AS (
+        SELECT {source_col} AS source,
+               md5(regexp_replace(lower(trim({text_expr})), '\\s+', ' ', 'g')) AS h
+        FROM {table}
+    ),
+    cc AS (SELECT h, COUNT(*) AS n FROM h GROUP BY h)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS n_dup_docs,
+           COUNT(DISTINCT h.h) AS n_distinct_texts,
+           ROUND(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 6)
+               AS dup_ratio
+    FROM h JOIN cc USING (h)
+    GROUP BY source
+    """

@@ -937,3 +937,158 @@ def knn_label_oracle_sql(k: int = 10, mod: int = 100, table: str = "embeddings")
            CAST(n_label = true_label AS BIGINT) AS correct
     FROM pred WHERE pr = 1
     """
+
+
+def kmeans_clusters(
+    corpus: DataFrame,
+    n_clusters: int = 8,
+    lloyd_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic k-means cluster assignment over an embedding column —
+    the corpus-partitioning step of semantic dedup / topic bucketing in a
+    training-data pipeline.
+
+    Seeding and refinement are identical to cosine_topk_ivf (lowest-id
+    seeds + decimal-mean Lloyd rounds, RNG-free), so the result is exactly
+    reproducible in the SQL oracle. The corpus-side cost is one broadcast
+    centroid-assign scan per Lloyd round plus one final assign — linear,
+    partition-local, no corpus shuffle at any step.
+    """
+    seeds = corpus.filter(F.col(id_col) < n_clusters).select(id_col, vec_col)
+    seed_rows = [(r[0], [float(x) for x in r[1]]) for r in seeds.collect()]
+    cent_rows = (
+        lloyd_refine_rows(corpus, seed_rows, n_iters=lloyd_iters, vec_col=vec_col)
+        if lloyd_iters > 0
+        else sorted(seed_rows)
+    )
+    assigned = ivf_assign_arrow(
+        corpus.select(F.col(id_col), F.col(vec_col).alias("_v")),
+        cent_rows,
+        vec_col="_v",
+    )
+    return assigned.select(F.col(id_col), F.col("cell").alias("cluster"))
+
+
+def kmeans_clusters_oracle_sql(
+    n_clusters: int = 8,
+    lloyd_iters: int = 2,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+) -> str:
+    """DuckDB twin of kmeans_clusters: the same Lloyd CTE unrolling as
+    cosine_topk_ivf_oracle_sql, ending at the final corpus assignment."""
+    cos_assign = _cos_sql("v.emb", "cent.cv")
+    ctes = [
+        f"""cent0 AS (
+        SELECT {id_col} AS cell, embedding AS cv FROM {table}
+        WHERE {id_col} < {n_clusters})"""
+    ]
+    for i in range(1, lloyd_iters + 1):
+        ctes.append(f"""la{i} AS (
+        SELECT * FROM (
+            SELECT v.vec_id, v.emb, cent.cell,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                       ORDER BY {cos_assign} DESC, cent.cell) AS r
+            FROM (SELECT {id_col} AS vec_id, embedding AS emb FROM {table}) v
+            CROSS JOIN cent{i - 1} cent) WHERE r = 1)""")
+        ctes.append(f"""cent{i} AS (
+        SELECT cell, list(m ORDER BY pos) AS cv FROM (
+            SELECT cell, pos,
+                   CAST(SUM(CAST(CAST(val AS DOUBLE) AS DECIMAL(38,12)))
+                        AS DOUBLE) / COUNT(val) AS m
+            FROM (SELECT cell, unnest(emb) AS val,
+                         generate_subscripts(emb, 1) AS pos FROM la{i})
+            GROUP BY cell, pos)
+        GROUP BY cell)""")
+    final = f"cent{lloyd_iters}"
+    ctes.append(f"""corpus_assign AS (
+        SELECT v.vec_id, cent.cell,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                   ORDER BY {cos_assign} DESC, cent.cell) AS r
+        FROM (SELECT {id_col} AS vec_id, embedding AS emb FROM {table}) v
+        CROSS JOIN {final} cent)""")
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT vec_id AS {id_col}, cell AS cluster FROM corpus_assign WHERE r = 1
+    """
+
+
+# --- Semantic dedup (SemDeDup) ----------------------------------------------
+# Abbas et al. 2023 (arXiv:2303.09540): k-means the embedding space, then
+# look for near-duplicate pairs ONLY within each cluster — the cluster
+# assignment replaces the all-pairs comparison the same way LSH bands do for
+# MinHash. At 100 TB, k grows with the corpus (k ≈ N / target cell size), so
+# the per-cluster candidate set stays bounded while the clustering itself
+# remains one broadcast-assign scan per Lloyd round.
+
+
+def semantic_dedup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.3,
+    n_clusters: int = 8,
+    lloyd_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Within-cluster embedding pairs with cosine >= threshold — the
+    SemDeDup candidate structure. The only corpus-wide shuffle is the
+    cluster-keyed self-join; cosine is the same sequential-fold JVM
+    expression the DuckDB oracle reproduces bit-for-bit."""
+    clusters = kmeans_clusters(
+        corpus, n_clusters=n_clusters, lloyd_iters=lloyd_iters,
+        id_col=id_col, vec_col=vec_col,
+    )
+    # Precompute each vector's norm ONCE before the pair join: cosine per
+    # pair is then a single O(dim) dot product instead of three aggregates
+    # (3x less array work on the quadratic within-cluster stage). sqrt of
+    # the same sequential sum-of-squares → bit-identical to inline cosine.
+    v = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .join(clusters, id_col)
+        .withColumn("_n", norm(F.col(vec_col)))
+    )
+    a = v.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("ea"),
+        F.col("_n").alias("na"), "cluster",
+    )
+    b = v.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("eb"),
+        F.col("_n").alias("nb"), "cluster",
+    )
+    cos = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", cos)
+        .filter(F.col("cos_sim") >= threshold)
+        .select("cluster", "id_a", "id_b",
+                F.round("cos_sim", 6).alias("cos_sim"))
+    )
+
+
+def semantic_dedup_oracle_sql(
+    threshold: float = 0.3,
+    n_clusters: int = 8,
+    lloyd_iters: int = 2,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+) -> str:
+    """DuckDB twin of semantic_dedup_pairs: the kmeans_clusters oracle as a
+    CTE, then the same within-cluster join + cosine threshold."""
+    kmeans = kmeans_clusters_oracle_sql(
+        n_clusters=n_clusters, lloyd_iters=lloyd_iters, table=table, id_col=id_col
+    )
+    cos = _cos_sql("a.embedding", "b.embedding")
+    return f"""
+    WITH ka AS ({kmeans})
+    SELECT ka_a.cluster AS cluster, a.{id_col} AS id_a, b.{id_col} AS id_b,
+           ROUND({cos}, 6) AS cos_sim
+    FROM {table} a
+    JOIN ka ka_a ON a.{id_col} = ka_a.{id_col}
+    JOIN ka ka_b ON ka_a.cluster = ka_b.cluster AND ka_b.{id_col} > ka_a.{id_col}
+    JOIN {table} b ON b.{id_col} = ka_b.{id_col}
+    WHERE {cos} >= {threshold}
+    """

@@ -382,3 +382,174 @@ def pack_sequences_oracle_sql(
            cum_before % {seq_len} AS bin_offset
     FROM cum
     """
+
+
+def lexical_diversity(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc lexical diversity: type-token ratio and hapax fraction — the
+    classic repetition/quality signals next to with_quality_score.
+
+    Distributed shape: explode words → (doc, word) count → per-doc integer
+    aggregate. Two shuffles, both on keys that grow with the corpus (doc_id,
+    then doc_id again) — no skew pivot, no driver collection. All ratios are
+    single IEEE divisions of exact integers, so results are bit-stable
+    across partitionings and engines.
+    """
+    words = df.select(
+        F.col(id_col),
+        F.explode(_words(text_col)).alias("w"),
+    )
+    wc = words.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("c"))
+    return wc.groupBy(id_col).agg(
+        F.sum("c").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("n_hapax"),
+        F.round(
+            F.count(F.lit(1)).cast("double") / F.sum("c").cast("double"), 6
+        ).alias("ttr"),
+        F.round(
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("hapax_ratio"),
+    )
+
+
+def lexical_diversity_oracle_sql(
+    table: str = "documents", text_expr: str = "text", id_col: str = "doc_id"
+) -> str:
+    """DuckDB twin of lexical_diversity (same tokenization as _words)."""
+    w = f"regexp_split_to_array(lower(trim({text_expr})), '\\s+')"
+    return f"""
+    WITH words AS (
+        SELECT {id_col} AS doc_id, unnest({w}) AS w FROM {table}
+    ),
+    wc AS (
+        SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY doc_id, w
+    )
+    SELECT doc_id,
+           SUM(c) AS n_words,
+           COUNT(*) AS n_distinct,
+           SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n_hapax,
+           ROUND(COUNT(*)::DOUBLE / SUM(c)::DOUBLE, 6) AS ttr,
+           ROUND(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)::DOUBLE
+                 / COUNT(*)::DOUBLE, 6) AS hapax_ratio
+    FROM wc GROUP BY doc_id
+    """
+
+
+# --- Gopher-style quality rule gate -----------------------------------------
+# The rule family from Rae et al. 2021 (Gopher, arXiv:2112.11446 §A1.1):
+# word-count bounds, mean-word-length bounds, minimum stop-word evidence, and
+# a repetition cap. Counts come from one explode + (doc, word) aggregate, and
+# every rule is evaluated as an INTEGER comparison (3*n <= sum_len rather
+# than sum_len/n >= 3.0), so the gate is bit-stable across engines and
+# partitionings — no float boundary can flip a boolean.
+
+GOPHER_STOPWORDS = ("the", "a", "of", "to", "and", "in")
+
+
+def gopher_quality_gate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_len: int = 3,
+    max_mean_len: int = 10,
+    min_stopwords: int = 2,
+    repetition_denom: int = 8,
+) -> DataFrame:
+    """Per-doc Gopher rule verdicts: each rule as an exact 0/1 column plus
+    the conjunction. Distributed shape is identical to lexical_diversity
+    (explode → (doc, word) count → per-doc aggregate): two shuffles on
+    corpus-growing keys, no skew pivot, linear at any corpus size.
+
+    ``repetition_denom=8`` enforces max single-word frequency <= 1/8 of the
+    doc (Gopher's top-2-gram analogue for whitespace corpora).
+    """
+    words = df.select(F.col(id_col), F.explode(_words(text_col)).alias("w"))
+    wc = words.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("c"))
+    stats = wc.groupBy(id_col).agg(
+        F.sum("c").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("max_word_count"),
+        F.sum(F.col("c") * F.length("w")).alias("sum_len"),
+        F.sum(
+            F.when(F.col("w").isin(*GOPHER_STOPWORDS), 1).otherwise(0)
+        ).alias("n_stopwords"),
+    )
+    ok_wc = (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)
+    ok_len = (F.lit(min_mean_len) * F.col("n_words") <= F.col("sum_len")) & (
+        F.col("sum_len") <= F.lit(max_mean_len) * F.col("n_words")
+    )
+    ok_stop = F.col("n_stopwords") >= min_stopwords
+    ok_rep = F.lit(repetition_denom) * F.col("max_word_count") <= F.col("n_words")
+    return stats.select(
+        id_col,
+        "n_words",
+        "n_distinct",
+        "max_word_count",
+        "n_stopwords",
+        F.round(F.col("sum_len").cast("double") / F.col("n_words"), 6).alias(
+            "mean_word_len"
+        ),
+        ok_wc.cast("int").alias("ok_word_count"),
+        ok_len.cast("int").alias("ok_mean_word_len"),
+        ok_stop.cast("int").alias("ok_stopwords"),
+        ok_rep.cast("int").alias("ok_repetition"),
+        (ok_wc & ok_len & ok_stop & ok_rep).cast("int").alias("passes"),
+    )
+
+
+def gopher_gate_oracle_sql(
+    table: str = "documents",
+    text_expr: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_len: int = 3,
+    max_mean_len: int = 10,
+    min_stopwords: int = 2,
+    repetition_denom: int = 8,
+) -> str:
+    """DuckDB twin of gopher_quality_gate (same tokenization, same integer
+    rule algebra)."""
+    w = f"regexp_split_to_array(lower(trim({text_expr})), '\\s+')"
+    stoplist = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    return f"""
+    WITH words AS (
+        SELECT {id_col} AS doc_id, unnest({w}) AS w FROM {table}
+    ),
+    wc AS (
+        SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY doc_id, w
+    ),
+    stats AS (
+        SELECT doc_id,
+               SUM(c) AS n_words,
+               COUNT(*) AS n_distinct,
+               MAX(c) AS max_word_count,
+               SUM(c * len(w)) AS sum_len,
+               SUM(CASE WHEN w IN ({stoplist}) THEN 1 ELSE 0 END) AS n_stopwords
+        FROM wc GROUP BY doc_id
+    )
+    SELECT doc_id,
+           n_words, n_distinct, max_word_count, n_stopwords,
+           ROUND(sum_len::DOUBLE / n_words, 6) AS mean_word_len,
+           CAST(n_words >= {min_words} AND n_words <= {max_words} AS INT)
+               AS ok_word_count,
+           CAST({min_mean_len} * n_words <= sum_len
+                AND sum_len <= {max_mean_len} * n_words AS INT)
+               AS ok_mean_word_len,
+           CAST(n_stopwords >= {min_stopwords} AS INT) AS ok_stopwords,
+           CAST({repetition_denom} * max_word_count <= n_words AS INT)
+               AS ok_repetition,
+           CAST(n_words >= {min_words} AND n_words <= {max_words}
+                AND {min_mean_len} * n_words <= sum_len
+                AND sum_len <= {max_mean_len} * n_words
+                AND n_stopwords >= {min_stopwords}
+                AND {repetition_denom} * max_word_count <= n_words AS INT)
+               AS passes
+    FROM stats
+    """

@@ -3657,6 +3657,219 @@ def knn_label_predict(spark, sf_dir):
     return sim.knn_label_predict(em, q, k=10)
 
 
+# ---------------------------------------------------------------------------
+# SimHash banded near-dup pairs (Manku WWW'07 pattern — exact recall at
+# Hamming <= 3 via 4×16-bit band bucketing; integer-only verify)
+# ---------------------------------------------------------------------------
+@register("simhash_near_dup_pairs", dd.simhash_pairs_oracle_sql(max_hamming=3))
+def simhash_near_dup_pairs_q(spark, sf_dir):
+    """Near-dup doc pairs by SimHash Hamming distance ≤ 3: band join on
+    16-bit fingerprint quarters (pigeonhole-exact recall), XOR/bit_count
+    verify of candidates only — never all pairs."""
+    return dd.simhash_near_dup_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# Lexical diversity (type-token ratio / hapax fraction quality signals)
+# ---------------------------------------------------------------------------
+@register("doc_lexical_diversity", tx.lexical_diversity_oracle_sql())
+def doc_lexical_diversity_q(spark, sf_dir):
+    """Per-doc type-token ratio and hapax fraction — integer two-level
+    aggregate, single IEEE divisions (bit-stable across partitionings)."""
+    return tx.lexical_diversity(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Per-language bigram LM head: the n-gram frequency table a tokenizer /
+# language-model pipeline builds from the corpus
+# ---------------------------------------------------------------------------
+@register(
+    "lang_bigram_top",
+    """
+    WITH ws AS (
+        SELECT lang, string_split(regexp_replace(lower(trim(text)),
+                                  '\\s+', ' ', 'g'), ' ') AS w
+        FROM documents
+    ),
+    grams AS (
+        SELECT lang, unnest([w[i] || ' ' || w[i + 1]
+                             for i in range(1, len(w))]) AS gram
+        FROM ws
+    ),
+    counts AS (
+        SELECT lang, gram, COUNT(*) AS n FROM grams GROUP BY lang, gram
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                   ORDER BY n DESC, gram) AS rank
+        FROM counts
+    )
+    SELECT lang, gram, n, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def lang_bigram_top_q(spark, sf_dir):
+    """Top-5 bigrams per language by corpus frequency — posexplode+lead
+    shingling (linear per word), one (lang, gram) count shuffle, top-k via
+    row_number. The shape of corpus n-gram LM table construction."""
+    docs = _t(spark, sf_dir, "documents")
+    grams = dd.gram_rows(docs.select("doc_id", "text"), n=2)
+    with_lang = grams.join(docs.select("doc_id", "lang"), "doc_id")
+    counts = with_lang.groupBy("lang", "gram").agg(F.count(F.lit(1)).alias("n"))
+    return win.topk_per_group(
+        counts, ["lang"], [F.col("n").desc(), F.col("gram").asc()], k=5,
+        rank_col="rank",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding per-dimension corpus profile (feature-health stats a similarity
+# pipeline checks before trusting distance metrics)
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_dim_profile",
+    """
+    WITH vals AS (
+        SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+               CAST(unnest(embedding) AS DOUBLE) AS val
+        FROM embeddings
+    ),
+    sums AS (
+        SELECT dim, COUNT(val) AS n,
+               CAST(SUM(CAST(val AS DECIMAL(38,12))) AS DOUBLE) / COUNT(val) AS mean,
+               CAST(SUM(CAST(val * val AS DECIMAL(38,12))) AS DOUBLE) / COUNT(val) AS meansq,
+               MIN(val) AS min_val, MAX(val) AS max_val
+        FROM vals GROUP BY dim
+    )
+    SELECT dim, n, ROUND(mean, 6) AS mean,
+           ROUND(sqrt(greatest(meansq - mean * mean, 0.0)), 6) AS std,
+           ROUND(min_val, 6) AS min_val, ROUND(max_val, 6) AS max_val
+    FROM sums
+    """,
+)
+def embedding_dim_profile_q(spark, sf_dir):
+    """Per-dimension mean/std/min/max across the corpus — posexplode to
+    (dim, val), one 64-group aggregate with exact decimal sums (order-
+    independent), deterministic sqrt. Linear scan at any scale."""
+    em = _t(spark, sf_dir, "embeddings")
+    vals = em.select(F.posexplode("embedding").alias("dim", "val")).select(
+        "dim", F.col("val").cast("double").alias("val")
+    )
+    sums = vals.groupBy("dim").agg(
+        F.count("val").alias("n"),
+        (
+            F.sum(F.col("val").cast("decimal(38,12)")).cast("double")
+            / F.count("val")
+        ).alias("mean"),
+        (
+            F.sum((F.col("val") * F.col("val")).cast("decimal(38,12)")).cast(
+                "double"
+            )
+            / F.count("val")
+        ).alias("meansq"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+    )
+    return sums.select(
+        "dim",
+        "n",
+        F.round("mean", 6).alias("mean"),
+        F.round(
+            F.sqrt(F.greatest(F.col("meansq") - F.col("mean") * F.col("mean"),
+                              F.lit(0.0))),
+            6,
+        ).alias("std"),
+        F.round("min_val", 6).alias("min_val"),
+        F.round("max_val", 6).alias("max_val"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic k-means cluster assignment (semantic bucketing step)
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_kmeans_clusters",
+    sim.kmeans_clusters_oracle_sql(n_clusters=8, lloyd_iters=2),
+)
+def embedding_kmeans_clusters_q(spark, sf_dir):
+    """Deterministic k-means (8 cells, 2 decimal-mean Lloyd rounds, RNG-
+    free) assigning every embedding to a cluster — the corpus-partitioning
+    step of semantic dedup; broadcast centroids, no corpus shuffle."""
+    return sim.kmeans_clusters(
+        _t(spark, sf_dir, "embeddings"), n_clusters=8, lloyd_iters=2
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality-percentile survivor counts (threshold-free quality filtering)
+# ---------------------------------------------------------------------------
+@register(
+    "quality_percentile_survivors",
+    f"""
+    WITH q AS ({tx.quality_oracle_sql()}),
+    lang AS (SELECT doc_id, lang FROM documents),
+    p AS (SELECT quantile_cont(quality, 0.25) AS p25 FROM q)
+    SELECT lang.lang, COUNT(*) AS n_docs,
+           ROUND(CAST(SUM(CAST(quality AS DECIMAL(38,12))) AS DOUBLE)
+                 / COUNT(quality), 6) AS avg_quality
+    FROM q JOIN lang ON q.doc_id = lang.doc_id, p
+    WHERE q.quality >= p.p25
+    GROUP BY lang.lang
+    """,
+)
+def quality_percentile_survivors_q(spark, sf_dir):
+    """Drop the bottom quality quartile (corpus-relative threshold, not a
+    magic constant) and count survivors per language. The exact p25 is a
+    broadcast one-row aggregate; Spark's percentile() and DuckDB's
+    quantile_cont share the linear-interpolation definition, and quality
+    values are identical doubles on both sides, so the cut is exact."""
+    docs = _t(spark, sf_dir, "documents")
+    q = tx.with_quality_score(docs).select("doc_id", "lang", "quality")
+    p25 = q.agg(F.percentile("quality", 0.25).alias("p25"))
+    survivors = q.join(F.broadcast(p25)).filter(F.col("quality") >= F.col("p25"))
+    return survivors.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(agg.decimal_avg(F.col("quality")), 6).alias("avg_quality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rule gate (Rae et al. 2021 §A1.1 rule family)
+# ---------------------------------------------------------------------------
+@register("gopher_quality_gate", tx.gopher_gate_oracle_sql())
+def gopher_quality_gate_q(spark, sf_dir):
+    """Per-doc Gopher rule verdicts (word-count bounds, mean-word-length
+    bounds, stop-word evidence, repetition cap) — every rule an integer
+    comparison, so no float boundary can flip a verdict between engines."""
+    return tx.gopher_quality_gate(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Per-source duplication-rate profile (source down-weighting signal)
+# ---------------------------------------------------------------------------
+@register("source_dup_stats", dd.source_dup_oracle_sql())
+def source_dup_stats_q(spark, sf_dir):
+    """Per-source exact-duplication profile: corpus-wide digest counts
+    joined back per doc — only 32-byte hashes shuffle, never text."""
+    return dd.source_dup_stats(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup): within-kmeans-cluster cosine near-dup pairs
+# ---------------------------------------------------------------------------
+@register(
+    "semantic_dedup_pairs",
+    sim.semantic_dedup_oracle_sql(threshold=0.3, n_clusters=8, lloyd_iters=2),
+)
+def semantic_dedup_pairs_q(spark, sf_dir):
+    """SemDeDup candidate structure: deterministic k-means cells bound the
+    pair search (no all-pairs), within-cell cosine >= 0.3 pairs survive.
+    The cluster-keyed self-join is the only corpus-wide shuffle."""
+    return sim.semantic_dedup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.3, n_clusters=8,
+        lloyd_iters=2,
+    )
+
+
 # Queries with a green row in CORRECTNESS_r01.json (driver gate, round 1).
 # The driver verifies queries in registration order and stopped at 50 in
 # round 1, so all_queries() front-loads the not-yet-gated entries each round

@@ -162,3 +162,39 @@ def test_q21_shape_aggregates_without_expand(spark, sf_dir):
     # two-level (order, supplier) → order rollup must never fall back to the
     # distinct-aggregate Expand rewrite (3x row amplification)
     assert "Expand" not in plan
+
+
+def test_simhash_band_join_never_cartesian(spark, sf_dir):
+    plan = _formatted_plan(QUERIES["simhash_near_dup_pairs"].fn(spark, sf_dir))
+    # candidate generation is the 16-bit band bucket join — any fallback to
+    # an all-pairs nested-loop would be quadratic at corpus scale
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semantic_dedup_join_is_cluster_keyed(spark, sf_dir):
+    plan = _formatted_plan(QUERIES["semantic_dedup_pairs"].fn(spark, sf_dir))
+    # SemDeDup's whole point: the pair search is keyed by cluster, never a
+    # corpus×corpus nested loop (broadcasts of the 8-row centroid set are
+    # fine and expected)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the one shuffle join is keyed on the cluster id ("formatted" mode puts
+    # equi-join keys on "Left keys" lines)
+    key_lines = [l for l in plan.splitlines() if "Left keys" in l]
+    assert key_lines and any("cluster" in l for l in key_lines)
+
+
+def test_gopher_gate_prunes_to_id_and_text(spark, sf_dir):
+    plan = _formatted_plan(QUERIES["gopher_quality_gate"].fn(spark, sf_dir))
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "lang" not in read_schema and "source" not in read_schema
+    assert "n_chars" not in read_schema
+
+
+def test_source_dup_stats_shuffles_digests_only(spark, sf_dir):
+    plan = _formatted_plan(QUERIES["source_dup_stats"].fn(spark, sf_dir))
+    # the corpus-wide count join moves (source, digest) pairs — the text
+    # column must be pruned before every exchange
+    exchanges = [l for l in plan.splitlines() if "hashpartitioning(" in l]
+    assert exchanges and all("text" not in l for l in exchanges)
