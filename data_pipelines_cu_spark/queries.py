@@ -3870,6 +3870,123 @@ def semantic_dedup_pairs_q(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Semantic dup components + survivors: SemDeDup end-to-end (pairs → connected
+# components → pruned corpus). The component step reuses dedup_clusters'
+# min-label propagation; the oracle chains the semantic-pair SQL into the
+# same recursive-CTE transitive closure used for dedup_cluster_assignment.
+# ---------------------------------------------------------------------------
+_SEMANTIC_PAIRS_SQL = sim.semantic_dedup_oracle_sql(
+    threshold=0.3, n_clusters=8, lloyd_iters=2
+)
+
+
+@register(
+    "semantic_dup_clusters",
+    f"""
+    WITH RECURSIVE pairs AS ({_SEMANTIC_PAIRS_SQL}),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+    SELECT a AS vec_id, LEAST(a, MIN(b)) AS canonical_id FROM reach GROUP BY a
+    """,
+)
+def semantic_dup_clusters_q(spark, sf_dir):
+    """Connected components over the SemDeDup pair graph → canonical vector
+    per semantic-duplicate group. Same O(diameter) min-label propagation as
+    the text dup graph; the oracle closes the graph with a recursive CTE."""
+    pairs = sim.semantic_dedup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.3, n_clusters=8,
+        lloyd_iters=2,
+    )
+    return dd.dedup_clusters(pairs, id_col_a="id_a", id_col_b="id_b").select(
+        F.col("doc_id").alias("vec_id"), "canonical_id"
+    )
+
+
+@register(
+    "semantic_dedup_survivors",
+    f"""
+    WITH pairs AS ({_SEMANTIC_PAIRS_SQL})
+    SELECT vec_id, label FROM embeddings
+    WHERE vec_id NOT IN (SELECT id_b FROM pairs)
+    """,
+)
+def semantic_dedup_survivors_q(spark, sf_dir):
+    """SemDeDup pruning: drop every vector that near-duplicates a
+    lower-id one (id_b side of a pair); keep the rest of the corpus.
+    left_anti against the loser set — only ids shuffle."""
+    em = _t(spark, sf_dir, "embeddings")
+    pairs = sim.semantic_dedup_pairs(
+        em, threshold=0.3, n_clusters=8, lloyd_iters=2
+    )
+    losers = pairs.select(F.col("id_b").alias("vec_id")).distinct()
+    return em.select("vec_id", "label").join(losers, "vec_id", "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Directed n-gram containment (the asymmetric dedup signal Jaccard misses)
+# ---------------------------------------------------------------------------
+@register(
+    "ngram_containment_pairs",
+    dd.containment_oracle_sql(block_col="lang", threshold=0.8),
+)
+def ngram_containment_pairs_q(spark, sf_dir):
+    """Directed containment pairs within language blocks: doc a with >= 80%
+    of its shingles inside doc b — catches short-doc-quoted-in-long-doc
+    duplication that symmetric Jaccard misses."""
+    return dd.ngram_containment_pairs(
+        _t(spark, sf_dir, "documents"), block_col="lang", threshold=0.8
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy decontamination: near-dup pairs crossing the corpus/benchmark line
+# ---------------------------------------------------------------------------
+@register(
+    "fuzzy_decontamination",
+    dd.fuzzy_decontamination_oracle_sql(bench_source="src0", threshold=0.5),
+)
+def fuzzy_decontamination_q(spark, sf_dir):
+    """Near-duplicate contamination against a benchmark slice (source
+    'src0' stands in for the eval set): MinHash-LSH pairs filtered to
+    boundary-crossing ones, oriented (corpus_id, bench_id). Rides the same
+    banded candidate structure as the dedup pass."""
+    return dd.fuzzy_decontamination(
+        _t(spark, sf_dir, "documents"), bench_source="src0", threshold=0.5
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus word-frequency spectrum (Zipf profile / vocabulary health)
+# ---------------------------------------------------------------------------
+@register(
+    "word_freq_spectrum",
+    """
+    WITH words AS (
+        SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+        FROM documents),
+    wc AS (SELECT w, COUNT(*) AS n FROM words GROUP BY w)
+    SELECT n AS n_occurrences, COUNT(*) AS n_words
+    FROM wc GROUP BY n
+    """,
+)
+def word_freq_spectrum_q(spark, sf_dir):
+    """Frequency-of-frequencies table (how many words occur exactly n
+    times) — the Zipf/vocabulary-health profile a tokenizer build checks.
+    Two integer aggregates; second groups on the count (tiny domain)."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(F.explode(tx._words("text")).alias("w"))
+    wc = words.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    return wc.groupBy(F.col("n").alias("n_occurrences")).agg(
+        F.count(F.lit(1)).alias("n_words")
+    )
+
+
 # Queries with a green row in CORRECTNESS_r01.json (driver gate, round 1).
 # The driver verifies queries in registration order and stopped at 50 in
 # round 1, so all_queries() front-loads the not-yet-gated entries each round

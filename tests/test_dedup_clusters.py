@@ -45,3 +45,14 @@ def test_arrow_ann_matches_column_algebra(spark, tables):
         for r in sim.cosine_topk_arrow(em, queries, k=4).collect()
     }
     assert a == b
+
+
+def test_dedup_clusters_long_chain_needs_pointer_doubling(spark):
+    # path graph of 60 nodes: plain one-hop min-label propagation needs 59
+    # rounds (> max_iter=20); the pointer-doubling step collapses it in
+    # O(log n) rounds. Regression guard for the doubling.
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(59)], ["id_a", "id_b"]
+    )
+    out = {r.doc_id: r.canonical_id for r in dd.dedup_clusters(pairs).collect()}
+    assert set(out.values()) == {0}

@@ -198,3 +198,21 @@ def test_source_dup_stats_shuffles_digests_only(spark, sf_dir):
     # column must be pruned before every exchange
     exchanges = [l for l in plan.splitlines() if "hashpartitioning(" in l]
     assert exchanges and all("text" not in l for l in exchanges)
+
+
+def test_jaccard_pairs_use_inverted_index_join(spark, sf_dir):
+    plan = _formatted_plan(QUERIES["ngram_jaccard_pairs"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # candidate generation must be the (block, gram) inverted-index join —
+    # a pairwise array_intersect over block self-pairs is quadratic
+    key_lines = [l for l in plan.splitlines() if "Left keys" in l]
+    assert any("gram" in l for l in key_lines)
+    assert "array_intersect" not in plan
+
+
+def test_containment_pairs_use_inverted_index_join(spark, sf_dir):
+    plan = _formatted_plan(QUERIES["ngram_containment_pairs"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    key_lines = [l for l in plan.splitlines() if "Left keys" in l]
+    assert any("gram" in l for l in key_lines)
+    assert "array_intersect" not in plan
