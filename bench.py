@@ -83,6 +83,8 @@ HEADLINE = [
     "ngram_containment_pairs",
     "fuzzy_decontamination",
     "word_freq_spectrum",
+    "lang_sqrt_scaled_sample",
+    "curriculum_order",
 ]
 
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))

@@ -186,6 +186,41 @@ def minhash_signatures(
     return gx.groupBy(id_col).agg(*_minhash_cols("gx"))
 
 
+def minhash_band_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """(id, band, bhash) rows — each doc's 8 LSH band hashes (bands of 2
+    signature rows, md5-combined). The shared candidate-key structure for
+    pair generation (minhash_lsh_pairs) and the persisted band index of
+    incremental/streaming near-dup."""
+    sigs = minhash_signatures(df, text_col, id_col, n)
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col(f"h{2 * b}").cast("string"),
+                F.col(f"h{2 * b + 1}").cast("string"),
+            )
+        ).alias(f"b{b}")
+        for b in range(N_BANDS)
+    ]
+    banded = sigs.select(id_col, *band_cols)
+    return banded.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"b{b}").alias("bhash"))
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bhash")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -201,29 +236,7 @@ def minhash_lsh_pairs(
     This is the scale path: pair generation is local to each LSH bucket, so
     cost tracks true-duplicate density, not n².
     """
-    sigs = minhash_signatures(df, text_col, id_col, n)
-    band_cols = [
-        F.md5(
-            F.concat_ws(
-                "|",
-                F.col(f"h{2 * b}").cast("string"),
-                F.col(f"h{2 * b + 1}").cast("string"),
-            )
-        ).alias(f"b{b}")
-        for b in range(N_BANDS)
-    ]
-    banded = sigs.select(id_col, *band_cols)
-    melted = banded.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), F.col(f"b{b}").alias("bhash"))
-                    for b in range(N_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bhash")
+    melted = minhash_band_rows(df, text_col, id_col, n)
     a = melted.select(F.col(id_col).alias("id_a"), "band", "bhash")
     b = melted.select(F.col(id_col).alias("id_b"), "band", "bhash")
     cands = (
@@ -1134,3 +1147,46 @@ def fuzzy_decontamination_oracle_sql(
     JOIN {table} b ON b.doc_id = p.id_b
     WHERE (a.{source_col} = '{bench_source}') != (b.{source_col} = '{bench_source}')
     """
+
+
+def incremental_near_dup(
+    incoming: DataFrame,
+    band_index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Near-dup filter of an incoming batch against a persisted LSH band
+    index: returns the band rows (id, band, bhash) of SURVIVING docs — the
+    exact rows to append to the index; survivors are their distinct ids.
+
+    Policy (the streaming-ingest precision/recall trade, declared): any
+    band collision counts as a duplicate — no gram-level verify, because
+    verification would require keeping every indexed doc's gram sets
+    (corpus-sized text state). At 8 bands of 2 signature rows a false
+    band collision needs 2 agreeing minhashes, so precision is tuned by
+    band width, exactly as in the batch pair path. In-batch ties resolve
+    greedily: lowest id in a bucket survives.
+
+    Shuffles: band rows only (id + 32-byte hash), one semi-join against
+    the index and one bucket-min aggregate — per-batch cost is linear in
+    batch size and index lookups, never corpus text.
+    """
+    bands = minhash_band_rows(incoming, text_col, id_col, n)
+    # both the index probe and the bucket-min read these rows; materialize
+    # once (same lineage-cut idiom as the band self-join in pair dedup)
+    bands = bands.localCheckpoint(eager=True)
+    idx_hit = (
+        bands.join(band_index.select("band", "bhash"), ["band", "bhash"], "leftsemi")
+        .select(id_col)
+        .distinct()
+    )
+    bucket_min = bands.groupBy("band", "bhash").agg(F.min(id_col).alias("_min_id"))
+    batch_hit = (
+        bands.join(bucket_min, ["band", "bhash"])
+        .filter(F.col(id_col) > F.col("_min_id"))
+        .select(id_col)
+        .distinct()
+    )
+    losers = idx_hit.unionByName(batch_hit).distinct()
+    return bands.join(losers, id_col, "left_anti")

@@ -182,3 +182,94 @@ def mixture_sample_sql(
     FROM ranked JOIN quotas USING (grp)
     WHERE rk <= quota
     """
+
+
+def sqrt_scaled_quota_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    total: int,
+    salt: str = "",
+    rank_col: str = "rk",
+) -> DataFrame:
+    """Square-root-scaled mixture sampling: group g gets quota
+    floor(total * sqrt(c_g) / Σ_h sqrt(c_h)) rows — the classic
+    temperature-style rebalancing (T=2) that upsamples low-resource
+    groups relative to proportional sampling without the free-for-all of
+    uniform. sqrt, not pow(x, 1/T): sqrt is correctly rounded in IEEE 754
+    on both engines, so quotas are bit-reproducible where a pow-based
+    temperature could flip a floor at the boundary.
+
+    The denominator folds sqrt(c_g) in sorted-group order via a SEQUENTIAL
+    reduce on a collected per-group array (a handful of rows by contract —
+    one per group), never a parallel SUM whose addition order varies by
+    partitioning. Rows are chosen per group by md5 hash order; quotas
+    larger than a group keep the whole group.
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    denom = F.broadcast(
+        counts.agg(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct(group_col, "_cnt"))),
+                F.lit(0.0),
+                lambda acc, x: acc + F.sqrt(x["_cnt"].cast("double")),
+            ).alias("_denom")
+        )
+    )
+    quotas = F.broadcast(
+        counts.crossJoin(denom).select(
+            group_col,
+            F.floor(
+                F.lit(float(total))
+                * F.sqrt(F.col("_cnt").cast("double"))
+                / F.col("_denom")
+            ).alias("_quota"),
+        )
+    )
+    ranked = quota_sample(
+        df, group_col, key_col, n_per_group=2**62, salt=salt, rank_col=rank_col
+    )
+    return (
+        ranked.join(quotas, group_col)
+        .filter(F.col(rank_col) <= F.col("_quota"))
+        .drop("_quota")
+    )
+
+
+def sqrt_scaled_sample_sql(
+    total: int,
+    table: str = "documents",
+    group_expr: str = "lang",
+    key_expr: str = "doc_id",
+    salt: str = "",
+) -> str:
+    """DuckDB twin of sqrt_scaled_quota_sample: same sorted-order
+    sequential fold for the denominator (list_reduce over a group-ordered
+    list — never an unordered SUM of doubles)."""
+    return f"""
+    WITH counts AS (
+        SELECT {group_expr} AS grp, COUNT(*) AS cnt FROM {table} GROUP BY 1
+    ),
+    denom AS (
+        SELECT list_reduce(
+                   list_prepend(0.0, list(sqrt(CAST(cnt AS DOUBLE)) ORDER BY grp)),
+                   (acc, x) -> acc + x) AS d
+        FROM counts
+    ),
+    quotas AS (
+        SELECT grp,
+               FLOOR({float(total)} * sqrt(CAST(cnt AS DOUBLE)) / d.d) AS quota
+        FROM counts, denom d
+    ),
+    ranked AS (
+        SELECT {group_expr} AS grp, {key_expr} AS key_val,
+               ROW_NUMBER() OVER (
+                   PARTITION BY {group_expr}
+                   ORDER BY md5('{salt}' || CAST({key_expr} AS VARCHAR)),
+                            {key_expr}) AS rk
+        FROM {table}
+    )
+    SELECT grp AS {group_expr}, key_val AS {key_expr}, rk
+    FROM ranked JOIN quotas USING (grp)
+    WHERE rk <= quota
+    """

@@ -355,3 +355,53 @@ def run_cascade(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_streaming_near_dup(
+    docs: DataFrame,
+    survivors_path: str,
+    index_path: str,
+    checkpoint: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming near-duplicate filtering: each micro-batch of documents is
+    LSH-filtered against the PERSISTED band index (every doc ever admitted)
+    plus itself, survivors append to the corpus sink and their band rows
+    append to the index — so a near-dup of anything admitted in ANY earlier
+    batch (or earlier in this batch) is dropped forever.
+
+    This is the streaming twin of operators.dedup.incremental_near_dup and
+    the content-level analogue of streaming_dedup (exact event-id state):
+    state lives in the index table (16 band rows × 32-byte hash per doc),
+    never in executor memory, so state size is index-table size and the
+    watermark problem doesn't arise. foreachBatch because the filter needs
+    a batch join against the index — the same level-2 idempotent-batch
+    pattern as run_cascade.
+    """
+    from ..operators.dedup import incremental_near_dup
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        try:
+            index = spark.read.parquet(index_path)
+        except Exception:  # first batch: no index yet
+            index = spark.createDataFrame(
+                [], "doc_id long, band int, bhash string"
+            )
+        surviving_bands = incremental_near_dup(batch, index)
+        survivors = surviving_bands.select("doc_id").distinct()
+        batch.join(survivors, "doc_id").write.mode("append").parquet(
+            survivors_path
+        )
+        surviving_bands.write.mode("append").parquet(index_path)
+
+    writer = (
+        docs.writeStream.outputMode("append")
+        .foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

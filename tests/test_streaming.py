@@ -386,3 +386,59 @@ def test_stream_static_enrich_matches_batch(spark, tmp_path):
     ) == sorted(
         (r.event_id, r.tier) for r in batch.select("event_id", "tier").collect()
     )
+
+
+def test_streaming_near_dup_filters_across_batches(spark, tmp_path):
+    """Two micro-batches (maxFilesPerTrigger=1): batch 2 contains an exact
+    dup of its own, a near-dup of a batch-1 doc (word swap), and a fresh
+    doc — only the fresh doc (and the first of in-batch dups) survive."""
+    import json as _json
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    b1 = [
+        {"doc_id": 1, "text": "alpha beta gamma delta epsilon zeta eta theta"},
+        {"doc_id": 2, "text": "one two three four five six seven eight nine"},
+    ]
+    # 101 near-dups doc 1 (one word changed at the end: most shingles shared
+    # so several band hashes agree); 102/103 are in-batch exact dups; 104 new
+    b2 = [
+        {"doc_id": 101, "text": "alpha beta gamma delta epsilon zeta eta iota"},
+        {"doc_id": 102, "text": "spark rows join group count window stream batch"},
+        {"doc_id": 103, "text": "spark rows join group count window stream batch"},
+        {"doc_id": 104, "text": "completely different words about training data here"},
+    ]
+    for i, chunk in enumerate([b1, b2]):
+        p = src / f"part-{i}.json"
+        with open(p, "w") as f:
+            for r in chunk:
+                f.write(_json.dumps(r) + "\n")
+        # distinct mtimes: the file source orders batches by modification
+        # time, and same-ms writes make batch order nondeterministic
+        os.utime(p, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = jobs.run_streaming_near_dup(
+        stream,
+        survivors_path=str(tmp_path / "survivors"),
+        index_path=str(tmp_path / "index"),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    kept = {
+        r.doc_id
+        for r in spark.read.parquet(str(tmp_path / "survivors")).collect()
+    }
+    assert 1 in kept and 2 in kept  # first batch all fresh
+    assert 101 not in kept  # near-dup of doc 1 across batches
+    assert 102 in kept and 103 not in kept  # in-batch dup: lowest id wins
+    assert 104 in kept
+    # the index holds exactly the survivors' band rows (8 bands each)
+    idx = spark.read.parquet(str(tmp_path / "index"))
+    assert idx.count() == len(kept) * 8
+    assert {r.doc_id for r in idx.select("doc_id").distinct().collect()} == kept
