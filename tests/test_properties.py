@@ -116,3 +116,68 @@ def test_asof_join_matches_pandas_merge_asof(spark, left, right):
         for r in want_df.itertuples()
     }
     assert got == want
+
+
+# --- set-similarity: inverted-index join vs naive set arithmetic ------------
+# The Jaccard/containment operators compute |A∩B| from an inverted-index
+# join (never materializing pairwise intersections); these differential
+# tests recompute every pair naively in Python on generated corpora.
+
+words_strategy = st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]),
+             min_size=0, max_size=12),
+    min_size=2,
+    max_size=10,
+)
+
+
+def _grams(ws, n=3):
+    return {" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)}
+
+
+@given(docs=words_strategy)
+@settings(**SETTINGS)
+def test_jaccard_pairs_match_naive_sets(spark, docs):
+    from data_pipelines_cu_spark.operators import dedup as dd
+
+    rows = [(i, " ".join(ws), "blk") for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    got = {
+        (r.id_a, r.id_b): r.jac
+        for r in dd.ngram_jaccard_pairs(df, "lang", threshold=0.3).collect()
+    }
+    want = {}
+    for i, a in enumerate(docs):
+        for j in range(i + 1, len(docs)):
+            ga, gb = _grams(a), _grams(docs[j])
+            inter = len(ga & gb)
+            union = len(ga) + len(gb) - inter
+            jac = inter / union if union else 0.0
+            if jac >= 0.3:
+                want[(i, j)] = round(jac, 6)
+    assert got == want
+
+
+@given(docs=words_strategy)
+@settings(**SETTINGS)
+def test_containment_pairs_match_naive_sets(spark, docs):
+    from data_pipelines_cu_spark.operators import dedup as dd
+
+    rows = [(i, " ".join(ws), "blk") for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    got = {
+        (r.id_a, r.id_b): r.containment
+        for r in dd.ngram_containment_pairs(df, "lang", threshold=0.5).collect()
+    }
+    want = {}
+    for i, a in enumerate(docs):
+        for j, b in enumerate(docs):
+            if i == j:
+                continue
+            ga, gb = _grams(a), _grams(b)
+            if not ga:
+                continue
+            c = len(ga & gb) / len(ga)
+            if c >= 0.5:
+                want[(i, j)] = round(c, 6)
+    assert got == want
