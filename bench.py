@@ -85,6 +85,7 @@ HEADLINE = [
     "word_freq_spectrum",
     "lang_sqrt_scaled_sample",
     "curriculum_order",
+    "curation_pipeline_pack",
 ]
 
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))

@@ -4062,6 +4062,28 @@ def curriculum_order_q(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# The full curation pipeline, verified END-TO-END: every stage's oracle
+# chained into one SQL so the gate checks the composition, not just parts
+# ---------------------------------------------------------------------------
+def _curation_oracle():
+    from .pipelines.curation import curated_pack_oracle_sql
+
+    return curated_pack_oracle_sql()
+
+
+@register("curation_pipeline_pack", _curation_oracle())
+def curation_pipeline_pack_q(spark, sf_dir):
+    """Gopher gate → exact dedup → MinHash near-dedup → decontamination →
+    sqrt-scaled rebalance → sequence packing, as one lazy plan. Cheap
+    linear filters shrink the corpus before the pair stage; the oracle is
+    the per-stage SQLs chained as CTEs — the composition itself is
+    hash-checked."""
+    from .pipelines.curation import curated_pack
+
+    return curated_pack(spark, sf_dir)
+
+
 # Queries with a green row in CORRECTNESS_r01.json (driver gate, round 1).
 # The driver verifies queries in registration order and stopped at 50 in
 # round 1, so all_queries() front-loads the not-yet-gated entries each round

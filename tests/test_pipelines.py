@@ -295,3 +295,25 @@ def test_write_range_clustered_files_have_disjoint_ranges(spark, tmp_path):
         assert hi_prev <= lo_next  # disjoint: skipping can work
     # round-trip: nothing lost
     assert spark.read.parquet(out).count() == ev.count()
+
+
+def test_curation_pipeline_end_to_end(spark):
+    """The full curation DAG at sf0.001: stages run in order, every stage
+    only shrinks the corpus, the final packed set carries sequence
+    placement, and the flow is deterministic across runs."""
+    from data_pipelines_cu_spark.pipelines.curation import run_curation
+
+    ctx = run_curation(spark, "/root/testdata/sf0.001")
+    rep = ctx["report"]
+    order = ["ingest", "quality_gate", "exact_dedup", "near_dedup",
+             "decontaminate", "rebalance", "pack"]
+    counts = [rep[s] for s in order]
+    assert counts[0] > 0
+    # monotone non-increasing through the filter stages (pack keeps rows)
+    for a, b in zip(counts, counts[1:]):
+        assert b <= a
+    assert rep["pack"] == rep["rebalance"]
+    packed = ctx["pack"]
+    assert {"bin_id", "bin_offset"}.issubset(set(packed.columns))
+    # deterministic: a second full run reproduces the report exactly
+    assert run_curation(spark, "/root/testdata/sf0.001")["report"] == rep
