@@ -86,6 +86,8 @@ HEADLINE = [
     "lang_sqrt_scaled_sample",
     "curriculum_order",
     "curation_pipeline_pack",
+    "bigram_lift_top",
+    "event_type_transitions",
 ]
 
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))

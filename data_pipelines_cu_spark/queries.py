@@ -4084,6 +4084,105 @@ def curation_pipeline_pack_q(spark, sf_dir):
     return curated_pack(spark, sf_dir)
 
 
+# ---------------------------------------------------------------------------
+# Bigram lift (PMI without the log — collocation mining stays exact)
+# ---------------------------------------------------------------------------
+@register(
+    "bigram_lift_top",
+    """
+    WITH ws AS (
+        SELECT doc_id,
+               string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                            ' ') AS w
+        FROM documents),
+    words AS (SELECT unnest(w) AS word FROM ws),
+    uni AS (SELECT word, COUNT(*) AS n FROM words GROUP BY word),
+    tot AS (SELECT SUM(n) AS w_total FROM uni),
+    grams AS (
+        SELECT w[i] AS w1, w[i + 1] AS w2
+        FROM (SELECT w, unnest(range(1, len(w))) AS i FROM ws)),
+    big AS (SELECT w1, w2, COUNT(*) AS n_xy FROM grams GROUP BY w1, w2),
+    btot AS (SELECT SUM(n_xy) AS b_total FROM big)
+    SELECT b.w1 || ' ' || b.w2 AS gram, b.n_xy,
+           ROUND((CAST(b.n_xy AS DOUBLE) * t.w_total * t.w_total)
+                 / (CAST(bt.b_total AS DOUBLE) * u1.n * u2.n), 6) AS lift
+    FROM big b
+    JOIN uni u1 ON u1.word = b.w1
+    JOIN uni u2 ON u2.word = b.w2, tot t, btot bt
+    WHERE b.n_xy >= 5
+      AND (CAST(b.n_xy AS DOUBLE) * t.w_total * t.w_total)
+          / (CAST(bt.b_total AS DOUBLE) * u1.n * u2.n) >= 1.05
+    """,
+)
+def bigram_lift_top_q(spark, sf_dir):
+    """Collocation mining by lift = p(xy) / (p(x)p(y)) — PMI's ratio
+    without the log, so every value is one double expression over exact
+    integer counts (transcendental-free, engine-portable). One bigram
+    count shuffle + two broadcast unigram joins + two scalar totals."""
+    docs = _t(spark, sf_dir, "documents")
+    grams = dd.gram_rows(docs.select("doc_id", "text"), n=2)
+    split_g = grams.select(
+        F.split("gram", " ").getItem(0).alias("w1"),
+        F.split("gram", " ").getItem(1).alias("w2"),
+    )
+    big = split_g.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_xy"))
+    words = docs.select(F.explode(tx._words("text")).alias("word"))
+    uni = words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    tot = uni.agg(F.sum("n").alias("w_total"))
+    btot = big.agg(F.sum("n_xy").alias("b_total"))
+    u1 = uni.select(F.col("word").alias("w1"), F.col("n").alias("n1"))
+    u2 = uni.select(F.col("word").alias("w2"), F.col("n").alias("n2"))
+    lift = (
+        F.col("n_xy").cast("double") * F.col("w_total") * F.col("w_total")
+    ) / (F.col("b_total").cast("double") * F.col("n1") * F.col("n2"))
+    return (
+        big.filter(F.col("n_xy") >= 5)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btot))
+        .withColumn("lift", lift)
+        .filter(F.col("lift") >= 1.05)
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("gram"),
+            "n_xy",
+            F.round("lift", 6).alias("lift"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-type transition matrix (per-user Markov counts — session modeling)
+# ---------------------------------------------------------------------------
+@register(
+    "event_type_transitions",
+    """
+    WITH seq AS (
+        SELECT event_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        FROM events)
+    SELECT event_type, next_type, COUNT(*) AS n
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+)
+def event_type_transitions_q(spark, sf_dir):
+    """First-order Markov transition counts of per-user event sequences —
+    the session-modeling aggregate. One user-partitioned window (parallel
+    across users) + one small (from, to) count shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    return (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 # Queries with a green row in CORRECTNESS_r01.json (driver gate, round 1).
 # The driver verifies queries in registration order and stopped at 50 in
 # round 1, so all_queries() front-loads the not-yet-gated entries each round
