@@ -4183,6 +4183,56 @@ def event_type_transitions_q(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Full-outer reconciliation (the audit join: both / left-only / right-only)
+# ---------------------------------------------------------------------------
+@register(
+    "click_purchase_recon",
+    """
+    WITH clicks AS (
+        SELECT user_id, COUNT(*) AS n_clicks FROM events
+        WHERE event_type = 'click' GROUP BY user_id),
+    buys AS (
+        SELECT user_id, COUNT(*) AS n_purchases FROM events
+        WHERE event_type = 'purchase' GROUP BY user_id)
+    SELECT COALESCE(c.user_id, b.user_id) AS user_id,
+           COALESCE(c.n_clicks, 0) AS n_clicks,
+           COALESCE(b.n_purchases, 0) AS n_purchases,
+           CASE WHEN c.user_id IS NULL THEN 'purchase_only'
+                WHEN b.user_id IS NULL THEN 'click_only'
+                ELSE 'both' END AS recon_status
+    FROM clicks c FULL OUTER JOIN buys b ON c.user_id = b.user_id
+    """,
+)
+def click_purchase_recon_q(spark, sf_dir):
+    """Full-outer reconciliation of per-user click vs purchase activity —
+    the audit-join shape (both sides pre-aggregated to one row per key, so
+    the outer join is key-to-key, never row-amplifying)."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+    buys = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    c = clicks.select(F.col("user_id").alias("_cu"), "n_clicks")
+    b = buys.select(F.col("user_id").alias("_bu"), "n_purchases")
+    j = c.join(b, c._cu == b._bu, "full_outer")
+    return j.select(
+        F.coalesce("_cu", "_bu").alias("user_id"),
+        F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+        F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+        F.when(F.col("_cu").isNull(), "purchase_only")
+        .when(F.col("_bu").isNull(), "click_only")
+        .otherwise("both")
+        .alias("recon_status"),
+    )
+
+
 # Queries with a green row in CORRECTNESS_r01.json (driver gate, round 1).
 # The driver verifies queries in registration order and stopped at 50 in
 # round 1, so all_queries() front-loads the not-yet-gated entries each round
