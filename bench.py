@@ -88,6 +88,8 @@ HEADLINE = [
     "curation_pipeline_pack",
     "bigram_lift_top",
     "event_type_transitions",
+    "stump_train_score",
+    "click_purchase_recon",
 ]
 
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))

@@ -107,3 +107,146 @@ def logistic_score(
     cross-engine bit-stable); classify via the margin's sign instead."""
     z = linear_margin(features, weights, bias)
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def stump_train_score(
+    df: DataFrame,
+    feature: Column,
+    label: Column,
+    id_col: str = "event_id",
+    max_feature: int = 23,
+) -> DataFrame:
+    """Train AND score a depth-1 decision tree (stump) fully in-engine,
+    deterministically: candidate splits t = 1..max_feature over an integer
+    feature, weighted Gini impurity from exact integer counts, argmin with
+    a t tiebreak, then majority-class prediction per side.
+
+    The whole train step is a 24-row aggregate crossed with 23 candidate
+    thresholds — broadcast scale regardless of corpus size; the score step
+    is one broadcast join. Every Gini is the same double expression over
+    the same integer counts on both engines, so the chosen split (and
+    therefore every prediction) is oracle-reproducible — this is the
+    trained-model complement to linear_margin's fixed-weight inference
+    (SURVEY §2.10 U5; reference trains a RandomForest at
+    Solutions/gold_war_etl_dag.py:158-181 — the stump is the
+    SQL-expressible member of that family).
+    """
+    base = df.select(
+        F.col(id_col), feature.alias("x"), label.cast("int").alias("y")
+    )
+    xc = base.groupBy("x").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos")
+    )
+    ts = base.sparkSession.range(1, max_feature + 1).select(
+        F.col("id").alias("t")
+    )
+    sides = xc.crossJoin(F.broadcast(ts)).withColumn(
+        "side", F.when(F.col("x") < F.col("t"), "L").otherwise("R")
+    )
+    per_side = sides.groupBy("t", "side").agg(
+        F.sum("n").alias("sn"), F.sum("pos").alias("sp")
+    )
+    stats = (
+        per_side.groupBy("t")
+        .agg(
+            F.sum(F.when(F.col("side") == "L", F.col("sn")).otherwise(0)).alias("nl"),
+            F.sum(F.when(F.col("side") == "L", F.col("sp")).otherwise(0)).alias("pl"),
+            F.sum(F.when(F.col("side") == "R", F.col("sn")).otherwise(0)).alias("nr"),
+            F.sum(F.when(F.col("side") == "R", F.col("sp")).otherwise(0)).alias("pr"),
+        )
+        .filter((F.col("nl") > 0) & (F.col("nr") > 0))
+    )
+    gini_l = 1.0 - (F.col("pl") / F.col("nl")) * (F.col("pl") / F.col("nl")) - (
+        (F.col("nl") - F.col("pl")) / F.col("nl")
+    ) * ((F.col("nl") - F.col("pl")) / F.col("nl"))
+    gini_r = 1.0 - (F.col("pr") / F.col("nr")) * (F.col("pr") / F.col("nr")) - (
+        (F.col("nr") - F.col("pr")) / F.col("nr")
+    ) * ((F.col("nr") - F.col("pr")) / F.col("nr"))
+    n_tot = (F.col("nl") + F.col("nr")).cast("double")
+    scored = stats.withColumn(
+        "gini", (F.col("nl") / n_tot) * gini_l + (F.col("nr") / n_tot) * gini_r
+    )
+    from pyspark.sql import Window as _W
+
+    best = (
+        scored.withColumn(
+            "_r",
+            F.row_number().over(_W.orderBy(F.col("gini").asc(), F.col("t").asc())),
+        )
+        .filter(F.col("_r") == 1)
+        .select(
+            "t",
+            (F.col("pl") * 2 > F.col("nl")).cast("int").alias("pred_l"),
+            (F.col("pr") * 2 > F.col("nr")).cast("int").alias("pred_r"),
+        )
+    )
+    pred = F.when(F.col("x") < F.col("t"), F.col("pred_l")).otherwise(
+        F.col("pred_r")
+    )
+    return base.crossJoin(F.broadcast(best)).select(
+        id_col,
+        F.col("x"),
+        F.col("y").alias("label"),
+        F.col("t").alias("split_t"),
+        pred.alias("pred"),
+        (pred == F.col("y")).cast("int").alias("correct"),
+    )
+
+
+def stump_train_score_sql(
+    table: str = "events",
+    feature_expr: str = "date_part('hour', ts)::INT",
+    label_expr: str = "CAST(event_type = 'purchase' AS INT)",
+    id_col: str = "event_id",
+    max_feature: int = 23,
+) -> str:
+    """DuckDB twin of stump_train_score: identical Gini expression over
+    identical integer counts, identical (gini, t) argmin tiebreak."""
+    return f"""
+    WITH base AS (
+        SELECT {id_col}, {feature_expr} AS x, {label_expr} AS y FROM {table}
+    ),
+    xc AS (SELECT x, COUNT(*) AS n, SUM(y) AS pos FROM base GROUP BY x),
+    ts AS (SELECT unnest(range(1, {max_feature + 1})) AS t),
+    sides AS (
+        SELECT xc.*, ts.t,
+               CASE WHEN x < t THEN 'L' ELSE 'R' END AS side
+        FROM xc CROSS JOIN ts
+    ),
+    per_side AS (
+        SELECT t, side, SUM(n) AS sn, SUM(pos) AS sp
+        FROM sides GROUP BY t, side
+    ),
+    stats AS (
+        SELECT t,
+               SUM(CASE WHEN side = 'L' THEN sn ELSE 0 END) AS nl,
+               SUM(CASE WHEN side = 'L' THEN sp ELSE 0 END) AS pl,
+               SUM(CASE WHEN side = 'R' THEN sn ELSE 0 END) AS nr,
+               SUM(CASE WHEN side = 'R' THEN sp ELSE 0 END) AS pr
+        FROM per_side GROUP BY t
+        HAVING SUM(CASE WHEN side = 'L' THEN sn ELSE 0 END) > 0
+           AND SUM(CASE WHEN side = 'R' THEN sn ELSE 0 END) > 0
+    ),
+    scored AS (
+        SELECT t, nl, pl, nr, pr,
+               (nl / CAST(nl + nr AS DOUBLE))
+               * (1.0 - (pl / nl) * (pl / nl)
+                      - ((nl - pl) / nl) * ((nl - pl) / nl))
+               + (nr / CAST(nl + nr AS DOUBLE))
+               * (1.0 - (pr / nr) * (pr / nr)
+                      - ((nr - pr) / nr) * ((nr - pr) / nr)) AS gini
+        FROM stats
+    ),
+    best AS (
+        SELECT t,
+               CAST(pl * 2 > nl AS INT) AS pred_l,
+               CAST(pr * 2 > nr AS INT) AS pred_r
+        FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY gini ASC, t ASC) AS r
+              FROM scored) WHERE r = 1
+    )
+    SELECT b.{id_col}, b.x, b.y AS label, best.t AS split_t,
+           CASE WHEN b.x < best.t THEN best.pred_l ELSE best.pred_r END AS pred,
+           CAST((CASE WHEN b.x < best.t THEN best.pred_l ELSE best.pred_r END)
+                = b.y AS INT) AS correct
+    FROM base b CROSS JOIN best
+    """

@@ -4233,6 +4233,25 @@ def click_purchase_recon_q(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# U5 completed end-to-end: a model TRAINED in-engine (Gini-argmin decision
+# stump) and scored, all oracle-reproducible — the trained-model complement
+# to ml_linear_scores' fixed-weight inference
+# ---------------------------------------------------------------------------
+@register("stump_train_score", ml.stump_train_score_sql())
+def stump_train_score_q(spark, sf_dir):
+    """Depth-1 decision tree trained by exact Gini argmin over hour-of-day
+    (24-row broadcast-scale train step), majority-class scoring via one
+    broadcast join. Same double expression over the same integer counts on
+    both engines → the split choice and every prediction hash-match."""
+    ev = _t(spark, sf_dir, "events")
+    return ml.stump_train_score(
+        ev,
+        feature=F.hour("ts"),
+        label=(F.col("event_type") == "purchase"),
+    )
+
+
 # Queries with a green row in CORRECTNESS_r01.json (driver gate, round 1).
 # The driver verifies queries in registration order and stopped at 50 in
 # round 1, so all_queries() front-loads the not-yet-gated entries each round
