@@ -4280,13 +4280,42 @@ _R1_VERIFIED = {
 }
 
 
+def _gate_verified() -> set[str]:
+    """Queries with a green (or rows-only-by-design) row in ANY round's
+    CORRECTNESS_r*.json, read dynamically from the repo root — so the
+    rotation is self-maintaining: each round's new green rows automatically
+    yield their front slots to still-ungated queries next round. Falls back
+    to the hand-recorded round-1 set if no artifact is readable."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    verified: set[str] = set()
+    for path in sorted(_glob.glob(_os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                rows = _json.load(f)
+        except Exception:
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("hash_match") or row.get("err") == "no_oracle":
+                verified.add(name)
+    return verified or set(_R1_VERIFIED)
+
+
 def all_queries() -> dict[str, Query]:
-    front = {n: q for n, q in QUERIES.items() if n == "daily_price_rollup"}
+    verified = _gate_verified()
+    front: dict[str, Query] = {}
+    # the flagship entry() query stays pinned first only until it has a
+    # green gate row; afterwards its slot goes to a still-ungated query
+    if "daily_price_rollup" not in verified:
+        front["daily_price_rollup"] = QUERIES["daily_price_rollup"]
     front.update(
-        (n, q)
-        for n, q in QUERIES.items()
-        if n not in _R1_VERIFIED and n != "daily_price_rollup"
+        (n, q) for n, q in QUERIES.items() if n not in verified and n not in front
     )
-    front.update((n, q) for n, q in QUERIES.items() if n in _R1_VERIFIED)
+    front.update((n, q) for n, q in QUERIES.items() if n in verified)
     assert len(front) == len(QUERIES)
     return front
