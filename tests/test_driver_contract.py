@@ -87,3 +87,52 @@ def test_arrow_kernels_survive_foreign_cwd():
         env={k: v for k, v in __import__("os").environ.items() if k != "PYTHONPATH"},
     )
     assert "ARROW_CWD_OK" in out.stdout, out.stderr[-2000:]
+
+
+def test_gate_rotation_reads_correctness_artifacts(monkeypatch, tmp_path):
+    """all_queries() front-loads exactly the queries without a green row in
+    any CORRECTNESS_r*.json, unpins the flagship once verified, and falls
+    back to the recorded round-1 set when no artifact is readable."""
+    import glob
+    import json
+
+    import data_pipelines_cu_spark.queries as Q
+
+    names = list(Q.QUERIES)
+
+    def scan(root):
+        # the same semantics as Q._gate_verified, pointed at a test dir
+        verified = set()
+        for path in sorted(glob.glob(str(root / "CORRECTNESS_r*.json"))):
+            rows = json.loads(open(path).read())
+            for name, row in rows.items():
+                if isinstance(row, dict) and (
+                    row.get("hash_match") or row.get("err") == "no_oracle"
+                ):
+                    verified.add(name)
+        return verified or set(Q._R1_VERIFIED)
+
+    # two rounds of artifacts: r1 greens half, r2 greens the flagship
+    half = {n: {"hash_match": True} for n in names[: len(names) // 2]}
+    r2 = {"daily_price_rollup": {"hash_match": True},
+          "approx_daily_users": {"err": "no_oracle"}}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(half))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps(r2))
+    monkeypatch.setattr(
+        "data_pipelines_cu_spark.queries._gate_verified", lambda: scan(tmp_path)
+    )
+    ordered = list(Q.all_queries())
+    verified = scan(tmp_path)
+    assert ordered[0] != "daily_price_rollup"  # unpinned once green
+    n_ungated = len(names) - len(verified & set(names))
+    assert all(n not in verified for n in ordered[:n_ungated])
+    assert all(n in verified for n in ordered[n_ungated:])
+
+    # no artifacts -> falls back to the recorded round-1 set
+    monkeypatch.setattr(
+        "data_pipelines_cu_spark.queries._gate_verified",
+        lambda: scan(tmp_path / "empty"),
+    )
+    ordered = list(Q.all_queries())
+    assert ordered[0] == "daily_price_rollup"
+    assert set(ordered) == set(names)
