@@ -174,7 +174,10 @@ def skew_demo(spark, sf_dir: str) -> dict[str, float]:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_spark("bench")
+    # No console progress bars: their \r-spam inflated the captured output
+    # past the driver's tail window in round 2 (BENCH_r02.json "parsed":
+    # null) and they carry no information in a non-interactive run.
+    spark = get_spark("bench", **{"spark.ui.showConsoleProgress": "false"})
     spark.sparkContext.setLogLevel("ERROR")
 
     queries = all_queries()
@@ -191,6 +194,11 @@ def main() -> None:
     # diagnostic entries (skew mitigation proof) — reported, not in the total
     extras = skew_demo(spark, sf_dir)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # ONE compact JSON line, flushed as the very last stdout write: round-2's
+    # pretty separators + progress bars pushed the summary past the driver's
+    # tail capture. separators= strips whitespace (~25% shorter line).
+    sys.stdout.flush()
+    sys.stderr.flush()
     print(
         json.dumps(
             {
@@ -201,8 +209,10 @@ def main() -> None:
                 "queries": timings,
                 "diagnostics": extras,
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
-            }
-        )
+            },
+            separators=(",", ":"),
+        ),
+        flush=True,
     )
 
 

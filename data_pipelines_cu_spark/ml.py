@@ -180,6 +180,28 @@ def stump_train_score(
             (F.col("pr") * 2 > F.col("nr")).cast("int").alias("pred_r"),
         )
     )
+    # No candidate threshold splits the data (all feature values on one
+    # side for every t) → `best` is empty and the crossJoin would silently
+    # return zero predictions. Fall back to a no-split majority-class model
+    # (split_t=0: every x lands on the R side). The DuckDB twin applies the
+    # identical fallback, so the gate still hash-matches.
+    majority = (F.col("pos") * 2 > F.col("n")).cast("int")
+    fallback = (
+        base.agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos"))
+        .select(
+            F.lit(0).cast("long").alias("t"),
+            majority.alias("pred_l"),
+            majority.alias("pred_r"),
+            F.lit(1).alias("_prio"),
+        )
+    )
+    best = (
+        best.withColumn("_prio", F.lit(0))
+        .unionByName(fallback)
+        .withColumn("_r2", F.row_number().over(_W.orderBy("_prio")))
+        .filter(F.col("_r2") == 1)
+        .select("t", "pred_l", "pred_r")
+    )
     pred = F.when(F.col("x") < F.col("t"), F.col("pred_l")).otherwise(
         F.col("pred_r")
     )
@@ -237,12 +259,29 @@ def stump_train_score_sql(
                       - ((nr - pr) / nr) * ((nr - pr) / nr)) AS gini
         FROM stats
     ),
-    best AS (
+    split_best AS (
         SELECT t,
                CAST(pl * 2 > nl AS INT) AS pred_l,
                CAST(pr * 2 > nr AS INT) AS pred_r
         FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY gini ASC, t ASC) AS r
               FROM scored) WHERE r = 1
+    ),
+    fallback AS (
+        -- no-split majority-class model when no threshold separates the
+        -- data (same fallback as the Spark engine: split_t=0, all-R)
+        SELECT CAST(0 AS BIGINT) AS t,
+               CAST(SUM(y) * 2 > COUNT(*) AS INT) AS pred_l,
+               CAST(SUM(y) * 2 > COUNT(*) AS INT) AS pred_r
+        FROM base
+    ),
+    best AS (
+        SELECT t, pred_l, pred_r FROM (
+            SELECT *, ROW_NUMBER() OVER (ORDER BY prio) AS r2 FROM (
+                SELECT t, pred_l, pred_r, 0 AS prio FROM split_best
+                UNION ALL
+                SELECT t, pred_l, pred_r, 1 AS prio FROM fallback
+            )
+        ) WHERE r2 = 1
     )
     SELECT b.{id_col}, b.x, b.y AS label, best.t AS split_t,
            CASE WHEN b.x < best.t THEN best.pred_l ELSE best.pred_r END AS pred,

@@ -982,7 +982,7 @@ def source_dup_oracle_sql(
     cc AS (SELECT h, COUNT(*) AS n FROM h GROUP BY h)
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS n_dup_docs,
+           CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
            COUNT(DISTINCT h.h) AS n_distinct_texts,
            ROUND(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 6)
                AS dup_ratio

@@ -5,12 +5,15 @@ files (Solutions/chapter02/dags/download_rocket_launches.py:26-44). Here
 image/audio/video payloads are opaque ``binary`` columns with a typed
 metadata struct, processed by Arrow-batched ``mapInPandas`` stages.
 
-The actual codec work (image decode, resampling, frame extraction) needs
-libraries not present in this container, so the decode kernels are STUBS:
-``decode_image_stub`` produces a deterministic fake feature row per blob
-(so the Spark-side plumbing — schema, batch shape, partitioning, UDF
-signature — is real and testable), and ``decode_image_real`` raises
-NotImplementedError marking exactly where a PIL/ffmpeg kernel plugs in.
+Decode kernels come in two flavors. ``decode_image_real`` /
+``resize_image_real`` are REAL pixel paths for uncompressed formats — P6
+PPM and 24-bit BI_RGB BMP decoded with pure numpy (no PIL/libvips needed),
+nearest-neighbor resample, PPM re-encode — so actual pixel bytes flow
+through the Arrow stages end-to-end. Compressed formats (JPEG/PNG/video)
+still need a codec library absent from this container; ``decode_image_
+stub`` keeps those paths testable with a deterministic sha256 fake, and
+the real kernels raise ``ValueError`` on blobs they can't parse, marking
+exactly where a PIL/ffmpeg kernel widens format support.
 
 Scale notes: blobs ride in parquet binary columns; ``mapInPandas`` streams
 Arrow record batches so executor memory holds one batch of blobs, not a
@@ -70,12 +73,106 @@ def attach_media_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     )
 
 
-def decode_image_real(payload: bytes) -> list[float]:
-    """Plug point for a real decoder (PIL/libvips/ffmpeg). Not available in
-    this container by design."""
-    raise NotImplementedError(
-        "image decode requires PIL/libvips; wire a real kernel here"
+def encode_ppm(pixels) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as binary P6 PPM."""
+    import numpy as np
+
+    arr = np.ascontiguousarray(np.asarray(pixels, dtype=np.uint8))
+    h, w = arr.shape[0], arr.shape[1]
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
+def encode_bmp(pixels) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as a 24-bit uncompressed
+    (BI_RGB) bottom-up BMP — the fixture-side twin of decode_pixels."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w = arr.shape[0], arr.shape[1]
+    row_len = (w * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    body = bytearray()
+    pad = b"\x00" * (row_len - w * 3)
+    for y in range(h - 1, -1, -1):  # bottom-up row order
+        body += arr[y, :, ::-1].tobytes() + pad  # RGB -> BGR
+    pix_offset = 14 + 40
+    file_hdr = struct.pack("<2sIHHI", b"BM", pix_offset + len(body), 0, 0, pix_offset)
+    dib_hdr = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
     )
+    return file_hdr + dib_hdr + bytes(body)
+
+
+def decode_pixels(payload: bytes):
+    """Decode a P6 PPM or 24-bit uncompressed BMP blob to an (H, W, 3)
+    uint8 RGB numpy array — pure numpy, no codec library. Raises
+    ValueError on anything else (the plug point where PIL/libvips widens
+    format support)."""
+    import struct
+
+    import numpy as np
+
+    if not payload:
+        raise ValueError("empty payload")
+    if payload[:2] == b"P6":
+        # header = magic, width, height, maxval, single whitespace, raster
+        parts, idx = [], 2
+        while len(parts) < 3:
+            while idx < len(payload) and payload[idx : idx + 1].isspace():
+                idx += 1
+            if payload[idx : idx + 1] == b"#":  # comment to EOL
+                idx = payload.index(b"\n", idx) + 1
+                continue
+            start = idx
+            while idx < len(payload) and not payload[idx : idx + 1].isspace():
+                idx += 1
+            parts.append(int(payload[start:idx]))
+        idx += 1  # exactly one whitespace byte before the raster
+        w, h, maxval = parts
+        if maxval != 255:
+            raise ValueError(f"unsupported PPM maxval {maxval}")
+        raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=idx)
+        return raster.reshape(h, w, 3).copy()
+    if payload[:2] == b"BM":
+        pix_offset = struct.unpack_from("<I", payload, 10)[0]
+        (hdr_size, w, h, _planes, bpp, compression) = struct.unpack_from(
+            "<IiiHHI", payload, 14
+        )
+        if bpp != 24 or compression != 0:
+            raise ValueError(
+                f"only 24-bit BI_RGB BMP supported (bpp={bpp}, comp={compression})"
+            )
+        flip = h > 0  # positive height = bottom-up row order
+        h = abs(h)
+        row_len = (w * 3 + 3) & ~3
+        rows = np.frombuffer(
+            payload, dtype=np.uint8, count=row_len * h, offset=pix_offset
+        ).reshape(h, row_len)
+        bgr = rows[:, : w * 3].reshape(h, w, 3)
+        rgb = bgr[:, :, ::-1]
+        return (rgb[::-1] if flip else rgb).copy()
+    raise ValueError(f"unrecognized image magic {payload[:2]!r}")
+
+
+def decode_image_real(payload: bytes, dim: int = 8) -> list[float]:
+    """REAL image feature kernel: decode actual pixels (PPM/BMP, pure
+    numpy) and emit per-channel statistics scaled to [0,1] — mean/std per
+    RGB channel, luminance mean, aspect ratio — cycled/truncated to
+    ``dim``. Same signature as decode_image_stub, so it swaps into
+    extract_features unchanged."""
+    import numpy as np
+
+    px = decode_pixels(payload).astype(np.float64)
+    h, w = px.shape[0], px.shape[1]
+    lum = px @ np.array([0.299, 0.587, 0.114])
+    stats = [
+        *(px[:, :, c].mean() / 255.0 for c in range(3)),
+        *(px[:, :, c].std() / 255.0 for c in range(3)),
+        lum.mean() / 255.0,
+        w / (w + h),
+    ]
+    return [float(stats[i % len(stats)]) for i in range(dim)]
 
 
 def decode_image_stub(payload: bytes, dim: int = 8) -> list[float]:
@@ -269,6 +366,20 @@ def resize_image_stub(payload: bytes, w: int, h: int) -> bytes:
     seed = hashlib.sha256((payload or b"") + f"{w}x{h}".encode()).digest()
     reps = (w * h + len(seed) - 1) // len(seed)
     return (seed * reps)[: w * h]
+
+
+def resize_image_real(payload: bytes, w: int, h: int) -> bytes:
+    """REAL resize kernel: decode pixels (PPM/BMP), nearest-neighbor
+    resample to (h, w), re-encode as P6 PPM — pure numpy end-to-end, and
+    the output is itself decodable, so resize -> extract_features chains
+    on real pixel bytes. Same signature as resize_image_stub."""
+    import numpy as np
+
+    px = decode_pixels(payload)
+    src_h, src_w = px.shape[0], px.shape[1]
+    ys = (np.arange(h) * src_h) // h
+    xs = (np.arange(w) * src_w) // w
+    return encode_ppm(px[ys][:, xs])
 
 
 def resize_images(

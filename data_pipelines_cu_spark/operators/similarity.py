@@ -939,16 +939,52 @@ def knn_label_oracle_sql(k: int = 10, mod: int = 100, table: str = "embeddings")
     """
 
 
+#: Production default for derived k: k = ceil(N / target). 1024 vectors per
+#: cell keeps the within-cluster pair stage at O(N * target) total work —
+#: linear in the corpus — instead of the O((N/k)^2 * k) blow-up a FIXED k
+#: becomes at 100 TB (an all-pairs join in disguise). SemDeDup (Abbas et al.
+#: 2023) runs k ≈ 10^5 on web-scale corpora for exactly this reason.
+TARGET_CLUSTER_SIZE = 1024
+
+
+def derived_n_clusters(n_rows: int, target_cluster_size: int) -> int:
+    """k = ceil(N / target): average cell size is bounded by the target at
+    ANY corpus size, so the quadratic within-cell stage stays linear overall."""
+    import math
+
+    return max(1, math.ceil(n_rows / target_cluster_size))
+
+
+def _n_clusters_sql(
+    n_clusters: int | None, target_cluster_size: int, table: str
+) -> str:
+    """SQL form of the k choice: a literal when pinned, a scalar subquery
+    computing the same ceil(N/target) when derived — bit-identical to the
+    Spark side's count()-based derivation."""
+    if n_clusters is not None:
+        return str(n_clusters)
+    return (
+        f"(SELECT CAST(GREATEST(1, CEIL(COUNT(*) / {target_cluster_size}.0))"
+        f" AS BIGINT) FROM {table})"
+    )
+
+
 def kmeans_clusters(
     corpus: DataFrame,
-    n_clusters: int = 8,
+    n_clusters: int | None = None,
     lloyd_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_cluster_size: int = TARGET_CLUSTER_SIZE,
 ) -> DataFrame:
     """Deterministic k-means cluster assignment over an embedding column —
     the corpus-partitioning step of semantic dedup / topic bucketing in a
     training-data pipeline.
+
+    ``n_clusters=None`` (the default) derives k = ceil(N / target_cluster_
+    size), so cell population — and with it the cost of any downstream
+    within-cell work — is bounded regardless of corpus size; a pinned k
+    is accepted for experiments but does not survive a 100x scale-up.
 
     Seeding and refinement are identical to cosine_topk_ivf (lowest-id
     seeds + decimal-mean Lloyd rounds, RNG-free), so the result is exactly
@@ -960,22 +996,26 @@ def kmeans_clusters(
         corpus.select(F.col(id_col), F.col(vec_col)),
         n_clusters=n_clusters, lloyd_iters=lloyd_iters,
         id_col=id_col, vec_col=vec_col,
+        target_cluster_size=target_cluster_size,
     )
     return assigned.select(F.col(id_col), "cluster")
 
 
 def kmeans_assign(
     corpus: DataFrame,
-    n_clusters: int = 8,
+    n_clusters: int | None = None,
     lloyd_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     out_col: str = "cluster",
+    target_cluster_size: int = TARGET_CLUSTER_SIZE,
 ) -> DataFrame:
     """kmeans_clusters keeping EVERY input column (the Arrow assign kernel
     passes rows through untouched and appends the cell id) — callers that
     need the vector next to its cluster (e.g. semantic dedup's pair stage)
     use this form and skip a corpus self-join on the id."""
+    if n_clusters is None:
+        n_clusters = derived_n_clusters(corpus.count(), target_cluster_size)
     seeds = corpus.filter(F.col(id_col) < n_clusters).select(id_col, vec_col)
     seed_rows = [(r[0], [float(x) for x in r[1]]) for r in seeds.collect()]
     cent_rows = (
@@ -987,18 +1027,22 @@ def kmeans_assign(
 
 
 def kmeans_clusters_oracle_sql(
-    n_clusters: int = 8,
+    n_clusters: int | None = None,
     lloyd_iters: int = 2,
     table: str = "embeddings",
     id_col: str = "vec_id",
+    target_cluster_size: int = TARGET_CLUSTER_SIZE,
 ) -> str:
     """DuckDB twin of kmeans_clusters: the same Lloyd CTE unrolling as
-    cosine_topk_ivf_oracle_sql, ending at the final corpus assignment."""
+    cosine_topk_ivf_oracle_sql, ending at the final corpus assignment.
+    ``n_clusters=None`` derives k = ceil(N/target) as a scalar subquery —
+    the same arithmetic the engine runs, so the twins stay in lockstep."""
     cos_assign = _cos_sql("v.emb", "cent.cv")
+    k_expr = _n_clusters_sql(n_clusters, target_cluster_size, table)
     ctes = [
         f"""cent0 AS (
         SELECT {id_col} AS cell, embedding AS cv FROM {table}
-        WHERE {id_col} < {n_clusters})"""
+        WHERE {id_col} < {k_expr})"""
     ]
     for i in range(1, lloyd_iters + 1):
         ctes.append(f"""la{i} AS (
@@ -1043,15 +1087,22 @@ def kmeans_clusters_oracle_sql(
 def semantic_dedup_pairs(
     corpus: DataFrame,
     threshold: float = 0.3,
-    n_clusters: int = 8,
+    n_clusters: int | None = None,
     lloyd_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_cluster_size: int = TARGET_CLUSTER_SIZE,
 ) -> DataFrame:
     """Within-cluster embedding pairs with cosine >= threshold — the
     SemDeDup candidate structure. The only corpus-wide shuffle is the
     cluster-keyed self-join; cosine is the same sequential-fold JVM
-    expression the DuckDB oracle reproduces bit-for-bit."""
+    expression the DuckDB oracle reproduces bit-for-bit.
+
+    ``n_clusters=None`` derives k = ceil(N/target_cluster_size): the
+    within-cluster stage is quadratic PER CELL, so bounding the cell
+    population is what keeps total pair work at O(N * target) — linear in
+    the corpus — at every scale. A fixed k is an all-pairs join in
+    disguise once N outgrows k * target."""
     # Precompute each vector's norm ONCE before the pair join: cosine per
     # pair is then a single O(dim) dot product instead of three aggregates
     # (3x less array work on the quadratic within-cluster stage). sqrt of
@@ -1061,6 +1112,7 @@ def semantic_dedup_pairs(
         corpus.select(F.col(id_col), F.col(vec_col)),
         n_clusters=n_clusters, lloyd_iters=lloyd_iters,
         id_col=id_col, vec_col=vec_col,
+        target_cluster_size=target_cluster_size,
     ).withColumn("_n", norm(F.col(vec_col)))
     # Materialize (vector, cluster, norm) once: the pair stage self-joins
     # this frame, and without a lineage cut the Arrow assign kernel runs
@@ -1088,15 +1140,17 @@ def semantic_dedup_pairs(
 
 def semantic_dedup_oracle_sql(
     threshold: float = 0.3,
-    n_clusters: int = 8,
+    n_clusters: int | None = None,
     lloyd_iters: int = 2,
     table: str = "embeddings",
     id_col: str = "vec_id",
+    target_cluster_size: int = TARGET_CLUSTER_SIZE,
 ) -> str:
     """DuckDB twin of semantic_dedup_pairs: the kmeans_clusters oracle as a
     CTE, then the same within-cluster join + cosine threshold."""
     kmeans = kmeans_clusters_oracle_sql(
-        n_clusters=n_clusters, lloyd_iters=lloyd_iters, table=table, id_col=id_col
+        n_clusters=n_clusters, lloyd_iters=lloyd_iters, table=table,
+        id_col=id_col, target_cluster_size=target_cluster_size,
     )
     cos = _cos_sql("a.embedding", "b.embedding")
     return f"""

@@ -378,8 +378,8 @@ def pack_sequences_oracle_sql(
         FROM toks
     )
     SELECT {id_col}, n_tokens,
-           cum_before // {seq_len} AS bin_id,
-           cum_before % {seq_len} AS bin_offset
+           CAST(cum_before // {seq_len} AS BIGINT) AS bin_id,
+           CAST(cum_before % {seq_len} AS BIGINT) AS bin_offset
     FROM cum
     """
 
@@ -429,9 +429,9 @@ def lexical_diversity_oracle_sql(
         SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY doc_id, w
     )
     SELECT doc_id,
-           SUM(c) AS n_words,
+           CAST(SUM(c) AS BIGINT) AS n_words,
            COUNT(*) AS n_distinct,
-           SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n_hapax,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
            ROUND(COUNT(*)::DOUBLE / SUM(c)::DOUBLE, 6) AS ttr,
            ROUND(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)::DOUBLE
                  / COUNT(*)::DOUBLE, 6) AS hapax_ratio
@@ -527,11 +527,12 @@ def gopher_gate_oracle_sql(
     ),
     stats AS (
         SELECT doc_id,
-               SUM(c) AS n_words,
+               CAST(SUM(c) AS BIGINT) AS n_words,
                COUNT(*) AS n_distinct,
                MAX(c) AS max_word_count,
-               SUM(c * len(w)) AS sum_len,
-               SUM(CASE WHEN w IN ({stoplist}) THEN 1 ELSE 0 END) AS n_stopwords
+               CAST(SUM(c * len(w)) AS BIGINT) AS sum_len,
+               CAST(SUM(CASE WHEN w IN ({stoplist}) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_stopwords
         FROM wc GROUP BY doc_id
     )
     SELECT doc_id,

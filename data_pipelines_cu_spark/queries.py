@@ -166,7 +166,7 @@ def hourly_price_stats(spark, sf_dir):
            MAX(max_price)                  AS max_price,
            MIN_BY(first_price, hour)       AS opening_price,
            MAX_BY(last_price, hour)        AS closing_price,
-           SUM(data_points)                AS total_data_points,
+           CAST(SUM(data_points) AS BIGINT) AS total_data_points,
            COUNT(*)                        AS hours_with_data,
            ROUND(MAX_BY(last_price, hour) - MIN_BY(first_price, hour), 6) AS price_change,
            ROUND(CASE WHEN MIN_BY(first_price, hour) > 0
@@ -1436,7 +1436,7 @@ def user_sessions(spark, sf_dir):
            (h + 3)::DOUBLE AS temp_c_max,
            (h - 3)::DOUBLE AS temp_c_min,
            'mock conditions' AS conditions_short,
-           0.0 AS precipitation_mm
+           CAST(0.0 AS DOUBLE) AS precipitation_mm
     FROM calc
     """,
 )
@@ -3495,10 +3495,10 @@ def concentrated_part_revenue(spark, sf_dir):
                 WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 60
                 THEN 'medium'
                 ELSE 'slow' END AS delay_band,
-           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 0 ELSE 1 END) AS low_line_count
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     WHERE l.l_shipdate >= DATE '1997-01-01'
@@ -3788,14 +3788,17 @@ def embedding_dim_profile_q(spark, sf_dir):
 # ---------------------------------------------------------------------------
 @register(
     "embedding_kmeans_clusters",
-    sim.kmeans_clusters_oracle_sql(n_clusters=8, lloyd_iters=2),
+    sim.kmeans_clusters_oracle_sql(lloyd_iters=2, target_cluster_size=64),
 )
 def embedding_kmeans_clusters_q(spark, sf_dir):
-    """Deterministic k-means (8 cells, 2 decimal-mean Lloyd rounds, RNG-
-    free) assigning every embedding to a cluster — the corpus-partitioning
-    step of semantic dedup; broadcast centroids, no corpus shuffle."""
+    """Deterministic k-means (k = ceil(N/64) derived from the corpus, 2
+    decimal-mean Lloyd rounds, RNG-free) assigning every embedding to a
+    cluster — the corpus-partitioning step of semantic dedup; broadcast
+    centroids, no corpus shuffle. Deriving k from N (instead of a pinned
+    k) is what bounds downstream within-cell work at 100x scale; the
+    oracle derives the identical k via a COUNT(*) scalar subquery."""
     return sim.kmeans_clusters(
-        _t(spark, sf_dir, "embeddings"), n_clusters=8, lloyd_iters=2
+        _t(spark, sf_dir, "embeddings"), lloyd_iters=2, target_cluster_size=64
     )
 
 
@@ -3858,15 +3861,20 @@ def source_dup_stats_q(spark, sf_dir):
 # ---------------------------------------------------------------------------
 @register(
     "semantic_dedup_pairs",
-    sim.semantic_dedup_oracle_sql(threshold=0.3, n_clusters=8, lloyd_iters=2),
+    sim.semantic_dedup_oracle_sql(
+        threshold=0.3, lloyd_iters=2, target_cluster_size=64
+    ),
 )
 def semantic_dedup_pairs_q(spark, sf_dir):
     """SemDeDup candidate structure: deterministic k-means cells bound the
     pair search (no all-pairs), within-cell cosine >= 0.3 pairs survive.
-    The cluster-keyed self-join is the only corpus-wide shuffle."""
+    The cluster-keyed self-join is the only corpus-wide shuffle. k is
+    DERIVED as ceil(N/64) — cell population, and with it the quadratic
+    within-cell pair cost, stays bounded at any corpus size (total work
+    O(N*64), not O((N/k)^2 * k))."""
     return sim.semantic_dedup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.3, n_clusters=8,
-        lloyd_iters=2,
+        _t(spark, sf_dir, "embeddings"), threshold=0.3, lloyd_iters=2,
+        target_cluster_size=64,
     )
 
 
@@ -3877,7 +3885,7 @@ def semantic_dedup_pairs_q(spark, sf_dir):
 # same recursive-CTE transitive closure used for dedup_cluster_assignment.
 # ---------------------------------------------------------------------------
 _SEMANTIC_PAIRS_SQL = sim.semantic_dedup_oracle_sql(
-    threshold=0.3, n_clusters=8, lloyd_iters=2
+    threshold=0.3, lloyd_iters=2, target_cluster_size=64
 )
 
 
@@ -3900,8 +3908,8 @@ def semantic_dup_clusters_q(spark, sf_dir):
     per semantic-duplicate group. Same O(diameter) min-label propagation as
     the text dup graph; the oracle closes the graph with a recursive CTE."""
     pairs = sim.semantic_dedup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.3, n_clusters=8,
-        lloyd_iters=2,
+        _t(spark, sf_dir, "embeddings"), threshold=0.3, lloyd_iters=2,
+        target_cluster_size=64,
     )
     return dd.dedup_clusters(pairs, id_col_a="id_a", id_col_b="id_b").select(
         F.col("doc_id").alias("vec_id"), "canonical_id"
@@ -3922,7 +3930,7 @@ def semantic_dedup_survivors_q(spark, sf_dir):
     left_anti against the loser set — only ids shuffle."""
     em = _t(spark, sf_dir, "embeddings")
     pairs = sim.semantic_dedup_pairs(
-        em, threshold=0.3, n_clusters=8, lloyd_iters=2
+        em, threshold=0.3, lloyd_iters=2, target_cluster_size=64
     )
     losers = pairs.select(F.col("id_b").alias("vec_id")).distinct()
     return em.select("vec_id", "label").join(losers, "vec_id", "left_anti")
@@ -4281,17 +4289,20 @@ _R1_VERIFIED = {
 
 
 def _gate_verified() -> set[str]:
-    """Queries with a green (or rows-only-by-design) row in ANY round's
-    CORRECTNESS_r*.json, read dynamically from the repo root — so the
+    """Queries whose MOST RECENT gate row in CORRECTNESS_r*.json is green
+    (or rows-only-by-design), read dynamically from the repo root — so the
     rotation is self-maintaining: each round's new green rows automatically
-    yield their front slots to still-ungated queries next round. Falls back
-    to the hand-recorded round-1 set if no artifact is readable."""
+    yield their front slots to still-ungated queries next round, and a
+    query that regresses red in a later round loses its verified status and
+    rotates back into the gate window (latest round wins per query — a
+    monotone union would mask regressions forever). Falls back to the
+    hand-recorded round-1 set if no artifact is readable."""
     import glob as _glob
     import json as _json
     import os as _os
 
     root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
-    verified: set[str] = set()
+    latest: dict[str, bool] = {}
     for path in sorted(_glob.glob(_os.path.join(root, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as f:
@@ -4301,8 +4312,10 @@ def _gate_verified() -> set[str]:
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue
-            if row.get("hash_match") or row.get("err") == "no_oracle":
-                verified.add(name)
+            latest[name] = bool(
+                row.get("hash_match") or row.get("err") == "no_oracle"
+            )
+    verified = {n for n, ok in latest.items() if ok}
     return verified or set(_R1_VERIFIED)
 
 

@@ -19,6 +19,7 @@ Tests drive these with availableNow over temp dirs — the same code path a
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -357,6 +358,40 @@ def run_cascade(
     return writer.start()
 
 
+def near_dup_batch(
+    batch: DataFrame, batch_id: int, survivors_path: str, index_path: str
+) -> None:
+    """One replay-idempotent micro-batch of the streaming near-dup filter
+    (module-level so the crash/replay contract is directly testable —
+    see run_streaming_near_dup for the full policy)."""
+    from ..operators.dedup import incremental_near_dup
+    from ..operators.upsert import upsert_partitions
+
+    if batch.isEmpty():
+        return
+    spark = batch.sparkSession
+    try:
+        index = spark.read.parquet(index_path).filter(
+            F.col("batch_id") != batch_id
+        )
+    except AnalysisException:  # first batch: no index path yet
+        index = spark.createDataFrame([], "doc_id long, band int, bhash string")
+    surviving_bands = incremental_near_dup(batch, index).localCheckpoint(
+        eager=True
+    )
+    survivors = surviving_bands.select("doc_id").distinct()
+    upsert_partitions(
+        batch.join(survivors, "doc_id").withColumn("batch_id", F.lit(batch_id)),
+        survivors_path,
+        ["batch_id"],
+    )
+    upsert_partitions(
+        surviving_bands.withColumn("batch_id", F.lit(batch_id)),
+        index_path,
+        ["batch_id"],
+    )
+
+
 def run_streaming_near_dup(
     docs: DataFrame,
     survivors_path: str,
@@ -372,30 +407,23 @@ def run_streaming_near_dup(
 
     This is the streaming twin of operators.dedup.incremental_near_dup and
     the content-level analogue of streaming_dedup (exact event-id state):
-    state lives in the index table (16 band rows × 32-byte hash per doc),
-    never in executor memory, so state size is index-table size and the
-    watermark problem doesn't arise. foreachBatch because the filter needs
-    a batch join against the index — the same level-2 idempotent-batch
-    pattern as run_cascade.
-    """
-    from ..operators.dedup import incremental_near_dup
+    state lives in the index table (8 band rows × 32-byte hash per doc —
+    bands of 2 signature rows over 16 minhashes), never in executor memory,
+    so state size is index-table size and the watermark problem doesn't
+    arise. foreachBatch because the filter needs a batch join against the
+    index.
 
+    Replay idempotency (the run_cascade level-2 pattern, made real here):
+    both sinks are partitioned by ``batch_id`` and written with dynamic
+    partition overwrite, so a replayed micro-batch replaces exactly its own
+    partition instead of appending a second copy. Because a crash between
+    the two writes can leave THIS batch's band rows already in the index,
+    the replay filters its own batch_id out of the index before the dedup
+    join — otherwise the batch's docs would collide with their own band
+    rows and be dropped as duplicates of themselves.
+    """
     def process(batch: DataFrame, batch_id: int) -> None:
-        if batch.isEmpty():
-            return
-        spark = batch.sparkSession
-        try:
-            index = spark.read.parquet(index_path)
-        except Exception:  # first batch: no index yet
-            index = spark.createDataFrame(
-                [], "doc_id long, band int, bhash string"
-            )
-        surviving_bands = incremental_near_dup(batch, index)
-        survivors = surviving_bands.select("doc_id").distinct()
-        batch.join(survivors, "doc_id").write.mode("append").parquet(
-            survivors_path
-        )
-        surviving_bands.write.mode("append").parquet(index_path)
+        near_dup_batch(batch, batch_id, survivors_path, index_path)
 
     writer = (
         docs.writeStream.outputMode("append")

@@ -56,3 +56,32 @@ def test_dedup_clusters_long_chain_needs_pointer_doubling(spark):
     )
     out = {r.doc_id: r.canonical_id for r in dd.dedup_clusters(pairs).collect()}
     assert set(out.values()) == {0}
+
+
+def test_kmeans_derived_k_bounds_cluster_population(spark, tables):
+    """SemDeDup's scale contract: with k derived as ceil(N/target), cell
+    population stays near the target at ANY corpus size — the property
+    that keeps the quadratic within-cell pair stage linear overall. On the
+    fixture the lowest-id-seeded Lloyd assignment must produce exactly
+    ceil(N/target) cells, none more than 2x the target."""
+    from data_pipelines_cu_spark.operators.similarity import (
+        derived_n_clusters,
+        kmeans_clusters,
+    )
+
+    em = tables["embeddings"]
+    n = em.count()
+    target = 64
+    k = derived_n_clusters(n, target)
+    assert k == -(-n // target)
+    sizes = [
+        r["count"]
+        for r in kmeans_clusters(em, target_cluster_size=target)
+        .groupBy("cluster")
+        .count()
+        .collect()
+    ]
+    assert len(sizes) == k
+    assert max(sizes) <= 2 * target
+    # derivation arithmetic at production scale: 1B vectors / 1024 ≈ 1M cells
+    assert derived_n_clusters(1_000_000_000, 1024) == 976_563

@@ -31,8 +31,10 @@ def test_extract_features_stub_deterministic(spark):
     assert a[0].n_bytes == 100 and a[4].n_bytes == 500
 
 
-def test_real_decoder_is_explicit_stub():
-    with pytest.raises(NotImplementedError):
+def test_real_decoder_rejects_compressed_formats():
+    # compressed formats still need a codec library; the real kernel
+    # decodes PPM/BMP and refuses anything else loudly
+    with pytest.raises(ValueError):
         multimodal.decode_image_real(b"\x89PNG")
 
 
@@ -133,3 +135,66 @@ def test_resize_images_stub_contract(spark):
         out.select("media_id", F.col("resized").alias("payload"))
     )
     assert chained.count() == 3
+
+
+def test_real_pixel_codec_round_trip():
+    """Pure-numpy BMP and PPM codecs: encode -> decode is the identity on
+    real pixel arrays (including BMP's bottom-up BGR row padding)."""
+    import numpy as np
+
+    from data_pipelines_cu_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(7)
+    for h, w in [(4, 4), (3, 5), (1, 1), (5, 3)]:  # odd widths hit BMP padding
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(mm.decode_pixels(mm.encode_ppm(px)), px)
+        assert np.array_equal(mm.decode_pixels(mm.encode_bmp(px)), px)
+
+
+def test_real_decode_features_through_arrow(spark):
+    """Actual pixel bytes flow through the Arrow mapInPandas stage: a
+    gradient BMP's per-channel-mean features come out exactly as computed
+    on the source array — no stub anywhere in the path."""
+    import numpy as np
+
+    from data_pipelines_cu_spark.operators import multimodal as mm
+
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    px[:, :, 0] = 200  # red-dominant
+    px[:, :, 2] = np.arange(16).reshape(4, 4) * 10  # blue gradient
+    blob = mm.encode_bmp(px)
+    df = spark.createDataFrame([(1, bytearray(blob))], "media_id long, payload binary")
+    row = mm.extract_features(df, kernel=mm.decode_image_real).collect()[0]
+    feats = row.feature
+    assert abs(feats[0] - 200 / 255.0) < 1e-6            # mean R
+    assert abs(feats[1]) < 1e-6                          # mean G = 0
+    assert abs(feats[2] - px[:, :, 2].mean() / 255.0) < 1e-6  # mean B
+    import hashlib
+
+    assert row.sha256 == hashlib.sha256(blob).hexdigest()
+
+
+def test_real_resize_through_arrow(spark):
+    """Real resize on real pixels through mapInPandas: 4x4 gradient ->
+    2x2 nearest-neighbor, output decodable PPM with exact sampled pixels."""
+    import numpy as np
+
+    from data_pipelines_cu_spark.operators import multimodal as mm
+
+    px = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    df = spark.createDataFrame(
+        [(1, bytearray(mm.encode_ppm(px)))], "media_id long, payload binary"
+    )
+    row = mm.resize_images(df, 2, 2, kernel=mm.resize_image_real).collect()[0]
+    out = mm.decode_pixels(bytes(row.resized))
+    assert out.shape == (2, 2, 3)
+    assert np.array_equal(out, px[[0, 2]][:, [0, 2]])  # nearest = floor index
+
+
+def test_real_decode_rejects_unknown_format():
+    import pytest as _pytest
+
+    from data_pipelines_cu_spark.operators import multimodal as mm
+
+    with _pytest.raises(ValueError):
+        mm.decode_pixels(b"\x89PNG not supported without a codec")

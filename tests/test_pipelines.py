@@ -317,3 +317,35 @@ def test_curation_pipeline_end_to_end(spark):
     assert {"bin_id", "bin_offset"}.issubset(set(packed.columns))
     # deterministic: a second full run reproduces the report exactly
     assert run_curation(spark, "/root/testdata/sf0.001")["report"] == rep
+
+
+def test_stump_no_split_majority_fallback(spark, duck):
+    """When no candidate threshold separates the data (all feature values
+    equal), the stump must fall back to a no-split majority-class model
+    (split_t=0) instead of silently returning zero predictions — and the
+    DuckDB twin must agree row-for-row."""
+    from pyspark.sql import functions as F
+
+    from data_pipelines_cu_spark import ml
+    from tests.util import assert_matches_oracle
+
+    df = spark.createDataFrame(
+        [(i, 0, 1 if i < 7 else 0) for i in range(10)],
+        "event_id long, x int, y int",
+    )
+    out = ml.stump_train_score(df, F.col("x"), F.col("y"))
+    rows = out.collect()
+    assert len(rows) == 10  # no silent empty result
+    assert all(r.split_t == 0 for r in rows)
+    assert all(r.pred == 1 for r in rows)  # majority class is 1 (7 of 10)
+    duck.sql("CREATE OR REPLACE TABLE _stump_const AS "
+             "SELECT * FROM (VALUES " +
+             ", ".join(f"({i}, 0, {1 if i < 7 else 0})" for i in range(10)) +
+             ") t(event_id, x, y)")
+    assert_matches_oracle(
+        out,
+        duck,
+        ml.stump_train_score_sql(
+            table="_stump_const", feature_expr="x", label_expr="y"
+        ),
+    )

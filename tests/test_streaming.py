@@ -442,3 +442,32 @@ def test_streaming_near_dup_filters_across_batches(spark, tmp_path):
     idx = spark.read.parquet(str(tmp_path / "index"))
     assert idx.count() == len(kept) * 8
     assert {r.doc_id for r in idx.select("doc_id").distinct().collect()} == kept
+
+
+def test_near_dup_batch_replay_idempotent(spark, tmp_path):
+    """Replaying a micro-batch after a crash (checkpoint not committed, both
+    sinks already written) must not duplicate survivors or let the batch
+    collide with its OWN band rows in the index (which would silently drop
+    every doc as a self-duplicate)."""
+    sv, ix = str(tmp_path / "sv"), str(tmp_path / "ix")
+    b0 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+         (2, "one two three four five six seven eight nine")],
+        "doc_id long, text string",
+    )
+    b1 = spark.createDataFrame(
+        [(101, "alpha beta gamma delta epsilon zeta eta iota"),
+         (104, "completely different words about training data here")],
+        "doc_id long, text string",
+    )
+    jobs.near_dup_batch(b0, 0, sv, ix)
+    jobs.near_dup_batch(b1, 1, sv, ix)
+    kept = {r.doc_id for r in spark.read.parquet(sv).collect()}
+    assert kept == {1, 2, 104}
+    n_idx = spark.read.parquet(ix).count()
+    # replay batch 1 (same batch_id) — byte-for-byte same state after
+    jobs.near_dup_batch(b1, 1, sv, ix)
+    assert {r.doc_id for r in spark.read.parquet(sv).collect()} == {1, 2, 104}
+    assert spark.read.parquet(ix).count() == n_idx
+    # replay is not an append: exactly one survivor row per doc
+    assert spark.read.parquet(sv).count() == 3

@@ -1,16 +1,34 @@
 """Test helpers: DuckDB-oracle differential comparison, mirroring the
-driver's row-count + schema + order-insensitive value comparison."""
+driver's row-count + schema + order-insensitive value comparison.
+
+Type-faithful by design (round-2 verdict item 2): the driver's hasher sees
+pandas values, where DuckDB HUGEINT arrives as float64 (``302.0``) while
+Spark bigint arrives as int64 (``302``) — a divergence the old ``%.9g``
+normalization masked. ``_norm`` therefore keeps the int/float distinction
+and compares floats at full (shortest round-trip) precision, so an
+int-vs-float or last-bit-float oracle divergence fails HERE before it fails
+the gate.
+"""
 
 from __future__ import annotations
 
 import math
 
+import numpy as np
+
 
 def _norm(v):
-    if isinstance(v, float):
+    if isinstance(v, (float, np.floating)):
+        v = float(v)
         if math.isnan(v):
             return "NaN"
-        return f"{v:.9g}"
+        # Distinguish float 302.0 from int 302 (HUGEINT-vs-BIGINT class)
+        # and round-trip at full precision (driver hashes exact values).
+        return f"f:{v!r}"
+    if isinstance(v, (bool, np.bool_)):
+        return f"b:{bool(v)}"
+    if isinstance(v, (int, np.integer)):
+        return f"i:{int(v)}"
     return str(v)
 
 
