@@ -312,6 +312,19 @@ def dedup_clusters(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+
+    # Fixpoint probe: labels only ever DECREASE (least of self and
+    # neighbors), so the exact sum of labels is strictly monotone until
+    # convergence — sum unchanged ⟺ no label changed. One decimal-exact
+    # aggregate per round (decimal(38,0): no long overflow at any node
+    # count) instead of the old join+filter+limit probe, which cost a
+    # full label-table shuffle join every round.
+    def _label_sum(frame: DataFrame):
+        return frame.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).collect()[0][0]
+
+    prev_sum = _label_sum(labels)
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.b == labels.node)
@@ -347,16 +360,11 @@ def dedup_clusters(
         # count re-executed the whole round plan a second time (and the
         # doubling self-join a third) — measured 3x the round wall.
         new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        new_sum = _label_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("canonical_id")
     )
@@ -653,6 +661,172 @@ def minhash_oracle_sql(
     WHERE len(list_intersect(ga.grams, gb.grams))::DOUBLE
           / (len(ga.grams) + len(gb.grams)
              - len(list_intersect(ga.grams, gb.grams))) >= {threshold}
+    """
+
+
+def minhash_estimate_error(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """MinHash approximation-quality profile: for every LSH candidate pair,
+    the 16-hash agreement fraction (the MinHash Jaccard ESTIMATE) next to
+    the exact shingle Jaccard and their absolute error — the measurement
+    that justifies trusting banded MinHash at corpus scale (Broder 1997:
+    E[agreement] = J; with 16 hashes, sd ≈ sqrt(J(1-J)/16)).
+
+    Distributed shape: the signature table materializes once (lineage cut)
+    and feeds BOTH the band self-join and the per-pair agreement count, so
+    the corpus is shingled exactly once; exact Jaccard joins gram sets onto
+    the (small) candidate set only. Estimates are k/16 (exact binary
+    fractions), so the error column is bit-stable across engines.
+    """
+    sigs = minhash_signatures(df, text_col, id_col, n).localCheckpoint(
+        eager=True
+    )
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col(f"h{2 * b}").cast("string"),
+                F.col(f"h{2 * b + 1}").cast("string"),
+            )
+        ).alias(f"b{b}")
+        for b in range(N_BANDS)
+    ]
+    melted = (
+        sigs.select(id_col, *band_cols)
+        .select(
+            id_col,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"), F.col(f"b{b}").alias("bhash")
+                        )
+                        for b in range(N_BANDS)
+                    ]
+                )
+            ).alias("bb"),
+        )
+        .select(id_col, "bb.band", "bb.bhash")
+    )
+    cands = (
+        melted.select(F.col(id_col).alias("id_a"), "band", "bhash")
+        .join(
+            melted.select(F.col(id_col).alias("id_b"), "band", "bhash"),
+            ["band", "bhash"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(N_MINHASH)],
+    )
+    sb = sigs.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(N_MINHASH)],
+    )
+    agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(N_MINHASH)
+    )
+    grams = ngram_sets(df, text_col, id_col, n)
+    ga = grams.select(F.col(id_col).alias("id_a"), F.col("grams").alias("ga"))
+    gb = grams.select(F.col(id_col).alias("id_b"), F.col("grams").alias("gb"))
+    est = agree.cast("double") / F.lit(float(N_MINHASH))
+    exact = jaccard(F.col("ga"), F.col("gb"))
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .join(ga, "id_a")
+        .join(gb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(est, 6).alias("est_jac"),
+            F.round(exact, 6).alias("exact_jac"),
+            F.round(F.abs(est - exact), 6).alias("abs_err"),
+        )
+    )
+
+
+def minhash_estimate_error_oracle_sql(
+    table: str = "documents",
+    text_expr: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> str:
+    """DuckDB twin of minhash_estimate_error (same md5/affine minhash
+    pipeline as minhash_oracle_sql, agreement count over the 16 hashes)."""
+    norm = f"regexp_replace(lower(trim({text_expr})), '\\s+', ' ', 'g')"
+    gram_parts = " || ' ' || ".join(f"ws[i + {j}]" for j in range(n))
+    gx = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(g), {j + 1}, 1)) - 1) * {16 ** (7 - j)}"
+        for j in range(8)
+    )
+    mins = ", ".join(
+        f"MIN(({a} * gx + {b}) % {MINHASH_PRIME}) AS h{i}"
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    )
+    bands = ", ".join(
+        f"md5(h{2 * b}::VARCHAR || '|' || h{2 * b + 1}::VARCHAR) AS b{b}"
+        for b in range(N_BANDS)
+    )
+    band_union = " UNION ALL ".join(
+        f"SELECT {id_col}, {b} AS band, b{b} AS bhash FROM bands"
+        for b in range(N_BANDS)
+    )
+    agree = " + ".join(
+        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END"
+        for i in range(N_MINHASH)
+    )
+    exact = (
+        "len(list_intersect(ga.grams, gb.grams))::DOUBLE"
+        " / (len(ga.grams) + len(gb.grams)"
+        " - len(list_intersect(ga.grams, gb.grams)))"
+    )
+    return f"""
+    WITH words AS (
+        SELECT {id_col}, string_split({norm}, ' ') AS ws FROM {table}
+    ),
+    grams AS (
+        SELECT {id_col},
+               unnest(CASE WHEN len(ws) >= {n}
+                      THEN range(1, len(ws) - {n - 2})
+                      ELSE [] END) AS i, ws
+        FROM words
+    ),
+    gram_rows AS (
+        SELECT DISTINCT {id_col}, {gram_parts} AS g FROM grams
+    ),
+    gxs AS (
+        SELECT {id_col}, ({gx})::BIGINT AS gx FROM gram_rows
+    ),
+    sigs AS (
+        SELECT {id_col}, {mins} FROM gxs GROUP BY {id_col}
+    ),
+    bands AS (
+        SELECT {id_col}, {bands} FROM sigs
+    ),
+    melted AS ({band_union}),
+    cands AS (
+        SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b
+        FROM melted a JOIN melted b
+          ON a.band = b.band AND a.bhash = b.bhash AND a.{id_col} < b.{id_col}
+    ),
+    gsets AS (
+        SELECT {id_col}, list_distinct(list(g)) AS grams FROM gram_rows GROUP BY {id_col}
+    )
+    SELECT id_a, id_b,
+           ROUND(({agree}) / 16.0, 6) AS est_jac,
+           ROUND({exact}, 6) AS exact_jac,
+           ROUND(ABS(({agree}) / 16.0 - {exact}), 6) AS abs_err
+    FROM cands
+    JOIN sigs sa ON sa.{id_col} = id_a
+    JOIN sigs sb ON sb.{id_col} = id_b
+    JOIN gsets ga ON ga.{id_col} = id_a
+    JOIN gsets gb ON gb.{id_col} = id_b
     """
 
 

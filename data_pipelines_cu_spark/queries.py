@@ -4260,6 +4260,98 @@ def stump_train_score_q(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# MinHash approximation quality: estimate vs exact Jaccard on candidate pairs
+# (the measurement that justifies trusting banded MinHash at corpus scale)
+# ---------------------------------------------------------------------------
+@register("minhash_jaccard_error", dd.minhash_estimate_error_oracle_sql())
+def minhash_jaccard_error_q(spark, sf_dir):
+    """Per LSH-candidate-pair: 16-hash agreement fraction (MinHash
+    estimate), exact 3-gram Jaccard, absolute error. Signatures
+    materialize once and feed both the band join and the agreement count;
+    estimates are k/16 binary fractions, so the error is bit-stable."""
+    return dd.minhash_estimate_error(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Context-length profile: per-language token-length histogram (the
+# sequence-length planning input for packing / curriculum decisions)
+# ---------------------------------------------------------------------------
+@register(
+    "doc_length_histogram",
+    """
+    SELECT lang,
+           (len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                             ' ')) // 10) * 10 AS bucket_lo,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def doc_length_histogram_q(spark, sf_dir):
+    """Token-count histogram (width-10 integer buckets) per language — one
+    scan + one small aggregate; the bucket arithmetic is integer-exact so
+    histograms reproduce bit-for-bit on any engine/partitioning."""
+    docs = _t(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(dd.normalized_text("text"), " "))
+    return (
+        docs.groupBy(
+            "lang",
+            ((n_tokens / 10).cast("int") * 10).cast("long").alias("bucket_lo"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Intra-document repetition: repeated 8-gram occurrence fraction (Lee et al.
+# 2022, "Deduplicating Training Data Makes Language Models Better" — the
+# within-doc signal complementing cross-doc near-dedup)
+# ---------------------------------------------------------------------------
+@register(
+    "doc_repeated_ngram_fraction",
+    """
+    WITH words AS (
+        SELECT doc_id,
+               string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                            ' ') AS ws
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+               ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' ||
+               ws[i+6] || ' ' || ws[i+7] AS g
+        FROM (SELECT doc_id, ws,
+                     unnest(CASE WHEN len(ws) >= 8
+                            THEN range(1, len(ws) - 6) ELSE [] END) AS i
+              FROM words)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           COUNT(DISTINCT g) AS n_distinct,
+           ROUND((COUNT(*) - COUNT(DISTINCT g))::DOUBLE / COUNT(*), 6)
+               AS rep_fraction
+    FROM grams GROUP BY doc_id
+    """,
+)
+def doc_repeated_ngram_fraction_q(spark, sf_dir):
+    """Fraction of 8-gram OCCURRENCES that are repeats of an earlier
+    8-gram in the same doc — the memorization-risk signal. One
+    posexplode+lead pass (linear per word), one per-doc integer aggregate;
+    the ratio is a single IEEE division of exact integers."""
+    docs = _t(spark, sf_dir, "documents")
+    grams = dd.gram_rows(docs, "text", "doc_id", n=8)
+    return grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.count_distinct("gram").alias("n_distinct"),
+        F.round(
+            (F.count(F.lit(1)) - F.count_distinct("gram")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("rep_fraction"),
+    )
+
+
 # Queries with a green row in CORRECTNESS_r01.json (driver gate, round 1).
 # The driver verifies queries in registration order and stopped at 50 in
 # round 1, so all_queries() front-loads the not-yet-gated entries each round
