@@ -4380,7 +4380,7 @@ _R1_VERIFIED = {
 }
 
 
-def _gate_verified() -> set[str]:
+def _gate_verified(root: str | None = None) -> set[str]:
     """Queries whose MOST RECENT gate row in CORRECTNESS_r*.json is green
     (or rows-only-by-design), read dynamically from the repo root — so the
     rotation is self-maintaining: each round's new green rows automatically
@@ -4393,7 +4393,8 @@ def _gate_verified() -> set[str]:
     import json as _json
     import os as _os
 
-    root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    if root is None:
+        root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
     latest: dict[str, bool] = {}
     for path in sorted(_glob.glob(_os.path.join(root, "CORRECTNESS_r*.json"))):
         try:

@@ -136,3 +136,27 @@ def test_gate_rotation_reads_correctness_artifacts(monkeypatch, tmp_path):
     ordered = list(Q.all_queries())
     assert ordered[0] == "daily_price_rollup"
     assert set(ordered) == set(names)
+
+
+def test_gate_verified_latest_round_wins(tmp_path):
+    """A query that hash-matched in an early round but regressed red in a
+    later one must LOSE verified status (and rotate back into the gate
+    window) — a monotone union across rounds would mask the regression
+    forever. Exercises the real artifact scanner, not a reimplementation."""
+    import json
+
+    import data_pipelines_cu_spark.queries as Q
+
+    r1 = {"q_stable": {"hash_match": True},
+          "q_regressed": {"hash_match": True},
+          "q_recovered": {"hash_match": False, "rows_match": True}}
+    r2 = {"q_regressed": {"hash_match": False, "rows_match": True},
+          "q_recovered": {"hash_match": True},
+          "q_rowsonly": {"err": "no_oracle"}}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(r1))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps(r2))
+    verified = Q._gate_verified(root=str(tmp_path))
+    assert "q_stable" in verified          # green, never contradicted
+    assert "q_regressed" not in verified   # later red overrides earlier green
+    assert "q_recovered" in verified       # later green overrides earlier red
+    assert "q_rowsonly" in verified        # rows-only-by-design counts

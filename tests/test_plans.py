@@ -216,3 +216,30 @@ def test_containment_pairs_use_inverted_index_join(spark, sf_dir):
     key_lines = [l for l in plan.splitlines() if "Left keys" in l]
     assert any("gram" in l for l in key_lines)
     assert "array_intersect" not in plan
+
+
+def test_minhash_error_band_join_never_cartesian(spark, sf_dir):
+    """The estimate-vs-exact error profile joins candidates on (band,
+    bhash) and signatures/grams on ids — never an all-pairs product."""
+    plan = _formatted_plan(QUERIES["minhash_jaccard_error"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_length_histogram_prunes_to_lang_and_text(spark, sf_dir):
+    plan = _formatted_plan(QUERIES["doc_length_histogram"].fn(spark, sf_dir))
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "lang" in read_schema and "text" in read_schema
+    assert "source" not in read_schema and "n_chars" not in read_schema
+
+
+def test_repeated_ngram_reuses_doc_partitioning(spark, sf_dir):
+    """gram_rows shuffles on doc_id for the position window; the per-doc
+    aggregate must REUSE that partitioning (no second corpus shuffle).
+    count_distinct adds one expand-level exchange on (doc_id, gram) at
+    most — anything beyond that is a plan regression."""
+    plan = _formatted_plan(
+        QUERIES["doc_repeated_ngram_fraction"].fn(spark, sf_dir)
+    )
+    assert plan.count("Exchange") <= 2
+    assert "CartesianProduct" not in plan
