@@ -25,6 +25,7 @@ from .operators import dedup as dd
 from .operators import filters as flt
 from .operators import sampling as smp
 from .operators import similarity as sim
+from .operators import sketches as sk
 from .operators import text as tx
 from .operators import windows as win
 
@@ -4349,6 +4350,25 @@ def doc_repeated_ngram_fraction_q(spark, sf_dir):
             / F.count(F.lit(1)),
             6,
         ).alias("rep_fraction"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct-count sketch: the gated, error-measured approximate-distinct
+# path (HLL's approx_daily_users is rows-only by nature; KMV's md5-derived
+# k-smallest hashes are bit-deterministic, so the ESTIMATE itself hash-gates)
+# ---------------------------------------------------------------------------
+@register("kmv_daily_users", sk.kmv_oracle_sql())
+def kmv_daily_users_q(spark, sf_dir):
+    """Distinct users per day via a k=64 KMV sketch, next to the exact
+    count and relative error. One digest-only distinct shuffle + a per-day
+    top-k window; sketch state is 64 longs per day and sketches merge by
+    k-smallest-of-union (the 100 TB incremental-stats pattern)."""
+    ev = _t(spark, sf_dir, "events")
+    return sk.kmv_distinct(
+        ev.withColumn("date", F.date_format("ts", "yyyy-MM-dd")),
+        ["date"],
+        "user_id",
     )
 
 

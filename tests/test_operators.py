@@ -420,3 +420,33 @@ def test_knn_label_predict_majority_vote(spark):
         assert r["pred_label"] == r["true_label"]
         assert r["correct"] == 1
         assert r["votes"] == 3
+
+
+def test_kmv_sketch_merge_equals_single_pass(spark):
+    """KMV's defining property: merging per-shard sketches (k smallest of
+    the union) gives EXACTLY the sketch of the full data — what makes
+    per-day/per-partition sketches combinable into corpus totals without
+    rescanning. Also: the estimate is within 30% of truth at k=64 on 1000
+    distinct values, and exact below k."""
+    from pyspark.sql import functions as F
+
+    from data_pipelines_cu_spark.operators import sketches as sk
+
+    full = spark.range(0, 1000).select(
+        F.lit("g").alias("g"), F.col("id").cast("string").alias("v")
+    )
+    half1, half2 = full.filter("id % 2 = 0"), full.filter("id % 2 = 1")
+    merged = sk.kmv_merge(
+        sk.kmv_sketch(half1, ["g"], "v").unionByName(
+            sk.kmv_sketch(half2, ["g"], "v")
+        ),
+        ["g"],
+    ).collect()[0]
+    single = sk.kmv_sketch(full, ["g"], "v").collect()[0]
+    assert list(merged.kmv) == list(single.kmv)
+
+    est = sk.kmv_distinct(full, ["g"], "v").collect()[0]
+    assert est.n_exact == 1000
+    assert abs(est.kmv_estimate - 1000) / 1000 < 0.30
+    small = sk.kmv_distinct(full.filter("id < 40"), ["g"], "v").collect()[0]
+    assert small.kmv_estimate == 40.0 and small.rel_err == 0.0
