@@ -120,6 +120,344 @@ def kmv_oracle_sql(
     """
 
 
+# --- Count-Min frequency sketch ---------------------------------------------
+# Cormode & Muthukrishnan 2005: d hash rows of w counters; a key's estimate
+# is the MIN of its d counters — always >= the true count, with overestimate
+# driven by colliding mass. Deterministic md5 row hashes make the estimate
+# (and its measured overestimate) bit-identical on both engines, so the
+# sketch path itself hash-gates. Counters are sums → sketches MERGE by
+# bucket-wise addition (linearity), the per-shard rollup property.
+
+CM_DEPTH = 4
+CM_WIDTH = 1024
+
+
+def _cm_bucket(col: Column, r: int) -> Column:
+    """Row-r counter index: 60-bit md5 of 'r:value', mod width."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{r}:"), col)), 1, 15), 16, 10
+        ).cast("long")
+        % CM_WIDTH
+    )
+
+
+def cm_gram_count_error(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_count: int = 5,
+) -> DataFrame:
+    """Count-Min estimates vs exact counts for head n-grams (exact count >=
+    min_count): gram, exact, cm_estimate, overestimate (always >= 0).
+
+    Scale shape: the sketch build shuffles (row, bucket) keys — d*w = 4096
+    groups regardless of corpus size; exact head counts shuffle grams once
+    (the same pass any head-vocabulary job already runs). The probe joins
+    the (small) head set against the 4096-row counter table. At 100 TB the
+    counter table is the only state that grows with NOTHING."""
+    from .dedup import gram_rows
+
+    grams = gram_rows(df, text_col, id_col, n).select("gram")
+    rb = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("r"), _cm_bucket(F.col("gram"), r).alias("bucket")
+                )
+                for r in range(CM_DEPTH)
+            ]
+        )
+    ).alias("rb")
+    counters = (
+        grams.select(rb)
+        .select("rb.r", "rb.bucket")
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    head = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("exact"))
+        .filter(F.col("exact") >= min_count)
+    )
+    probes = head.select("gram", "exact", rb).select(
+        "gram", "exact", "rb.r", "rb.bucket"
+    )
+    return (
+        probes.join(F.broadcast(counters), ["r", "bucket"])
+        .groupBy("gram", "exact")
+        .agg(F.min("cnt").alias("cm_estimate"))
+        .select(
+            "gram",
+            "exact",
+            "cm_estimate",
+            (F.col("cm_estimate") - F.col("exact")).alias("overestimate"),
+        )
+    )
+
+
+def cm_oracle_sql(
+    table: str = "documents",
+    text_expr: str = "text",
+    n: int = 3,
+    min_count: int = 5,
+) -> str:
+    """DuckDB twin of cm_gram_count_error (identical row hashes, buckets,
+    min-of-counters arithmetic)."""
+    norm = f"regexp_replace(lower(trim({text_expr})), '\\s+', ' ', 'g')"
+    gram_parts = " || ' ' || ".join(f"ws[i + {j}]" for j in range(n))
+
+    def h60(expr: str) -> str:
+        return "(" + " + ".join(
+            f"(strpos('0123456789abcdef', substr(md5({expr}), {j + 1}, 1)) - 1)"
+            f" * {16 ** (14 - j)}"
+            for j in range(15)
+        ) + ")::BIGINT"
+
+    rb_parts = []
+    for r in range(CM_DEPTH):
+        hr = h60(f"'{r}:' || g")
+        rb_parts.append(
+            f"SELECT g, {r} AS r, {hr} % {CM_WIDTH} AS bucket FROM grams"
+        )
+    rb_union = " UNION ALL ".join(rb_parts)
+    return f"""
+    WITH words AS (
+        SELECT string_split({norm}, ' ') AS ws FROM {table}
+    ),
+    grams AS (
+        SELECT {gram_parts} AS g
+        FROM (SELECT ws, unnest(CASE WHEN len(ws) >= {n}
+                     THEN range(1, len(ws) - {n - 2}) ELSE [] END) AS i
+              FROM words)
+    ),
+    rb AS ({rb_union}),
+    counters AS (
+        SELECT r, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM rb GROUP BY r, bucket
+    ),
+    head AS (
+        SELECT g AS gram, CAST(COUNT(*) AS BIGINT) AS exact
+        FROM grams GROUP BY g HAVING COUNT(*) >= {min_count}
+    ),
+    probes AS (
+        SELECT gram, exact, r,
+               {h60("r::VARCHAR || ':' || gram")} % {CM_WIDTH} AS bucket
+        FROM head CROSS JOIN (SELECT unnest(range({CM_DEPTH})) AS r)
+    )
+    SELECT gram, exact, MIN(cnt) AS cm_estimate,
+           MIN(cnt) - exact AS overestimate
+    FROM probes JOIN counters USING (r, bucket)
+    GROUP BY gram, exact
+    """
+
+
+# --- Bloom-filter membership prefilter ---------------------------------------
+# The at-scale decontamination/join-pruning pattern: build an m-bit Bloom
+# bitmap (k md5-derived positions per key) over the benchmark's gram set,
+# prefilter the corpus against the (tiny, broadcast) bitmap, and measure the
+# false-positive cost against exact membership. Deterministic positions →
+# the whole measurement hash-gates. Bitmaps merge by word-wise OR.
+
+BLOOM_BITS = 65536  # ~8% fill at ~1.4k keys * k=4
+BLOOM_K = 4
+# 63 bits per bigint word: bit 63 stays clear, because DuckDB raises on
+# 1::BIGINT << 63 (checked signed overflow) while Spark silently wraps —
+# the one-bit sacrifice keeps the bitmap arithmetic identical on both.
+BLOOM_WORD = 63
+
+
+def _bloom_pos(col: Column, i: int) -> Column:
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{i}:"), col)), 1, 15), 16, 10
+        ).cast("long")
+        % BLOOM_BITS
+    )
+
+
+def bloom_bitmap(keys: DataFrame, key_col: str = "gram") -> DataFrame:
+    """(word_idx, bits) bitmap rows — BLOOM_BITS/64 bigints, built with a
+    bit_or aggregate over per-key set positions. Broadcastable at any
+    corpus size (the bitmap size is a constant)."""
+    pos = keys.select(
+        F.explode(
+            F.array(
+                *[_bloom_pos(F.col(key_col), i) for i in range(BLOOM_K)]
+            )
+        ).alias("pos")
+    ).distinct()
+    return (
+        pos.select(
+            (F.col("pos") / BLOOM_WORD).cast("long").alias("word_idx"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {BLOOM_WORD} AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+
+
+def bloom_decontamination_stats(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Per corpus doc: distinct grams, Bloom-prefilter hits vs exact
+    benchmark-membership hits, and the measured false-positive count —
+    the evidence that the broadcast bitmap can gate the expensive exact
+    join at scale. Only grams that pass the bloom go into the exact
+    membership join (the production ordering), so exact hits are computed
+    on the prefiltered set and n_false_pos = bloom - exact."""
+    from .dedup import gram_rows
+
+    bench_grams = gram_rows(benchmark, text_col, id_col, n).select("gram").distinct()
+    bitmap = bloom_bitmap(bench_grams)
+    doc_grams = gram_rows(corpus, text_col, id_col, n).select(id_col, "gram").distinct()
+    pos = doc_grams.select(
+        id_col,
+        "gram",
+        F.posexplode(
+            F.array(*[_bloom_pos(F.col("gram"), i) for i in range(BLOOM_K)])
+        ).alias("i", "pos"),
+    )
+    checked = (
+        pos.join(
+            F.broadcast(bitmap),
+            (F.col("pos") / BLOOM_WORD).cast("long") == F.col("word_idx"),
+        )
+        .select(
+            id_col,
+            "gram",
+            (
+                F.expr(
+                    f"(bits >> CAST(pos % {BLOOM_WORD} AS INT))"
+                    " & CAST(1 AS BIGINT)"
+                )
+                == 1
+            ).cast("int").alias("bit_set"),
+        )
+        .groupBy(id_col, "gram")
+        .agg((F.sum("bit_set") == BLOOM_K).cast("int").alias("bloom_hit"))
+    )
+    exact = checked.filter(F.col("bloom_hit") == 1).join(
+        bench_grams.withColumn("_in_bench", F.lit(1)), "gram", "left"
+    ).groupBy(id_col).agg(
+        F.sum(F.coalesce(F.col("_in_bench"), F.lit(0))).cast("bigint").alias(
+            "n_exact_hits"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("n_bloom_hits"),
+    )
+    totals = doc_grams.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams")
+    )
+    return (
+        totals.join(exact, id_col, "left")
+        .select(
+            id_col,
+            "n_grams",
+            F.coalesce("n_bloom_hits", F.lit(0)).alias("n_bloom_hits"),
+            F.coalesce("n_exact_hits", F.lit(0)).alias("n_exact_hits"),
+            (
+                F.coalesce("n_bloom_hits", F.lit(0))
+                - F.coalesce("n_exact_hits", F.lit(0))
+            ).alias("n_false_pos"),
+        )
+    )
+
+
+def bloom_oracle_sql(
+    table: str = "documents",
+    corpus_pred: str = "source <> 'src0'",
+    benchmark_pred: str = "source = 'src0'",
+    text_expr: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> str:
+    """DuckDB twin of bloom_decontamination_stats (identical positions,
+    bitmap, bit tests)."""
+    norm = f"regexp_replace(lower(trim({text_expr})), '\\s+', ' ', 'g')"
+    gram_parts = " || ' ' || ".join(f"ws[i + {j}]" for j in range(n))
+
+    def h60(expr: str) -> str:
+        return "(" + " + ".join(
+            f"(strpos('0123456789abcdef', substr(md5({expr}), {j + 1}, 1)) - 1)"
+            f" * {16 ** (14 - j)}"
+            for j in range(15)
+        ) + ")::BIGINT"
+
+    pos_parts, doc_pos_parts = [], []
+    for i in range(BLOOM_K):
+        hi = h60(f"'{i}:' || gram")
+        pos_parts.append(
+            f"SELECT gram, {hi} % {BLOOM_BITS} AS pos FROM bench_grams"
+        )
+        doc_pos_parts.append(
+            f"SELECT {id_col}, gram, {hi} % {BLOOM_BITS} AS pos FROM doc_grams"
+        )
+    pos_union = " UNION ALL ".join(pos_parts)
+    doc_pos_union = " UNION ALL ".join(doc_pos_parts)
+    return f"""
+    WITH bench_words AS (
+        SELECT {id_col}, string_split({norm}, ' ') AS ws
+        FROM {table} WHERE {benchmark_pred}
+    ),
+    bench_grams AS (
+        SELECT DISTINCT {gram_parts} AS gram
+        FROM (SELECT {id_col}, ws, unnest(CASE WHEN len(ws) >= {n}
+                     THEN range(1, len(ws) - {n - 2}) ELSE [] END) AS i
+              FROM bench_words)
+    ),
+    bench_pos AS (SELECT DISTINCT pos FROM ({pos_union})),
+    bitmap AS (
+        SELECT pos // 63 AS word_idx,
+               BIT_OR((1::BIGINT << CAST(pos % 63 AS INT))) AS bits
+        FROM bench_pos GROUP BY 1
+    ),
+    corpus_words AS (
+        SELECT {id_col}, string_split({norm}, ' ') AS ws
+        FROM {table} WHERE {corpus_pred}
+    ),
+    doc_grams AS (
+        SELECT DISTINCT {id_col}, {gram_parts} AS gram
+        FROM (SELECT {id_col}, ws, unnest(CASE WHEN len(ws) >= {n}
+                     THEN range(1, len(ws) - {n - 2}) ELSE [] END) AS i
+              FROM corpus_words)
+    ),
+    doc_pos AS ({doc_pos_union}),
+    checked AS (
+        SELECT {id_col}, gram,
+               CAST(SUM(CASE WHEN ((bits >> CAST(pos % 63 AS INT))
+                                   & 1::BIGINT) = 1
+                         THEN 1 ELSE 0 END) = {BLOOM_K} AS INT) AS bloom_hit
+        FROM doc_pos JOIN bitmap ON pos // 63 = word_idx
+        GROUP BY {id_col}, gram
+    ),
+    hits AS (
+        SELECT c.{id_col},
+               CAST(COUNT(*) AS BIGINT) AS n_bloom_hits,
+               CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_exact_hits
+        FROM checked c LEFT JOIN bench_grams b ON c.gram = b.gram
+        WHERE c.bloom_hit = 1
+        GROUP BY c.{id_col}
+    ),
+    totals AS (
+        SELECT {id_col}, COUNT(*) AS n_grams FROM doc_grams GROUP BY {id_col}
+    )
+    SELECT t.{id_col}, t.n_grams,
+           COALESCE(h.n_bloom_hits, 0) AS n_bloom_hits,
+           COALESCE(h.n_exact_hits, 0) AS n_exact_hits,
+           COALESCE(h.n_bloom_hits, 0) - COALESCE(h.n_exact_hits, 0)
+               AS n_false_pos
+    FROM totals t LEFT JOIN hits h ON t.{id_col} = h.{id_col}
+    """
+
+
 def kmv_sketch(
     df: DataFrame, group_cols: list[str], value_col: str, k: int = 64
 ) -> DataFrame:

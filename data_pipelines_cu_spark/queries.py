@@ -4372,6 +4372,34 @@ def kmv_daily_users_q(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Count-Min frequency sketch: gated estimate-vs-exact for head n-grams
+# ---------------------------------------------------------------------------
+@register("cm_gram_count_error", sk.cm_oracle_sql())
+def cm_gram_count_error_q(spark, sf_dir):
+    """Count-Min (d=4, w=1024) estimates next to exact counts for head
+    3-grams, with the per-gram overestimate. The counter table is 4096
+    rows at ANY corpus size (the whole point of the sketch); estimates are
+    integer mins, so the error measurement itself hash-gates."""
+    return sk.cm_gram_count_error(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Bloom prefilter for decontamination: broadcast bitmap, measured FP cost
+# ---------------------------------------------------------------------------
+@register("bloom_decontamination_stats", sk.bloom_oracle_sql())
+def bloom_decontamination_stats_q(spark, sf_dir):
+    """The at-scale decontamination ordering: a 64Kbit Bloom bitmap over
+    the benchmark's 3-grams (src0, as in doc_decontamination) broadcast
+    against the corpus; only bloom-positive grams reach the exact
+    membership join. Per doc: grams, bloom hits, exact hits, measured
+    false positives — deterministic md5 positions, fully hash-gated."""
+    d = _t(spark, sf_dir, "documents")
+    return sk.bloom_decontamination_stats(
+        d.filter(F.col("source") != "src0"), d.filter(F.col("source") == "src0")
+    )
+
+
 # Queries with a green row in CORRECTNESS_r01.json (driver gate, round 1).
 # The driver verifies queries in registration order and stopped at 50 in
 # round 1, so all_queries() front-loads the not-yet-gated entries each round

@@ -450,3 +450,55 @@ def test_kmv_sketch_merge_equals_single_pass(spark):
     assert abs(est.kmv_estimate - 1000) / 1000 < 0.30
     small = sk.kmv_distinct(full.filter("id < 40"), ["g"], "v").collect()[0]
     assert small.kmv_estimate == 40.0 and small.rel_err == 0.0
+
+
+def test_cm_sketch_merge_linearity_and_overestimate(spark, tables):
+    """Count-Min counters are sums, so per-shard sketches merge by
+    bucket-wise addition into exactly the full-corpus sketch; estimates
+    never underestimate (min over d counters >= true count)."""
+    from pyspark.sql import functions as F
+
+    from data_pipelines_cu_spark.operators import sketches as sk
+    from data_pipelines_cu_spark.operators.dedup import gram_rows
+
+    docs = tables["documents"]
+    out = sk.cm_gram_count_error(docs, min_count=3)
+    rows = out.collect()
+    assert rows and all(r.overestimate >= 0 for r in rows)
+
+    grams = gram_rows(docs, "text", "doc_id", 3).select("gram")
+    def counters(g):
+        rb = F.explode(F.array(*[
+            F.struct(F.lit(r).alias("r"),
+                     sk._cm_bucket(F.col("gram"), r).alias("bucket"))
+            for r in range(sk.CM_DEPTH)]))
+        return (g.select(rb.alias("rb")).select("rb.r", "rb.bucket")
+                .groupBy("r", "bucket").agg(F.count(F.lit(1)).alias("cnt")))
+    h1 = counters(grams.filter(F.crc32(F.col("gram")) % 2 == 0))
+    h2 = counters(grams.filter(F.crc32(F.col("gram")) % 2 == 1))
+    merged = {
+        (r.r, r.bucket): r.total
+        for r in h1.unionByName(h2).groupBy("r", "bucket")
+        .agg(F.sum("cnt").alias("total")).collect()
+    }
+    full = {(r.r, r.bucket): r.cnt for r in counters(grams).collect()}
+    assert merged == full
+
+
+def test_bloom_bitmap_merge_by_or(spark):
+    """Bloom bitmaps over two key sets OR together into the bitmap of the
+    union — the shard-and-merge build path."""
+    from pyspark.sql import functions as F
+
+    from data_pipelines_cu_spark.operators import sketches as sk
+
+    a = spark.createDataFrame([("x y z",), ("p q r",)], ["gram"])
+    b = spark.createDataFrame([("p q r",), ("m n o",)], ["gram"])
+    both = a.unionByName(b).distinct()
+    ored = {
+        r.word_idx: r.bits
+        for r in sk.bloom_bitmap(a).unionByName(sk.bloom_bitmap(b))
+        .groupBy("word_idx").agg(F.bit_or("bits").alias("bits")).collect()
+    }
+    full = {r.word_idx: r.bits for r in sk.bloom_bitmap(both).collect()}
+    assert ored == full
