@@ -90,6 +90,12 @@ HEADLINE = [
     "event_type_transitions",
     "stump_train_score",
     "click_purchase_recon",
+    "minhash_jaccard_error",
+    "doc_length_histogram",
+    "doc_repeated_ngram_fraction",
+    "kmv_daily_users",
+    "cm_gram_count_error",
+    "bloom_decontamination_stats",
 ]
 
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))

@@ -243,3 +243,15 @@ def test_repeated_ngram_reuses_doc_partitioning(spark, sf_dir):
     )
     assert plan.count("Exchange") <= 2
     assert "CartesianProduct" not in plan
+
+
+def test_sketch_queries_broadcast_never_cartesian(spark, sf_dir):
+    """CM probes join the broadcast 4096-row counter table; the Bloom path
+    joins the broadcast bitmap — all hash joins, no sort-merge on the
+    corpus side, no cartesian anywhere. KMV is pure window+agg (no join)."""
+    for name in ["cm_gram_count_error", "bloom_decontamination_stats",
+                 "kmv_daily_users"]:
+        plan = _formatted_plan(QUERIES[name].fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "SortMergeJoin" not in plan, name
