@@ -181,3 +181,60 @@ def test_containment_pairs_match_naive_sets(spark, docs):
             if c >= 0.5:
                 want[(i, j)] = round(c, 6)
     assert got == want
+
+
+@given(
+    h=st.integers(min_value=1, max_value=9),
+    w=st.integers(min_value=1, max_value=9),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(**SETTINGS)
+def test_pixel_codecs_round_trip_any_shape(h, w, seed):
+    """encode->decode is the identity for BOTH codecs on arbitrary pixel
+    arrays and shapes (odd widths exercise BMP's 4-byte row padding), and
+    real nearest-neighbor resize always yields a decodable image of the
+    requested shape whose pixels are a subset of the source's."""
+    import numpy as np
+
+    from data_pipelines_cu_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert np.array_equal(mm.decode_pixels(mm.encode_ppm(px)), px)
+    assert np.array_equal(mm.decode_pixels(mm.encode_bmp(px)), px)
+    out = mm.decode_pixels(mm.resize_image_real(mm.encode_ppm(px), 3, 2))
+    assert out.shape == (2, 3, 3)
+    src_pixels = {tuple(p) for p in px.reshape(-1, 3)}
+    assert all(tuple(p) in src_pixels for p in out.reshape(-1, 3))
+
+
+@given(
+    values=st.lists(
+        st.integers(min_value=0, max_value=10_000), min_size=1, max_size=300
+    ),
+    split=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(**SETTINGS)
+def test_kmv_merge_invariant_any_partitioning(spark, values, split):
+    """KMV sketches merge identically no matter how the values are split
+    across shards — the property that makes per-partition sketches safe to
+    roll up. Estimate for < k distinct values is exact."""
+    from pyspark.sql import functions as F
+
+    from data_pipelines_cu_spark.operators import sketches as sk
+
+    df = spark.createDataFrame(
+        [(v,) for v in values], "v long"
+    ).select(F.lit("g").alias("g"), F.col("v").cast("string").alias("v"))
+    h1 = df.filter(F.crc32(F.concat(F.lit(str(split)), "v")) % 2 == 0)
+    h2 = df.filter(F.crc32(F.concat(F.lit(str(split)), "v")) % 2 == 1)
+    merged = sk.kmv_merge(
+        sk.kmv_sketch(h1, ["g"], "v").unionByName(sk.kmv_sketch(h2, ["g"], "v")),
+        ["g"],
+    ).collect()
+    single = sk.kmv_sketch(df, ["g"], "v").collect()
+    assert [list(r.kmv) for r in merged] == [list(r.kmv) for r in single]
+    n_distinct = len(set(values))
+    if n_distinct < 64:
+        est = sk.kmv_distinct(df, ["g"], "v").collect()[0]
+        assert est.kmv_estimate == float(n_distinct)
