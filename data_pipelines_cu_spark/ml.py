@@ -289,3 +289,114 @@ def stump_train_score_sql(
                 = b.y AS INT) AS correct
     FROM base b CROSS JOIN best
     """
+
+
+def perceptron_train_score(
+    df: DataFrame,
+    features: Sequence[Column],
+    label: Column,
+    id_col: str = "event_id",
+    n_iters: int = 3,
+) -> DataFrame:
+    """Train AND score a batch perceptron fully in-engine with EXACT
+    integer arithmetic — the iterative-training complement to the one-shot
+    Gini stump (stump_train_score) on the U5 axis.
+
+    Rosenblatt's batch update, unrolled: starting from w = 0, each of
+    ``n_iters`` epochs adds sum(y_i * x_i) over currently-misclassified
+    rows (y*(w.x) <= 0) to w. Features and labels are integers, so every
+    weight is an exact integer at every step — no float boundary anywhere
+    in TRAINING; only the reported margin/prediction are plain integer
+    columns too. The DuckDB twin unrolls the same epochs as chained CTEs,
+    so the learned weights — and therefore every prediction — hash-match.
+
+    Scale shape: each epoch is ONE map-side-combinable aggregate over the
+    corpus (three conditional integer sums) collected as a single row —
+    the same bounded driver contract as IVF's centroid seeds; scoring is
+    one broadcast-free column expression. Epochs are sequential by nature
+    (gradient steps), so wall time is n_iters linear scans — at 100 TB
+    you bound n_iters, not the data.
+    """
+    feats = [F.lit(1).cast("long").alias("x0")] + [
+        f.cast("long").alias(f"x{i + 1}") for i, f in enumerate(features)
+    ]
+    base = df.select(
+        F.col(id_col),
+        *feats,
+        (label.cast("int") * 2 - 1).cast("long").alias("y"),
+    )
+    dim = len(feats)
+    w = [0] * dim
+    for _ in range(n_iters):
+        margin = sum(F.col(f"x{j}") * F.lit(w[j]) for j in range(dim))
+        mis = F.col("y") * margin <= 0
+        upd = base.agg(
+            *[
+                F.sum(F.when(mis, F.col("y") * F.col(f"x{j}")).otherwise(0)).alias(
+                    f"d{j}"
+                )
+                for j in range(dim)
+            ]
+        ).collect()[0]
+        w = [w[j] + (upd[f"d{j}"] or 0) for j in range(dim)]
+    margin = sum(F.col(f"x{j}") * F.lit(w[j]) for j in range(dim))
+    pred = (margin > 0).cast("int")
+    return base.select(
+        id_col,
+        *[F.lit(w[j]).alias(f"w{j}") for j in range(dim)],
+        margin.alias("margin"),
+        pred.alias("pred"),
+        ((F.col("y") + 1) / 2).cast("int").alias("label"),
+        (pred == ((F.col("y") + 1) / 2).cast("int")).cast("int").alias("correct"),
+    )
+
+
+def perceptron_train_score_sql(
+    table: str = "events",
+    feature_exprs: Sequence[str] = (
+        "date_part('hour', ts)::BIGINT",
+        "date_part('dow', ts)::BIGINT",
+    ),
+    label_expr: str = "CAST(event_type = 'purchase' AS INT)",
+    id_col: str = "event_id",
+    n_iters: int = 3,
+) -> str:
+    """DuckDB twin of perceptron_train_score: the same epochs unrolled as
+    chained CTEs over the same integer sums."""
+    dim = len(feature_exprs) + 1
+    xs = ", ".join(
+        ["1::BIGINT AS x0"]
+        + [f"({e}) AS x{i + 1}" for i, e in enumerate(feature_exprs)]
+    )
+    ctes = [
+        f"base AS (SELECT {id_col}, {xs},"
+        f" (({label_expr}) * 2 - 1)::BIGINT AS y FROM {table})",
+        "w0 AS (SELECT "
+        + ", ".join(f"0::BIGINT AS w{j}" for j in range(dim))
+        + ")",
+    ]
+    for t in range(1, n_iters + 1):
+        margin = " + ".join(f"b.x{j} * w.w{j}" for j in range(dim))
+        sums = ", ".join(
+            f"SUM(CASE WHEN b.y * ({margin}) <= 0 THEN b.y * b.x{j}"
+            f" ELSE 0 END) AS d{j}"
+            for j in range(dim)
+        )
+        ctes.append(f"u{t} AS (SELECT {sums} FROM base b CROSS JOIN w{t - 1} w)")
+        ws = ", ".join(
+            f"(w.w{j} + COALESCE(u.d{j}, 0))::BIGINT AS w{j}" for j in range(dim)
+        )
+        ctes.append(f"w{t} AS (SELECT {ws} FROM w{t - 1} w CROSS JOIN u{t} u)")
+    margin = " + ".join(f"b.x{j} * w.w{j}" for j in range(dim))
+    wcols = ", ".join(f"w.w{j}" for j in range(dim))
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT b.{id_col}, {wcols},
+           ({margin}) AS margin,
+           CAST(({margin}) > 0 AS INT) AS pred,
+           CAST((b.y + 1) // 2 AS INT) AS label,
+           CAST((CAST(({margin}) > 0 AS INT)) = CAST((b.y + 1) // 2 AS INT)
+                AS INT) AS correct
+    FROM base b CROSS JOIN w{n_iters} w
+    """

@@ -4400,6 +4400,25 @@ def bloom_decontamination_stats_q(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# U5 iterative training: batch perceptron with exact integer epochs (the
+# multi-pass complement to the one-shot Gini stump)
+# ---------------------------------------------------------------------------
+@register("perceptron_train_score", ml.perceptron_train_score_sql())
+def perceptron_train_score_q(spark, sf_dir):
+    """3-epoch batch perceptron on (1, hour, weekday) vs is-purchase:
+    every epoch is one map-side-combinable integer aggregate; weights stay
+    exact integers, so training itself — not just scoring — hash-matches
+    the oracle's unrolled-CTE epochs. (DuckDB dow is 0-indexed from
+    Sunday; Spark dayofweek is 1-indexed, hence the -1.)"""
+    ev = _t(spark, sf_dir, "events")
+    return ml.perceptron_train_score(
+        ev,
+        features=[F.hour("ts"), F.dayofweek("ts") - 1],
+        label=(F.col("event_type") == "purchase"),
+    )
+
+
 # Queries with a green row in CORRECTNESS_r01.json (driver gate, round 1).
 # The driver verifies queries in registration order and stopped at 50 in
 # round 1, so all_queries() front-loads the not-yet-gated entries each round

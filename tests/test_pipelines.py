@@ -349,3 +349,35 @@ def test_stump_no_split_majority_fallback(spark, duck):
             table="_stump_const", feature_expr="x", label_expr="y"
         ),
     )
+
+
+def test_perceptron_learns_separable_data(spark, duck):
+    """On linearly separable integer data the 3-epoch batch perceptron
+    must reach 100% training accuracy, and the DuckDB twin must reproduce
+    the exact weights (training parity, not just scoring parity)."""
+    from pyspark.sql import functions as F
+
+    from data_pipelines_cu_spark import ml
+    from tests.util import assert_matches_oracle
+
+    # x in {0, 2}, balanced: batch updates converge to w=(-10, 20) by
+    # epoch 3 (epoch 1 learns the slope, epoch 2 the bias, epoch 3 is the
+    # no-change fixpoint) — hand-checkable and 100% separable
+    data = [(i, 0 if i < 10 else 2, 0 if i < 10 else 1) for i in range(20)]
+    df = spark.createDataFrame(data, "event_id long, x int, y int")
+    out = ml.perceptron_train_score(
+        df, features=[F.col("x")], label=F.col("y"), n_iters=3
+    )
+    rows = out.collect()
+    assert all(r.correct == 1 for r in rows)
+    assert rows[0].w0 == -10 and rows[0].w1 == 20
+    duck.sql("CREATE OR REPLACE TABLE _sep AS SELECT * FROM (VALUES " +
+             ", ".join(f"({i}, {x}, {y})" for i, x, y in data) +
+             ") t(event_id, x, y)")
+    assert_matches_oracle(
+        out, duck,
+        ml.perceptron_train_score_sql(
+            table="_sep", feature_exprs=("x::BIGINT",), label_expr="y",
+            n_iters=3,
+        ),
+    )
