@@ -96,6 +96,7 @@ HEADLINE = [
     "kmv_daily_users",
     "cm_gram_count_error",
     "bloom_decontamination_stats",
+    "perceptron_train_score",
 ]
 
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
