@@ -97,6 +97,8 @@ HEADLINE = [
     "cm_gram_count_error",
     "bloom_decontamination_stats",
     "perceptron_train_score",
+    "event_value_trend_by_type",
+    "jl_projection_distortion",
 ]
 
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))

@@ -143,3 +143,79 @@ def approx_distinct_count(
     return df.groupBy(*group_keys).agg(
         F.approx_count_distinct(value_col, rsd).alias(f"approx_distinct_{value_col}")
     )
+
+
+def groupwise_linreg(
+    df,
+    group_cols: list[str],
+    x: Column,
+    y: Column,
+) -> "DataFrame":
+    """Per-group simple linear regression (y on x) from ONE aggregate pass:
+    slope, intercept, n — the distributed closed form, bit-stable.
+
+    All five sufficient statistics are order-independent: n/Sx/Sxx are
+    integer sums (x is cast to long), Sy/Sxy are exact decimal sums (the
+    decimal_avg discipline). The closed-form algebra then runs on plain
+    doubles in a FIXED expression order, so both engines execute the same
+    IEEE sequence. One shuffle on the group key, map-side partials — the
+    same cost as any groupBy aggregate at 100 TB.
+    """
+    xl = x.cast("long")
+    stats = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xl).alias("sx"),
+        F.sum(xl * xl).alias("sxx"),
+        F.sum(y.cast("decimal(38,12)")).cast("double").alias("sy"),
+        F.sum((xl.cast("double") * y).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    denom = nd * F.col("sxx").cast("double") - (
+        F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    slope = (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")) / denom
+    intercept = (F.col("sy") - slope * F.col("sx").cast("double")) / nd
+    return stats.select(
+        *group_cols,
+        "n",
+        F.when(denom != 0, F.round(slope, 6)).alias("slope"),
+        F.when(denom != 0, F.round(intercept, 6)).alias("intercept"),
+    )
+
+
+def groupwise_linreg_oracle_sql(
+    table: str = "events",
+    group_expr: str = "event_type",
+    group_alias: str = "event_type",
+    x_expr: str = "date_part('hour', ts)::BIGINT",
+    y_expr: str = "value",
+) -> str:
+    """DuckDB twin of groupwise_linreg (same exact sums, same fixed-order
+    double algebra — NOT regr_slope, whose internal accumulation order is
+    engine-defined)."""
+    return f"""
+    WITH stats AS (
+        SELECT {group_expr} AS {group_alias},
+               COUNT(*) AS n,
+               SUM({x_expr}) AS sx,
+               SUM(({x_expr}) * ({x_expr})) AS sxx,
+               CAST(SUM(CAST({y_expr} AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(({x_expr})::DOUBLE * ({y_expr})
+                    AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+        FROM {table} GROUP BY 1
+    )
+    SELECT {group_alias},
+           CAST(n AS BIGINT) AS n,
+           CASE WHEN n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE <> 0
+                THEN ROUND((n::DOUBLE * sxy - sx::DOUBLE * sy)
+                     / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 6)
+           END AS slope,
+           CASE WHEN n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE <> 0
+                THEN ROUND((sy - ((n::DOUBLE * sxy - sx::DOUBLE * sy)
+                     / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE))
+                     * sx::DOUBLE) / n::DOUBLE, 6)
+           END AS intercept
+    FROM stats
+    """

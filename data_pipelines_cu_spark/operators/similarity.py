@@ -1163,3 +1163,92 @@ def semantic_dedup_oracle_sql(
     JOIN {table} b ON b.{id_col} = ka_b.{id_col}
     WHERE {cos} >= {threshold}
     """
+
+
+# --- Johnson-Lindenstrauss random projection ---------------------------------
+# Achlioptas 2003: +-1 projections preserve pairwise angles to O(1/sqrt(k)).
+# The planes are the seeded md5-parity hyperplanes already used by sign-LSH,
+# so the projection is RNG-free and bit-identical on both engines; the
+# distortion measurement (projected cosine vs original cosine on a linear
+# chain of pairs) makes the quality claim a gated number instead of a cite.
+
+
+def jl_project(vec: Column, planes: list[list[float]]) -> Column:
+    """k-dim signed-random projection of a vector column: one sequential
+    +-1 fold per output dim (same IEEE order as the bucket kernel)."""
+    projs = []
+    for plane in planes:
+        weights = F.array(*[F.lit(w) for w in plane])
+        prods = F.zip_with(vec, weights, lambda x, w: x.cast("double") * w)
+        projs.append(F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v))
+    return F.array(*projs)
+
+
+def jl_distortion_pairs(
+    corpus: DataFrame,
+    out_dim: int = 16,
+    in_dim: int = 64,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cosine in the original space vs the JL-projected space for the
+    deterministic chain pairs (id, id+1): id_a, id_b, cos_orig, cos_proj,
+    abs_err. The chain gives corpus-size-many pairs with ONE equi-join
+    (no sampling RNG, no quadratic stage); projection is a row-local map,
+    so the whole measurement is one linear pass + one join at any scale."""
+    planes = seeded_hyperplanes(n_bits=out_dim, dim=in_dim, seed=seed)
+    v = corpus.select(
+        F.col(id_col), F.col(vec_col).alias("v"),
+        jl_project(F.col(vec_col), planes).alias("p"),
+    )
+    a = v.select(
+        F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("p").alias("pa")
+    )
+    b = v.select(
+        F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("p").alias("pb")
+    )
+    co = cosine(F.col("va"), F.col("vb"))
+    cp = cosine(F.col("pa"), F.col("pb"))
+    return (
+        a.join(b, F.col("id_a") + 1 == F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(co, 6).alias("cos_orig"),
+            F.round(cp, 6).alias("cos_proj"),
+            F.round(F.abs(co - cp), 6).alias("abs_err"),
+        )
+    )
+
+
+def jl_distortion_oracle_sql(
+    out_dim: int = 16,
+    in_dim: int = 64,
+    seed: int = 11,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+) -> str:
+    """DuckDB twin of jl_distortion_pairs: identical +-1 literals in the
+    identical fold order, chain pairs, same cosine expressions."""
+    planes = seeded_hyperplanes(n_bits=out_dim, dim=in_dim, seed=seed)
+    proj_terms = []
+    for plane in planes:
+        lits = "[" + ", ".join(f"{w:.1f}" for w in plane) + "]"
+        proj_terms.append(
+            f"list_sum([CAST(embedding[i] AS DOUBLE) * ({lits})[i] "
+            f"for i in range(1, {in_dim + 1})])"
+        )
+    proj_list = "[" + ", ".join(proj_terms) + "]"
+    co = _cos_sql("a.v", "b.v")
+    cp = _cos_sql("a.p", "b.p")
+    return f"""
+    WITH proj AS (
+        SELECT {id_col}, embedding AS v, {proj_list} AS p FROM {table}
+    )
+    SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
+           ROUND({co}, 6) AS cos_orig,
+           ROUND({cp}, 6) AS cos_proj,
+           ROUND(ABS({co} - {cp}), 6) AS abs_err
+    FROM proj a JOIN proj b ON a.{id_col} + 1 = b.{id_col}
+    """

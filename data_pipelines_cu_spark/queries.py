@@ -4419,6 +4419,35 @@ def perceptron_train_score_q(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Per-group closed-form linear regression (trend detection, one aggregate)
+# ---------------------------------------------------------------------------
+@register("event_value_trend_by_type", agg.groupwise_linreg_oracle_sql())
+def event_value_trend_by_type_q(spark, sf_dir):
+    """value-vs-hour-of-day trend per event type: slope/intercept from the
+    five sufficient statistics in ONE map-side-combinable pass. Integer
+    sums for n/Sx/Sxx, decimal-exact sums for Sy/Sxy, then fixed-order
+    double algebra — bit-stable, and deliberately NOT regr_slope (whose
+    internal accumulation order is engine-defined)."""
+    ev = _t(spark, sf_dir, "events")
+    return agg.groupwise_linreg(
+        ev, ["event_type"], x=F.hour("ts"), y=F.col("value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# JL random-projection distortion: gated dimensionality-reduction quality
+# ---------------------------------------------------------------------------
+@register("jl_projection_distortion", sim.jl_distortion_oracle_sql())
+def jl_projection_distortion_q(spark, sf_dir):
+    """64d -> 16d signed random projection (Achlioptas +-1, seeded md5
+    parity) with cosine-preservation measured on the deterministic chain
+    pairs (id, id+1): cos_orig vs cos_proj vs abs_err. Row-local
+    projection + one equi-join — the measurement that justifies projecting
+    before expensive pair stages at 100 TB."""
+    return sim.jl_distortion_pairs(_t(spark, sf_dir, "embeddings"))
+
+
 # Queries with a green row in CORRECTNESS_r01.json (driver gate, round 1).
 # The driver verifies queries in registration order and stopped at 50 in
 # round 1, so all_queries() front-loads the not-yet-gated entries each round
