@@ -6,10 +6,11 @@ image/audio/video payloads are opaque ``binary`` columns with a typed
 metadata struct, processed by Arrow-batched ``mapInPandas`` stages.
 
 Decode kernels come in two flavors. ``decode_image_real`` /
-``resize_image_real`` are REAL pixel paths for uncompressed formats — P6
-PPM and 24-bit BI_RGB BMP decoded with pure numpy (no PIL/libvips needed),
-nearest-neighbor resample, PPM re-encode — so actual pixel bytes flow
-through the Arrow stages end-to-end. Compressed formats (JPEG/PNG/video)
+``resize_image_real`` / ``decode_wav`` are REAL media paths for
+uncompressed formats — P6 PPM and 24-bit BI_RGB BMP pixels, and PCM-16
+RIFF/WAV samples, all decoded with pure numpy (no PIL/libvips/ffmpeg
+needed) — so actual pixels and audio samples flow through the Arrow
+stages end-to-end. Compressed formats (JPEG/PNG/video)
 still need a codec library absent from this container; ``decode_image_
 stub`` keeps those paths testable with a deterministic sha256 fake, and
 the real kernels raise ``ValueError`` on blobs they can't parse, marking
@@ -412,3 +413,118 @@ def resize_images(
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+# --- Real audio path: RIFF/WAV PCM decode (pure numpy) -----------------------
+# The audio twin of the PPM/BMP pixel kernels: uncompressed 16-bit PCM WAV
+# decodes with struct + frombuffer, so real samples flow through the Arrow
+# stages. Compressed audio (mp3/ogg/aac) still needs a codec library and
+# raises ValueError at the same plug point.
+
+
+def encode_wav(samples, sample_rate: int = 16000) -> bytes:
+    """Encode an (n,) or (n, channels) int16 array as a PCM WAV blob."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(samples, dtype=np.int16)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n_ch = arr.shape[1]
+    data = np.ascontiguousarray(arr).tobytes()
+    byte_rate = sample_rate * n_ch * 2
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+    fmt = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, n_ch, sample_rate, byte_rate, n_ch * 2, 16
+    )
+    return hdr + fmt + b"data" + struct.pack("<I", len(data)) + data
+
+
+def decode_wav(payload: bytes):
+    """Decode a PCM 16-bit WAV blob to (sample_rate, (n, channels) int16
+    array) — walks RIFF chunks, so extra chunks (LIST/fact) don't break it.
+    Raises ValueError on non-RIFF or non-PCM-16 payloads (the codec plug
+    point, as with compressed images)."""
+    import struct
+
+    import numpy as np
+
+    if not payload or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks pad to even offsets
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, n_ch, sample_rate, _br, _ba, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"only PCM-16 supported (format={audio_format}, bits={bits})")
+    arr = np.frombuffer(data, dtype="<i2")
+    return sample_rate, arr.reshape(-1, n_ch).copy()
+
+
+WAV_CHUNK_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("chunk_idx", T.IntegerType(), False),
+        T.StructField("n_samples", T.IntegerType(), False),
+        T.StructField("mean_abs", T.DoubleType(), True),
+        T.StructField("peak", T.IntegerType(), True),
+        T.StructField("zero_crossings", T.IntegerType(), True),
+    ]
+)
+
+
+def wav_chunk_features(
+    df: DataFrame,
+    samples_per_chunk: int = 4000,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """REAL audio feature extraction: decode PCM samples, window them, emit
+    per-chunk integer-derived features (mean |amplitude|, peak, zero
+    crossings — all exact integer arithmetic except the one mean division).
+
+    The Arrow kernel fans each clip out to its chunk rows (mapInPandas may
+    emit more rows than it receives), so downstream work parallelizes
+    per-chunk. Clip-level decode is the memory bound; for hour-long clips
+    the JVM-side byte-slice fan-out applies (PCM frames are fixed-width, so
+    chunk byte ranges are exactly data_offset + i*2*ch*samples — the
+    audio_chunk_features plumbing), with this kernel decoding each slice.
+    """
+    import numpy as np
+    import pandas as pd  # noqa: PLC0415
+
+    def run(batches):
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("media_id", "chunk_idx", "n_samples", "mean_abs", "peak",
+                    "zero_crossings")}
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                _sr, arr = decode_wav(bytes(payload))
+                mono = arr[:, 0].astype(np.int64)
+                n = len(mono)
+                for ci in range(max(1, -(-n // samples_per_chunk))):
+                    ch = mono[ci * samples_per_chunk : (ci + 1) * samples_per_chunk]
+                    out["media_id"].append(mid)
+                    out["chunk_idx"].append(ci)
+                    out["n_samples"].append(len(ch))
+                    out["mean_abs"].append(
+                        float(np.abs(ch).sum()) / len(ch) if len(ch) else None
+                    )
+                    out["peak"].append(int(np.abs(ch).max()) if len(ch) else None)
+                    signs = np.sign(ch[ch != 0])
+                    out["zero_crossings"].append(
+                        int((signs[1:] != signs[:-1]).sum()) if len(signs) > 1 else 0
+                    )
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=WAV_CHUNK_SCHEMA)
