@@ -312,6 +312,13 @@ def dedup_clusters(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    # Identity edges (node, node) folded into the adjacency let each round
+    # compute min(self ∪ neighbors) with ONE join+aggregate — the separate
+    # "least(own label, neighbor min)" left-join the loop used to run is a
+    # full label-table shuffle per round that the union makes redundant.
+    adj = edges.unionByName(
+        labels.select(F.col("node").alias("a"), F.col("node").alias("b"))
+    ).localCheckpoint(eager=True)
 
     # Fixpoint probe: labels only ever DECREASE (least of self and
     # neighbors), so the exact sum of labels is strictly monotone until
@@ -326,19 +333,11 @@ def dedup_clusters(
 
     prev_sum = _label_sum(labels)
     for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges.b == labels.node)
-            .groupBy("a")
-            .agg(F.min("label").alias("nmin"))
-        )
         new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-                ).alias("label"),
-            )
+            adj.join(labels, adj.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("label").alias("label"))
+            .withColumnRenamed("a", "node")
         )
         # pointer doubling: follow the label one hop (label of my label) so
         # long chains collapse exponentially instead of one hop per round
