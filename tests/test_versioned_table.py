@@ -1,0 +1,81 @@
+"""Versioned-table sink: snapshot isolation, time travel, crash orphans,
+vacuum — the commit-protocol contracts (operators/table.py)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from data_pipelines_cu_spark.operators import table as vt
+
+
+def _df(spark, vals):
+    return spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "id long, v string")
+
+
+def test_write_read_time_travel(spark, tmp_path):
+    path = str(tmp_path / "t")
+    assert vt.current_version(path) is None
+    v1 = vt.write_table_version(_df(spark, ["a", "b"]), path)
+    v2 = vt.write_table_version(_df(spark, ["c"]), path)
+    assert (v1, v2) == (1, 2)
+    assert vt.current_version(path) == 2
+    assert {r.v for r in vt.read_table(spark, path).collect()} == {"c"}
+    assert {r.v for r in vt.read_table(spark, path, version=1).collect()} == {"a", "b"}
+
+
+def test_reader_snapshot_survives_concurrent_write(spark, tmp_path):
+    """A reader resolved at version N keeps returning N's rows even after
+    a writer publishes N+1 — immutable version dirs give snapshot
+    isolation without coordination."""
+    path = str(tmp_path / "t")
+    vt.write_table_version(_df(spark, ["old"]), path)
+    snapshot = vt.read_table(spark, path)  # resolves v=1 paths now
+    vt.write_table_version(_df(spark, ["new1", "new2"]), path)
+    assert {r.v for r in snapshot.collect()} == {"old"}
+    assert {r.v for r in vt.read_table(spark, path).collect()} == {"new1", "new2"}
+
+
+def test_crashed_writer_is_invisible_and_version_not_reused(spark, tmp_path):
+    """A write that died before the manifest rename (simulated: version
+    dir exists, manifest still points at v1) must not be visible; the next
+    successful write claims a FRESH version number, never the orphan's."""
+    path = str(tmp_path / "t")
+    vt.write_table_version(_df(spark, ["committed"]), path)
+    # simulate the crash: data landed for v=2, manifest never flipped
+    _df(spark, ["torn", "write"]).write.parquet(os.path.join(path, "v=2"))
+    assert vt.current_version(path) == 1
+    assert {r.v for r in vt.read_table(spark, path).collect()} == {"committed"}
+    v = vt.write_table_version(_df(spark, ["recovered"]), path)
+    assert v == 3  # orphan v=2 is skipped, not overwritten
+    assert {r.v for r in vt.read_table(spark, path).collect()} == {"recovered"}
+
+
+def test_vacuum_keeps_committed_and_drops_orphans(spark, tmp_path):
+    path = str(tmp_path / "t")
+    for tag in ["one", "two", "three"]:
+        vt.write_table_version(_df(spark, [tag]), path)
+    # orphan from a crashed writer
+    _df(spark, ["orphan"]).write.parquet(os.path.join(path, "v=9"))
+    removed = vt.vacuum_table(path, keep_last=1)
+    assert removed == [1, 2]
+    assert vt.table_versions(path) == [3, 9] or vt.table_versions(path) == [3]
+    # keep_last=1 keeps the newest dir (9, an orphan) AND the committed 3
+    assert vt.current_version(path) == 3
+    assert {r.v for r in vt.read_table(spark, path).collect()} == {"three"}
+    with pytest.raises(ValueError):
+        vt.read_table(spark, path, version=1)
+
+
+def test_manifest_commit_is_all_or_nothing(spark, tmp_path):
+    """The manifest on disk is always complete JSON: a reader can never
+    observe a half-written manifest because publication goes through a
+    temp file + rename."""
+    path = str(tmp_path / "t")
+    vt.write_table_version(_df(spark, ["x"]), path)
+    with open(os.path.join(path, "_manifest.json")) as f:
+        m = json.load(f)
+    assert m == {"version": 1}
+    assert not [p for p in os.listdir(path) if p.startswith("_manifest.json.tmp")]
