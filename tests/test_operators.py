@@ -502,3 +502,43 @@ def test_bloom_bitmap_merge_by_or(spark):
     }
     full = {r.word_idx: r.bits for r in sk.bloom_bitmap(both).collect()}
     assert ored == full
+
+
+def test_expectations_catch_injected_violations(spark):
+    """Each expectation kind fires on data violating it and stays quiet on
+    clean data — counts are exact (dbt semantics: unique counts every
+    member of a duplicated group)."""
+    from pyspark.sql import functions as F
+
+    from data_pipelines_cu_spark.operators import expectations as ex
+
+    child = spark.createDataFrame(
+        [(1, 10, "O", 5.0), (1, 10, "F", 7.0), (2, None, "X", -1.0),
+         (3, 99, "P", 0.0)],
+        "k long, fk int, status string, amount double",
+    )
+    parent = spark.createDataFrame([(10,), (11,)], "pk int")
+    report = {
+        r.check: (r.n_violations, r.n_checked, r.passed)
+        for r in ex.expectations_report([
+            ex.unique_expectation(child, ["k"], "k_unique"),
+            ex.rowwise_expectations(child, {
+                "fk_not_null": F.col("fk").isNull(),
+                "status_ok": ~F.col("status").isin("O", "F", "P"),
+                "amount_positive": F.col("amount") <= 0,
+            }),
+            ex.fk_expectation(child, "fk", parent, "pk", "fk_parent"),
+        ]).collect()
+    }
+    assert report["k_unique"] == (2, 4, 0)        # both rows of the dup group
+    assert report["fk_not_null"] == (1, 4, 0)
+    assert report["status_ok"] == (1, 4, 0)
+    assert report["amount_positive"] == (2, 4, 0)  # -1.0 and 0.0
+    # fk: null fk row joins nothing -> orphan; 99 has no parent -> orphan
+    assert report["fk_parent"] == (2, 4, 0)
+    clean = spark.createDataFrame([(5, 11, "O", 1.0)], child.schema)
+    rep2 = ex.expectations_report([
+        ex.unique_expectation(clean, ["k"], "k_unique"),
+        ex.fk_expectation(clean, "fk", parent, "pk", "fk_parent"),
+    ]).collect()
+    assert all(r.passed == 1 and r.n_violations == 0 for r in rep2)
