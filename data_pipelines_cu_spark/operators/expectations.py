@@ -84,7 +84,13 @@ def fk_expectation(
 ) -> DataFrame:
     """Referential integrity: child rows whose key has no parent. The
     anti-join shuffles only keys; at star-schema scale the parent key set
-    broadcasts."""
+    broadcasts.
+
+    NULL child keys count as orphans HERE (a null never matches a parent,
+    on either engine) — deliberately stricter than dbt's relationships
+    test, which skips nulls. Declare a not_null rule alongside when the
+    two violation classes must be reported separately; the counts then
+    overlap by exactly the null count."""
     orphans = child.select(F.col(child_key)).join(
         parent.select(F.col(parent_key).alias(child_key)).distinct(),
         child_key,

@@ -493,6 +493,8 @@ def wav_chunk_features(
     per-chunk integer-derived features (mean |amplitude|, peak, zero
     crossings — all exact integer arithmetic except the one mean division).
 
+    Features are computed on CHANNEL 0 (stereo clips are not downmixed —
+    a mixdown policy is a modeling choice the caller makes upstream).
     The Arrow kernel fans each clip out to its chunk rows (mapInPandas may
     emit more rows than it receives), so downstream work parallelizes
     per-chunk. Clip-level decode is the memory bound; for hour-long clips
