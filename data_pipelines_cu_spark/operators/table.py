@@ -77,9 +77,19 @@ def write_table_version(df: DataFrame, path: str) -> int:
     existing = table_versions(path)
     version = (existing[-1] + 1) if existing else 1
     df.write.mode("errorifexists").parquet(os.path.join(path, f"v={version}"))
+    # Preserve the streaming batch ledger (commit_batch) across batch
+    # rewrites — dropping it would let a replayed micro-batch double-commit.
+    manifest: dict = {"version": version}
+    try:
+        with open(_manifest_path(path)) as f:
+            prior = json.load(f)
+        if "batches" in prior:
+            manifest["batches"] = prior["batches"]
+    except (OSError, ValueError):
+        pass
     tmp = _manifest_path(path) + f".tmp.{version}"
     with open(tmp, "w") as f:
-        json.dump({"version": version}, f)
+        json.dump(manifest, f)
     os.replace(tmp, _manifest_path(path))  # the atomic commit point
     return version
 
@@ -117,3 +127,37 @@ def vacuum_table(path: str, keep_last: int = 2) -> list[int]:
             shutil.rmtree(os.path.join(path, f"v={v}"))
             removed.append(v)
     return removed
+
+
+def commit_batch(df: DataFrame, path: str, batch_id: int) -> int | None:
+    """Exactly-once commit for streaming sinks: write ``df`` as the next
+    version UNLESS ``batch_id`` is already in the manifest's batch ledger,
+    in which case this is a replay and the call is a no-op (returns None).
+
+    The ledger rides in the same atomically-renamed manifest as the
+    version pointer, so "which batches are committed" and "what readers
+    see" can never disagree — the property that makes foreachBatch +
+    versioned commits exactly-once end-to-end: a crash after the data
+    write but before the rename leaves an invisible orphan, and the
+    replayed batch claims a fresh version; a crash after the rename makes
+    the replay a no-op."""
+    committed: dict = {}
+    try:
+        with open(_manifest_path(path)) as f:
+            manifest = json.load(f)
+        committed = manifest.get("batches", {})
+    except (OSError, ValueError):
+        manifest = {}
+    if str(batch_id) in committed:
+        return None
+    os.makedirs(path, exist_ok=True)
+    existing = table_versions(path)
+    version = (existing[-1] + 1) if existing else 1
+    df.write.mode("errorifexists").parquet(os.path.join(path, f"v={version}"))
+    committed = dict(committed)
+    committed[str(batch_id)] = version
+    tmp = _manifest_path(path) + f".tmp.{version}"
+    with open(tmp, "w") as f:
+        json.dump({"version": version, "batches": committed}, f)
+    os.replace(tmp, _manifest_path(path))
+    return version

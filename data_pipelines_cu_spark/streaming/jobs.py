@@ -433,3 +433,34 @@ def run_streaming_near_dup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_to_versioned_table(
+    events: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Stream micro-batches into a snapshot-isolated versioned table with
+    EXACTLY-ONCE commits: each batch becomes one immutable table version
+    published by an atomic manifest rename, and the manifest's batch
+    ledger makes replays (crash between data write and Spark's checkpoint
+    commit) no-ops instead of duplicate versions. Readers always resolve
+    one complete snapshot — the missing isolation level of a plain
+    parquet append sink — and time travel reaches every batch boundary.
+    """
+    from ..operators.table import commit_batch
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        commit_batch(batch, table_path, batch_id)
+
+    writer = (
+        events.writeStream.outputMode("append")
+        .foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -79,3 +79,58 @@ def test_manifest_commit_is_all_or_nothing(spark, tmp_path):
         m = json.load(f)
     assert m == {"version": 1}
     assert not [p for p in os.listdir(path) if p.startswith("_manifest.json.tmp")]
+
+
+def test_commit_batch_exactly_once_and_replay_noop(spark, tmp_path):
+    """Streaming commit protocol: a replayed batch_id is a no-op (no new
+    version, reader state unchanged); distinct batches commit distinct
+    versions; the ledger survives an interleaved batch write."""
+    path = str(tmp_path / "t")
+    v1 = vt.commit_batch(_df(spark, ["b0"]), path, batch_id=0)
+    v2 = vt.commit_batch(_df(spark, ["b1"]), path, batch_id=1)
+    assert (v1, v2) == (1, 2)
+    assert vt.commit_batch(_df(spark, ["b1-replayed"]), path, batch_id=1) is None
+    assert vt.current_version(path) == 2
+    assert {r.v for r in vt.read_table(spark, path).collect()} == {"b1"}
+    # an interleaved batch (non-streaming) write must not erase the ledger
+    vt.write_table_version(_df(spark, ["compaction"]), path)
+    assert vt.commit_batch(_df(spark, ["b0-replayed"]), path, batch_id=0) is None
+    assert vt.current_version(path) == 3
+
+
+def test_streaming_into_versioned_table_end_to_end(spark, tmp_path):
+    """Two micro-batches stream into the table as two committed versions;
+    the latest snapshot holds the last batch and time travel reaches the
+    first; a checkpoint-preserving rerun with no new files commits
+    nothing."""
+    import json as _json
+    import os as _os
+
+    from data_pipelines_cu_spark.streaming import jobs
+
+    src = tmp_path / "in"
+    src.mkdir()
+    for i in range(2):
+        p = src / f"f{i}.json"
+        with open(p, "w") as f:
+            f.write(_json.dumps({"event_id": i, "v": f"x{i}"}) + "\n")
+        _os.utime(p, (1_700_000_000 + i * 60,) * 2)
+    stream = (
+        spark.readStream.schema("event_id long, v string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    table_path = str(tmp_path / "table")
+    q = jobs.run_to_versioned_table(
+        stream, table_path, checkpoint=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    assert vt.current_version(table_path) == 2
+    assert {r.v for r in vt.read_table(spark, table_path).collect()} == {"x1"}
+    assert {r.v for r in vt.read_table(spark, table_path, version=1).collect()} == {"x0"}
+    # rerun over the same checkpoint: no new input -> no new commits
+    q2 = jobs.run_to_versioned_table(
+        stream, table_path, checkpoint=str(tmp_path / "ckpt")
+    )
+    q2.awaitTermination(120)
+    assert vt.current_version(table_path) == 2
