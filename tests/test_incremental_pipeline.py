@@ -1,0 +1,60 @@
+"""Incremental curation waves against persisted versioned state
+(pipelines/incremental.py): admitted-only state semantics, replay safety,
+and rejected-content recurrence."""
+
+from __future__ import annotations
+
+from data_pipelines_cu_spark.pipelines import incremental as inc
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+BENCH_TEXT = "alpha beta gamma delta epsilon zeta"
+
+
+def test_ingest_waves_dedupe_against_state(spark, tmp_path):
+    state = str(tmp_path / "state")
+    bench = _docs(spark, [(9000, BENCH_TEXT)])
+    w1 = _docs(spark, [
+        (1, "spark rows join group count window stream batch table scan"),
+        (2, "one two three four five six seven eight nine ten"),
+    ])
+    r1 = inc.ingest_wave(spark, w1, state, wave_id=1, benchmark=bench)
+    assert r1["admitted"] == 2 and r1["corpus_version"] == 1
+
+    w2 = _docs(spark, [
+        # exact dup of doc 1 (different id, same normalized text)
+        (101, "spark rows join group count window stream batch table scan"),
+        # near-dup of doc 2 (one word changed)
+        (102, "one two three four five six seven eight nine eleven"),
+        # contaminated: shares the 'alpha beta gamma' trigram with the bench
+        (103, "report contains alpha beta gamma quoted from the benchmark"),
+        # fresh
+        (104, "completely different words about training data goes here"),
+    ])
+    r2 = inc.ingest_wave(spark, w2, state, wave_id=2, benchmark=bench)
+    assert r2["after_exact"] == 3      # 101 dropped vs digest state
+    assert r2["after_near_dup"] == 2   # 102 dropped vs band state
+    assert r2["admitted"] == 1         # 103 dropped by decontamination
+    corpus = {r.doc_id for r in inc.read_corpus(spark, state).collect()}
+    assert corpus == {1, 2, 104}
+
+    # replay wave 2 (crash before checkpoint commit): same inputs, same
+    # committed state -> every table commit no-ops, corpus unchanged
+    r2b = inc.ingest_wave(spark, w2, state, wave_id=2, benchmark=bench)
+    assert r2b["corpus_version"] == r2["corpus_version"] == 2
+    assert {r.doc_id for r in inc.read_corpus(spark, state).collect()} == {1, 2, 104}
+
+    # wave 3: an exact copy of the REJECTED near-dup 102 must still be
+    # rejected — it near-dups the admitted doc 2 via the band index
+    # (admitted-only state is self-consistent)
+    w3 = _docs(spark, [
+        (202, "one two three four five six seven eight nine eleven"),
+        (203, "yet another genuinely novel document for the third wave"),
+    ])
+    r3 = inc.ingest_wave(spark, w3, state, wave_id=3, benchmark=bench)
+    assert r3["after_exact"] == 2      # 202's text was never ADMITTED
+    assert r3["admitted"] == 1         # ...but its bands collide with doc 2
+    assert {r.doc_id for r in inc.read_corpus(spark, state).collect()} == {1, 2, 104, 203}
