@@ -203,9 +203,29 @@ def main() -> None:
     # diagnostic entries (skew mitigation proof) — reported, not in the total
     extras = skew_demo(spark, sf_dir)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    # ONE compact JSON line, flushed as the very last stdout write: round-2's
-    # pretty separators + progress bars pushed the summary past the driver's
-    # tail capture. separators= strips whitespace (~25% shorter line).
+    sf_val = float(sf) if sf.replace(".", "", 1).isdigit() else sf
+    detail = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "n": REPEATS,
+        "queries": timings,
+        "diagnostics": extras,
+        "sf": sf_val,
+    }
+    # Per-query detail goes FIRST (and to BENCH_DETAIL.json): the driver only
+    # captures the last ~2,000 chars of stdout, and the full 73-query dict is
+    # ~3.5 KB — printing it last truncated the line head (including "metric"
+    # and "value") for three rounds straight ("parsed": null in BENCH_r01-03).
+    print(json.dumps(detail, separators=(",", ":")), flush=True)
+    try:
+        Path(__file__).resolve().parent.joinpath("BENCH_DETAIL.json").write_text(
+            json.dumps(detail, indent=1) + "\n"
+        )
+    except OSError:
+        pass
+    # The VERY LAST stdout write is a totals-only line, well under 1 KB, so
+    # the driver's tail window always contains the complete JSON object.
     sys.stdout.flush()
     sys.stderr.flush()
     print(
@@ -215,9 +235,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "n": REPEATS,
-                "queries": timings,
+                "n_queries": len(timings),
+                "queries": {},
                 "diagnostics": extras,
-                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+                "sf": sf_val,
             },
             separators=(",", ":"),
         ),

@@ -4542,23 +4542,29 @@ _R1_VERIFIED = {
 }
 
 
-def _gate_verified(root: str | None = None) -> set[str]:
-    """Queries whose MOST RECENT gate row in CORRECTNESS_r*.json is green
-    (or rows-only-by-design), read dynamically from the repo root — so the
-    rotation is self-maintaining: each round's new green rows automatically
-    yield their front slots to still-ungated queries next round, and a
-    query that regresses red in a later round loses its verified status and
-    rotates back into the gate window (latest round wins per query — a
-    monotone union would mask regressions forever). Falls back to the
-    hand-recorded round-1 set if no artifact is readable."""
+def _gate_verified(root: str | None = None) -> dict[str, int]:
+    """Map of query name → round of its MOST RECENT green gate row in
+    CORRECTNESS_r*.json (green = hash match, or rows-only-by-design), read
+    dynamically from the repo root — so the rotation is self-maintaining:
+    each round's new green rows automatically yield their front slots to
+    still-ungated queries next round, and a query that regresses red in a
+    later round loses its verified status and rotates back into the gate
+    window (latest round wins per query — a monotone union would mask
+    regressions forever). The round number lets all_queries() order the
+    verified tail by VERIFICATION AGE so the stalest greens re-enter the
+    driver's 50-slot window first. Falls back to the hand-recorded round-1
+    set (as round 1) if no artifact is readable."""
     import glob as _glob
     import json as _json
     import os as _os
+    import re as _re
 
     if root is None:
         root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
-    latest: dict[str, bool] = {}
+    latest: dict[str, tuple[int, bool]] = {}
     for path in sorted(_glob.glob(_os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 rows = _json.load(f)
@@ -4567,15 +4573,15 @@ def _gate_verified(root: str | None = None) -> set[str]:
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue
-            latest[name] = bool(
-                row.get("hash_match") or row.get("err") == "no_oracle"
-            )
-    verified = {n for n, ok in latest.items() if ok}
-    return verified or set(_R1_VERIFIED)
+            green = bool(row.get("hash_match") or row.get("err") == "no_oracle")
+            latest[name] = (rnd, green)
+    verified = {n: rnd for n, (rnd, ok) in latest.items() if ok}
+    return verified or {n: 1 for n in _R1_VERIFIED}
 
 
 def all_queries() -> dict[str, Query]:
     verified = _gate_verified()
+    order = list(QUERIES)
     front: dict[str, Query] = {}
     # the flagship entry() query stays pinned first only until it has a
     # green gate row; afterwards its slot goes to a still-ungated query
@@ -4584,6 +4590,11 @@ def all_queries() -> dict[str, Query]:
     front.update(
         (n, q) for n, q in QUERIES.items() if n not in verified and n not in front
     )
-    front.update((n, q) for n, q in QUERIES.items() if n in verified)
+    # Verified tail ordered by verification age (oldest gate round first,
+    # registry order as tiebreak): with every query green, the driver's
+    # 50-slot window re-checks the STALEST greens each round instead of an
+    # arbitrary registry prefix, so no green goes unverified indefinitely.
+    for n in sorted(verified, key=lambda n: (verified[n], order.index(n))):
+        front[n] = QUERIES[n]
     assert len(front) == len(QUERIES)
     return front

@@ -100,17 +100,12 @@ def test_gate_rotation_reads_correctness_artifacts(monkeypatch, tmp_path):
 
     names = list(Q.QUERIES)
 
+    real_gate_verified = Q._gate_verified
+
     def scan(root):
-        # the same semantics as Q._gate_verified, pointed at a test dir
-        verified = set()
-        for path in sorted(glob.glob(str(root / "CORRECTNESS_r*.json"))):
-            rows = json.loads(open(path).read())
-            for name, row in rows.items():
-                if isinstance(row, dict) and (
-                    row.get("hash_match") or row.get("err") == "no_oracle"
-                ):
-                    verified.add(name)
-        return verified or set(Q._R1_VERIFIED)
+        # the REAL artifact scanner, pointed at a test dir (bound before the
+        # monkeypatch so it survives being patched out of the module)
+        return real_gate_verified(root=str(root))
 
     # two rounds of artifacts: r1 greens half, r2 greens the flagship
     half = {n: {"hash_match": True} for n in names[: len(names) // 2]}
@@ -124,9 +119,14 @@ def test_gate_rotation_reads_correctness_artifacts(monkeypatch, tmp_path):
     ordered = list(Q.all_queries())
     verified = scan(tmp_path)
     assert ordered[0] != "daily_price_rollup"  # unpinned once green
-    n_ungated = len(names) - len(verified & set(names))
+    n_ungated = len(names) - len(set(verified) & set(names))
     assert all(n not in verified for n in ordered[:n_ungated])
     assert all(n in verified for n in ordered[n_ungated:])
+    # verified tail is ordered by verification AGE: every r1-verified query
+    # precedes every r2-verified one, so the stalest greens re-enter the
+    # driver's 50-slot gate window first
+    tail_rounds = [verified[n] for n in ordered[n_ungated:] if n in names]
+    assert tail_rounds == sorted(tail_rounds)
 
     # no artifacts -> falls back to the recorded round-1 set
     monkeypatch.setattr(
