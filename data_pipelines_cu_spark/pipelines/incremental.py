@@ -3,10 +3,17 @@
 Each wave of new documents is curated AGAINST PERSISTED STATE rather than
 by rescanning the corpus: exact dedup anti-joins the admitted-digest
 table, near-dup probes the admitted LSH band index, decontamination
-screens against the benchmark, and the three state tables advance as
-snapshot-isolated versioned-table commits keyed by the wave id — so a
-crashed or replayed wave can never double-admit a document or tear the
-state (operators/table.py commit protocol).
+screens against the benchmark, and ALL THREE state tables (corpus,
+digests, bands) advance under ONE atomic multi-table commit keyed by the
+wave id (operators/table.commit_batch_multi) — so a crashed or replayed
+wave can never double-admit a document or tear the state. A crash at ANY
+point either leaves no table advanced (the wave's data dirs are invisible
+orphans; the replay recomputes from the same pre-wave committed state and
+commits identical results) or all three advanced (the replay is a ledger
+no-op). Three independent per-table commits would break this: a crash
+between the digest and band commits makes the replay reload digest state
+that already contains the wave, emptying the exact-dedup survivor set and
+permanently omitting the wave's band rows.
 
 State is ADMITTED-ONLY by design, and that is self-consistent:
 - an exact copy of a previously REJECTED near-dup is still caught,
@@ -34,12 +41,16 @@ from ..operators.dedup import (
     incremental_near_dup,
     normalized_text,
 )
-from ..operators.table import commit_batch, current_version, read_table
+from ..operators.table import (
+    commit_batch_multi,
+    multi_table_batches,
+    read_multi_table,
+)
 
 
-def _load_state(spark: SparkSession, path: str, schema: str) -> DataFrame:
+def _load_state(spark: SparkSession, root: str, name: str, schema: str, fs=None):
     try:
-        return read_table(spark, path)
+        return read_multi_table(spark, root, name, fs=fs)
     except FileNotFoundError:
         return spark.createDataFrame([], schema)
 
@@ -52,16 +63,18 @@ def ingest_wave(
     benchmark: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    fs=None,
 ) -> dict:
     """Run one curation wave; returns per-stage counts + state versions.
     Replay-safe: re-running a committed ``wave_id`` recomputes the same
-    survivors from the same committed inputs and every commit no-ops."""
-    corpus_path = f"{state_dir}/corpus"
-    digest_path = f"{state_dir}/digests"
-    bands_path = f"{state_dir}/bands"
-
-    digests = _load_state(spark, digest_path, "content_hash string")
-    bands = _load_state(spark, bands_path, "doc_id long, band int, bhash string")
+    survivors from the same committed inputs and the single commit no-ops;
+    a PARTIALLY-crashed wave (data written, manifest never flipped) leaves
+    only invisible orphans, so the replay starts from identical pre-wave
+    state for all three tables at once."""
+    digests = _load_state(spark, state_dir, "digests", "content_hash string", fs)
+    bands = _load_state(
+        spark, state_dir, "bands", "doc_id long, band int, bhash string", fs
+    )
 
     # 1. exact dedup: first occurrence in the wave, then anti-join the
     # admitted-digest table (32-byte keys only)
@@ -93,12 +106,19 @@ def ingest_wave(
         "content_hash"
     )
 
-    # 4. transactional state advance — all keyed by wave_id (replay no-ops)
-    commit_batch(s3, corpus_path, wave_id)
-    commit_batch(
-        digests.unionByName(admitted_digests).distinct(), digest_path, wave_id
+    # 4. transactional state advance: ONE commit point for all three tables
+    versions = commit_batch_multi(
+        {
+            "corpus": s3,
+            "digests": digests.unionByName(admitted_digests).distinct(),
+            "bands": bands.unionByName(admitted_bands),
+        },
+        state_dir,
+        wave_id,
+        fs=fs,
     )
-    commit_batch(bands.unionByName(admitted_bands), bands_path, wave_id)
+    if versions is None:  # replayed, already-committed wave
+        versions = multi_table_batches(state_dir, fs=fs)[str(wave_id)]
 
     return {
         "wave_id": wave_id,
@@ -106,22 +126,29 @@ def ingest_wave(
         "after_exact": s1.count(),
         "after_near_dup": s2.count(),
         "admitted": s3.count(),
-        "corpus_version": current_version(corpus_path),
-        "digest_version": current_version(digest_path),
-        "bands_version": current_version(bands_path),
+        "corpus_version": versions["corpus"],
+        "digest_version": versions["digests"],
+        "bands_version": versions["bands"],
     }
 
 
-def read_corpus(spark: SparkSession, state_dir: str) -> DataFrame:
-    """Union of every committed corpus wave (each wave is one version).
+def read_corpus(spark: SparkSession, state_dir: str, fs=None) -> DataFrame:
+    """Union of every COMMITTED corpus wave, resolved through the batch
+    ledger — never the on-disk directory listing, which can contain
+    uncommitted orphans from crashed writers (reading those would
+    double-count a crashed-then-replayed wave and expose torn data).
     Production keeps waves as partitions of one table; here versions ARE
-    the waves, so the full corpus is their union."""
-    from ..operators.table import table_versions
-
-    corpus_path = f"{state_dir}/corpus"
+    the waves, so the committed corpus is their union. Raises
+    FileNotFoundError when no wave has ever committed."""
+    ledger = multi_table_batches(state_dir, fs=fs)
+    versions = sorted(
+        vs["corpus"] for vs in ledger.values() if "corpus" in vs
+    )
+    if not versions:
+        raise FileNotFoundError(f"no committed corpus waves at {state_dir}")
     parts = [
-        read_table(spark, corpus_path, version=v)
-        for v in table_versions(corpus_path)
+        read_multi_table(spark, state_dir, "corpus", version=v, fs=fs)
+        for v in versions
     ]
     out = parts[0]
     for p in parts[1:]:

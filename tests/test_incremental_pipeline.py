@@ -58,3 +58,73 @@ def test_ingest_waves_dedupe_against_state(spark, tmp_path):
     assert r3["after_exact"] == 2      # 202's text was never ADMITTED
     assert r3["admitted"] == 1         # ...but its bands collide with doc 2
     assert {r.doc_id for r in inc.read_corpus(spark, state).collect()} == {1, 2, 104, 203}
+
+
+def test_partial_crash_replay_cannot_tear_state(spark, tmp_path):
+    """The ADVICE r3 scenario: a wave that crashes AFTER its state data is
+    written but BEFORE the commit point must leave all three state tables
+    unadvanced, and the replay must admit exactly what a clean run would —
+    in particular the wave's band rows reach the index, so later near-dups
+    of the wave's docs are still caught (the old three-independent-commits
+    design permanently dropped them)."""
+    from data_pipelines_cu_spark.operators import table as vt
+
+    class CrashAtPublish(vt.LocalTableFS):
+        def __init__(self):
+            self.crash_next_put = False
+
+        def put_text(self, path, text, if_match=None):
+            if self.crash_next_put:
+                self.crash_next_put = False
+                raise RuntimeError("simulated crash at the commit point")
+            super().put_text(path, text, if_match)
+
+    fs = CrashAtPublish()
+    state = str(tmp_path / "state")
+    w1 = _docs(spark, [(1, "spark rows join group count window stream batch table scan")])
+    inc.ingest_wave(spark, w1, state, wave_id=1, fs=fs)
+
+    w2 = _docs(spark, [(2, "one two three four five six seven eight nine ten")])
+    fs.crash_next_put = True
+    try:
+        inc.ingest_wave(spark, w2, state, wave_id=2, fs=fs)
+        raise AssertionError("expected the simulated crash")
+    except RuntimeError:
+        pass
+    # nothing advanced: corpus, digests, bands all still at wave 1
+    assert {r.doc_id for r in inc.read_corpus(spark, state, fs=fs).collect()} == {1}
+    assert set(vt.multi_table_batches(state, fs=fs)) == {"1"}
+
+    # replay commits everything under one manifest put
+    r2 = inc.ingest_wave(spark, w2, state, wave_id=2, fs=fs)
+    assert r2["admitted"] == 1
+    assert {r.doc_id for r in inc.read_corpus(spark, state, fs=fs).collect()} == {1, 2}
+
+    # the replayed wave's bands are IN the index: a near-dup of doc 2
+    # (one word changed) is rejected in wave 3
+    w3 = _docs(spark, [(3, "one two three four five six seven eight nine eleven")])
+    r3 = inc.ingest_wave(spark, w3, state, wave_id=3, fs=fs)
+    assert r3["after_exact"] == 1 and r3["admitted"] == 0
+    assert {r.doc_id for r in inc.read_corpus(spark, state, fs=fs).collect()} == {1, 2}
+
+
+def test_read_corpus_ignores_orphans_and_empty_state(spark, tmp_path):
+    """read_corpus resolves waves through the committed ledger, so an
+    orphan corpus version from a crashed writer is never unioned (no
+    double-count), and an empty state dir raises instead of IndexError."""
+    import os
+
+    import pytest
+
+    state = str(tmp_path / "state")
+    with pytest.raises(FileNotFoundError):
+        inc.read_corpus(spark, state)
+    w1 = _docs(spark, [(1, "spark rows join group count window stream batch table scan")])
+    inc.ingest_wave(spark, w1, state, wave_id=1)
+    # orphan: same rows landed again under v=2, manifest never flipped
+    corpus_dir = os.path.join(state, "corpus")
+    spark.read.parquet(os.path.join(corpus_dir, "v=1")).write.parquet(
+        os.path.join(corpus_dir, "v=2")
+    )
+    rows = inc.read_corpus(spark, state).collect()
+    assert [r.doc_id for r in rows] == [1]  # not doubled
