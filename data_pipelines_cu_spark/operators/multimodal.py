@@ -106,10 +106,11 @@ def encode_bmp(pixels) -> bytes:
 
 
 def decode_pixels(payload: bytes):
-    """Decode a P6 PPM or 24-bit uncompressed BMP blob to an (H, W, 3)
-    uint8 RGB numpy array — pure numpy, no codec library. Raises
+    """Decode a P6 PPM, 24-bit uncompressed BMP, or non-interlaced 8-bit
+    PNG (RGB/RGBA/greyscale, stdlib zlib inflate + scanline unfilter) blob
+    to an (H, W, 3) uint8 RGB numpy array — no codec library. Raises
     ValueError on anything else (the plug point where PIL/libvips widens
-    format support)."""
+    format support: JPEG, palette/16-bit/interlaced PNG)."""
     import struct
 
     import numpy as np
@@ -153,7 +154,122 @@ def decode_pixels(payload: bytes):
         bgr = rows[:, : w * 3].reshape(h, w, 3)
         rgb = bgr[:, :, ::-1]
         return (rgb[::-1] if flip else rgb).copy()
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(payload)
     raise ValueError(f"unrecognized image magic {payload[:2]!r}")
+
+
+def _png_chunks(payload: bytes):
+    """Iterate (type, data) chunks of a PNG stream (CRCs not verified —
+    corrupt data surfaces as a zlib/shape error, the same failure class)."""
+    import struct
+
+    idx = 8
+    while idx + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, idx)
+        ctype = payload[idx + 4 : idx + 8]
+        data = payload[idx + 8 : idx + 8 + length]
+        yield ctype, data
+        idx += 12 + length  # length + type + data + CRC
+        if ctype == b"IEND":
+            break
+
+
+def _decode_png(payload: bytes):
+    """Pure-stdlib PNG decode (zlib inflate + per-scanline unfilter) for
+    non-interlaced 8-bit RGB/RGBA/greyscale — the formats the reference's
+    actual image payloads use (rocket launch images,
+    Solutions/chapter02/dags/download_rocket_launches.py:34-41). Returns
+    (H, W, 3) uint8 RGB; alpha is dropped, greyscale replicates. Palette,
+    16-bit, and Adam7-interlaced PNGs raise ValueError (declared stub)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    ihdr = None
+    idat = bytearray()
+    for ctype, data in _png_chunks(payload):
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.extend(data)
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, bit_depth, color_type, _comp, _filt, interlace = ihdr
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    if bit_depth != 8 or channels is None or interlace != 0:
+        raise ValueError(
+            f"only non-interlaced 8-bit PNG supported "
+            f"(depth={bit_depth}, color_type={color_type}, interlace={interlace})"
+        )
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline data truncated")
+    img = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    bpp = channels  # bytes per pixel at depth 8
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        else:
+            cur = np.zeros(stride, dtype=np.int32)
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0  # left
+                b = prev[i]  # up
+                if ftype == 1:  # Sub
+                    pred = a
+                elif ftype == 3:  # Average
+                    pred = (a + b) >> 1
+                elif ftype == 4:  # Paeth
+                    c = prev[i - bpp] if i >= bpp else 0  # up-left
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                else:
+                    raise ValueError(f"bad PNG filter type {ftype}")
+                cur[i] = (line[i] + pred) & 0xFF
+        img[y] = cur.astype(np.uint8)
+        prev = cur
+    px = img.reshape(h, w, channels)
+    if color_type == 2:
+        return px.copy()
+    if color_type == 6:
+        return px[:, :, :3].copy()
+    grey = px[:, :, 0]
+    return np.repeat(grey[:, :, None], 3, axis=2).copy()
+
+
+def encode_png(arr) -> bytes:
+    """Minimal PNG encoder (8-bit RGB, filter 0, one IDAT) — the write
+    side of the decode kernel, pure stdlib zlib."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(arr, dtype=np.uint8)
+    h, w = px.shape[0], px.shape[1]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
 
 
 def decode_image_real(payload: bytes, dim: int = 8) -> list[float]:

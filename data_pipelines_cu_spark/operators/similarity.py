@@ -1001,6 +1001,91 @@ def kmeans_clusters(
     return assigned.select(F.col(id_col), "cluster")
 
 
+# Above this many clusters the driver stops collecting the centroid table:
+# at k = ceil(N/1024), 50k centroids ≈ 5 GB corpus-equivalent of index rows —
+# past that (10⁹+ vectors) the driver materializing and re-broadcasting k
+# rows per Lloyd round becomes the bottleneck, so the assign step switches
+# to the two-level distributed path (assign_nearest_distributed).
+DISTRIBUTED_K_THRESHOLD = 50_000
+
+
+def assign_nearest_distributed(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    coarse_rows: list[tuple[int, list[float]]],
+    coarse_probe: int | None = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "cell",
+) -> DataFrame:
+    """Nearest-centroid assignment with the centroid set kept as a
+    DATAFRAME — the large-k path where collecting k centroids to the
+    driver is no longer tenable. Two-level scheme (the FAISS-IVF coarse
+    quantizer applied to the centroid table itself):
+
+    1. a tiny COARSE centroid set (``coarse_rows``, ~sqrt(k) rows — index
+       metadata, the only thing that ever reaches the driver) buckets the
+       k centroids: one distributed Arrow scan of the centroid table;
+    2. every vector probes its ``coarse_probe`` nearest coarse buckets
+       (one Arrow scan of the corpus);
+    3. probes cogroup with the bucketed centroids per coarse cell — the
+       same j-sequential cosine kernel scores each vector against just
+       that bucket's centroids (Arrow, no row explosion through the
+       shuffle: corpus×probe rows + the centroid table once);
+    4. a per-vector max_by picks the winner across probed buckets with
+       the collected path's exact tie-break (score DESC, cell ASC).
+
+    ``coarse_probe=None`` probes ALL coarse buckets — EXACT nearest
+    centroid (bit-identical to the collected kernel, since per-pair scores
+    are independent of batching) at corpus×n_coarse shuffle cost. The
+    default 8 is the standard approximate trade at extreme k: a vector can
+    only miss its true centroid if that centroid's coarse bucket ranks
+    below the probe budget. Returns (id_col, out_col)."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    n_coarse = len(coarse_rows)
+    probe = n_coarse if coarse_probe is None else min(coarse_probe, n_coarse)
+    cent_bucketed = ivf_assign_arrow(
+        centroids.select("cell", "cv"), coarse_rows, vec_col="cv",
+        out_col="coarse",
+    )
+    probes = ivf_assign_arrow(
+        vectors.select(F.col(id_col), F.col(vec_col)), coarse_rows,
+        vec_col=vec_col, out_col="coarse", n_best=probe,
+    )
+
+    def local_best(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {id_col: pd.Series(dtype="int64"),
+             "cell": pd.Series(dtype="int64"),
+             "score": pd.Series(dtype="float64")}
+        )
+        if len(left) == 0 or len(right) == 0:
+            return empty
+        r = right.sort_values("cell", kind="stable").reset_index(drop=True)
+        V = np.array(list(left[vec_col]), dtype=np.float64)
+        C = np.array(list(r["cv"]), dtype=np.float64)
+        S = _seq_cosine_matrix(V, C)
+        j = np.argsort(-S, axis=1, kind="stable")[:, 0]  # ties → lowest cell
+        return pd.DataFrame(
+            {id_col: left[id_col].to_numpy(),
+             "cell": r["cell"].to_numpy()[j],
+             "score": S[np.arange(len(left)), j]}
+        )
+
+    cand = (
+        probes.groupby("coarse")
+        .cogroup(cent_bucketed.groupby("coarse"))
+        .applyInPandas(local_best, schema=f"{id_col} long, cell long, score double")
+    )
+    # lexicographic struct max: highest score, then lowest cell — the same
+    # tie-break as the collected kernel's stable argsort
+    return cand.groupBy(id_col).agg(
+        F.max_by("cell", F.struct(F.col("score"), -F.col("cell"))).alias(out_col)
+    )
+
+
 def kmeans_assign(
     corpus: DataFrame,
     n_clusters: int | None = None,
@@ -1009,21 +1094,72 @@ def kmeans_assign(
     vec_col: str = "embedding",
     out_col: str = "cluster",
     target_cluster_size: int = TARGET_CLUSTER_SIZE,
+    distributed_threshold: int = DISTRIBUTED_K_THRESHOLD,
+    coarse_probe: int | None = 8,
 ) -> DataFrame:
     """kmeans_clusters keeping EVERY input column (the Arrow assign kernel
     passes rows through untouched and appends the cell id) — callers that
     need the vector next to its cluster (e.g. semantic dedup's pair stage)
-    use this form and skip a corpus self-join on the id."""
+    use this form and skip a corpus self-join on the id.
+
+    Below ``distributed_threshold`` clusters the centroid table is
+    collected and broadcast (one Arrow scan per Lloyd round — the right
+    plan through the SemDeDup regime, k ≲ 10⁵). Above it, centroids stay
+    a DataFrame end-to-end and assignment goes through the two-level
+    cogroup path (assign_nearest_distributed): only the ~sqrt(k) coarse
+    quantizer ever reaches the driver. See ARCHITECTURE.md §11 for the
+    crossover analysis."""
     if n_clusters is None:
         n_clusters = derived_n_clusters(corpus.count(), target_cluster_size)
-    seeds = corpus.filter(F.col(id_col) < n_clusters).select(id_col, vec_col)
-    seed_rows = [(r[0], [float(x) for x in r[1]]) for r in seeds.collect()]
-    cent_rows = (
-        lloyd_refine_rows(corpus, seed_rows, n_iters=lloyd_iters, vec_col=vec_col)
-        if lloyd_iters > 0
-        else sorted(seed_rows)
+    if n_clusters <= distributed_threshold:
+        seeds = corpus.filter(F.col(id_col) < n_clusters).select(id_col, vec_col)
+        seed_rows = [(r[0], [float(x) for x in r[1]]) for r in seeds.collect()]
+        cent_rows = (
+            lloyd_refine_rows(corpus, seed_rows, n_iters=lloyd_iters, vec_col=vec_col)
+            if lloyd_iters > 0
+            else sorted(seed_rows)
+        )
+        return ivf_assign_arrow(corpus, cent_rows, vec_col=vec_col, out_col=out_col)
+
+    # --- large-k path: centroids never materialize on the driver ---
+    import math  # noqa: PLC0415
+
+    seeds_df = corpus.filter(F.col(id_col) < n_clusters).select(
+        F.col(id_col).alias("cell"), F.col(vec_col).cast("array<double>").alias("cv")
     )
-    return ivf_assign_arrow(corpus, cent_rows, vec_col=vec_col, out_col=out_col)
+    n_coarse = math.isqrt(max(n_clusters - 1, 0)) + 1  # ceil(sqrt(k))
+    # the ONLY driver materialization: sqrt(k) coarse quantizer rows
+    coarse_rows = [
+        (r[0], [float(x) for x in r[1]])
+        for r in seeds_df.filter(F.col("cell") < n_coarse).collect()
+    ]
+    cent_df = seeds_df
+    for _ in range(lloyd_iters):
+        assigned = assign_nearest_distributed(
+            corpus, cent_df, coarse_rows, coarse_probe=coarse_probe,
+            id_col=id_col, vec_col=vec_col,
+        )
+        merged = assigned.join(corpus.select(id_col, vec_col), id_col)
+        exploded = merged.select(
+            "cell", F.posexplode(F.col(vec_col)).alias("pos", "val")
+        )
+        means = exploded.groupBy("cell", "pos").agg(
+            decimal_avg(F.col("val").cast("double")).alias("m")
+        )
+        cent_df = means.groupBy("cell").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda x: x["m"],
+            ).alias("cv")
+        )
+        # truncate lineage between rounds (k rows, distributed — the
+        # collected path's between-round collect, without the driver)
+        cent_df = cent_df.localCheckpoint(eager=True)
+    final = assign_nearest_distributed(
+        corpus, cent_df, coarse_rows, coarse_probe=coarse_probe,
+        id_col=id_col, vec_col=vec_col, out_col=out_col,
+    )
+    return corpus.join(final, id_col)
 
 
 def kmeans_clusters_oracle_sql(

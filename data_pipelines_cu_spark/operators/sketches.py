@@ -10,11 +10,15 @@ partitioning, so the estimate — a single IEEE division of exact integers —
 hash-matches a SQL oracle. That turns the approximate-distinct path from
 "trust me" into a gated, error-measured operator.
 
-Scale shape: one distinct on (group, hash) — the same digest-only shuffle
-as exact dedup — then a per-group top-k window over AT MOST the distinct
-hashes. Per-group sketch state is k longs, and sketches MERGE by k-smallest
-of the union (tested), which is what makes per-partition/per-day sketches
-combinable into corpus totals without a second scan at 100 TB.
+Scale shape: a partition-local Arrow pass finds each partition's k
+smallest distinct hashes per group (zero shuffle), then a capped-array
+merge reduces the ≤ k-longs-per-group-per-partition candidates — the
+sketch never shuffles the full distinct-hash set and no task sorts it,
+which is what makes it genuinely cheaper than the exact distinct count it
+approximates. Per-group sketch state is k longs, and sketches MERGE by
+k-smallest of the union (tested), which is what makes per-partition/
+per-day sketches combinable into corpus totals without a second scan at
+100 TB.
 
 Reference grounding: the course counts distincts with pandas nunique
 (Solutions/chapter04 pageview counts); the sketch is the at-scale form.
@@ -24,7 +28,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 #: Hash domain: 15 md5 hex chars = 60 bits — exact in a BIGINT on both
 #: engines (DuckDB's hex-digit fold and Spark's conv agree value-for-value).
@@ -47,25 +50,27 @@ def kmv_distinct(
 ) -> DataFrame:
     """Per-group KMV distinct-count estimate next to the exact count and
     relative error. Groups with fewer than k distinct values report the
-    exact count (the sketch IS the value set there, error 0)."""
-    hashes = df.select(
-        *group_cols, hash60(F.col(value_col)).alias("h")
-    ).distinct()
-    w = Window.partitionBy(*group_cols).orderBy(F.col("h").asc())
-    ranked = hashes.withColumn("_rn", F.row_number().over(w))
-    per_group = (
-        ranked.groupBy(*group_cols)
-        .agg(
-            F.count(F.lit(1)).alias("n_exact"),
-            F.max(F.when(F.col("_rn") == k, F.col("h"))).alias("hk"),
-        )
+    exact count (the sketch IS the value set there, error 0).
+
+    The sketch side goes through kmv_sketch's partial top-k (per-partition
+    k-smallest candidates, capped array merge — the shuffle is at most k
+    longs per group per input partition, and no task ever sorts a group's
+    full distinct-hash set). The exact count — present only because this is
+    an error-PROFILE operator — is a map-side-partial countDistinct; at
+    100 TB you run the sketch without it, which is its reason to exist."""
+    hashed = df.select(*group_cols, hash60(F.col(value_col)).alias("h"))
+    sk = kmv_sketch(df, group_cols, value_col, k=k)
+    exact = hashed.groupBy(*group_cols).agg(
+        F.countDistinct("h").alias("n_exact")
     )
+    hk = F.when(F.size("kmv") >= k, F.element_at("kmv", k))
     est = F.when(
         F.col("n_exact") < k, F.col("n_exact").cast("double")
     ).otherwise(
-        F.lit(float(k - 1)) * F.lit(float(KMV_M)) / F.col("hk").cast("double")
+        F.lit(float(k - 1)) * F.lit(float(KMV_M)) / hk.cast("double")
     )
-    return per_group.select(
+    # one k-capped row per group — broadcast by contract
+    return exact.join(F.broadcast(sk), group_cols).select(
         *group_cols,
         F.col("n_exact"),
         F.round(est, 6).alias("kmv_estimate"),
@@ -462,16 +467,46 @@ def kmv_sketch(
     df: DataFrame, group_cols: list[str], value_col: str, k: int = 64
 ) -> DataFrame:
     """The raw mergeable sketch: (group, array of the k smallest distinct
-    hashes, ascending). Persist per partition/day; merge with kmv_merge."""
-    hashes = df.select(
-        *group_cols, hash60(F.col(value_col)).alias("h")
-    ).distinct()
-    w = Window.partitionBy(*group_cols).orderBy(F.col("h").asc())
-    return (
-        hashes.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .groupBy(*group_cols)
-        .agg(F.sort_array(F.collect_list("h")).alias("kmv"))
+    hashes, ascending). Persist per partition/day; merge with kmv_merge.
+
+    PARTIAL top-k build: an Arrow pass computes each partition's k smallest
+    distinct hashes per group IN PLACE (zero shuffle — the candidate set a
+    partition can contribute is by definition its own k smallest), then one
+    capped-array merge reduces candidates per group. What crosses the
+    exchange is ≤ k longs per group per input partition — never the full
+    distinct-hash set, and no task sorts a group's full hash set (the
+    global-sort window this replaces made the sketch cost the same as the
+    exact distinct count it exists to avoid)."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    gcols = list(group_cols)
+    hashed = df.select(*gcols, hash60(F.col(value_col)).alias("h"))
+
+    def partial(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            yield (
+                pdf.groupby(gcols, sort=False)["h"]
+                .apply(
+                    lambda s: np.sort(pd.unique(s.to_numpy()))[:k].tolist()
+                )
+                .reset_index(name="ks")
+            )
+
+    schema = T.StructType(
+        [hashed.schema[c] for c in gcols]
+        + [T.StructField("ks", T.ArrayType(T.LongType()))]
+    )
+    partials = hashed.mapInPandas(partial, schema=schema)
+    return partials.groupBy(*gcols).agg(
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("ks")))),
+            1,
+            k,
+        ).alias("kmv")
     )
 
 
@@ -480,12 +515,12 @@ def kmv_merge(
 ) -> DataFrame:
     """Merge sketches sharing a group: k smallest of the distinct union —
     exactly the sketch a single pass over the union of the inputs builds
-    (KMV's defining property; tested in test_operators)."""
-    exploded = sketches.select(*group_cols, F.explode("kmv").alias("h")).distinct()
-    w = Window.partitionBy(*group_cols).orderBy(F.col("h").asc())
-    return (
-        exploded.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .groupBy(*group_cols)
-        .agg(F.sort_array(F.collect_list("h")).alias("kmv"))
+    (KMV's defining property; tested in test_operators). Array-native: the
+    merge shuffles k-capped arrays, never exploded hash rows."""
+    return sketches.groupBy(*group_cols).agg(
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("kmv")))),
+            1,
+            k,
+        ).alias("kmv")
     )

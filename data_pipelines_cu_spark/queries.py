@@ -2314,9 +2314,11 @@ def orders_column_profile(spark, sf_dir):
 def doc_token_rarity(spark, sf_dir):
     """Token-rarity quality signal: per-doc median and min CORPUS frequency
     of its tokens (docs full of rare tokens → noise/garble candidates; the
-    frequency-based cousin of the lexical quality score). Two shuffles:
-    corpus term frequencies, then token-level join back — the frequency
-    table is Zipf-small relative to the corpus and broadcasts at scale.
+    frequency-based cousin of the lexical quality score). ONE corpus
+    shuffle: term frequencies aggregate by token, then the Zipf-small
+    frequency table BROADCASTS back onto the token stream — the words side
+    never shuffles by token, only by doc_id for the final per-doc agg
+    (r2→r3 regression fix: the unhinted join let the words side exchange).
     Exact integer inputs + interpolated median keep the oracle bit-stable."""
     from .operators.dedup import normalized_text
 
@@ -2326,7 +2328,7 @@ def doc_token_rarity(spark, sf_dir):
     )
     freq = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
     return (
-        words.join(freq, "w")
+        words.join(F.broadcast(freq), "w")
         .groupBy("doc_id")
         .agg(
             F.percentile("cnt", F.lit(0.5)).alias("median_token_freq"),

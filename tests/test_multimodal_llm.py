@@ -253,3 +253,117 @@ def test_wav_chunk_features_real_samples_through_arrow(spark):
         assert r.mean_abs == 1000.0 and r.peak == 1000
         # 4000 samples / 40-sample half-period = 100 sign flips - 1 fencepost
         assert r.zero_crossings == 99
+
+
+def test_png_decode_round_trip_and_all_filters():
+    """Pure-stdlib PNG decode: encode_png round-trips exactly, and a
+    hand-filtered stream exercises every scanline filter type (None, Sub,
+    Up, Average, Paeth) against the reference unfilter arithmetic."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from data_pipelines_cu_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    assert np.array_equal(mm.decode_pixels(mm.encode_png(px)), px)
+
+    # hand-build a PNG whose 5 rows use filter types 0..4 (applying each
+    # filter's forward transform so decode must invert it)
+    h, w, bpp = px.shape[0], px.shape[1], 3
+    stride = w * bpp
+    flat = px.reshape(h, stride).astype(np.int32)
+    raw = bytearray()
+    for y, ftype in enumerate(range(5)):
+        line = flat[y]
+        prev = flat[y - 1] if y > 0 else np.zeros(stride, dtype=np.int32)
+        out = np.zeros(stride, dtype=np.int32)
+        for i in range(stride):
+            a = line[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            out[i] = (line[i] - pred) & 0xFF
+        raw.append(ftype)
+        raw.extend(out.astype(np.uint8).tobytes())
+
+    def chunk(ctype, data):
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(mm.decode_pixels(blob), px)
+
+
+def test_png_rgba_grey_and_rejects():
+    """RGBA drops alpha, greyscale replicates to RGB; palette/16-bit/
+    interlaced stay declared stubs (ValueError)."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from data_pipelines_cu_spark.operators import multimodal as mm
+
+    def build(px, color_type, bit_depth=8, interlace=0):
+        h, w = px.shape[0], px.shape[1]
+        raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+
+        def chunk(ctype, data):
+            crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+            return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, bit_depth,
+                                         color_type, 0, 0, interlace))
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+
+    rgba = np.arange(2 * 3 * 4, dtype=np.uint8).reshape(2, 3, 4)
+    assert np.array_equal(mm.decode_pixels(build(rgba, 6)), rgba[:, :, :3])
+    grey = np.arange(6, dtype=np.uint8).reshape(2, 3, 1)
+    out = mm.decode_pixels(build(grey, 0))
+    assert np.array_equal(out, np.repeat(grey, 3, axis=2))
+    rgb = np.zeros((2, 3, 3), dtype=np.uint8)
+    with _pytest.raises(ValueError, match="only non-interlaced 8-bit"):
+        mm.decode_pixels(build(rgb, 3))  # palette
+    with _pytest.raises(ValueError, match="only non-interlaced 8-bit"):
+        mm.decode_pixels(build(rgb, 2, interlace=1))  # Adam7
+
+
+def test_png_flows_through_arrow_resize(spark):
+    """A real PNG flows decode -> nearest-neighbor resize -> re-encode
+    through the mapInPandas kernel, same as PPM/BMP."""
+    import numpy as np
+
+    from data_pipelines_cu_spark.operators import multimodal as mm
+
+    px = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    df = spark.createDataFrame(
+        [(1, bytearray(mm.encode_png(px)))], "media_id long, payload binary"
+    )
+    row = mm.resize_images(df, 2, 2, kernel=mm.resize_image_real).collect()[0]
+    out = mm.decode_pixels(bytes(row.resized))
+    assert out.shape == (2, 2, 3)
+    assert np.array_equal(out, px[[0, 2]][:, [0, 2]])

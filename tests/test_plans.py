@@ -247,11 +247,31 @@ def test_repeated_ngram_reuses_doc_partitioning(spark, sf_dir):
 
 def test_sketch_queries_broadcast_never_cartesian(spark, sf_dir):
     """CM probes join the broadcast 4096-row counter table; the Bloom path
-    joins the broadcast bitmap — all hash joins, no sort-merge on the
-    corpus side, no cartesian anywhere. KMV is pure window+agg (no join)."""
+    joins the broadcast bitmap; KMV broadcasts its one-row-per-group sketch
+    next to the exact count — all hash joins, no sort-merge on the corpus
+    side, no cartesian anywhere."""
     for name in ["cm_gram_count_error", "bloom_decontamination_stats",
                  "kmv_daily_users"]:
         plan = _formatted_plan(QUERIES[name].fn(spark, sf_dir))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert "SortMergeJoin" not in plan, name
+
+
+def test_kmv_sketch_is_partial_topk_not_global_sort(spark, sf_dir):
+    """The KMV sketch must never run a per-group sort window over the full
+    distinct-hash set: the plan has NO Window node and NO Sort on the hash
+    column — the k-smallest selection is a partition-local Arrow pass plus
+    a capped-array hash aggregate (partial merge of ≤ k-long arrays)."""
+    from data_pipelines_cu_spark.operators import sketches as sk
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = _formatted_plan(
+        sk.kmv_sketch(
+            ev.selectExpr("event_type", "user_id"), ["event_type"], "user_id"
+        )
+    )
+    assert "Window" not in plan
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan or "PythonMapInArrow" in plan
+    # hash-aggregate merge of the capped arrays, not a sort-based topk
+    assert "HashAggregate" in plan
