@@ -1,0 +1,152 @@
+#!/usr/bin/env python
+"""Empirical scale check for the heavy operator families (ARCHITECTURE.md
+§11 predicts linear-in-corpus cost for all five): runs each at sf0.01,
+sf0.1, and a synthetic 10×-sf0.1 corpus (~sf1.0), records wall clock and
+total shuffle-write bytes (Spark UI REST), and fits the scaling exponent
+wall ~ N^e between successive decades.
+
+The synthetic sf1.0 corpus preserves DUPLICATE DENSITY — the quantity the
+linear-cost argument depends on: each of the 10 replicas keeps sf0.1's
+internal near-dup structure exactly, while a per-replica token suffix
+(``w → w_rI``) makes cross-replica shingles disjoint, so candidate-pair
+counts scale 10×, not 100× (naive replication would multiply every dup
+cluster by 10 and square the pair stage by construction, measuring a
+workload the generator never produces). Embeddings replicate with shifted
+ids; the derived k = ceil(N/1024) caps per-cell pair work either way.
+
+Usage: python scale_check.py  → one JSON line per (query, scale) + a
+summary table; paste the summary into BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+import urllib.request
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from data_pipelines_cu_spark.queries import all_queries  # noqa: E402
+from data_pipelines_cu_spark.session import get_spark  # noqa: E402
+
+HEAVY = [
+    "semantic_dedup_pairs",
+    "semantic_dup_clusters",
+    "curation_pipeline_pack",
+    "simhash_near_dup_pairs",
+    "ngram_containment_pairs",
+]
+
+SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/scale_sf1")
+
+
+def build_sf1(spark, src="/root/testdata/sf0.1", out=SF1_DIR) -> None:
+    if os.path.exists(f"{out}/_BUILT"):
+        return
+    docs = spark.read.parquet(f"{src}/documents.parquet")
+    emb = spark.read.parquet(f"{src}/embeddings.parquet")
+    n_docs = docs.count()
+    n_emb = emb.count()
+    doc_parts = []
+    emb_parts = []
+    for i in range(10):
+        if i == 0:
+            doc_parts.append(docs)
+        else:
+            doc_parts.append(
+                docs.select(
+                    (F.col("doc_id") + i * n_docs).alias("doc_id"),
+                    # suffix every token: replica shingle spaces are disjoint
+                    F.regexp_replace("text", r"(\S+)", f"$1_r{i}").alias("text"),
+                    "lang",
+                    "source",
+                    "n_chars",
+                )
+            )
+        emb_parts.append(
+            emb.select(
+                (F.col("vec_id") + i * n_emb).alias("vec_id"), "embedding", "label"
+            )
+        )
+    d = doc_parts[0]
+    for p in doc_parts[1:]:
+        d = d.unionByName(p)
+    e = emb_parts[0]
+    for p in emb_parts[1:]:
+        e = e.unionByName(p)
+    d.repartition(32).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    e.repartition(32).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    Path(f"{out}/_BUILT").write_text("ok\n")
+
+
+def _ui_json(path: str):
+    with urllib.request.urlopen(f"http://localhost:4040{path}", timeout=10) as r:
+        return json.load(r)
+
+
+def shuffle_bytes_since(app_id: str, seen: set[int]) -> tuple[int, set[int]]:
+    """Sum shuffleWrite bytes of completed stages not yet counted."""
+    total = 0
+    ids = set(seen)
+    for st in _ui_json(f"/api/v1/applications/{app_id}/stages?status=complete"):
+        key = (st["stageId"], st["attemptId"])
+        if key in ids:
+            continue
+        ids.add(key)
+        total += st.get("shuffleWriteBytes", 0)
+    return total, ids
+
+
+def main() -> None:
+    spark = get_spark(
+        "scale-check",
+        **{"spark.ui.enabled": "true", "spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    app_id = spark.sparkContext.applicationId
+    build_sf1(spark)
+
+    queries = all_queries()
+    scales = [
+        ("sf0.01", "/root/testdata/sf0.01", 0.01),
+        ("sf0.1", "/root/testdata/sf0.1", 0.1),
+        ("sf1.0*", SF1_DIR, 1.0),
+    ]
+    results: dict[str, dict[str, dict]] = {}
+    seen: set = set()
+    # warm
+    queries["gopher_quality_gate"].fn(spark, "/root/testdata/sf0.01").count()
+    _, seen = shuffle_bytes_since(app_id, seen)
+    for name in HEAVY:
+        results[name] = {}
+        for label, path, _ in scales:
+            fn = queries[name].fn
+            start = time.perf_counter()
+            fn(spark, path).write.format("noop").mode("overwrite").save()
+            wall = round(time.perf_counter() - start, 2)
+            sh, seen = shuffle_bytes_since(app_id, seen)
+            results[name][label] = {"wall_s": wall, "shuffle_mb": round(sh / 1e6, 1)}
+            print(json.dumps({"query": name, "scale": label, "wall_s": wall,
+                              "shuffle_mb": round(sh / 1e6, 1)}), flush=True)
+
+    print("\n| query | sf0.01 wall | sf0.1 wall | sf1.0* wall | exp 0.01→0.1 | exp 0.1→1.0 | sf1.0* shuffle MB |")
+    print("|---|---|---|---|---|---|---|")
+    for name in HEAVY:
+        r = results[name]
+        w = [r[s]["wall_s"] for s, _, _ in scales]
+        e1 = math.log10(w[1] / w[0]) if w[0] > 0 else float("nan")
+        e2 = math.log10(w[2] / w[1]) if w[1] > 0 else float("nan")
+        print(
+            f"| {name} | {w[0]} | {w[1]} | {w[2]} | {e1:.2f} | {e2:.2f} "
+            f"| {r['sf1.0*']['shuffle_mb']} |"
+        )
+
+
+if __name__ == "__main__":
+    main()
