@@ -12,7 +12,7 @@ lecture3/15_binance_backfill_last_month.py:129) and upserts by anti-join
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 N_MINHASH = 16  # signature length
@@ -1363,3 +1363,177 @@ def incremental_near_dup(
     )
     losers = idx_hit.unionByName(batch_hit).distinct()
     return bands.join(losers, id_col, "left_anti")
+
+
+# --- Passage-level exact duplication -----------------------------------------
+# The sub-document granularity of exact dedup (Lee et al., "Deduplicating
+# Training Data Makes Language Models Better": repeated SPANS matter, not
+# just repeated documents). Fixed-width token passages stand in for suffix
+# -array substrings: hash each non-overlapping window, count corpus-wide,
+# report the per-doc duplicated-passage fraction — the signal a span-level
+# scrubber thresholds on.
+
+
+def passage_dup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    passage_len: int = 12,
+) -> DataFrame:
+    """Per-doc passage-duplication profile: split each doc into
+    non-overlapping ``passage_len``-token passages (full windows only;
+    docs shorter than one passage are excluded), md5 each passage, count
+    occurrences corpus-wide, report (n_passages, n_dup_passages,
+    dup_fraction) where a passage is dup if its hash occurs >1 time in the
+    corpus.
+
+    Distributed shape: row-local split/slice/hash, ONE digest-key shuffle
+    for the corpus counts (32-byte keys, map-side partial), digest join
+    back, per-doc aggregate. Text never shuffles; the passage stream is
+    ~n_tokens/passage_len rows per doc. Linear at any corpus size.
+    """
+    words = df.select(
+        F.col(id_col), F.split(normalized_text(text_col), " ").alias("_ws")
+    ).filter(F.size("_ws") >= passage_len)
+    n_p = F.floor(F.size("_ws") / passage_len).cast("int")
+    passages = words.select(
+        F.col(id_col),
+        F.col("_ws"),
+        F.explode(F.sequence(F.lit(0), n_p - 1)).alias("_pi"),
+    ).select(
+        F.col(id_col),
+        F.md5(
+            F.concat_ws(
+                " ", F.slice("_ws", F.col("_pi") * passage_len + 1, passage_len)
+            )
+        ).alias("_ph"),
+    )
+    counts = passages.groupBy("_ph").agg(F.count(F.lit(1)).alias("_n"))
+    dup = F.sum(F.when(F.col("_n") > 1, 1).otherwise(0))
+    return (
+        passages.join(counts, "_ph")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_passages"),
+            dup.alias("n_dup_passages"),
+            F.round(dup.cast("double") / F.count(F.lit(1)), 6).alias(
+                "dup_fraction"
+            ),
+        )
+    )
+
+
+def passage_dup_oracle_sql(
+    table: str = "documents",
+    text_expr: str = "text",
+    id_col: str = "doc_id",
+    passage_len: int = 12,
+) -> str:
+    """DuckDB twin of passage_dup_stats (list_slice end-inclusive, so end =
+    start + len - 1 mirrors Spark's slice(start, length))."""
+    norm = f"regexp_replace(lower(trim({text_expr})), '\\s+', ' ', 'g')"
+    return f"""
+    WITH words AS (
+        SELECT {id_col}, string_split({norm}, ' ') AS ws FROM {table}
+    ),
+    eligible AS (
+        SELECT {id_col}, ws, CAST(len(ws) // {passage_len} AS INT) AS n_p
+        FROM words WHERE len(ws) >= {passage_len}
+    ),
+    p AS (
+        SELECT {id_col},
+               md5(array_to_string(
+                   list_slice(ws, pi * {passage_len} + 1,
+                              pi * {passage_len} + {passage_len}), ' ')) AS ph
+        FROM (SELECT {id_col}, ws, unnest(range(0, n_p)) AS pi FROM eligible)
+    ),
+    c AS (SELECT ph, COUNT(*) AS n FROM p GROUP BY ph)
+    SELECT {id_col},
+           COUNT(*) AS n_passages,
+           CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_passages,
+           ROUND(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 6)
+               AS dup_fraction
+    FROM p JOIN c USING (ph)
+    GROUP BY {id_col}
+    """
+
+
+# --- Cross-source priority dedup ---------------------------------------------
+# When the same document arrives from several feeds (common crawl + a
+# curated dump), dedup must be PRIORITIZED: keep the copy from the most
+# trusted source, and account for what each source lost to whom — the
+# provenance ledger a mixture designer reads before reweighting sources.
+
+
+def cross_source_survivors(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Priority dedup across sources with a per-source accounting: within
+    each normalized-text digest group the survivor is the copy from the
+    lexicographically-first source (tie: lowest id). Returns per source:
+    n_docs, n_kept, n_lost_within (lost to a same-source copy),
+    n_lost_cross (lost to a higher-priority source).
+
+    One digest-key shuffle (32-byte keys) feeds BOTH the survivor rank and
+    the winner's source (first-value over the same window frame — no second
+    join); the final aggregate is per-source, map-side partial. Text never
+    moves after hashing.
+    """
+    h = df.select(
+        F.col(source_col), F.col(id_col), F.md5(normalized_text(text_col)).alias("_h")
+    )
+    w = Window.partitionBy("_h").orderBy(F.col(source_col), F.col(id_col))
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = h.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_wsrc", F.first(source_col).over(wf)
+    )
+    return ranked.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("_rn") == 1, 1).otherwise(0)).alias("n_kept"),
+        F.sum(
+            F.when((F.col("_rn") > 1) & (F.col("_wsrc") == F.col(source_col)), 1)
+            .otherwise(0)
+        ).alias("n_lost_within"),
+        F.sum(
+            F.when((F.col("_rn") > 1) & (F.col("_wsrc") != F.col(source_col)), 1)
+            .otherwise(0)
+        ).alias("n_lost_cross"),
+    )
+
+
+def cross_source_oracle_sql(
+    table: str = "documents",
+    text_expr: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> str:
+    """DuckDB twin of cross_source_survivors."""
+    norm = f"regexp_replace(lower(trim({text_expr})), '\\s+', ' ', 'g')"
+    return f"""
+    WITH h AS (
+        SELECT {source_col} AS src, {id_col} AS id, md5({norm}) AS hh
+        FROM {table}
+    ),
+    ranked AS (
+        SELECT src, id,
+               ROW_NUMBER() OVER (PARTITION BY hh ORDER BY src, id) AS rn,
+               FIRST_VALUE(src) OVER (
+                   PARTITION BY hh ORDER BY src, id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                   AS wsrc
+        FROM h
+    )
+    SELECT src AS {source_col},
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN rn > 1 AND wsrc = src THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_lost_within,
+           CAST(SUM(CASE WHEN rn > 1 AND wsrc <> src THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_lost_cross
+    FROM ranked
+    GROUP BY src
+    """

@@ -273,3 +273,300 @@ def sqrt_scaled_sample_sql(
     FROM ranked JOIN quotas USING (grp)
     WHERE rk <= quota
     """
+
+
+# --- DSIR-style importance weighting -----------------------------------------
+# Data Selection via Importance Resampling (Xie et al., NeurIPS 2023) scores
+# each document by how much more likely its tokens are under a target-domain
+# distribution than under the raw-corpus distribution, using HASHED n-gram
+# buckets so the feature space is fixed-size however large the vocabulary.
+# This implementation keeps the hashed-unigram bucket model and swaps the
+# log-likelihood-ratio sum for a mean likelihood RATIO: ratios are one IEEE
+# division of exact integers (bit-identical on any engine), whereas ln()
+# may differ in the last ulp between libm implementations — the repo's
+# cross-engine bit-stability discipline.
+
+
+def importance_weighted_sample(
+    df: DataFrame,
+    target_pred: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = ("lang",),
+    n_buckets: int = 256,
+    top_n: int = 100,
+    salt: str = "dsir",
+    rank_col: str = "rk",
+) -> DataFrame:
+    """Select the ``top_n`` docs whose hashed-unigram distribution looks most
+    like the target domain: per-token importance ratio
+    ``((cnt_target(b)+1) * (N_corpus+B)) / ((cnt_corpus(b)+1) * (N_target+B))``
+    (add-one smoothing), per-doc score = mean of the token ratios.
+
+    Determinism: bucket counts are exact integers; each ratio is ONE double
+    division of exact bigint products (correctly rounded by IEEE 754, so
+    engine-independent — at gate scale the products fit a bigint exactly;
+    at 100 TB cast the factors to double first, the ranking is insensitive
+    to last-ulp error there); ratios are then fixed to DECIMAL(18,9) so the
+    per-doc mean is an order-independent decimal sum.
+
+    Plan shape: one tokenize pass -> bucket counts (B keys — tiny shuffle,
+    map-side partial), the B-row weight table BROADCASTS back onto the
+    token stream (tokens never shuffle by bucket), one per-doc aggregate,
+    one top-n rank. Linear in corpus size at any scale.
+    """
+    from .dedup import normalized_text  # noqa: PLC0415 (cycle guard)
+
+    toks = df.select(
+        F.col(id_col),
+        target_pred.alias("_is_t"),
+        F.explode(F.split(normalized_text(text_col), " ")).alias("_w"),
+    ).select(
+        id_col, "_is_t", hash_bucket(F.col("_w"), n_buckets, salt).alias("_b")
+    )
+    counts = toks.groupBy("_b").agg(
+        F.count(F.lit(1)).alias("_cc"),
+        F.sum(F.when(F.col("_is_t"), 1).otherwise(0)).alias("_ct"),
+    )
+    totals = counts.agg(
+        F.sum("_cc").alias("_nc"), F.sum("_ct").alias("_nt")
+    )
+    weights = F.broadcast(
+        counts.crossJoin(F.broadcast(totals)).select(
+            "_b",
+            (
+                (
+                    (F.col("_ct") + 1) * (F.col("_nc") + n_buckets)
+                ).cast("double")
+                / ((F.col("_cc") + 1) * (F.col("_nt") + n_buckets)).cast(
+                    "double"
+                )
+            )
+            .cast("decimal(18,9)")
+            .alias("_ratio"),
+        )
+    )
+    scored = (
+        toks.join(weights, "_b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum("_ratio").cast("double") / F.count(F.lit(1)), 6
+            ).alias("imp_weight"),
+        )
+    )
+    keep = df.select(id_col, *keep_cols)
+    w = Window.orderBy(F.col("imp_weight").desc(), F.col(id_col).asc())
+    return (
+        scored.join(keep, id_col)
+        .withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= top_n)
+        .select(id_col, *keep_cols, "n_tokens", "imp_weight", rank_col)
+    )
+
+
+def importance_sample_sql(
+    target_where: str,
+    table: str = "documents",
+    text_expr: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = ("lang",),
+    n_buckets: int = 256,
+    top_n: int = 100,
+    salt: str = "dsir",
+) -> str:
+    """DuckDB twin of importance_weighted_sample (same md5 bucket hash,
+    same integer-product ratio, same decimal fixing)."""
+    norm = f"regexp_replace(lower(trim({text_expr})), '\\s+', ' ', 'g')"
+    bucket = hash_bucket_sql("w", n_buckets, salt)
+    keep = ", ".join(keep_cols)
+    return f"""
+    WITH toks AS (
+        SELECT {id_col}, ({target_where}) AS is_t,
+               {bucket} AS b
+        FROM (SELECT t.*, unnest(string_split({norm}, ' ')) AS w
+              FROM {table} t)
+    ),
+    counts AS (
+        SELECT b, COUNT(*) AS cc,
+               SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct
+        FROM toks GROUP BY b
+    ),
+    totals AS (SELECT SUM(cc) AS nc, SUM(ct) AS nt FROM counts),
+    weights AS (
+        SELECT b,
+               CAST(CAST((ct + 1) * (nc + {n_buckets}) AS BIGINT) AS DOUBLE)
+               / CAST(CAST((cc + 1) * (nt + {n_buckets}) AS BIGINT) AS DOUBLE)
+                   AS ratio_d
+        FROM counts, totals
+    ),
+    scored AS (
+        SELECT {id_col},
+               COUNT(*) AS n_tokens,
+               ROUND(CAST(SUM(CAST(ratio_d AS DECIMAL(18,9))) AS DOUBLE)
+                     / COUNT(*), 6) AS imp_weight
+        FROM toks JOIN weights USING (b)
+        GROUP BY {id_col}
+    ),
+    ranked AS (
+        SELECT s.{id_col}, {keep}, n_tokens, imp_weight,
+               ROW_NUMBER() OVER (ORDER BY imp_weight DESC, s.{id_col}) AS rk
+        FROM scored s JOIN {table} t ON s.{id_col} = t.{id_col}
+    )
+    SELECT {id_col}, {keep}, n_tokens, imp_weight, rk
+    FROM ranked WHERE rk <= {top_n}
+    """
+
+
+# --- Systematic weighted resampling ------------------------------------------
+
+
+def systematic_weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str = "doc_id",
+    n_draws: int = 100,
+    block_size: int = 1024,
+) -> DataFrame:
+    """Weight-proportional systematic resampling (the particle-filter /
+    data-mixing classic): lay all rows on a line in id order, each spanning
+    ``weight`` units; place ``n_draws`` evenly spaced picks at
+    ``(j + 0.5) * W/n``; a row is drawn once per pick inside its span —
+    heavy rows can be drawn multiple times (``n_picks`` = training
+    multiplicity), light rows are drawn with exactly weight-proportional
+    probability. No RNG, no transcendental math: cumulative weights are
+    exact integer sums; the only doubles are one division (step) and the
+    two floor((cum - offset)/step) pick counts — identical IEEE ops on any
+    engine.
+
+    Distributed shape: a two-level prefix sum, NOT a global cumsum window —
+    rows group into deterministic id-blocks (``floor(id/block_size)``);
+    within-block cumsums window over the block key, and only the per-block
+    totals (corpus/block_size rows) pass through the ordered prefix window.
+    One more level of blocking extends the same plan to any scale; the
+    corpus itself shuffles once, on the block key.
+
+    Returns drawn rows only: (id, weight, n_picks), n_picks >= 1.
+    """
+    blk = F.floor(F.col(id_col) / block_size).alias("_blk")
+    rows = df.select(F.col(id_col), F.col(weight_col).alias("_w"), blk)
+    btot = rows.groupBy("_blk").agg(F.sum("_w").alias("_bw"))
+    wblk = Window.orderBy("_blk").rowsBetween(Window.unboundedPreceding, -1)
+    boff = btot.select(
+        "_blk", F.coalesce(F.sum("_bw").over(wblk), F.lit(0)).alias("_boff")
+    )
+    total = F.broadcast(rows.agg(F.sum("_w").alias("_tot")))
+    win = (
+        Window.partitionBy("_blk")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        rows.join(F.broadcast(boff), "_blk")
+        .withColumn("_hi", F.col("_boff") + F.sum("_w").over(win))
+        .withColumn("_lo", F.col("_hi") - F.col("_w"))
+        .crossJoin(total)
+    )
+    step = F.col("_tot").cast("double") / F.lit(float(n_draws))
+    off = step / F.lit(2.0)
+    picks = F.floor((F.col("_hi").cast("double") - off) / step) - F.floor(
+        (F.col("_lo").cast("double") - off) / step
+    )
+    return (
+        cum.select(
+            id_col,
+            F.col("_w").alias("weight"),
+            picks.cast("long").alias("n_picks"),
+        )
+        .filter(F.col("n_picks") > 0)
+    )
+
+
+def systematic_sample_sql(
+    weight_expr: str,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    n_draws: int = 100,
+) -> str:
+    """DuckDB twin of systematic_weighted_sample. The oracle uses a plain
+    global cumsum window — cumulative weights are exact integers, so the
+    two plans agree bit-for-bit regardless of summation structure; only
+    the final two FLOOR expressions involve doubles, and they are written
+    with the same op order as the Spark side."""
+    return f"""
+    WITH cum AS (
+        SELECT {id_col}, {weight_expr} AS w,
+               SUM({weight_expr}) OVER (ORDER BY {id_col}
+                   ROWS UNBOUNDED PRECEDING) AS hi
+        FROM {table}
+    ),
+    tot AS (SELECT SUM({weight_expr}) AS t FROM {table})
+    SELECT {id_col}, w AS weight,
+           CAST(FLOOR((CAST(hi AS DOUBLE)
+                       - (CAST(t AS DOUBLE) / {float(n_draws)}) / 2.0)
+                      / (CAST(t AS DOUBLE) / {float(n_draws)}))
+                - FLOOR((CAST(hi - w AS DOUBLE)
+                         - (CAST(t AS DOUBLE) / {float(n_draws)}) / 2.0)
+                        / (CAST(t AS DOUBLE) / {float(n_draws)}))
+                AS BIGINT) AS n_picks
+    FROM cum, tot
+    WHERE CAST(FLOOR((CAST(hi AS DOUBLE)
+                      - (CAST(t AS DOUBLE) / {float(n_draws)}) / 2.0)
+                     / (CAST(t AS DOUBLE) / {float(n_draws)}))
+               - FLOOR((CAST(hi - w AS DOUBLE)
+                        - (CAST(t AS DOUBLE) / {float(n_draws)}) / 2.0)
+                       / (CAST(t AS DOUBLE) / {float(n_draws)}))
+               AS BIGINT) > 0
+    """
+
+
+# --- Deterministic training shard + order assignment -------------------------
+
+
+def training_shard_order(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 16,
+    salt: str = "shard",
+    order_salt: str = "ord",
+) -> DataFrame:
+    """Global deterministic shuffle for training serving: every row gets a
+    shard (md5 hash bucket of its id — shards are balanced in expectation
+    and stable under reruns/appends of OTHER rows) and a position within
+    the shard (rank by a second, independent md5 — the within-shard read
+    order, decorrelated from both id order and shard assignment).
+
+    This is the 'global shuffle' a dataloader needs without ever sorting
+    the corpus globally: one shuffle on the shard key, one per-shard rank.
+    Each shard's rows can then be written as one file set and streamed in
+    ``pos`` order — deterministic epoch order at any corpus size.
+    """
+    h = F.md5(F.concat(F.lit(order_salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy("shard").orderBy(h, F.col(id_col))
+    return (
+        df.select(
+            F.col(id_col),
+            hash_bucket(F.col(id_col), n_shards, salt).alias("shard"),
+        )
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+    )
+
+
+def shard_order_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    n_shards: int = 16,
+    salt: str = "shard",
+    order_salt: str = "ord",
+) -> str:
+    """DuckDB twin of training_shard_order."""
+    bucket = hash_bucket_sql(id_col, n_shards, salt)
+    return f"""
+    SELECT {id_col}, {bucket} AS shard,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY {bucket}
+               ORDER BY md5('{order_salt}' || CAST({id_col} AS VARCHAR)),
+                        {id_col}) AS BIGINT) AS pos
+    FROM {table}
+    """

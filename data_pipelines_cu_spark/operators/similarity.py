@@ -1358,6 +1358,181 @@ def jl_distortion_pairs(
     )
 
 
+SQ8_LEVELS = 255
+
+
+def sq8_bounds(
+    corpus: DataFrame, vec_col: str = "embedding", dim: int = 64
+) -> DataFrame:
+    """Per-dimension [min, max] over the corpus as ONE 1-row DataFrame with
+    two array<double> columns (mn, mx). 2*dim scalar aggregates in a single
+    pass — map-side partial min/max, a few KB shuffled total, no explode of
+    the vector column (a posexplode+groupBy(dim) would shuffle n_rows*dim
+    rows for the same answer)."""
+    aggs = []
+    for j in range(dim):
+        e = F.element_at(F.col(vec_col), j + 1).cast("double")
+        aggs.append(F.min(e).alias(f"_mn{j}"))
+        aggs.append(F.max(e).alias(f"_mx{j}"))
+    return corpus.agg(*aggs).select(
+        F.array(*[F.col(f"_mn{j}") for j in range(dim)]).alias("mn"),
+        F.array(*[F.col(f"_mx{j}") for j in range(dim)]).alias("mx"),
+    )
+
+
+def _sq8_code(x: Column, lo: Column, hi: Column) -> Column:
+    """Quantization code in [0, 255] as a double (the exact value both
+    engines feed the reconstruction): round(((x-lo)*255)/(hi-lo)) clamped.
+    Constant dimensions (hi == lo) code to 0."""
+    scaled = ((x.cast("double") - lo) * F.lit(255.0)) / (hi - lo)
+    return F.when(
+        hi > lo,
+        F.least(F.lit(255.0), F.greatest(F.lit(0.0), F.round(scaled, 0))),
+    ).otherwise(F.lit(0.0))
+
+
+def sq8_codes(vec: Column, mn: Column, mx: Column) -> Column:
+    """int8-range scalar-quantization codes (array<int>, values 0..255) —
+    the stored artifact: 1 byte/dim vs 4 for float32, a 4x cut in ANN
+    index memory and shuffle width."""
+
+    def code(x, i):
+        return _sq8_code(x, F.element_at(mn, i + 1), F.element_at(mx, i + 1)).cast(
+            "int"
+        )
+
+    return F.transform(vec, code)
+
+
+def sq8_reconstruct(vec: Column, mn: Column, mx: Column) -> Column:
+    """Dequantized vector: lo + (code * (hi - lo)) / 255 per dimension.
+    Every step is the same IEEE double expression DuckDB's twin evaluates,
+    so reconstructed values (and cosines over them) are bit-identical."""
+
+    def recon(x, i):
+        lo = F.element_at(mn, i + 1)
+        hi = F.element_at(mx, i + 1)
+        return lo + (_sq8_code(x, lo, hi) * (hi - lo)) / F.lit(255.0)
+
+    return F.transform(vec, recon)
+
+
+def cosine_topk_sq8(
+    corpus: DataFrame,
+    k: int = 5,
+    n_queries: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """ANN top-k over int8 scalar-quantized vectors, with the quantization
+    error made visible: for each of the first ``n_queries`` vectors, rank
+    neighbors by cosine over RECONSTRUCTED (quantize->dequantize) vectors
+    and report the exact-float cosine and |error| alongside.
+
+    Distributed shape: bounds are one tiny 1-row aggregate broadcast onto
+    the scan (corpus never shuffles for quantization — it's a row-local
+    map); scoring reuses the brute-force broadcast-queries pattern. At
+    100 TB the payoff is upstream of this query: the codes array is 1/4
+    the bytes of float32, so an IVF/LSH index built over codes shuffles
+    and caches 4x less; this operator pins the recall/error contract of
+    that compression.
+    """
+    b = F.broadcast(sq8_bounds(corpus, vec_col=vec_col, dim=dim))
+    v = corpus.crossJoin(b).select(
+        F.col(id_col),
+        F.col(vec_col).alias("v"),
+        sq8_reconstruct(F.col(vec_col), F.col("mn"), F.col("mx")).alias("rv"),
+    )
+    q = F.broadcast(
+        v.filter(F.col(id_col) < n_queries).select(
+            F.col(id_col).alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("rv").alias("qrv"),
+        )
+    )
+    c = v.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("rv").alias("crv"),
+    )
+    cos_q = cosine(F.col("qrv"), F.col("crv"))
+    cos_x = cosine(F.col("qv"), F.col("cv"))
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cos_q, 6).alias("cos_sq8"),
+            F.round(cos_x, 6).alias("cos_exact"),
+            F.round(F.abs(cos_q - cos_x), 6).alias("abs_err"),
+        )
+    )
+    return topk_per_group(
+        scored,
+        ["query_id"],
+        [F.col("cos_sq8").desc(), F.col("neighbor_id").asc()],
+        k=k,
+        rank_col="rank",
+    ).select("query_id", "neighbor_id", "cos_sq8", "cos_exact", "abs_err", "rank")
+
+
+def _sq8_recon_sql(vec: str, dim: int = 64) -> str:
+    """DuckDB reconstruction list: same clamp/round/affine ops in the same
+    order as sq8_reconstruct (mn/mx come from the bounds CTE row)."""
+    x = f"CAST({vec}[i] AS DOUBLE)"
+    code = (
+        f"least(CAST(255 AS DOUBLE), greatest(CAST(0 AS DOUBLE), "
+        f"round((({x} - mn[i]) * CAST(255 AS DOUBLE)) / (mx[i] - mn[i]))))"
+    )
+    recon = (
+        f"CASE WHEN mx[i] > mn[i] "
+        f"THEN mn[i] + ({code} * (mx[i] - mn[i])) / CAST(255 AS DOUBLE) "
+        f"ELSE mn[i] + (CAST(0 AS DOUBLE) * (mx[i] - mn[i])) / CAST(255 AS DOUBLE) END"
+    )
+    return f"[{recon} for i in range(1, {dim + 1})]"
+
+
+def sq8_topk_oracle_sql(
+    k: int = 5, n_queries: int = 5, table: str = "embeddings", dim: int = 64
+) -> str:
+    """DuckDB twin of cosine_topk_sq8: per-dim bounds via
+    generate_subscripts, identical quantize->dequantize arithmetic,
+    identical cosine folds and tie-break."""
+    cos_q = _cos_sql("q.qrv", "c.crv")
+    cos_x = _cos_sql("q.qv", "c.cv")
+    return f"""
+    WITH dims AS (
+        SELECT ord, MIN(CAST(val AS DOUBLE)) AS lo, MAX(CAST(val AS DOUBLE)) AS hi
+        FROM (SELECT unnest(embedding) AS val,
+                     generate_subscripts(embedding, 1) AS ord FROM {table})
+        GROUP BY ord),
+    bounds AS (
+        SELECT list(lo ORDER BY ord) AS mn, list(hi ORDER BY ord) AS mx
+        FROM dims),
+    recon AS (
+        SELECT vec_id, embedding AS v,
+               {_sq8_recon_sql("embedding", dim)} AS rv
+        FROM {table}, bounds),
+    q AS (SELECT vec_id AS query_id, v AS qv, rv AS qrv FROM recon
+          WHERE vec_id < {n_queries}),
+    c AS (SELECT vec_id AS neighbor_id, v AS cv, rv AS crv FROM recon),
+    scored AS (
+        SELECT q.query_id, c.neighbor_id,
+               ROUND({cos_q}, 6) AS cos_sq8,
+               ROUND({cos_x}, 6) AS cos_exact,
+               ROUND(ABS({cos_q} - {cos_x}), 6) AS abs_err
+        FROM q CROSS JOIN c WHERE q.query_id <> c.neighbor_id),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cos_sq8 DESC, neighbor_id) AS rank
+        FROM scored)
+    SELECT query_id, neighbor_id, cos_sq8, cos_exact, abs_err, rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
 def jl_distortion_oracle_sql(
     out_dim: int = 16,
     in_dim: int = 64,

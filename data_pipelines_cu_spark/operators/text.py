@@ -554,3 +554,79 @@ def gopher_gate_oracle_sql(
                AS passes
     FROM stats
     """
+
+
+# --- Vocabulary coverage / OOV rate ------------------------------------------
+
+
+def oov_rate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 16,
+) -> DataFrame:
+    """Per-doc out-of-vocabulary rate against the corpus' own top-
+    ``vocab_size`` tokens (ties: frequency DESC, token ASC): n_tokens,
+    n_oov, oov_rate. The tokenizer-coverage signal — a doc whose tokens
+    mostly fall outside the vocabulary will shatter into byte-fallback
+    pieces and waste sequence length.
+
+    Distributed shape: one token-count shuffle builds the frequency table;
+    the top-k rank runs over that (vocabulary-sized, tiny) table only; the
+    vocab BROADCASTS back onto the token stream as a left join; per-doc
+    aggregate. The token stream itself never shuffles by token. At corpora
+    where even DISTINCT tokens are huge, the rank stage becomes a partial
+    per-partition top-k first (same refinement as the KMV sketch) — the
+    broadcast contract downstream is unchanged.
+    """
+    from .dedup import normalized_text  # noqa: PLC0415 (cycle guard)
+
+    words = df.select(
+        F.col(id_col), F.explode(F.split(normalized_text(text_col), " ")).alias("_w")
+    )
+    freq = words.groupBy("_w").agg(F.count(F.lit(1)).alias("_cnt"))
+    wv = Window.orderBy(F.col("_cnt").desc(), F.col("_w").asc())
+    vocab = F.broadcast(
+        freq.withColumn("_vr", F.row_number().over(wv))
+        .filter(F.col("_vr") <= vocab_size)
+        .select("_w", F.lit(True).alias("_in_v"))
+    )
+    oov = F.sum(F.when(F.col("_in_v").isNull(), 1).otherwise(0))
+    return (
+        words.join(vocab, "_w", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            oov.alias("n_oov"),
+            F.round(oov.cast("double") / F.count(F.lit(1)), 6).alias("oov_rate"),
+        )
+    )
+
+
+def oov_rate_oracle_sql(
+    table: str = "documents",
+    text_expr: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 16,
+) -> str:
+    """DuckDB twin of oov_rate (same tie-break on the vocab cut)."""
+    norm = f"regexp_replace(lower(trim({text_expr})), '\\s+', ' ', 'g')"
+    return f"""
+    WITH words AS (
+        SELECT {id_col}, unnest(string_split({norm}, ' ')) AS w FROM {table}
+    ),
+    freq AS (SELECT w, COUNT(*) AS cnt FROM words GROUP BY w),
+    vocab AS (
+        SELECT w FROM (
+            SELECT w, ROW_NUMBER() OVER (ORDER BY cnt DESC, w) AS vr FROM freq)
+        WHERE vr <= {vocab_size}
+    )
+    SELECT {id_col},
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN vocab.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov,
+           ROUND(SUM(CASE WHEN vocab.w IS NULL THEN 1 ELSE 0 END)::DOUBLE
+                 / COUNT(*), 6) AS oov_rate
+    FROM words LEFT JOIN vocab ON words.w = vocab.w
+    GROUP BY {id_col}
+    """

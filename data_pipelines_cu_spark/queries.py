@@ -802,6 +802,17 @@ def ann_lsh_topk(spark, sf_dir):
     return sim.cosine_topk_lsh(em, queries, k=5)
 
 
+@register("ann_sq8_topk", sim.sq8_topk_oracle_sql(k=5, n_queries=5))
+def ann_sq8_topk(spark, sf_dir):
+    """ANN top-5 over int8 scalar-quantized (quantize->dequantize) vectors
+    with the exact-float cosine and |error| alongside — pins the
+    recall/error contract of 4x-compressed ANN indexes (1 byte/dim codes
+    vs float32). Bounds are a single 1-row min/max aggregate broadcast
+    onto a row-local map; no new shuffle beyond the brute-force pattern."""
+    em = _t(spark, sf_dir, "embeddings")
+    return sim.cosine_topk_sq8(em, k=5, n_queries=5)
+
+
 @register(
     "ann_lsh_multiprobe_topk",
     sim.cosine_topk_lsh_multiprobe_oracle_sql(k=5, n_queries=5),
@@ -3860,6 +3871,40 @@ def source_dup_stats_q(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Passage-level exact duplication (span-granularity dedup signal)
+# ---------------------------------------------------------------------------
+@register("passage_dup_fraction", dd.passage_dup_oracle_sql())
+def passage_dup_fraction(spark, sf_dir):
+    """Per-doc duplicated-passage fraction: non-overlapping 12-token
+    passages hashed and counted corpus-wide (the span-level cousin of
+    exact dedup, after Lee et al.'s substring dedup). One 32-byte digest
+    shuffle; text never moves."""
+    return dd.passage_dup_stats(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Cross-source priority dedup with per-source loss accounting
+# ---------------------------------------------------------------------------
+@register("cross_source_dedup", dd.cross_source_oracle_sql())
+def cross_source_dedup(spark, sf_dir):
+    """Prioritized dedup across sources: survivor = lexicographically-first
+    source per digest; per-source kept / lost-within / lost-cross ledger
+    from ONE digest-window pass (rank and winner-source share the frame)."""
+    return dd.cross_source_survivors(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage / OOV-rate (tokenizer-coverage signal)
+# ---------------------------------------------------------------------------
+@register("doc_oov_rate", tx.oov_rate_oracle_sql())
+def doc_oov_rate(spark, sf_dir):
+    """Per-doc OOV rate vs the corpus' own top-16 tokens: the vocab rank
+    runs over the tiny distinct-token table only and broadcasts back; the
+    token stream never shuffles by token."""
+    return tx.oov_rate(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
 # Semantic dedup (SemDeDup): within-kmeans-cluster cosine near-dup pairs
 # ---------------------------------------------------------------------------
 @register(
@@ -4013,6 +4058,54 @@ def lang_sqrt_scaled_sample_q(spark, sf_dir):
         _t(spark, sf_dir, "documents").select("doc_id", "lang"),
         group_col="lang", key_col="doc_id", total=300,
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance-weighted selection (Xie et al., NeurIPS 2023 shape)
+# ---------------------------------------------------------------------------
+@register(
+    "importance_weighted_docs",
+    smp.importance_sample_sql(target_where="lang = 'en'"),
+)
+def importance_weighted_docs(spark, sf_dir):
+    """Top-100 docs by DSIR-style importance weight vs an English target
+    domain: hashed-unigram (256-bucket) likelihood ratios with add-one
+    smoothing, per-doc mean ratio. The bucket weight table is B rows —
+    broadcast back onto the token stream, which never shuffles by token."""
+    return smp.importance_weighted_sample(
+        _t(spark, sf_dir, "documents"), target_pred=F.col("lang") == "en"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Systematic weight-proportional resampling (particle-filter classic)
+# ---------------------------------------------------------------------------
+@register(
+    "systematic_weighted_draws",
+    smp.systematic_sample_sql(weight_expr="n_chars"),
+)
+def systematic_weighted_draws(spark, sf_dir):
+    """100 systematic weight-proportional draws over docs (weight =
+    n_chars): evenly spaced picks on the cumulative-weight line, so heavy
+    docs repeat with exact weight-proportional multiplicity, with no RNG
+    and no transcendental math. Spark side computes the prefix sums with a
+    two-level blocked cumsum (only block totals cross the ordered window);
+    cumulative weights are exact integers, so it agrees bit-for-bit with
+    the oracle's flat cumsum."""
+    return smp.systematic_weighted_sample(
+        _t(spark, sf_dir, "documents"), weight_col="n_chars"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic training shard + epoch-order assignment
+# ---------------------------------------------------------------------------
+@register("training_shard_order", smp.shard_order_sql())
+def training_shard_order_q(spark, sf_dir):
+    """Dataloader-ready global shuffle without a global sort: md5 hash
+    shard (16-way, append-stable) + independent-md5 within-shard position.
+    One shuffle on the shard key; each shard streams in pos order."""
+    return smp.training_shard_order(_t(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------
@@ -4596,7 +4689,10 @@ def all_queries() -> dict[str, Query]:
     # registry order as tiebreak): with every query green, the driver's
     # 50-slot window re-checks the STALEST greens each round instead of an
     # arbitrary registry prefix, so no green goes unverified indefinitely.
-    for n in sorted(verified, key=lambda n: (verified[n], order.index(n))):
+    for n in sorted(
+        (n for n in verified if n in QUERIES),
+        key=lambda n: (verified[n], order.index(n)),
+    ):
         front[n] = QUERIES[n]
     assert len(front) == len(QUERIES)
     return front

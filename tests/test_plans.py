@@ -275,3 +275,49 @@ def test_kmv_sketch_is_partial_topk_not_global_sort(spark, sf_dir):
     assert "ArrowEvalPython" in plan or "MapInPandas" in plan or "PythonMapInArrow" in plan
     # hash-aggregate merge of the capped arrays, not a sort-based topk
     assert "HashAggregate" in plan
+
+
+def test_sq8_bounds_broadcast_and_no_extra_shuffle(spark, sf_dir):
+    """SQ8 quantization must be a row-local map: the 1-row bounds aggregate
+    broadcasts onto the scan, the query set broadcasts for scoring, and the
+    only Exchange left is the final per-query top-k rank."""
+    plan = _formatted_plan(QUERIES["ann_sq8_topk"].fn(spark, sf_dir))
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_importance_weights_broadcast_onto_token_stream(spark, sf_dir):
+    """The 256-bucket weight table must broadcast back onto the token
+    stream — a sort-merge join here means the whole tokenized corpus
+    shuffles by bucket."""
+    plan = _formatted_plan(QUERIES["importance_weighted_docs"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_systematic_sample_blocks_the_prefix_sum(spark, sf_dir):
+    """The only unpartitioned window may run over per-block totals, never
+    the corpus: the plan must contain a partitioned (block-keyed) window
+    for the per-row cumsum."""
+    plan = _formatted_plan(QUERIES["systematic_weighted_draws"].fn(spark, sf_dir))
+    # per-row cumsum window is partitioned by the block key
+    assert "_blk" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_oov_vocab_broadcasts_back(spark, sf_dir):
+    """The top-V vocabulary must broadcast onto the token stream (left
+    join) — the token stream itself never shuffles by token."""
+    plan = _formatted_plan(QUERIES["doc_oov_rate"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_passage_dup_shuffles_digests_only(spark, sf_dir):
+    """Passage dedup join runs on 32-byte md5 keys; the raw text column
+    must not survive past the scan projection into the join."""
+    plan = _formatted_plan(QUERIES["passage_dup_fraction"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # the hash-count join happens on the digest column, not text
+    joins = [l for l in plan.splitlines() if "HashJoin" in l or "SortMergeJoin" in l]
+    assert all("text" not in l for l in joins)
