@@ -219,3 +219,59 @@ def groupwise_linreg_oracle_sql(
            END AS intercept
     FROM stats
     """
+
+
+def ewma_by_key(
+    df: DataFrame,
+    key_col: str = "user_id",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    value_col: str = "value",
+    alpha_halves: bool = True,
+) -> DataFrame:
+    """Per-key exponentially weighted moving average with alpha = 1/2,
+    zero-initialized: acc_k = acc_{k-1} * 0.5 + v_k * 0.5 folded over the
+    key's history in event order. The classic streaming smoother (the
+    reference's pandas loops compute exactly this shape row-by-row;
+    lecture6 sensor smoothing) as ONE distributed aggregate.
+
+    alpha = 1/2 is deliberate: the weights are exact powers of two, and
+    the fold is sequential left-to-right, so the result is bit-identical
+    on any IEEE engine (a general alpha would differ only in rounding, but
+    the repo's oracle discipline wants exactness). Plan shape: one shuffle
+    on the key; each key's history folds inside its group (bounded by
+    per-key event count — for unbounded histories the segmented form
+    folds per day then re-folds the per-day tails, same algebra).
+    """
+    assert alpha_halves, "only the exact alpha=1/2 fold is oracle-stable"
+    ordered = F.sort_array(
+        F.collect_list(F.struct(*[F.col(c) for c in order_cols], F.col(value_col)))
+    )
+    vals = F.transform(ordered, lambda s: s[value_col].cast("double"))
+    fold = F.aggregate(
+        vals, F.lit(0.0), lambda acc, v: acc * F.lit(0.5) + v * F.lit(0.5)
+    )
+    return df.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(fold, 6).alias("ewma_value"),
+    )
+
+
+def ewma_oracle_sql(
+    table: str = "events",
+    key_col: str = "user_id",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    value_col: str = "value",
+) -> str:
+    """DuckDB twin of ewma_by_key: list_reduce over the same ordered list
+    with the same zero-prepend and the same fold expression."""
+    order = ", ".join(order_cols)
+    return f"""
+    SELECT {key_col},
+           COUNT(*) AS n_events,
+           ROUND(list_reduce(
+               list_prepend(CAST(0 AS DOUBLE),
+                            list(CAST({value_col} AS DOUBLE) ORDER BY {order})),
+               (acc, x) -> acc * 0.5 + x * 0.5), 6) AS ewma_value
+    FROM {table}
+    GROUP BY {key_col}
+    """

@@ -524,3 +524,152 @@ def kmv_merge(
             k,
         ).alias("kmv")
     )
+
+
+# --- Fixed-bin histogram quantile sketch -------------------------------------
+# The third member of the sketch family (KMV=distinct, CM=frequency,
+# histogram=quantiles): per-group quantile estimates from a fixed 64-bin
+# equi-width histogram over global [min, max]. The sketch is a vector of
+# integer counts — trivially mergeable across partitions/days (counts add),
+# which is its production reason to exist: an exact percentile needs the
+# group's full value multiset; the sketch needs 64 longs.
+
+
+def hist_quantile_error(
+    df: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    n_bins: int = 64,
+) -> DataFrame:
+    """Per-group p50/p90 from a 64-bin equi-width histogram next to the
+    exact percentiles and |error| — the error-profile query for the
+    mergeable quantile sketch. Estimate = midpoint of the first bin whose
+    cumulative count reaches ceil(q*n).
+
+    Plan shape: one 2-value global bounds aggregate (broadcast), one
+    (group, bin) count shuffle — at most groups*n_bins rows move — then a
+    64-row-per-group cumulative window. The exact side (percentile) is
+    present only because this is an error profile; at 100 TB you run the
+    sketch alone, or merge per-day sketches by adding counts."""
+    from pyspark.sql import Window as W  # noqa: PLC0415
+
+    bounds = F.broadcast(
+        df.agg(
+            F.min(F.col(value_col).cast("double")).alias("_lo"),
+            F.max(F.col(value_col).cast("double")).alias("_hi"),
+        )
+    )
+    v = F.col(value_col).cast("double")
+    bin_ = F.least(
+        F.lit(n_bins - 1),
+        F.floor(((v - F.col("_lo")) * n_bins) / (F.col("_hi") - F.col("_lo"))),
+    ).cast("int")
+    binned = df.crossJoin(bounds).select(
+        F.col(group_col), bin_.alias("_bin"), F.col("_lo"), F.col("_hi")
+    )
+    counts = binned.groupBy(group_col, "_bin", "_lo", "_hi").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    wcum = (
+        W.partitionBy(group_col)
+        .orderBy("_bin")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    wall = W.partitionBy(group_col)
+    cum = counts.withColumn("_cum", F.sum("_c").over(wcum)).withColumn(
+        "_n", F.sum("_c").over(wall)
+    )
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(n_bins))
+    mid = F.col("_lo") + (F.col("_bin") + F.lit(0.5)) * width
+
+    def approx(q: float):
+        r = F.ceil(F.lit(q) * F.col("_n"))
+        return F.min(F.when(F.col("_cum") >= r, mid))
+
+    sketch = cum.groupBy(group_col).agg(
+        F.max("_n").alias("n"),
+        F.round(approx(0.5), 6).alias("approx_p50"),
+        F.round(approx(0.9), 6).alias("approx_p90"),
+    )
+    exact = df.groupBy(group_col).agg(
+        F.round(F.percentile(F.col(value_col).cast("double"), F.lit(0.5)), 6).alias(
+            "exact_p50"
+        ),
+        F.round(F.percentile(F.col(value_col).cast("double"), F.lit(0.9)), 6).alias(
+            "exact_p90"
+        ),
+    )
+    return (
+        sketch.join(exact, group_col)
+        .select(
+            group_col,
+            "n",
+            "exact_p50",
+            "approx_p50",
+            F.round(F.abs(F.col("approx_p50") - F.col("exact_p50")), 6).alias(
+                "err_p50"
+            ),
+            "exact_p90",
+            "approx_p90",
+            F.round(F.abs(F.col("approx_p90") - F.col("exact_p90")), 6).alias(
+                "err_p90"
+            ),
+        )
+    )
+
+
+def hist_quantile_oracle_sql(
+    table: str = "events",
+    group_col: str = "event_type",
+    value_col: str = "value",
+    n_bins: int = 64,
+) -> str:
+    """DuckDB twin of hist_quantile_error (same bin arithmetic, same
+    ceil(q*n) rank rule, same midpoint estimate)."""
+    v = f"CAST({value_col} AS DOUBLE)"
+    return f"""
+    WITH bounds AS (
+        SELECT MIN({v}) AS lo, MAX({v}) AS hi FROM {table}
+    ),
+    binned AS (
+        SELECT {group_col} AS grp,
+               CAST(least({n_bins - 1},
+                    FLOOR((({v} - lo) * {n_bins}) / (hi - lo))) AS INT) AS bin,
+               lo, hi
+        FROM {table}, bounds
+    ),
+    counts AS (
+        SELECT grp, bin, lo, hi, COUNT(*) AS c
+        FROM binned GROUP BY grp, bin, lo, hi
+    ),
+    cum AS (
+        SELECT grp, bin, lo, hi, c,
+               SUM(c) OVER (PARTITION BY grp ORDER BY bin
+                            ROWS UNBOUNDED PRECEDING) AS cumc,
+               SUM(c) OVER (PARTITION BY grp) AS n
+        FROM counts
+    ),
+    sk AS (
+        SELECT grp,
+               CAST(MAX(n) AS BIGINT) AS n,
+               ROUND(MIN(CASE WHEN cumc >= CEIL(0.5 * n)
+                    THEN lo + (bin + 0.5) * ((hi - lo) / {float(n_bins)}) END), 6)
+                   AS approx_p50,
+               ROUND(MIN(CASE WHEN cumc >= CEIL(0.9 * n)
+                    THEN lo + (bin + 0.5) * ((hi - lo) / {float(n_bins)}) END), 6)
+                   AS approx_p90
+        FROM cum GROUP BY grp
+    ),
+    ex AS (
+        SELECT {group_col} AS grp,
+               ROUND(quantile_cont({v}, 0.5), 6) AS exact_p50,
+               ROUND(quantile_cont({v}, 0.9), 6) AS exact_p90
+        FROM {table} GROUP BY {group_col}
+    )
+    SELECT sk.grp AS {group_col}, n,
+           exact_p50, approx_p50,
+           ROUND(ABS(approx_p50 - exact_p50), 6) AS err_p50,
+           exact_p90, approx_p90,
+           ROUND(ABS(approx_p90 - exact_p90), 6) AS err_p90
+    FROM sk JOIN ex ON sk.grp = ex.grp
+    """

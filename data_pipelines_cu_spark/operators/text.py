@@ -630,3 +630,131 @@ def oov_rate_oracle_sql(
     FROM words LEFT JOIN vocab ON words.w = vocab.w
     GROUP BY {id_col}
     """
+
+
+# --- BPE merge training (in-engine tokenizer induction) ----------------------
+# Byte-Pair Encoding vocabulary induction (Sennrich et al. 2016): start from
+# characters, repeatedly merge the most frequent adjacent symbol pair. The
+# input is the word-frequency table — vocabulary-sized however big the
+# corpus — so each round is one tiny distributed aggregate; the argmax pair
+# is ONE bounded row collected per round (the repo's bounded-collect
+# contract), and the merge applies as a row-local literal replace.
+
+
+def _bpe_syms(word: Column) -> Column:
+    """Separator-wrapped symbol string: 'key' -> '|k|e|y|'. The wrapping
+    makes literal pair replacement boundary-safe (a pair pattern
+    '|l|r|' can never match across symbol boundaries) and left-to-right
+    non-overlapping replace is exactly greedy BPE application."""
+    return F.concat(F.lit("|"), F.regexp_replace(word, "(.)", "$1|"))
+
+
+def bpe_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 6,
+) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merges over the corpus: returns
+    (merge_rank, left_sym, right_sym, merged, pair_count), pair counts
+    weighted by word frequency, ties broken (count DESC, left ASC,
+    right ASC).
+
+    Distributed shape per round: adjacent-pair explode over the
+    WORD-FREQUENCY table (vocabulary-sized, not corpus-sized — the one
+    tokenization pass that builds it is the only corpus-wide work), one
+    (l, r) count aggregate, a 1-row argmax collect, then a row-local
+    replace. Plans stay small because each round's table is the previous
+    round's with one more string map."""
+    from .dedup import normalized_text  # noqa: PLC0415 (cycle guard)
+
+    words = df.select(
+        F.explode(F.split(normalized_text(text_col), " ")).alias("w")
+    )
+    wf = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    cur = wf.select("w", "cnt", _bpe_syms(F.col("w")).alias("s"))
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        arr = F.filter(F.split(F.col("s"), r"\|"), lambda x: x != "")
+        sized = cur.select("cnt", arr.alias("a")).filter(F.size("a") >= 2)
+        pairs = sized.select(
+            "cnt",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("a") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("a"), i).alias("l"),
+                        F.element_at(F.col("a"), i + 1).alias("r"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy("p.l", "p.r")
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.col("c").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        l, r, c = top[0]["l"], top[0]["r"], int(top[0]["c"])
+        merges.append((rank, l, r, l + r, c))
+        cur = cur.withColumn(
+            "s", F.replace(F.col("s"), F.lit(f"|{l}|{r}|"), F.lit(f"|{l}{r}|"))
+        )
+    return df.sparkSession.createDataFrame(
+        merges,
+        "merge_rank int, left_sym string, right_sym string, "
+        "merged string, pair_count long",
+    )
+
+
+def bpe_oracle_sql(
+    table: str = "documents",
+    text_expr: str = "text",
+    n_merges: int = 6,
+) -> str:
+    """DuckDB twin of bpe_merges: the same rounds UNROLLED as chained CTEs
+    (the perceptron-oracle pattern) — each level recomputes pair counts,
+    picks the same argmax via scalar subqueries, and applies the same
+    boundary-safe literal replace."""
+    norm = f"regexp_replace(lower(trim({text_expr})), '\\s+', ' ', 'g')"
+    ctes = [
+        f"""wf AS MATERIALIZED (
+        SELECT w, COUNT(*) AS cnt
+        FROM (SELECT unnest(string_split({norm}, ' ')) AS w FROM {table})
+        GROUP BY w)""",
+        """w0 AS MATERIALIZED (
+        SELECT w, cnt, '|' || regexp_replace(w, '(.)', '\\1|', 'g') AS s
+        FROM wf)""",
+    ]
+    selects = []
+    for k in range(1, n_merges + 1):
+        prev = f"w{k - 1}"
+        ctes.append(
+            f"""p{k} AS MATERIALIZED (
+        SELECT a[i] AS l, a[i + 1] AS r, SUM(cnt) AS c
+        FROM (SELECT cnt, a, unnest(range(1, len(a))) AS i
+              FROM (SELECT cnt,
+                           list_filter(string_split(s, '|'),
+                                       x -> x <> '') AS a
+                    FROM {prev})
+              WHERE len(a) >= 2)
+        GROUP BY 1, 2)"""
+        )
+        ctes.append(f"t{k} AS MATERIALIZED (SELECT l, r, c FROM p{k} ORDER BY c DESC, l, r LIMIT 1)")
+        ctes.append(
+            f"""w{k} AS MATERIALIZED (
+        SELECT w, cnt,
+               replace(s,
+                       '|' || (SELECT l FROM t{k}) || '|'
+                           || (SELECT r FROM t{k}) || '|',
+                       '|' || (SELECT l FROM t{k})
+                           || (SELECT r FROM t{k}) || '|') AS s
+        FROM {prev})"""
+        )
+        selects.append(
+            f"SELECT {k} AS merge_rank, l AS left_sym, r AS right_sym, "
+            f"l || r AS merged, CAST(c AS BIGINT) AS pair_count FROM t{k}"
+        )
+    return "WITH " + ",\n    ".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)

@@ -4061,6 +4061,43 @@ def lang_sqrt_scaled_sample_q(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# BPE merge training (in-engine tokenizer induction, Sennrich et al. 2016)
+# ---------------------------------------------------------------------------
+@register("bpe_top_merges", tx.bpe_oracle_sql())
+def bpe_top_merges(spark, sf_dir):
+    """First 6 BPE merges learned over the corpus word-frequency table:
+    per round, one vocabulary-sized pair aggregate + a 1-row argmax
+    collect + a boundary-safe literal replace. The oracle unrolls the
+    identical rounds as chained CTEs (the perceptron-oracle pattern)."""
+    return tx.bpe_merges(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Per-user EWMA (sequential-state smoother as one distributed aggregate)
+# ---------------------------------------------------------------------------
+@register("user_value_ewma", agg.ewma_oracle_sql())
+def user_value_ewma(spark, sf_dir):
+    """Per-user exponentially weighted moving average (alpha=1/2,
+    zero-init) over event values in (ts, event_id) order — the pandas
+    row-loop smoother as ONE groupBy aggregate. alpha=1/2 makes every
+    weight an exact power of two, so the sequential fold is bit-identical
+    to DuckDB's list_reduce twin."""
+    return agg.ewma_by_key(_t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantile sketch (mergeable; error vs exact percentiles)
+# ---------------------------------------------------------------------------
+@register("hist_quantile_sketch", sk.hist_quantile_oracle_sql())
+def hist_quantile_sketch(spark, sf_dir):
+    """Per-event-type p50/p90 from a mergeable 64-bin equi-width histogram
+    next to the exact percentiles and |error| — quantiles from 64 longs
+    per group instead of the full value multiset. One (group, bin) count
+    shuffle; the global bounds are a broadcast 1-row aggregate."""
+    return sk.hist_quantile_error(_t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
 # DSIR-style importance-weighted selection (Xie et al., NeurIPS 2023 shape)
 # ---------------------------------------------------------------------------
 @register(

@@ -321,3 +321,19 @@ def test_passage_dup_shuffles_digests_only(spark, sf_dir):
     # the hash-count join happens on the digest column, not text
     joins = [l for l in plan.splitlines() if "HashJoin" in l or "SortMergeJoin" in l]
     assert all("text" not in l for l in joins)
+
+
+def test_hist_sketch_shuffles_bins_not_values(spark, sf_dir):
+    """The sketch side must aggregate (group, bin) counts — the join with
+    the exact side broadcasts tiny per-group rows, never a cartesian."""
+    plan = _formatted_plan(QUERIES["hist_quantile_sketch"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_ewma_is_single_group_aggregate(spark, sf_dir):
+    """EWMA must be one groupBy aggregate: no window, no Python, one
+    exchange on the key."""
+    plan = _formatted_plan(QUERIES["user_value_ewma"].fn(spark, sf_dir))
+    assert "Window" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
