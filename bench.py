@@ -99,6 +99,20 @@ HEADLINE = [
     "perceptron_train_score",
     "event_value_trend_by_type",
     "jl_projection_distortion",
+    # round-4 additions: compressed ANN, curation sampling, tokenizer
+    "ann_sq8_topk",
+    "ann_pq_topk",
+    "importance_weighted_docs",
+    "systematic_weighted_draws",
+    "training_shard_order",
+    "passage_dup_fraction",
+    "cross_source_dedup",
+    "doc_oov_rate",
+    "bpe_top_merges",
+    "user_value_ewma",
+    "hist_quantile_sketch",
+    "cdc_chunk_dup",
+    "source_overlap_matrix",
 ]
 
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))

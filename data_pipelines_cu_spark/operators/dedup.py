@@ -1537,3 +1537,195 @@ def cross_source_oracle_sql(
     FROM ranked
     GROUP BY src
     """
+
+
+# --- Content-defined chunking (CDC) dedup ------------------------------------
+# Fixed-width passages (passage_dup_stats) lose every window after a single
+# token insertion; content-defined boundaries — cut where a content hash of
+# the token lands in a fixed residue class, the Rabin/LBFS trick — realign
+# immediately, so shifted duplicates still share all chunks except the one
+# containing the edit. Mean chunk length = the divisor (8 tokens here).
+
+
+def cdc_chunk_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    divisor: int = 8,
+    salt: str = "cdc",
+) -> DataFrame:
+    """Per-doc content-defined-chunk duplication profile: a token whose
+    md5 bucket (mod ``divisor``) is 0 STARTS a new chunk; chunks are
+    hashed and counted corpus-wide; report (n_chunks, n_dup_chunks,
+    dup_fraction). Boundaries depend only on token CONTENT, so an
+    insertion re-localizes to one chunk instead of shifting every window.
+
+    Distributed shape: tokenize (row-local) -> per-doc boundary cumsum (a
+    doc-partitioned window over ~tokens/doc rows) -> chunk regroup by
+    (doc, chunk) -> ONE 32-byte digest shuffle for corpus counts -> per-doc
+    aggregate. Same digest-only contract as exact/passage dedup.
+    """
+    from .sampling import hash_bucket  # noqa: PLC0415 (cycle guard)
+
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(normalized_text(text_col), " ")).alias("_pos", "_w"),
+    ).withColumn(
+        "_flag", F.when(hash_bucket(F.col("_w"), divisor, salt) == 0, 1).otherwise(0)
+    )
+    wc = (
+        Window.partitionBy(id_col)
+        .orderBy("_pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    chunked = toks.withColumn("_cid", F.sum("_flag").over(wc))
+    chunks = chunked.groupBy(id_col, "_cid").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_w"))),
+                    lambda x: x["_w"],
+                ),
+                " ",
+            )
+        ).alias("_ch")
+    )
+    counts = chunks.groupBy("_ch").agg(F.count(F.lit(1)).alias("_n"))
+    dup = F.sum(F.when(F.col("_n") > 1, 1).otherwise(0))
+    return (
+        chunks.join(counts, "_ch")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            dup.alias("n_dup_chunks"),
+            F.round(dup.cast("double") / F.count(F.lit(1)), 6).alias(
+                "dup_fraction"
+            ),
+        )
+    )
+
+
+def cdc_chunk_oracle_sql(
+    table: str = "documents",
+    text_expr: str = "text",
+    id_col: str = "doc_id",
+    divisor: int = 8,
+    salt: str = "cdc",
+) -> str:
+    """DuckDB twin of cdc_chunk_stats (same md5 bucket boundary rule, same
+    boundary-starts-chunk cumsum)."""
+    from .sampling import hash_bucket_sql  # noqa: PLC0415 (cycle guard)
+
+    norm = f"regexp_replace(lower(trim({text_expr})), '\\s+', ' ', 'g')"
+    bucket = hash_bucket_sql("w", divisor, salt)
+    return f"""
+    WITH toks AS (
+        SELECT {id_col}, pos, w,
+               CASE WHEN {bucket} = 0 THEN 1 ELSE 0 END AS flag
+        FROM (SELECT {id_col},
+                     unnest(string_split({norm}, ' ')) AS w,
+                     generate_subscripts(string_split({norm}, ' '), 1) AS pos
+              FROM {table})
+    ),
+    chunked AS (
+        SELECT {id_col}, pos, w,
+               SUM(flag) OVER (PARTITION BY {id_col} ORDER BY pos
+                               ROWS UNBOUNDED PRECEDING) AS cid
+        FROM toks
+    ),
+    chunks AS (
+        SELECT {id_col}, cid,
+               md5(string_agg(w, ' ' ORDER BY pos)) AS ch
+        FROM chunked GROUP BY {id_col}, cid
+    ),
+    c AS (SELECT ch, COUNT(*) AS n FROM chunks GROUP BY ch)
+    SELECT {id_col},
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_chunks,
+           ROUND(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 6)
+               AS dup_fraction
+    FROM chunks JOIN c USING (ch)
+    GROUP BY {id_col}
+    """
+
+
+# --- Source-overlap matrix ---------------------------------------------------
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Pairwise source-overlap diagnostic: for each ordered source pair
+    (a < b), how many distinct normalized-text digests appear in BOTH —
+    the matrix a mixture designer reads to find feeds that are re-serving
+    each other's content. Returns (source_a, source_b, n_shared, n_a,
+    n_b, overlap_jaccard).
+
+    Distributed shape: per-source distinct digests (one 32-byte shuffle),
+    then pairs are generated PER DIGEST from that digest's source list —
+    work is sum over digests of sources_with_digest^2, bounded by dup
+    density x sources, never |sources|^2 x |corpus|. Per-source distinct
+    totals broadcast back onto the tiny pair table.
+    """
+    h = df.select(
+        F.col(source_col).alias("_src"), F.md5(normalized_text(text_col)).alias("_h")
+    ).distinct()
+    totals = h.groupBy("_src").agg(F.count(F.lit(1)).alias("_tot"))
+    a = h.select(F.col("_h"), F.col("_src").alias("source_a"))
+    b = h.select(F.col("_h"), F.col("_src").alias("source_b"))
+    shared = (
+        a.join(b, "_h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    ta = F.broadcast(totals.select(F.col("_src").alias("source_a"), F.col("_tot").alias("n_a")))
+    tb = F.broadcast(totals.select(F.col("_src").alias("source_b"), F.col("_tot").alias("n_b")))
+    return (
+        shared.join(ta, "source_a")
+        .join(tb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                6,
+            ).alias("overlap_jaccard"),
+        )
+    )
+
+
+def source_overlap_oracle_sql(
+    table: str = "documents",
+    text_expr: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> str:
+    """DuckDB twin of source_overlap_matrix."""
+    norm = f"regexp_replace(lower(trim({text_expr})), '\\s+', ' ', 'g')"
+    return f"""
+    WITH h AS (
+        SELECT DISTINCT {source_col} AS src, md5({norm}) AS hh FROM {table}
+    ),
+    totals AS (SELECT src, COUNT(*) AS tot FROM h GROUP BY src),
+    shared AS (
+        SELECT a.src AS source_a, b.src AS source_b, COUNT(*) AS n_shared
+        FROM h a JOIN h b ON a.hh = b.hh AND a.src < b.src
+        GROUP BY a.src, b.src
+    )
+    SELECT source_a, source_b, n_shared,
+           ta.tot AS n_a, tb.tot AS n_b,
+           ROUND(n_shared::DOUBLE / (ta.tot + tb.tot - n_shared), 6)
+               AS overlap_jaccard
+    FROM shared
+    JOIN totals ta ON ta.src = source_a
+    JOIN totals tb ON tb.src = source_b
+    """

@@ -14,7 +14,7 @@ buckets first.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .aggregates import decimal_avg
@@ -1439,25 +1439,33 @@ def cosine_topk_sq8(
     that compression.
     """
     b = F.broadcast(sq8_bounds(corpus, vec_col=vec_col, dim=dim))
+    # Precompute per-row norms BEFORE the pair join (the semantic_dedup
+    # trick): norm(x) is pair-independent, so inlining it in the cosine
+    # would recompute the same 64-term fold n_queries times per corpus
+    # row. Same sequential fold + sqrt → bit-identical to inline cosine.
     v = corpus.crossJoin(b).select(
         F.col(id_col),
         F.col(vec_col).alias("v"),
         sq8_reconstruct(F.col(vec_col), F.col("mn"), F.col("mx")).alias("rv"),
-    )
+    ).withColumn("vn", norm(F.col("v"))).withColumn("rn", norm(F.col("rv")))
     q = F.broadcast(
         v.filter(F.col(id_col) < n_queries).select(
             F.col(id_col).alias("query_id"),
             F.col("v").alias("qv"),
             F.col("rv").alias("qrv"),
+            F.col("vn").alias("qvn"),
+            F.col("rn").alias("qrn"),
         )
     )
     c = v.select(
         F.col(id_col).alias("neighbor_id"),
         F.col("v").alias("cv"),
         F.col("rv").alias("crv"),
+        F.col("vn").alias("cvn"),
+        F.col("rn").alias("crn"),
     )
-    cos_q = cosine(F.col("qrv"), F.col("crv"))
-    cos_x = cosine(F.col("qv"), F.col("cv"))
+    cos_q = dot(F.col("qrv"), F.col("crv")) / (F.col("qrn") * F.col("crn"))
+    cos_x = dot(F.col("qv"), F.col("cv")) / (F.col("qvn") * F.col("cvn"))
     scored = (
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -1562,4 +1570,284 @@ def jl_distortion_oracle_sql(
            ROUND({cp}, 6) AS cos_proj,
            ROUND(ABS({co} - {cp}), 6) AS abs_err
     FROM proj a JOIN proj b ON a.{id_col} + 1 = b.{id_col}
+    """
+
+
+# --- Product quantization (PQ) ANN -------------------------------------------
+# Jégou et al. 2011 ("Product Quantization for Nearest Neighbor Search"):
+# split each vector into m subvectors, k-means each subspace independently,
+# store each vector as m one-byte codes. With m=4 k=16 over 64 dims that is
+# 4 bytes per vector vs 256 for float32 — a 64x index compression — and
+# queries score via ADC (asymmetric distance computation: the QUERY stays
+# exact, only the corpus side is reconstructed from codebooks).
+
+PQ_M = 4
+PQ_K = 16
+
+
+def _l2_sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance as the same sequential double fold as the
+    cosine kernels (bit-identical to the DuckDB comprehension twin)."""
+    d = F.zip_with(
+        a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double"))
+    )
+    return F.aggregate(d, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _pq_subvecs(
+    corpus: DataFrame,
+    m: int = PQ_M,
+    dsub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, j, sv): the corpus exploded into its m subspace views — a
+    row-local map, no shuffle."""
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                F.slice(F.col(vec_col), j * dsub + 1, dsub).alias("sv"),
+            )
+            for j in range(m)
+        ]
+    )
+    return corpus.select(
+        F.col(id_col), F.explode(subs).alias("_s")
+    ).select(id_col, F.col("_s.j").alias("j"), F.col("_s.sv").alias("sv"))
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int = PQ_M,
+    dsub: int = 16,
+    k: int = PQ_K,
+    lloyd_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-subspace codebooks (j, cell, cv) learned by deterministic
+    k-means: seeds are the k lowest-id vectors' subvectors, assignment is
+    argmin squared-L2 (ties: lowest cell), refinement is the repo's
+    order-independent decimal mean. All m subspaces train in ONE plan —
+    the subspace id is just another grouping key.
+
+    Scale: assignment joins the (N*m)-row subvector stream against a
+    BROADCAST m*k-row codebook; means shuffle (m*k*dsub) cells. Production
+    PQ trains on a sample — the full-corpus pass here is the exactness the
+    oracle gate needs, and it is still linear in N."""
+    sub = _pq_subvecs(corpus, m=m, dsub=dsub, id_col=id_col, vec_col=vec_col)
+    cent = (
+        sub.filter(F.col(id_col) < k)
+        .select("j", F.col(id_col).alias("cell"), F.col("sv").alias("cv"))
+    )
+    for _ in range(lloyd_iters):
+        assigned = (
+            sub.join(F.broadcast(cent), "j")
+            .withColumn("_d", _l2_sq(F.col("sv"), F.col("cv")))
+            .withColumn(
+                "_r",
+                F.row_number().over(
+                    Window.partitionBy(id_col, "j").orderBy(
+                        F.col("_d").asc(), F.col("cell").asc()
+                    )
+                ),
+            )
+            .filter(F.col("_r") == 1)
+        )
+        means = (
+            assigned.select("j", "cell", F.posexplode("sv").alias("pos", "val"))
+            .groupBy("j", "cell", "pos")
+            .agg(decimal_avg(F.col("val").cast("double")).alias("m"))
+        )
+        cent = means.groupBy("j", "cell").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda x: x["m"],
+            ).alias("cv")
+        )
+        cent = cent.localCheckpoint(eager=True)
+    return cent
+
+
+def cosine_topk_pq(
+    corpus: DataFrame,
+    k_neighbors: int = 5,
+    n_queries: int = 5,
+    m: int = PQ_M,
+    dsub: int = 16,
+    k: int = PQ_K,
+    lloyd_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ-ADC ANN top-k with the compression error made visible: corpus
+    vectors are reconstructed from their m one-byte codes (64x smaller
+    than float32), queries stay exact, and each hit reports the ADC cosine
+    next to the exact cosine and |error|.
+
+    Plan shape: codebooks broadcast everywhere they appear (m*k rows);
+    code assignment and reconstruction are broadcast joins over row-local
+    streams; the only corpus-keyed shuffle is the per-id regroup of m code
+    rows. Scoring reuses the broadcast-queries brute-force pattern."""
+    cent = pq_codebooks(
+        corpus, m=m, dsub=dsub, k=k, lloyd_iters=lloyd_iters,
+        id_col=id_col, vec_col=vec_col,
+    )
+    sub = _pq_subvecs(corpus, m=m, dsub=dsub, id_col=id_col, vec_col=vec_col)
+    codes = (
+        sub.join(F.broadcast(cent), "j")
+        .withColumn("_d", _l2_sq(F.col("sv"), F.col("cv")))
+        .withColumn(
+            "_r",
+            F.row_number().over(
+                Window.partitionBy(id_col, "j").orderBy(
+                    F.col("_d").asc(), F.col("cell").asc()
+                )
+            ),
+        )
+        .filter(F.col("_r") == 1)
+        .select(id_col, "j", "cell")
+    )
+    recon = (
+        codes.join(F.broadcast(cent), ["j", "cell"])
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("j", "cv"))),
+                    lambda x: x["cv"],
+                )
+            ).alias("rv")
+        )
+    )
+    # Pair-independent norms precomputed before the scoring join (the
+    # semantic_dedup trick — same fold, bit-identical to inline cosine).
+    v = (
+        corpus.select(F.col(id_col), F.col(vec_col).alias("v"))
+        .join(recon, id_col)
+        .withColumn("vn", norm(F.col("v")))
+        .withColumn("rn", norm(F.col("rv")))
+    )
+    # materialize (vector, reconstruction, norms) once: both the query and
+    # corpus branches read it, and without a lineage cut the whole
+    # codebook-train + assign subtree runs twice (the semantic_dedup fix)
+    v = v.localCheckpoint(eager=True)
+    q = F.broadcast(
+        v.filter(F.col(id_col) < n_queries).select(
+            F.col(id_col).alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("vn").alias("qvn"),
+        )
+    )
+    c = v.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("rv").alias("crv"),
+        F.col("vn").alias("cvn"),
+        F.col("rn").alias("crn"),
+    )
+    cos_pq = dot(F.col("qv"), F.col("crv")) / (F.col("qvn") * F.col("crn"))
+    cos_x = dot(F.col("qv"), F.col("cv")) / (F.col("qvn") * F.col("cvn"))
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cos_pq, 6).alias("cos_pq"),
+            F.round(cos_x, 6).alias("cos_exact"),
+            F.round(F.abs(cos_pq - cos_x), 6).alias("abs_err"),
+        )
+    )
+    return topk_per_group(
+        scored,
+        ["query_id"],
+        [F.col("cos_pq").desc(), F.col("neighbor_id").asc()],
+        k=k_neighbors,
+        rank_col="rank",
+    ).select("query_id", "neighbor_id", "cos_pq", "cos_exact", "abs_err", "rank")
+
+
+def _l2_sql(av: str, bv: str, dim: int) -> str:
+    return (
+        f"list_sum([(CAST({av}[i] AS DOUBLE) - CAST({bv}[i] AS DOUBLE)) * "
+        f"(CAST({av}[i] AS DOUBLE) - CAST({bv}[i] AS DOUBLE)) "
+        f"for i in range(1, {dim + 1})])"
+    )
+
+
+def pq_topk_oracle_sql(
+    k_neighbors: int = 5,
+    n_queries: int = 5,
+    m: int = PQ_M,
+    dsub: int = 16,
+    k: int = PQ_K,
+    lloyd_iters: int = 1,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+) -> str:
+    """DuckDB twin of cosine_topk_pq: same seeds, same argmin-L2 fold,
+    same decimal means, same ADC cosine and tie-breaks. CTEs are
+    MATERIALIZED — the chained rounds re-expand exponentially otherwise."""
+    l2 = _l2_sql("s.sv", "cent.cv", dsub)
+    ctes = [
+        f"""sub AS MATERIALIZED (
+        SELECT {id_col} AS vid, j,
+               list_slice(embedding, j * {dsub} + 1, j * {dsub} + {dsub}) AS sv
+        FROM (SELECT {id_col}, embedding,
+                     unnest(range(0, {m})) AS j FROM {table}))""",
+        f"""cent0 AS MATERIALIZED (
+        SELECT j, vid AS cell, sv AS cv FROM sub WHERE vid < {k})""",
+    ]
+    for i in range(1, lloyd_iters + 1):
+        ctes.append(f"""la{i} AS MATERIALIZED (
+        SELECT * FROM (
+            SELECT s.vid, s.j, s.sv, cent.cell,
+                   ROW_NUMBER() OVER (PARTITION BY s.vid, s.j
+                       ORDER BY {l2} ASC, cent.cell) AS r
+            FROM sub s JOIN cent{i - 1} cent ON s.j = cent.j) WHERE r = 1)""")
+        ctes.append(f"""cent{i} AS MATERIALIZED (
+        SELECT j, cell, list(mm ORDER BY pos) AS cv FROM (
+            SELECT j, cell, pos,
+                   CAST(SUM(CAST(CAST(val AS DOUBLE) AS DECIMAL(38,12)))
+                        AS DOUBLE) / COUNT(val) AS mm
+            FROM (SELECT j, cell, unnest(sv) AS val,
+                         generate_subscripts(sv, 1) AS pos FROM la{i})
+            GROUP BY j, cell, pos)
+        GROUP BY j, cell)""")
+    final = f"cent{lloyd_iters}"
+    ctes.append(f"""codes AS MATERIALIZED (
+        SELECT * FROM (
+            SELECT s.vid, s.j, cent.cell,
+                   ROW_NUMBER() OVER (PARTITION BY s.vid, s.j
+                       ORDER BY {l2} ASC, cent.cell) AS r
+            FROM sub s JOIN {final} cent ON s.j = cent.j) WHERE r = 1)""")
+    ctes.append(f"""recon AS MATERIALIZED (
+        SELECT vid, flatten(list(cv ORDER BY j)) AS rv
+        FROM codes JOIN {final} cent USING (j, cell)
+        GROUP BY vid)""")
+    ctes.append(f"""vv AS MATERIALIZED (
+        SELECT t.{id_col} AS vid, t.embedding AS v, recon.rv
+        FROM {table} t JOIN recon ON t.{id_col} = recon.vid)""")
+    cos_pq = _cos_sql("q.qv", "c.crv")
+    cos_x = _cos_sql("q.qv", "c.cv")
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined},
+    q AS (SELECT vid AS query_id, v AS qv FROM vv WHERE vid < {n_queries}),
+    c AS (SELECT vid AS neighbor_id, v AS cv, rv AS crv FROM vv),
+    scored AS (
+        SELECT q.query_id, c.neighbor_id,
+               ROUND({cos_pq}, 6) AS cos_pq,
+               ROUND({cos_x}, 6) AS cos_exact,
+               ROUND(ABS({cos_pq} - {cos_x}), 6) AS abs_err
+        FROM q CROSS JOIN c WHERE q.query_id <> c.neighbor_id),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cos_pq DESC, neighbor_id) AS rank
+        FROM scored)
+    SELECT query_id, neighbor_id, cos_pq, cos_exact, abs_err, rank
+    FROM ranked WHERE rank <= {k_neighbors}
     """

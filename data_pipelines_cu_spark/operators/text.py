@@ -672,6 +672,10 @@ def bpe_merges(
     )
     wf = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
     cur = wf.select("w", "cnt", _bpe_syms(F.col("w")).alias("s"))
+    # The corpus-wide tokenize+count pass runs ONCE: the word-frequency
+    # table is vocabulary-sized, so each round folds over a checkpointed
+    # handful of rows instead of re-scanning the corpus per round.
+    cur = cur.localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, str, int]] = []
     for rank in range(1, n_merges + 1):
         arr = F.filter(F.split(F.col("s"), r"\|"), lambda x: x != "")

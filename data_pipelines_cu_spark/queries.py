@@ -813,6 +813,17 @@ def ann_sq8_topk(spark, sf_dir):
     return sim.cosine_topk_sq8(em, k=5, n_queries=5)
 
 
+@register("ann_pq_topk", sim.pq_topk_oracle_sql(k_neighbors=5, n_queries=5))
+def ann_pq_topk(spark, sf_dir):
+    """Product-quantization ADC ANN top-5 (Jégou et al. 2011): 4 subspace
+    codebooks of 16 centroids = 4-byte codes (64x compression); corpus
+    reconstructed from codes, queries exact; ADC-vs-exact cosine |error|
+    reported per hit. Codebooks broadcast; the only corpus-keyed shuffle
+    is the per-id regroup of its 4 code rows."""
+    em = _t(spark, sf_dir, "embeddings")
+    return sim.cosine_topk_pq(em, k_neighbors=5, n_queries=5)
+
+
 @register(
     "ann_lsh_multiprobe_topk",
     sim.cosine_topk_lsh_multiprobe_oracle_sql(k=5, n_queries=5),
@@ -3891,6 +3902,29 @@ def cross_source_dedup(spark, sf_dir):
     source per digest; per-source kept / lost-within / lost-cross ledger
     from ONE digest-window pass (rank and winner-source share the frame)."""
     return dd.cross_source_survivors(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking dedup (shift-robust span dedup)
+# ---------------------------------------------------------------------------
+@register("cdc_chunk_dup", dd.cdc_chunk_oracle_sql())
+def cdc_chunk_dup(spark, sf_dir):
+    """Per-doc duplicated-chunk fraction with CONTENT-DEFINED boundaries
+    (token md5 mod 8 == 0 starts a chunk, the Rabin/LBFS trick): unlike
+    fixed windows, an insertion re-localizes to one chunk instead of
+    shifting every window. Digest-only shuffle, doc-partitioned cumsum."""
+    return dd.cdc_chunk_stats(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Source-overlap matrix (which feeds re-serve each other's content)
+# ---------------------------------------------------------------------------
+@register("source_overlap_matrix", dd.source_overlap_oracle_sql())
+def source_overlap_matrix_q(spark, sf_dir):
+    """Pairwise shared-digest counts + Jaccard between sources; pairs are
+    generated per digest from its source list — work tracks duplicate
+    density, never |sources|^2 x corpus."""
+    return dd.source_overlap_matrix(_t(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------

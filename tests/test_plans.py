@@ -337,3 +337,30 @@ def test_ewma_is_single_group_aggregate(spark, sf_dir):
     plan = _formatted_plan(QUERIES["user_value_ewma"].fn(spark, sf_dir))
     assert "Window" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_pq_codebooks_broadcast_never_cartesian(spark, sf_dir):
+    """Every codebook appearance (train assign, code assign, reconstruct)
+    must be a broadcast join; the scoring stage is the broadcast-queries
+    cross join, never a corpus-by-corpus cartesian."""
+    plan = _formatted_plan(QUERIES["ann_pq_topk"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") >= 2
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_cdc_window_is_doc_partitioned(spark, sf_dir):
+    """The boundary cumsum must be a doc-partitioned window (never a
+    global one) and the dup join digest-only."""
+    plan = _formatted_plan(QUERIES["cdc_chunk_dup"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    joins = [l for l in plan.splitlines() if "HashJoin" in l or "SortMergeJoin" in l]
+    assert all("text" not in l for l in joins)
+
+
+def test_source_overlap_totals_broadcast(spark, sf_dir):
+    """Per-source totals must broadcast onto the tiny pair table; the
+    digest self-join is an equi-join, never cartesian."""
+    plan = _formatted_plan(QUERIES["source_overlap_matrix"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
