@@ -113,6 +113,9 @@ HEADLINE = [
     "hist_quantile_sketch",
     "cdc_chunk_dup",
     "source_overlap_matrix",
+    "quality_dedup_survivors",
+    "doc_bigram_likelihood",
+    "corpus_datacard",
 ]
 
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))

@@ -3905,6 +3905,238 @@ def cross_source_dedup(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Quality-aware dup-cluster survivor selection (keep the BEST copy)
+# ---------------------------------------------------------------------------
+@register(
+    "quality_dedup_survivors",
+    r"""
+    WITH RECURSIVE norm AS ("""
+    + r"""
+        SELECT doc_id, lang,
+               string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+        FROM documents),
+    gidx AS (
+        SELECT doc_id, lang,
+               unnest(CASE WHEN len(ws) >= 3 THEN range(1, len(ws) - 1) ELSE [] END) AS i,
+               ws
+        FROM norm),
+    gram_rows AS (
+        SELECT DISTINCT doc_id, lang, ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS g
+        FROM gidx),
+    gsets AS (
+        SELECT doc_id, lang, list_distinct(list(g)) AS grams
+        FROM gram_rows GROUP BY doc_id, lang),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM gsets a JOIN gsets b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+              / (len(a.grams) + len(b.grams)
+                 - len(list_intersect(a.grams, b.grams))) >= 0.5),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+    assign AS (
+        SELECT a AS doc_id, LEAST(a, MIN(b)) AS canonical_id FROM reach GROUP BY a),
+    q AS ("""
+    + tx.quality_oracle_sql()
+    + r"""),
+    ranked AS (
+        SELECT canonical_id, assign.doc_id, quality,
+               ROW_NUMBER() OVER (PARTITION BY canonical_id
+                                  ORDER BY quality DESC, assign.doc_id) AS r,
+               COUNT(*) OVER (PARTITION BY canonical_id) AS nm
+        FROM assign JOIN q ON assign.doc_id = q.doc_id)
+    SELECT canonical_id, doc_id AS survivor_id, quality AS survivor_quality,
+           CAST(nm AS BIGINT) AS n_members
+    FROM ranked WHERE r = 1
+    """,
+)
+def quality_dedup_survivors(spark, sf_dir):
+    """Curation-grade dedup: within each near-dup cluster keep the BEST
+    copy by quality score, not an arbitrary lowest-id one (ties: lowest
+    id). Composition: n-gram Jaccard pairs -> pointer-doubling connected
+    components -> broadcast-joined quality -> per-cluster argmax. The only
+    new work over cluster assignment is a cluster-keyed top-1 window."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(d, block_col="lang", threshold=0.5)
+    clusters = dd.dedup_clusters(pairs)
+    q = tx.with_quality_score(d).select("doc_id", "quality")
+    j = clusters.join(q, "doc_id")
+    nm = Window.partitionBy("canonical_id")
+    ranked = j.withColumn("nm", F.count(F.lit(1)).over(nm))
+    return (
+        win.topk_per_group(
+            ranked,
+            ["canonical_id"],
+            [F.col("quality").desc(), F.col("doc_id").asc()],
+            k=1,
+            rank_col="_r",
+        )
+        .select(
+            "canonical_id",
+            F.col("doc_id").alias("survivor_id"),
+            F.col("quality").alias("survivor_quality"),
+            F.col("nm").cast("long").alias("n_members"),
+        )
+    )
+
+
+
+# ---------------------------------------------------------------------------
+# Bigram-likelihood quality signal (LM-filter proxy without transcendentals)
+# ---------------------------------------------------------------------------
+@register(
+    "doc_bigram_likelihood",
+    r"""
+    WITH words AS (
+        SELECT doc_id,
+               string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+        FROM documents),
+    bi AS (
+        SELECT doc_id, ws[i] AS l, ws[i + 1] AS r
+        FROM (SELECT doc_id, ws,
+                     unnest(range(1, len(ws))) AS i
+              FROM words WHERE len(ws) >= 2)),
+    c2 AS (SELECT l, r, COUNT(*) AS n2 FROM bi GROUP BY l, r),
+    c1 AS (SELECT l, COUNT(*) AS n1 FROM bi GROUP BY l),
+    probs AS (
+        SELECT l, r,
+               CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p
+        FROM c2 JOIN c1 USING (l))
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           ROUND(CAST(SUM(CAST(p AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6)
+               AS avg_bigram_prob
+    FROM bi JOIN probs USING (l, r)
+    GROUP BY doc_id
+    """,
+)
+def doc_bigram_likelihood(spark, sf_dir):
+    """Per-doc mean corpus-bigram probability P(w_i | w_{i-1}) — the
+    LM-based quality-filter proxy, with the likelihood kept as a RATIO
+    (one IEEE division of exact counts, fixed to decimal before the mean)
+    instead of a log so both engines agree bit-for-bit. Plan: one bigram
+    pass, a bigram-vocab-sized probability table broadcast back onto the
+    doc stream, per-doc decimal mean."""
+    from .operators.dedup import normalized_text
+
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.split(normalized_text("text"), " ").alias("_ws")
+    ).filter(F.size("_ws") >= 2)
+    bi = words.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_ws") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("_ws"), i).alias("l"),
+                    F.element_at(F.col("_ws"), i + 1).alias("r"),
+                ),
+            )
+        ).alias("_b"),
+    ).select("doc_id", F.col("_b.l").alias("l"), F.col("_b.r").alias("r"))
+    c2 = bi.groupBy("l", "r").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = bi.groupBy("l").agg(F.count(F.lit(1)).alias("n1"))
+    probs = F.broadcast(
+        c2.join(c1, "l").select(
+            "l",
+            "r",
+            (F.col("n2").cast("double") / F.col("n1").cast("double"))
+            .cast("decimal(18,9)")
+            .alias("p"),
+        )
+    )
+    return (
+        bi.join(probs, ["l", "r"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum("p").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_bigram_prob"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus data card (one-row dataset summary)
+# ---------------------------------------------------------------------------
+@register(
+    "corpus_datacard",
+    r"""
+    WITH words AS (
+        SELECT doc_id,
+               unnest(string_split(
+                   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+        FROM documents),
+    tok AS (SELECT COUNT(*) AS n_tokens,
+                   COUNT(DISTINCT w) AS n_distinct_tokens FROM words),
+    base AS (
+        SELECT COUNT(*) AS n_docs,
+               COUNT(DISTINCT lang) AS n_langs,
+               COUNT(DISTINCT source) AS n_sources
+        FROM documents),
+    h AS (SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS hh
+          FROM documents),
+    hc AS (SELECT hh, COUNT(*) AS n FROM h GROUP BY hh),
+    dup AS (SELECT CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT)
+                   AS n_dup_docs FROM hc)
+    SELECT n_docs, n_langs, n_sources, n_tokens, n_distinct_tokens, n_dup_docs,
+           ROUND(n_dup_docs::DOUBLE / n_docs, 6) AS dup_ratio,
+           ROUND(n_tokens::DOUBLE / n_docs, 6) AS avg_tokens_per_doc
+    FROM base, tok, dup
+    """,
+)
+def corpus_datacard(spark, sf_dir):
+    """One-row dataset summary (the 'data card' a corpus release ships):
+    doc/lang/source counts, token totals, exact-dup ratio, mean doc
+    length. Each stat is one aggregate; the 1-row frames cross-join at
+    the end — nothing corpus-sized moves twice."""
+    from .operators.dedup import normalized_text
+
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(F.explode(F.split(normalized_text("text"), " ")).alias("w"))
+    tok = words.agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count_distinct("w").alias("n_distinct_tokens"),
+    )
+    base = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.count_distinct("source").alias("n_sources"),
+    )
+    hc = d.select(F.md5(normalized_text("text")).alias("hh")).groupBy("hh").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    dup = hc.agg(
+        F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(0)).alias("n_dup_docs")
+    )
+    return (
+        base.crossJoin(F.broadcast(tok))
+        .crossJoin(F.broadcast(dup))
+        .select(
+            "n_docs",
+            "n_langs",
+            "n_sources",
+            "n_tokens",
+            "n_distinct_tokens",
+            "n_dup_docs",
+            F.round(
+                F.col("n_dup_docs").cast("double") / F.col("n_docs"), 6
+            ).alias("dup_ratio"),
+            F.round(
+                F.col("n_tokens").cast("double") / F.col("n_docs"), 6
+            ).alias("avg_tokens_per_doc"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Content-defined chunking dedup (shift-robust span dedup)
 # ---------------------------------------------------------------------------
 @register("cdc_chunk_dup", dd.cdc_chunk_oracle_sql())

@@ -364,3 +364,11 @@ def test_source_overlap_totals_broadcast(spark, sf_dir):
     plan = _formatted_plan(QUERIES["source_overlap_matrix"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_bigram_probs_broadcast_onto_doc_stream(spark, sf_dir):
+    """The bigram probability table must broadcast back onto the per-doc
+    bigram stream — never shuffle the doc stream by bigram key twice."""
+    plan = _formatted_plan(QUERIES["doc_bigram_likelihood"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
