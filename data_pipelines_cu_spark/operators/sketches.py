@@ -673,3 +673,61 @@ def hist_quantile_oracle_sql(
            ROUND(ABS(approx_p90 - exact_p90), 6) AS err_p90
     FROM sk JOIN ex ON sk.grp = ex.grp
     """
+
+
+def hist_counts(
+    df: DataFrame,
+    lo: float,
+    hi: float,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    n_bins: int = 64,
+) -> DataFrame:
+    """(group, bin, c) histogram-sketch counts against FIXED [lo, hi)
+    bounds — the mergeable form: sketches over any partition of the data
+    add bin-wise to the sketch of the union (the streaming contract)."""
+    v = F.col(value_col).cast("double")
+    bin_ = F.least(
+        F.lit(n_bins - 1),
+        F.floor(((v - F.lit(float(lo))) * n_bins) / F.lit(float(hi) - float(lo))),
+    ).cast("int")
+    return (
+        df.select(F.col(group_col), bin_.alias("bin"))
+        .groupBy(group_col, "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def hist_quantiles_from_counts(
+    counts: DataFrame,
+    lo: float,
+    hi: float,
+    group_col: str = "event_type",
+    n_bins: int = 64,
+) -> DataFrame:
+    """p50/p90 midpoint estimates from (group, bin, c) sketch counts —
+    the read side of the mergeable histogram: counts from any number of
+    shards/batches are first added bin-wise, so the estimate depends only
+    on the union, not on how it arrived."""
+    from pyspark.sql import Window as W  # noqa: PLC0415
+
+    merged = counts.groupBy(group_col, "bin").agg(F.sum("c").alias("c"))
+    wcum = (
+        W.partitionBy(group_col).orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
+    )
+    wall = W.partitionBy(group_col)
+    cum = merged.withColumn("_cum", F.sum("c").over(wcum)).withColumn(
+        "_n", F.sum("c").over(wall)
+    )
+    width = F.lit((float(hi) - float(lo)) / n_bins)
+    mid = F.lit(float(lo)) + (F.col("bin") + F.lit(0.5)) * width
+
+    def approx(q: float):
+        r = F.ceil(F.lit(q) * F.col("_n"))
+        return F.min(F.when(F.col("_cum") >= r, mid))
+
+    return cum.groupBy(group_col).agg(
+        F.max("_n").alias("n"),
+        F.round(approx(0.5), 6).alias("approx_p50"),
+        F.round(approx(0.9), 6).alias("approx_p90"),
+    )

@@ -464,3 +464,61 @@ def run_to_versioned_table(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def hist_sketch_batch(
+    batch: DataFrame,
+    batch_id: int,
+    counts_path: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 64,
+) -> None:
+    """One replay-idempotent micro-batch of the streaming histogram
+    sketch: the batch's (group, bin) counts land in their own batch_id
+    partition via dynamic overwrite, so a replayed batch replaces exactly
+    its own contribution (the near_dup_batch pattern)."""
+    from ..operators.sketches import hist_counts
+    from ..operators.upsert import upsert_partitions
+
+    if batch.isEmpty():
+        return
+    counts = hist_counts(batch, lo, hi, n_bins=n_bins).withColumn(
+        "batch_id", F.lit(batch_id)
+    )
+    upsert_partitions(counts, counts_path, ["batch_id"])
+
+
+def run_streaming_hist_sketch(
+    events: DataFrame,
+    counts_path: str,
+    checkpoint: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 64,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming quantiles via the MERGEABLE histogram sketch: each
+    micro-batch appends its (group, bin) counts partition; readers merge
+    by bin-wise addition (sketches.hist_quantiles_from_counts), so the
+    estimate over the stream-so-far equals the batch estimate over the
+    same rows — bit-for-bit, because addition is the only merge op.
+
+    Contrast with the exact-percentile path: exact quantiles need the
+    full value multiset per group (unbounded state); the sketch's state
+    is groups x n_bins longs however long the stream runs. Bounds are
+    FIXED up front (calibration sample / domain knowledge) — the price of
+    mergeability, stated rather than hidden.
+    """
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        hist_sketch_batch(batch, batch_id, counts_path, lo, hi, n_bins)
+
+    writer = (
+        events.writeStream.outputMode("append")
+        .foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -471,3 +471,66 @@ def test_near_dup_batch_replay_idempotent(spark, tmp_path):
     assert spark.read.parquet(ix).count() == n_idx
     # replay is not an append: exactly one survivor row per doc
     assert spark.read.parquet(sv).count() == 3
+
+
+def test_streaming_hist_sketch_merges_to_batch_answer(spark, tmp_path):
+    """Two micro-batches of events -> per-batch (group, bin) count
+    partitions; the merged-read quantiles must equal the one-shot batch
+    sketch over the union (mergeability), and replaying a batch must not
+    change the counts (idempotency)."""
+    import json as _json
+
+    from data_pipelines_cu_spark.operators.sketches import (
+        hist_counts,
+        hist_quantiles_from_counts,
+    )
+    from data_pipelines_cu_spark.streaming.jobs import (
+        hist_sketch_batch,
+        run_streaming_hist_sketch,
+    )
+
+    src = tmp_path / "ev_in"
+    src.mkdir()
+    rows = [
+        {"event_type": "click", "value": float(v)} for v in range(0, 50)
+    ] + [{"event_type": "buy", "value": float(v) / 2} for v in range(0, 30)]
+    half = len(rows) // 2
+    for i, chunk in enumerate([rows[:half], rows[half:]]):
+        p = src / f"part-{i}.json"
+        with open(p, "w") as f:
+            for r in chunk:
+                f.write(_json.dumps(r) + "\n")
+        os.utime(p, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    counts_path = str(tmp_path / "hist_counts")
+    lo, hi = 0.0, 50.0
+    stream = (
+        spark.readStream.schema("event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = run_streaming_hist_sketch(
+        stream, counts_path, str(tmp_path / "ckpt"), lo, hi
+    )
+    q.awaitTermination(120)
+
+    merged = hist_quantiles_from_counts(
+        spark.read.parquet(counts_path).drop("batch_id"), lo, hi
+    )
+    batch_df = spark.createDataFrame(
+        [(r["event_type"], r["value"]) for r in rows],
+        "event_type string, value double",
+    )
+    expected = hist_quantiles_from_counts(hist_counts(batch_df, lo, hi), lo, hi)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, expected.collect())
+    )
+
+    # replay idempotency: re-running batch 0 must replace, not double
+    before = sorted(map(tuple, spark.read.parquet(counts_path).collect()))
+    b0 = spark.read.schema("event_type string, value double").json(
+        str(src / "part-0.json")
+    )
+    hist_sketch_batch(b0, 0, counts_path, lo, hi)
+    after = sorted(map(tuple, spark.read.parquet(counts_path).collect()))
+    assert before == after
