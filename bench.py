@@ -212,9 +212,16 @@ def main() -> None:
     queries["orders_by_region"].fn(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
+    import gc
+
     for name in HEADLINE:
         fn = queries[name].fn
         timings[name] = _timed(lambda: _noop_write(fn(spark, sf_dir)))
+        # Release the previous query's localCheckpoint RDD blocks (several
+        # headline queries pin (vector, cluster, norm)-sized frames in the
+        # shared JVM): without the collect, pinned blocks accumulate across
+        # the 89-query sweep and the tail of the run pays the GC pressure.
+        gc.collect()
 
     total = round(sum(timings.values()), 3)
     # diagnostic entries (skew mitigation proof) — reported, not in the total
