@@ -116,6 +116,8 @@ HEADLINE = [
     "quality_dedup_survivors",
     "doc_bigram_likelihood",
     "corpus_datacard",
+    "ann_ivfpq_topk",
+    "nb_lang_predict",
 ]
 
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))

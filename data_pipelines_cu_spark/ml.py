@@ -400,3 +400,154 @@ def perceptron_train_score_sql(
                 AS INT) AS correct
     FROM base b CROSS JOIN w{n_iters} w
     """
+
+
+# --- Naive Bayes language classifier (in-engine train + predict) -------------
+
+
+def nb_lang_predict(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    label_col: str = "lang",
+) -> DataFrame:
+    """Train a multinomial Naive Bayes classifier on the corpus' own
+    language labels and predict every document's language in the same
+    plan: P(l | doc) ∝ P(l) · Π_w P(w | l) with Laplace smoothing
+    P(w|l) = (C(l,w)+1)/(N(l)+V). Returns (doc_id, lang, pred_lang,
+    correct) — the standard in-engine sanity check that labels and text
+    agree (a broken lang tag shows up as a wrong, confident prediction).
+
+    Determinism: the posterior is a SEQUENTIAL product fold over the
+    doc's tokens sorted lexicographically (sort_array / list ORDER BY —
+    same multiset, same order, same IEEE multiplies on both engines);
+    priors and likelihoods are single divisions of exact counts. No log:
+    at gate-corpus doc lengths the product stays in double range, and
+    where it underflows it underflows IDENTICALLY on both engines (same
+    op sequence). At 100 TB doc lengths you'd chunk-rescale or go to
+    log-space and give up bit-equality for a tolerance check.
+
+    Plan shape: one token pass builds (lang, token) counts — a
+    langs×vocab table that BROADCASTS back; the doc-token stream fans out
+    ×n_langs (the candidate axis), then one (doc, cand) aggregate. Linear
+    in corpus × n_langs.
+    """
+    from .operators.dedup import normalized_text  # noqa: PLC0415
+
+    words = df.select(
+        F.col(id_col),
+        F.col(label_col),
+        F.explode(F.split(normalized_text(text_col), " ")).alias("w"),
+    )
+    counts = words.groupBy(label_col, "w").agg(F.count(F.lit(1)).alias("c"))
+    ntot = words.groupBy(label_col).agg(F.count(F.lit(1)).alias("n"))
+    vocab = words.agg(F.count_distinct("w").alias("v"))
+    ndocs = df.count()
+    priors = df.groupBy(label_col).agg(
+        (F.count(F.lit(1)).cast("double") / F.lit(float(ndocs))).alias("pr")
+    )
+    langs = F.broadcast(df.select(F.col(label_col).alias("cand")).distinct())
+    cand_counts = F.broadcast(
+        counts.select(F.col(label_col).alias("cand"), "w", "c")
+    )
+    cand_tot = F.broadcast(
+        ntot.crossJoin(F.broadcast(vocab)).select(
+            F.col(label_col).alias("cand"), (F.col("n") + F.col("v")).alias("nv")
+        )
+    )
+    cand_pr = F.broadcast(priors.select(F.col(label_col).alias("cand"), "pr"))
+    pairs = (
+        words.crossJoin(langs)
+        .join(cand_counts, ["cand", "w"], "left")
+        .join(cand_tot, "cand")
+        .withColumn(
+            "pw",
+            (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+            / F.col("nv").cast("double"),
+        )
+    )
+    post = (
+        pairs.groupBy(id_col, label_col, "cand")
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("w", "pw"))),
+                    lambda x: x["pw"],
+                ),
+                F.lit(1.0),
+                lambda acc, p: acc * p,
+            ).alias("lik")
+        )
+        .join(cand_pr, "cand")
+        .withColumn("post", F.col("pr") * F.col("lik"))
+    )
+    from .operators.windows import topk_per_group  # noqa: PLC0415
+
+    best = topk_per_group(
+        post,
+        [id_col],
+        [F.col("post").desc(), F.col("cand").asc()],
+        k=1,
+        rank_col="_r",
+    )
+    return best.select(
+        id_col,
+        label_col,
+        F.col("cand").alias("pred_lang"),
+        (F.col("cand") == F.col(label_col)).alias("correct"),
+    )
+
+
+def nb_lang_oracle_sql(
+    table: str = "documents",
+    text_expr: str = "text",
+    id_col: str = "doc_id",
+    label_col: str = "lang",
+) -> str:
+    """DuckDB twin of nb_lang_predict (same smoothing, same sorted-token
+    product fold seeded at 1.0, prior applied after the fold)."""
+    norm = f"regexp_replace(lower(trim({text_expr})), '\\s+', ' ', 'g')"
+    return f"""
+    WITH words AS (
+        SELECT {id_col}, {label_col}, unnest(string_split({norm}, ' ')) AS w
+        FROM {table}
+    ),
+    counts AS (SELECT {label_col} AS cand, w, COUNT(*) AS c
+               FROM words GROUP BY {label_col}, w),
+    ntot AS (SELECT {label_col} AS cand, COUNT(*) AS n
+             FROM words GROUP BY {label_col}),
+    vocab AS (SELECT COUNT(DISTINCT w) AS v FROM words),
+    priors AS (
+        SELECT {label_col} AS cand,
+               COUNT(*)::DOUBLE
+               / (SELECT COUNT(*)::DOUBLE FROM {table}) AS pr
+        FROM {table} GROUP BY {label_col}
+    ),
+    langs AS (SELECT DISTINCT {label_col} AS cand FROM {table}),
+    pairs AS (
+        SELECT wd.{id_col}, wd.{label_col}, lg.cand, wd.w,
+               CAST(COALESCE(c.c, 0) + 1 AS DOUBLE)
+               / CAST(n.n + v.v AS DOUBLE) AS pw
+        FROM words wd
+        CROSS JOIN langs lg
+        LEFT JOIN counts c ON c.cand = lg.cand AND c.w = wd.w
+        JOIN ntot n ON n.cand = lg.cand
+        CROSS JOIN vocab v
+    ),
+    post AS (
+        SELECT p.{id_col}, p.{label_col}, p.cand,
+               pr.pr * list_reduce(
+                   list_prepend(CAST(1 AS DOUBLE), list(pw ORDER BY w, pw)),
+                   (a, x) -> a * x) AS post
+        FROM pairs p JOIN priors pr ON pr.cand = p.cand
+        GROUP BY p.{id_col}, p.{label_col}, p.cand, pr.pr
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY {id_col}
+                   ORDER BY post DESC, cand) AS r
+        FROM post
+    )
+    SELECT {id_col}, {label_col}, cand AS pred_lang,
+           (cand = {label_col}) AS correct
+    FROM ranked WHERE r = 1
+    """

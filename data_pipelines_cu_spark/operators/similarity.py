@@ -1851,3 +1851,265 @@ def pq_topk_oracle_sql(
     SELECT query_id, neighbor_id, cos_pq, cos_exact, abs_err, rank
     FROM ranked WHERE rank <= {k_neighbors}
     """
+
+
+# --- IVF-PQ composite ANN ----------------------------------------------------
+# The FAISS production configuration (Jégou et al. 2011 §IV): coarse IVF
+# cells prune the search to n_probe cells, and within cells the vectors are
+# stored as PQ codes of their RESIDUAL (x - coarse_centroid) — residuals
+# concentrate near zero, so the same codebook budget quantizes them far
+# better than raw vectors. Index bytes per vector: m codes + a cell id.
+
+
+def cosine_topk_ivfpq(
+    corpus: DataFrame,
+    k_neighbors: int = 5,
+    n_queries: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    lloyd_iters: int = 2,
+    m: int = PQ_M,
+    dsub: int = 16,
+    pq_k: int = PQ_K,
+    pq_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ ANN top-k: coarse cells exactly as cosine_topk_ivf
+    (deterministic lowest-id seeds + decimal-mean Lloyd), then PQ
+    codebooks trained on cell RESIDUALS; queries stay exact, probe their
+    ``n_probe`` nearest cells, and score against coarse_centroid +
+    PQ-reconstructed residual. Reports the exact cosine and |error| per
+    hit, like the flat SQ8/PQ queries.
+
+    Scale shape: everything the flat PQ path broadcasts still broadcasts;
+    the probe join reads ~n_probe/n_centroids of the reconstructed corpus
+    per query instead of all of it — IVF's pruning and PQ's 64x
+    compression compose multiplicatively on the index bytes a query
+    touches."""
+    spark = corpus.sparkSession
+    seeds = corpus.filter(F.col(id_col) < n_centroids).select(id_col, vec_col)
+    seed_rows = [(r[0], [float(x) for x in r[1]]) for r in seeds.collect()]
+    cent_rows = (
+        lloyd_refine_rows(corpus, seed_rows, n_iters=lloyd_iters, vec_col=vec_col)
+        if lloyd_iters > 0
+        else sorted(seed_rows)
+    )
+    cent_df = F.broadcast(
+        spark.createDataFrame(
+            [(c, v) for c, v in cent_rows], "cell bigint, ccv array<double>"
+        )
+    )
+    indexed = ivf_assign_arrow(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
+        cent_rows,
+        vec_col="cv",
+    )
+    resid = (
+        indexed.join(cent_df, "cell")
+        .withColumn(
+            "rv", F.zip_with("cv", "ccv", lambda x, c: x.cast("double") - c)
+        )
+        .localCheckpoint(eager=True)
+    )
+    cb = pq_codebooks(
+        resid.select("neighbor_id", "rv"),
+        m=m, dsub=dsub, k=pq_k, lloyd_iters=pq_iters,
+        id_col="neighbor_id", vec_col="rv",
+    ).select("j", F.col("cell").alias("code"), F.col("cv").alias("pcv"))
+    sub = _pq_subvecs(
+        resid.select("neighbor_id", "rv"), m=m, dsub=dsub,
+        id_col="neighbor_id", vec_col="rv",
+    )
+    codes = (
+        sub.join(F.broadcast(cb), "j")
+        .withColumn("_d", _l2_sq(F.col("sv"), F.col("pcv")))
+        .withColumn(
+            "_r",
+            F.row_number().over(
+                Window.partitionBy("neighbor_id", "j").orderBy(
+                    F.col("_d").asc(), F.col("code").asc()
+                )
+            ),
+        )
+        .filter(F.col("_r") == 1)
+        .select("neighbor_id", "j", "code")
+    )
+    rrec = (
+        codes.join(F.broadcast(cb), ["j", "code"])
+        .groupBy("neighbor_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("j", "pcv"))),
+                    lambda x: x["pcv"],
+                )
+            ).alias("rr")
+        )
+    )
+    xhat = (
+        resid.select("neighbor_id", "cell", "cv", "ccv")
+        .join(rrec, "neighbor_id")
+        .withColumn("xh", F.zip_with("ccv", "rr", lambda c, r: c + r))
+        .withColumn("xn", norm(F.col("xh")))
+        .withColumn("cn", norm(F.col("cv")))
+        .localCheckpoint(eager=True)
+    )
+    probes = ivf_assign_arrow(
+        corpus.filter(F.col(id_col) < n_queries).select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        ),
+        cent_rows,
+        vec_col="qv",
+        n_best=n_probe,
+    ).withColumn("qn", norm(F.col("qv")))
+    cos_a = dot(F.col("qv"), F.col("xh")) / (F.col("qn") * F.col("xn"))
+    cos_x = dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    scored = (
+        F.broadcast(probes)
+        .join(xhat, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cos_a, 6).alias("cos_ivfpq"),
+            F.round(cos_x, 6).alias("cos_exact"),
+            F.round(F.abs(cos_a - cos_x), 6).alias("abs_err"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    return topk_per_group(
+        scored,
+        ["query_id"],
+        [F.col("cos_ivfpq").desc(), F.col("neighbor_id").asc()],
+        k=k_neighbors,
+        rank_col="rank",
+    ).select(
+        "query_id", "neighbor_id", "cos_ivfpq", "cos_exact", "abs_err", "rank"
+    )
+
+
+def ivfpq_topk_oracle_sql(
+    k_neighbors: int = 5,
+    n_queries: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    lloyd_iters: int = 2,
+    m: int = PQ_M,
+    dsub: int = 16,
+    pq_k: int = PQ_K,
+    pq_iters: int = 1,
+    table: str = "embeddings",
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of cosine_topk_ivfpq: the IVF oracle's coarse CTEs,
+    residual construction, the PQ oracle's per-subspace Lloyd CTEs over
+    residuals, reconstruction as coarse + residual, probe-pruned ADC
+    scoring. All CTEs MATERIALIZED (chained scalar refs re-expand
+    exponentially otherwise)."""
+    cos_assign = _cos_sql("v.emb", "cent.cv")
+    l2 = _l2_sql("s.sv", "cent.pcv", dsub)
+    ctes = [
+        f"""cent0 AS MATERIALIZED (
+        SELECT vec_id AS cell, embedding AS cv FROM {table}
+        WHERE vec_id < {n_centroids})"""
+    ]
+    for i in range(1, lloyd_iters + 1):
+        ctes.append(f"""la{i} AS MATERIALIZED (
+        SELECT * FROM (
+            SELECT v.vec_id, v.emb, cent.cell,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                       ORDER BY {cos_assign} DESC, cent.cell) AS r
+            FROM (SELECT vec_id, embedding AS emb FROM {table}) v
+            CROSS JOIN cent{i - 1} cent) WHERE r = 1)""")
+        ctes.append(f"""cent{i} AS MATERIALIZED (
+        SELECT cell, list(mm ORDER BY pos) AS cv FROM (
+            SELECT cell, pos,
+                   CAST(SUM(CAST(CAST(val AS DOUBLE) AS DECIMAL(38,12)))
+                        AS DOUBLE) / COUNT(val) AS mm
+            FROM (SELECT cell, unnest(emb) AS val,
+                         generate_subscripts(emb, 1) AS pos FROM la{i})
+            GROUP BY cell, pos)
+        GROUP BY cell)""")
+    final = f"cent{lloyd_iters}"
+    ctes.append(f"""corpus_assign AS MATERIALIZED (
+        SELECT v.vec_id AS neighbor_id, v.emb AS cv, cent.cell,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                   ORDER BY {cos_assign} DESC, cent.cell) AS r
+        FROM (SELECT vec_id, embedding AS emb FROM {table}) v
+        CROSS JOIN {final} cent)""")
+    ctes.append(
+        "ix AS MATERIALIZED (SELECT neighbor_id, cv, cell "
+        "FROM corpus_assign WHERE r = 1)"
+    )
+    ctes.append(f"""resid AS MATERIALIZED (
+        SELECT ix.neighbor_id, ix.cv, ix.cell, cent.cv AS ccv,
+               [CAST(ix.cv[i] AS DOUBLE) - cent.cv[i]
+                for i in range(1, {dim + 1})] AS rv
+        FROM ix JOIN {final} cent USING (cell))""")
+    ctes.append(f"""rsub AS MATERIALIZED (
+        SELECT neighbor_id AS vid, j,
+               list_slice(rv, j * {dsub} + 1, j * {dsub} + {dsub}) AS sv
+        FROM (SELECT neighbor_id, rv, unnest(range(0, {m})) AS j FROM resid))""")
+    ctes.append(f"""pcent0 AS MATERIALIZED (
+        SELECT j, vid AS code, sv AS pcv FROM rsub WHERE vid < {pq_k})""")
+    for i in range(1, pq_iters + 1):
+        ctes.append(f"""pla{i} AS MATERIALIZED (
+        SELECT * FROM (
+            SELECT s.vid, s.j, s.sv, cent.code,
+                   ROW_NUMBER() OVER (PARTITION BY s.vid, s.j
+                       ORDER BY {l2} ASC, cent.code) AS r
+            FROM rsub s JOIN pcent{i - 1} cent ON s.j = cent.j) WHERE r = 1)""")
+        ctes.append(f"""pcent{i} AS MATERIALIZED (
+        SELECT j, code, list(mm ORDER BY pos) AS pcv FROM (
+            SELECT j, code, pos,
+                   CAST(SUM(CAST(CAST(val AS DOUBLE) AS DECIMAL(38,12)))
+                        AS DOUBLE) / COUNT(val) AS mm
+            FROM (SELECT j, code, unnest(sv) AS val,
+                         generate_subscripts(sv, 1) AS pos FROM pla{i})
+            GROUP BY j, code, pos)
+        GROUP BY j, code)""")
+    pfinal = f"pcent{pq_iters}"
+    ctes.append(f"""pcodes AS MATERIALIZED (
+        SELECT * FROM (
+            SELECT s.vid, s.j, cent.code,
+                   ROW_NUMBER() OVER (PARTITION BY s.vid, s.j
+                       ORDER BY {l2} ASC, cent.code) AS r
+            FROM rsub s JOIN {pfinal} cent ON s.j = cent.j) WHERE r = 1)""")
+    ctes.append(f"""rrec AS MATERIALIZED (
+        SELECT vid, flatten(list(pcv ORDER BY j)) AS rr
+        FROM pcodes JOIN {pfinal} cent USING (j, code)
+        GROUP BY vid)""")
+    ctes.append(f"""xhat AS MATERIALIZED (
+        SELECT r.neighbor_id, r.cell, r.cv,
+               [r.ccv[i] + rrec.rr[i] for i in range(1, {dim + 1})] AS xh
+        FROM resid r JOIN rrec ON r.neighbor_id = rrec.vid)""")
+    ctes.append(f"""query_assign AS MATERIALIZED (
+        SELECT v.vec_id AS query_id, v.emb AS qv, cent.cell,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                   ORDER BY {cos_assign} DESC, cent.cell) AS r
+        FROM (SELECT vec_id, embedding AS emb FROM {table}
+              WHERE vec_id < {n_queries}) v CROSS JOIN {final} cent)""")
+    ctes.append(
+        f"p AS MATERIALIZED (SELECT query_id, qv, cell "
+        f"FROM query_assign WHERE r <= {n_probe})"
+    )
+    cos_a = _cos_sql("p.qv", "x.xh")
+    cos_x = _cos_sql("p.qv", "x.cv")
+    ctes.append(f"""scored AS MATERIALIZED (
+        SELECT DISTINCT p.query_id, x.neighbor_id,
+               ROUND({cos_a}, 6) AS cos_ivfpq,
+               ROUND({cos_x}, 6) AS cos_exact,
+               ROUND(ABS({cos_a} - {cos_x}), 6) AS abs_err
+        FROM p JOIN xhat x USING (cell)
+        WHERE p.query_id <> x.neighbor_id)""")
+    ctes.append("""ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cos_ivfpq DESC, neighbor_id) AS rank
+        FROM scored)""")
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT query_id, neighbor_id, cos_ivfpq, cos_exact, abs_err, rank
+    FROM ranked WHERE rank <= {k_neighbors}
+    """

@@ -825,6 +825,20 @@ def ann_pq_topk(spark, sf_dir):
 
 
 @register(
+    "ann_ivfpq_topk", sim.ivfpq_topk_oracle_sql(k_neighbors=5, n_queries=5)
+)
+def ann_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ ANN top-5 (the FAISS production config): coarse cells prune
+    to 2 probes, PQ codebooks quantize cell RESIDUALS (they concentrate
+    near zero, so the codebook budget stretches further), queries stay
+    exact and score against coarse_centroid + reconstructed residual.
+    Pruning and 64x code compression compose multiplicatively on the
+    index bytes a query touches."""
+    em = _t(spark, sf_dir, "embeddings")
+    return sim.cosine_topk_ivfpq(em, k_neighbors=5, n_queries=5)
+
+
+@register(
     "ann_lsh_multiprobe_topk",
     sim.cosine_topk_lsh_multiprobe_oracle_sql(k=5, n_queries=5),
 )
@@ -4336,6 +4350,18 @@ def bpe_top_merges(spark, sf_dir):
     collect + a boundary-safe literal replace. The oracle unrolls the
     identical rounds as chained CTEs (the perceptron-oracle pattern)."""
     return tx.bpe_merges(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Naive Bayes language classifier (in-engine train + predict)
+# ---------------------------------------------------------------------------
+@register("nb_lang_predict", ml.nb_lang_oracle_sql())
+def nb_lang_predict_q(spark, sf_dir):
+    """Multinomial NB trained on the corpus' own lang labels, predicting
+    every doc in the same plan (the label/text-agreement sanity check).
+    Posterior = prior x sorted-token product fold — no log, bit-identical
+    across engines; the langs x vocab likelihood table broadcasts back."""
+    return ml.nb_lang_predict(_t(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------

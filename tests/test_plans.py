@@ -372,3 +372,12 @@ def test_bigram_probs_broadcast_onto_doc_stream(spark, sf_dir):
     plan = _formatted_plan(QUERIES["doc_bigram_likelihood"].fn(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ivfpq_probe_join_broadcasts_and_never_cartesian(spark, sf_dir):
+    """Probes and codebooks broadcast; the probe->cell join is an
+    equi-join (pruning), never cartesian; no Python in the scoring path
+    (the Arrow assigns run upstream of the checkpointed frames)."""
+    plan = _formatted_plan(QUERIES["ann_ivfpq_topk"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
