@@ -118,6 +118,7 @@ HEADLINE = [
     "corpus_datacard",
     "ann_ivfpq_topk",
     "nb_lang_predict",
+    "doc_feature_topk",
 ]
 
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))

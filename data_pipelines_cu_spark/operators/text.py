@@ -762,3 +762,104 @@ def bpe_oracle_sql(
             f"l || r AS merged, CAST(c AS BIGINT) AS pair_count FROM t{k}"
         )
     return "WITH " + ",\n    ".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+# --- Hashing-trick doc features (docs -> dense vectors, no model) ------------
+# Weinberger et al. 2009: hash each token to one of d buckets with a +-1
+# sign hash; the doc's feature vector is the signed bucket-count vector.
+# Gives every document a dense fixed-width embedding with NO trained model
+# — the bridge that lets the ANN / k-means / SemDeDup machinery run on raw
+# text corpora. Components are exact integers (order-independent sums).
+
+
+def hash_doc_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 64,
+    salt: str = "feat",
+    sign_salt: str = "sig",
+) -> DataFrame:
+    """(id, fv): dense ``dim``-wide signed hashed-unigram count vector per
+    doc, plus ``nrm2`` (exact integer squared norm, for zero-vector
+    filtering). One token pass -> (doc, bucket) integer sums -> per-doc
+    dense assembly via a map lookup; no shuffle is corpus x dim wide."""
+    from .dedup import normalized_text  # noqa: PLC0415
+    from .sampling import hash_bucket  # noqa: PLC0415
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalized_text(text_col), " ")).alias("_w"),
+    )
+    sign = F.when(
+        (
+            F.conv(F.substring(F.md5(F.concat(F.lit(sign_salt), F.col("_w"))), 1, 1), 16, 10)
+            .cast("long")
+            % 2
+        )
+        == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    sums = (
+        toks.select(
+            F.col(id_col),
+            hash_bucket(F.col("_w"), dim, salt).alias("_b"),
+            sign.alias("_s"),
+        )
+        .groupBy(id_col, "_b")
+        .agg(F.sum("_s").alias("_v"))
+    )
+    dense = sums.groupBy(id_col).agg(
+        F.map_from_entries(F.collect_list(F.struct("_b", "_v"))).alias("_m")
+    )
+    fv = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: F.coalesce(F.element_at(F.col("_m"), j), F.lit(0)),
+    )
+    out = dense.select(F.col(id_col), fv.alias("fv"))
+    nrm2 = F.aggregate(
+        F.col("fv"), F.lit(0).cast("long"), lambda a, x: a + x * x
+    )
+    return out.withColumn("nrm2", nrm2)
+
+
+def hash_features_sql(
+    table: str = "documents",
+    text_expr: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 64,
+    salt: str = "feat",
+    sign_salt: str = "sig",
+) -> str:
+    """DuckDB twin of hash_doc_features as a FROM-able subquery:
+    (id, fv, nrm2)."""
+    from .sampling import hash_bucket_sql  # noqa: PLC0415
+
+    norm = f"regexp_replace(lower(trim({text_expr})), '\\s+', ' ', 'g')"
+    bucket = hash_bucket_sql("w", dim, salt)
+    sign = (
+        f"(CASE WHEN (strpos('0123456789abcdef', "
+        f"substr(md5('{sign_salt}' || w), 1, 1)) - 1) % 2 = 0 "
+        f"THEN 1 ELSE -1 END)"
+    )
+    return f"""
+    (WITH toks AS (
+        SELECT {id_col}, unnest(string_split({norm}, ' ')) AS w FROM {table}
+    ),
+    sums AS (
+        SELECT {id_col}, {bucket} AS b, SUM({sign}) AS v
+        FROM toks GROUP BY {id_col}, {bucket}
+    ),
+    dims AS (SELECT unnest(range(0, {dim})) AS b),
+    dense AS (
+        SELECT ids.{id_col},
+               list(CAST(COALESCE(s.v, 0) AS BIGINT) ORDER BY dims.b) AS fv
+        FROM (SELECT DISTINCT {id_col} FROM sums) ids
+        CROSS JOIN dims
+        LEFT JOIN sums s ON s.{id_col} = ids.{id_col} AND s.b = dims.b
+        GROUP BY ids.{id_col}
+    )
+    SELECT {id_col}, fv,
+           list_sum([fv[i] * fv[i] for i in range(1, {dim + 1})]) AS nrm2
+    FROM dense)
+    """

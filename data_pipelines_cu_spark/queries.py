@@ -4353,6 +4353,64 @@ def bpe_top_merges(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Hashing-trick doc features -> ANN over raw text (no external vectors)
+# ---------------------------------------------------------------------------
+@register(
+    "doc_feature_topk",
+    f"""
+    WITH feats AS (SELECT * FROM {tx.hash_features_sql()} f WHERE nrm2 > 0),
+    q AS (SELECT doc_id AS query_id, fv AS qv FROM feats WHERE doc_id < 5),
+    c AS (SELECT doc_id AS neighbor_id, fv AS cv FROM feats),
+    scored AS (
+        SELECT q.query_id, c.neighbor_id,
+               ROUND((list_sum([CAST(q.qv[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE)
+                                for i in range(1, 65)])
+                      / (sqrt(list_sum([CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)
+                                        for i in range(1, 65)]))
+                         * sqrt(list_sum([CAST(c.cv[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE)
+                                          for i in range(1, 65)])))), 6) AS cos_sim
+        FROM q CROSS JOIN c WHERE q.query_id <> c.neighbor_id),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM scored)
+    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def doc_feature_topk(spark, sf_dir):
+    """ANN over RAW TEXT with no external vectors: hashing-trick signed
+    bucket-count features (64-dim exact integers, Weinberger et al. 2009)
+    give every doc a dense vector; brute-force cosine top-3 for the first
+    5 docs. The bridge that lets the ANN/k-means machinery run on text
+    corpora that ship without embeddings. Zero-norm vectors excluded on
+    both sides (their cosine is undefined)."""
+    d = _t(spark, sf_dir, "documents")
+    feats = tx.hash_doc_features(d).filter(F.col("nrm2") > 0)
+    q = F.broadcast(
+        feats.filter(F.col("doc_id") < 5).select(
+            F.col("doc_id").alias("query_id"), F.col("fv").alias("qv")
+        )
+    )
+    c = feats.select(F.col("doc_id").alias("neighbor_id"), F.col("fv").alias("cv"))
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(sim.cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+    )
+    return win.topk_per_group(
+        scored,
+        ["query_id"],
+        [F.col("cos_sim").desc(), F.col("neighbor_id").asc()],
+        k=3,
+        rank_col="rank",
+    ).select("query_id", "neighbor_id", "cos_sim", "rank")
+
+
+# ---------------------------------------------------------------------------
 # Naive Bayes language classifier (in-engine train + predict)
 # ---------------------------------------------------------------------------
 @register("nb_lang_predict", ml.nb_lang_oracle_sql())
