@@ -522,3 +522,56 @@ def run_streaming_hist_sketch(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def kmv_sketch_batch(
+    batch: DataFrame,
+    batch_id: int,
+    sketch_path: str,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 64,
+) -> None:
+    """One replay-idempotent micro-batch of the streaming KMV distinct
+    sketch: the batch's per-group k-smallest-hash arrays land in their own
+    batch_id partition (dynamic overwrite — replays replace, never
+    double)."""
+    from ..operators.sketches import kmv_sketch
+    from ..operators.upsert import upsert_partitions
+
+    if batch.isEmpty():
+        return
+    sk = kmv_sketch(batch, group_cols, value_col, k=k).withColumn(
+        "batch_id", F.lit(batch_id)
+    )
+    upsert_partitions(sk, sketch_path, ["batch_id"])
+
+
+def run_streaming_kmv(
+    rows: DataFrame,
+    sketch_path: str,
+    checkpoint: str,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 64,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming distinct-count estimation via the MERGEABLE KMV sketch:
+    each micro-batch persists its per-group k-smallest-hash arrays;
+    readers kmv_merge the partitions (k smallest of the distinct union),
+    which is EXACTLY the sketch one pass over the whole stream would have
+    built — KMV's defining property, so the stream estimate equals the
+    batch estimate bit-for-bit. State per group is k longs forever; exact
+    streaming distinct counts would hold every key in state."""
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        kmv_sketch_batch(batch, batch_id, sketch_path, group_cols, value_col, k)
+
+    writer = (
+        rows.writeStream.outputMode("append")
+        .foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

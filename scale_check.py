@@ -41,7 +41,17 @@ HEAVY = [
     "curation_pipeline_pack",
     "simhash_near_dup_pairs",
     "ngram_containment_pairs",
+    # round-4 corpus-wide additions
+    "quality_dedup_survivors",
+    "cdc_chunk_dup",
+    "ann_ivfpq_topk",
+    "nb_lang_predict",
 ]
+
+# Optional subset filter: SPARK_GRAFT_SCALE_ONLY="a,b" runs just those.
+_only = os.environ.get("SPARK_GRAFT_SCALE_ONLY")
+if _only:
+    HEAVY = [n for n in HEAVY if n in {s.strip() for s in _only.split(",")}]
 
 SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/scale_sf1")
 

@@ -534,3 +534,55 @@ def test_streaming_hist_sketch_merges_to_batch_answer(spark, tmp_path):
     hist_sketch_batch(b0, 0, counts_path, lo, hi)
     after = sorted(map(tuple, spark.read.parquet(counts_path).collect()))
     assert before == after
+
+
+def test_streaming_kmv_merges_to_batch_sketch(spark, tmp_path):
+    """The merged stream KMV sketch must equal the one-shot batch sketch
+    over the union (KMV's defining property), and a batch replay must not
+    change it."""
+    import json as _json
+
+    from data_pipelines_cu_spark.operators.sketches import kmv_merge, kmv_sketch
+    from data_pipelines_cu_spark.streaming.jobs import (
+        kmv_sketch_batch,
+        run_streaming_kmv,
+    )
+
+    src = tmp_path / "kmv_in"
+    src.mkdir()
+    rows = [
+        {"grp": "a", "uid": i % 37} for i in range(120)
+    ] + [{"grp": "b", "uid": i % 11} for i in range(60)]
+    half = len(rows) // 2
+    for i, chunk in enumerate([rows[:half], rows[half:]]):
+        p = src / f"part-{i}.json"
+        with open(p, "w") as f:
+            for r in chunk:
+                f.write(_json.dumps(r) + "\n")
+        os.utime(p, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    path = str(tmp_path / "kmv_sketches")
+    stream = (
+        spark.readStream.schema("grp string, uid long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = run_streaming_kmv(stream, path, str(tmp_path / "ck"), ["grp"], "uid", k=16)
+    q.awaitTermination(120)
+
+    merged = kmv_merge(
+        spark.read.parquet(path).select("grp", "kmv"), ["grp"], k=16
+    )
+    batch_df = spark.createDataFrame(
+        [(r["grp"], r["uid"]) for r in rows], "grp string, uid long"
+    )
+    expected = kmv_sketch(batch_df, ["grp"], "uid", k=16)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, expected.collect())
+    )
+
+    before = sorted(map(tuple, spark.read.parquet(path).collect()))
+    b0 = spark.read.schema("grp string, uid long").json(str(src / "part-0.json"))
+    kmv_sketch_batch(b0, 0, path, ["grp"], "uid", k=16)
+    after = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert before == after
