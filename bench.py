@@ -119,6 +119,8 @@ HEADLINE = [
     "ann_ivfpq_topk",
     "nb_lang_predict",
     "doc_feature_topk",
+    "bpe_encode_ratio",
+    "token_budget_mixture",
 ]
 
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))

@@ -570,3 +570,92 @@ def shard_order_sql(
                         {id_col}) AS BIGINT) AS pos
     FROM {table}
     """
+
+
+# --- Token-budget mixture selection ------------------------------------------
+
+
+def token_budget_mixture(
+    df: DataFrame,
+    weights: dict[str, int],
+    total_tokens: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "",
+) -> DataFrame:
+    """Budgeted mixture in TOKENS, not rows (what a pre-training run
+    actually allocates): source g gets a budget of
+    ``floor(total_tokens * w_g / sum(w))`` tokens; docs enter in
+    content-addressed md5 order until the NEXT doc would exceed the
+    budget (prefix rule — no skipping ahead, so the selection is a pure
+    function of the order and budget). Returns selected docs with their
+    running token totals.
+
+    One rank+cumsum shuffle on the group key; budgets are integer
+    arithmetic broadcast as a tiny map. Docs outside ``weights`` drop.
+    """
+    from .text import with_token_count  # noqa: PLC0415 (cycle guard)
+
+    spark = df.sparkSession
+    wsum = sum(weights.values())
+    budgets = F.broadcast(
+        spark.createDataFrame(
+            [(g, int(total_tokens * w) // wsum) for g, w in sorted(weights.items())],
+            f"{group_col} string, _budget long",
+        )
+    )
+    toks = with_token_count(df, text_col=text_col, out="n_tokens").select(
+        group_col, id_col, F.col("n_tokens").cast("long").alias("n_tokens")
+    )
+    h = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(h, F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = toks.join(budgets, group_col).withColumn(
+        "cum_tokens", F.sum("n_tokens").over(w)
+    )
+    return cum.filter(F.col("cum_tokens") <= F.col("_budget")).select(
+        group_col, id_col, "n_tokens", "cum_tokens"
+    )
+
+
+def token_budget_sql(
+    weights: dict[str, int],
+    total_tokens: int,
+    table: str = "documents",
+    group_expr: str = "source",
+    id_col: str = "doc_id",
+    text_expr: str = "text",
+    salt: str = "",
+) -> str:
+    """DuckDB twin of token_budget_mixture (same integer budgets, same
+    md5 order, same prefix rule)."""
+    wsum = sum(weights.values())
+    wvals = ", ".join(
+        f"('{g}', {int(total_tokens * w) // wsum})" for g, w in sorted(weights.items())
+    )
+    ntok = (
+        f"len(regexp_split_to_array(lower(trim({text_expr})), '\\s+'))"
+    )
+    return f"""
+    WITH b(grp, budget) AS (VALUES {wvals}),
+    toks AS (
+        SELECT {group_expr} AS grp, {id_col},
+               CAST({ntok} AS BIGINT) AS n_tokens
+        FROM {table} JOIN b ON b.grp = {group_expr}
+    ),
+    cum AS (
+        SELECT grp, {id_col}, n_tokens,
+               CAST(SUM(n_tokens) OVER (
+                   PARTITION BY grp
+                   ORDER BY md5('{salt}' || CAST({id_col} AS VARCHAR)), {id_col}
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        FROM toks
+    )
+    SELECT grp AS {group_expr}, {id_col}, n_tokens, cum_tokens
+    FROM cum JOIN b USING (grp)
+    WHERE cum_tokens <= budget
+    """

@@ -667,6 +667,21 @@ def bpe_merges(
     round's with one more string map."""
     from .dedup import normalized_text  # noqa: PLC0415 (cycle guard)
 
+    merges = _bpe_learn(df, text_col, n_merges)
+    return df.sparkSession.createDataFrame(
+        merges,
+        "merge_rank int, left_sym string, right_sym string, "
+        "merged string, pair_count long",
+    )
+
+
+def _bpe_learn(
+    df: DataFrame, text_col: str, n_merges: int
+) -> list[tuple[int, str, str, str, int]]:
+    """The BPE learning loop shared by bpe_merges (reports the merges)
+    and bpe_encode_stats (applies them)."""
+    from .dedup import normalized_text  # noqa: PLC0415 (cycle guard)
+
     words = df.select(
         F.explode(F.split(normalized_text(text_col), " ")).alias("w")
     )
@@ -706,11 +721,7 @@ def bpe_merges(
         cur = cur.withColumn(
             "s", F.replace(F.col("s"), F.lit(f"|{l}|{r}|"), F.lit(f"|{l}{r}|"))
         )
-    return df.sparkSession.createDataFrame(
-        merges,
-        "merge_rank int, left_sym string, right_sym string, "
-        "merged string, pair_count long",
-    )
+    return merges
 
 
 def bpe_oracle_sql(
@@ -862,4 +873,101 @@ def hash_features_sql(
     SELECT {id_col}, fv,
            list_sum([fv[i] * fv[i] for i in range(1, {dim + 1})]) AS nrm2
     FROM dense)
+    """
+
+
+def bpe_encode_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_merges: int = 6,
+) -> DataFrame:
+    """Train the first ``n_merges`` BPE merges, then ENCODE every document
+    with them: (doc_id, n_chars, n_syms, compression_ratio) where n_chars
+    is the symbol count before any merge (character count of the
+    normalized words) and n_syms the count after applying all merges in
+    rank order — the train-and-apply loop of tokenizer development, with
+    the compression ratio as the quality signal.
+
+    The encode is row-local: the whole doc renders as separator-wrapped
+    word symbol strings joined by spaces (a merge pattern '|l|r|' can
+    never span the ' ' word boundary), and each learned merge is one
+    literal replace. Symbol counts come from pipe arithmetic
+    (pipes = chars + words before merging; n_syms = pipes - n_words), so
+    no second tokenize pass."""
+    from .dedup import normalized_text  # noqa: PLC0415 (cycle guard)
+
+    merges = _bpe_learn(df, text_col, n_merges)
+    docs = df.select(
+        F.col(id_col),
+        F.split(normalized_text(text_col), " ").alias("_ws"),
+    ).select(
+        F.col(id_col),
+        F.size("_ws").alias("_nw"),
+        F.concat_ws(" ", F.transform(F.col("_ws"), _bpe_syms)).alias("_s"),
+    )
+    pipes0 = F.length("_s") - F.length(F.replace(F.col("_s"), F.lit("|"), F.lit("")))
+    docs = docs.withColumn("n_chars", (pipes0 - F.col("_nw")).cast("long"))
+    for _, l, r, _, _ in merges:
+        docs = docs.withColumn(
+            "_s", F.replace(F.col("_s"), F.lit(f"|{l}|{r}|"), F.lit(f"|{l}{r}|"))
+        )
+    pipes = F.length("_s") - F.length(F.replace(F.col("_s"), F.lit("|"), F.lit("")))
+    return docs.select(
+        id_col,
+        "n_chars",
+        (pipes - F.col("_nw")).cast("long").alias("n_syms"),
+        F.round(
+            (pipes - F.col("_nw")).cast("double") / F.col("n_chars"), 6
+        ).alias("compression_ratio"),
+    )
+
+
+def bpe_encode_oracle_sql(
+    table: str = "documents",
+    text_expr: str = "text",
+    id_col: str = "doc_id",
+    n_merges: int = 6,
+) -> str:
+    """DuckDB twin of bpe_encode_stats: the bpe_oracle_sql CTE chain
+    (same learned merges via scalar subqueries) extended with a doc-level
+    encode applying each round's merge in order."""
+    norm = f"regexp_replace(lower(trim({text_expr})), '\\s+', ' ', 'g')"
+    base = bpe_oracle_sql(table=table, text_expr=text_expr, n_merges=n_merges)
+    # reuse the trained CTE chain; strip its final SELECT (the merges
+    # report) and append the encode CTEs instead
+    with_block = base[: base.rindex("SELECT 1 AS merge_rank")]
+    # the WITH block ends with the last w{n} CTE followed by the first
+    # union SELECT; rindex above cut at the first SELECT of the union.
+    doc_syms = (
+        f"array_to_string(list_transform(string_split({norm}, ' '), "
+        f"w -> '|' || regexp_replace(w, '(.)', '\\1|', 'g')), ' ')"
+    )
+    enc = [
+        f"""enc0 AS MATERIALIZED (
+        SELECT {id_col},
+               len(string_split({norm}, ' ')) AS nw,
+               {doc_syms} AS s
+        FROM {table})"""
+    ]
+    for k in range(1, n_merges + 1):
+        enc.append(f"""enc{k} AS MATERIALIZED (
+        SELECT {id_col}, nw,
+               replace(s,
+                       '|' || (SELECT l FROM t{k}) || '|'
+                           || (SELECT r FROM t{k}) || '|',
+                       '|' || (SELECT l FROM t{k})
+                           || (SELECT r FROM t{k}) || '|') AS s
+        FROM enc{k - 1})""")
+    enc_block = ",\n    ".join(enc)
+    pipes0 = "(length(e0.s) - length(replace(e0.s, '|', '')))"
+    pipesn = f"(length(eN.s) - length(replace(eN.s, '|', '')))"
+    return f"""{with_block.rstrip()},
+    {enc_block}
+    SELECT e0.{id_col},
+           CAST({pipes0} - e0.nw AS BIGINT) AS n_chars,
+           CAST({pipesn} - eN.nw AS BIGINT) AS n_syms,
+           ROUND(CAST({pipesn} - eN.nw AS DOUBLE)
+                 / CAST({pipes0} - e0.nw AS BIGINT), 6) AS compression_ratio
+    FROM enc0 e0 JOIN enc{n_merges} eN ON e0.{id_col} = eN.{id_col}
     """

@@ -4423,6 +4423,38 @@ def nb_lang_predict_q(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# BPE encode (train-and-apply: compression ratio per doc)
+# ---------------------------------------------------------------------------
+@register("bpe_encode_ratio", tx.bpe_encode_oracle_sql())
+def bpe_encode_ratio(spark, sf_dir):
+    """Apply the 6 learned BPE merges to every document and report the
+    per-doc symbol compression ratio — the train-AND-apply loop of
+    tokenizer development. Encoding is row-local chained literal
+    replaces; symbol counts come from pipe arithmetic, no second
+    tokenize pass."""
+    return tx.bpe_encode_stats(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Token-budget mixture (budget in TOKENS, the unit training actually buys)
+# ---------------------------------------------------------------------------
+@register(
+    "token_budget_mixture",
+    smp.token_budget_sql({"src0": 3, "src1": 2, "src2": 1}, total_tokens=4000),
+)
+def token_budget_mixture_q(spark, sf_dir):
+    """Budgeted 3:2:1 mixture in TOKENS: each source admits docs in
+    content-addressed order until the next doc would exceed its integer
+    token budget (prefix rule — selection is a pure function of order
+    and budget). One rank+cumsum shuffle on the source key."""
+    return smp.token_budget_mixture(
+        _t(spark, sf_dir, "documents"),
+        {"src0": 3, "src1": 2, "src2": 1},
+        total_tokens=4000,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Per-user EWMA (sequential-state smoother as one distributed aggregate)
 # ---------------------------------------------------------------------------
 @register("user_value_ewma", agg.ewma_oracle_sql())
