@@ -121,6 +121,7 @@ HEADLINE = [
     "doc_feature_topk",
     "bpe_encode_ratio",
     "token_budget_mixture",
+    "curation_v2_shards",
 ]
 
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))

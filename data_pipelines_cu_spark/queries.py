@@ -4455,6 +4455,45 @@ def token_budget_mixture_q(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Curation v2: the round-4 ops composed end-to-end, composition-verified
+# ---------------------------------------------------------------------------
+@register(
+    "curation_v2_shards",
+    f"""
+    WITH s0 AS MATERIALIZED (SELECT * FROM documents),
+    cdc AS MATERIALIZED ({dd.cdc_chunk_oracle_sql(table="s0")}),
+    s1 AS MATERIALIZED (
+        SELECT d.* FROM s0 d JOIN cdc ON d.doc_id = cdc.doc_id
+        WHERE cdc.dup_fraction <= 0.25),
+    imp AS MATERIALIZED (
+        {smp.importance_sample_sql(target_where="lang = 'en'", table="s1", top_n=300)}),
+    s2 AS MATERIALIZED (
+        SELECT d.* FROM s1 d JOIN imp ON d.doc_id = imp.doc_id)
+    {smp.shard_order_sql(table="s2")}
+    """,
+)
+def curation_v2_shards(spark, sf_dir):
+    """End-to-end curation with the round-4 operators, composition-
+    verified: CDC span-dedup gate (dup_fraction <= 0.25) -> DSIR
+    importance selection (top-300 vs the English target, weights computed
+    over the POST-GATE corpus, as the chained oracle does) -> training
+    shard + epoch-order assignment of the survivors. Cheap row-local gate
+    first; every stage's shuffle is digest/bucket/shard-keyed."""
+    d = _t(spark, sf_dir, "documents")
+    cdc_pass = (
+        dd.cdc_chunk_stats(d)
+        .filter(F.col("dup_fraction") <= 0.25)
+        .select("doc_id")
+    )
+    s1 = d.join(cdc_pass, "doc_id")
+    picked = smp.importance_weighted_sample(
+        s1, target_pred=F.col("lang") == "en", top_n=300
+    ).select("doc_id")
+    s2 = s1.join(picked, "doc_id")
+    return smp.training_shard_order(s2)
+
+
+# ---------------------------------------------------------------------------
 # Per-user EWMA (sequential-state smoother as one distributed aggregate)
 # ---------------------------------------------------------------------------
 @register("user_value_ewma", agg.ewma_oracle_sql())
