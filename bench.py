@@ -122,6 +122,10 @@ HEADLINE = [
     "bpe_encode_ratio",
     "token_budget_mixture",
     "curation_v2_shards",
+    "nation_trade_pagerank",
+    "source_token_tv_drift",
+    "k_anonymity_audit",
+    "doc_longest_dup_span",
 ]
 
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))

@@ -275,3 +275,91 @@ def ewma_oracle_sql(
     FROM {table}
     GROUP BY {key_col}
     """
+
+
+# --- Robust outlier gate (median / MAD) ---------------------------------------
+# Mean/stddev outlier gates break on the very rows they're meant to catch (a
+# single 1e9 value drags the mean); median absolute deviation is the robust
+# standard. Both medians here are the LOWER median — the element at sorted
+# position (n+1)//2 — an exact SELECTION from the value multiset rather than
+# an interpolation, so the statistic is bit-identical across engines (linear
+# interpolation differs by the formula's IEEE operation order: a+(b-a)*f vs
+# a*(1-f)+b*f can disagree by 1 ulp).
+
+
+def robust_outlier_stats(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str = "value",
+    k: float = 3.0,
+) -> DataFrame:
+    """Per-group robust outlier report: (keys..., n_rows, med, mad,
+    n_outliers) where an outlier is |x - med| > k * MAD. Two group-local
+    sort windows (the exact path — at 100 TB swap the selection for the
+    mergeable histogram sketch in operators/sketches.py, same report
+    shape) + one broadcast join-back of the group-sized stat tables."""
+    from pyspark.sql import Window
+
+    def _lower_median(d: DataFrame, col: str, out: str) -> DataFrame:
+        w = Window.partitionBy(*keys).orderBy(col)
+        cw = Window.partitionBy(*keys)
+        return (
+            d.select(*keys, col)
+            .withColumn("_rn", F.row_number().over(w))
+            .withColumn("_n", F.count(F.lit(1)).over(cw))
+            .filter(F.col("_rn") == F.expr("(_n + 1) div 2"))
+            .select(*keys, F.col(col).alias(out))
+        )
+
+    med = _lower_median(df, value_col, "med")
+    dev = df.join(F.broadcast(med), keys).withColumn(
+        "_dev", F.abs(F.col(value_col) - F.col("med"))
+    )
+    mad = _lower_median(dev, "_dev", "mad")
+    return (
+        dev.join(F.broadcast(mad), keys)
+        .groupBy(*keys, "med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                (F.col("_dev") > F.lit(k) * F.col("mad")).cast("long")
+            ).alias("n_outliers"),
+        )
+        .select(*keys, "n_rows", "med", "mad", "n_outliers")
+    )
+
+
+def robust_outlier_oracle_sql(
+    table: str = "events",
+    keys: str = "event_type",
+    value_expr: str = "value",
+    k: float = 3.0,
+) -> str:
+    """DuckDB twin of robust_outlier_stats (same lower-median selection)."""
+    return f"""
+    WITH v AS (SELECT {keys} AS g, {value_expr} AS x FROM {table}),
+    med AS (
+        SELECT g, x AS med FROM (
+            SELECT g, x,
+                   ROW_NUMBER() OVER (PARTITION BY g ORDER BY x) AS rn,
+                   COUNT(*) OVER (PARTITION BY g) AS n
+            FROM v) WHERE rn = (n + 1) // 2
+    ),
+    dev AS (
+        SELECT v.g, v.x, med.med, ABS(v.x - med.med) AS d
+        FROM v JOIN med ON v.g = med.g
+    ),
+    mad AS (
+        SELECT g, d AS mad FROM (
+            SELECT g, d,
+                   ROW_NUMBER() OVER (PARTITION BY g ORDER BY d) AS rn,
+                   COUNT(*) OVER (PARTITION BY g) AS n
+            FROM dev) WHERE rn = (n + 1) // 2
+    )
+    SELECT dev.g AS {keys}, dev.med, mad.mad,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN dev.d > {k} * mad.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev JOIN mad ON dev.g = mad.g
+    GROUP BY dev.g, dev.med, mad.mad
+    """

@@ -1729,3 +1729,121 @@ def source_overlap_oracle_sql(
     JOIN totals ta ON ta.src = source_a
     JOIN totals tb ON tb.src = source_b
     """
+
+
+def longest_dup_span(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 8
+) -> DataFrame:
+    """Longest CONTIGUOUS duplicated span per doc — the span-granularity
+    exact-substring signal of Lee et al. 2022 ("Deduplicating Training
+    Data...") that the scalar repeated-ngram FRACTION can't see: one doc
+    with a 500-token verbatim block and one with 500 scattered repeats
+    score the same fraction but need opposite treatment (cut the block vs
+    keep the doc). A gram is 'duplicated' when its n-gram occurs >= 2
+    times CORPUS-WIDE; runs of consecutive duplicated positions collapse
+    via the gaps-and-islands trick (pos - row_number is constant within a
+    run). Returns (doc_id, n_dup_grams, longest_dup_run,
+    longest_dup_span_tokens) zero-filled for clean docs.
+
+    Distributed shape: one posexplode+lead pass per doc (linear per word),
+    one corpus-wide gram-count shuffle (digest-sized rows — same cost
+    class as passage_dup_stats), one per-doc window + aggregate. No
+    all-pairs stage anywhere."""
+    from pyspark.sql import Window
+
+    words = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(normalized_text(text_col), " ")).alias("pos", "w"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("w")] + [F.lead("w", j).over(w) for j in range(1, n)]
+    grams = (
+        words.select(
+            F.col(id_col), F.col("pos"),
+            *[p.alias(f"_p{j}") for j, p in enumerate(parts)],
+        )
+        .filter(F.col(f"_p{n - 1}").isNotNull())
+        .select(
+            F.col(id_col), F.col("pos"),
+            F.concat_ws(" ", *[F.col(f"_p{j}") for j in range(n)]).alias("gram"),
+        )
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= 2)
+        .select("gram")
+    )
+    iw = Window.partitionBy(id_col).orderBy("pos")
+    runs = (
+        grams.join(dup, "gram")
+        .select(
+            F.col(id_col),
+            (F.col("pos") - F.row_number().over(iw)).alias("_island"),
+        )
+        .groupBy(id_col, "_island")
+        .agg(F.count(F.lit(1)).alias("_run"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("_run").alias("n_dup_grams"),
+            F.max("_run").alias("_longest"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(runs, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_dup_grams"), F.lit(0)).alias("n_dup_grams"),
+            F.coalesce(F.col("_longest"), F.lit(0)).alias("longest_dup_run"),
+            F.when(F.col("_longest").isNull(), F.lit(0))
+            .otherwise(F.col("_longest") + (n - 1))
+            .cast("long")
+            .alias("longest_dup_span_tokens"),
+        )
+    )
+
+
+def longest_dup_span_oracle_sql(
+    table: str = "documents",
+    text_expr: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> str:
+    """DuckDB twin of longest_dup_span (1-based positions vs Spark's
+    0-based posexplode — islands only use position DIFFERENCES, so the
+    base offset cancels)."""
+    norm = f"regexp_replace(lower(trim({text_expr})), '\\s+', ' ', 'g')"
+    gram = " || ' ' || ".join(f"ws[i+{j}]" for j in range(n))
+    return f"""
+    WITH words AS (
+        SELECT {id_col}, string_split({norm}, ' ') AS ws FROM {table}
+    ),
+    grams AS (
+        SELECT {id_col}, i, {gram} AS g
+        FROM (SELECT {id_col}, ws,
+                     unnest(CASE WHEN len(ws) >= {n}
+                            THEN range(1, len(ws) - {n - 2}) ELSE [] END) AS i
+              FROM words)
+    ),
+    dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2),
+    runs AS (
+        SELECT {id_col}, island, CAST(COUNT(*) AS BIGINT) AS run_len
+        FROM (SELECT {id_col}, i,
+                     i - ROW_NUMBER() OVER (PARTITION BY {id_col} ORDER BY i)
+                         AS island
+              FROM grams JOIN dup USING (g))
+        GROUP BY 1, 2
+    ),
+    per AS (
+        SELECT {id_col}, CAST(SUM(run_len) AS BIGINT) AS n_dup_grams,
+               CAST(MAX(run_len) AS BIGINT) AS longest
+        FROM runs GROUP BY 1
+    )
+    SELECT d.{id_col},
+           COALESCE(per.n_dup_grams, 0) AS n_dup_grams,
+           COALESCE(per.longest, 0) AS longest_dup_run,
+           CASE WHEN per.longest IS NULL THEN 0
+                ELSE per.longest + {n - 1} END AS longest_dup_span_tokens
+    FROM {table} d LEFT JOIN per ON d.{id_col} = per.{id_col}
+    """

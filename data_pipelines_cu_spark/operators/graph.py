@@ -1,0 +1,152 @@
+"""Graph operators: power-iteration PageRank with integer-exact arithmetic.
+
+The reference's orchestration DAGs (e.g. Solutions/chapter05 fan-in/fan-out)
+motivate graph-shaped analytics, but no reference operator computes graph
+centrality; this module adds it as a first-class engine capability for the
+entity-importance queries a curation pipeline runs over derived graphs
+(dup-cluster graphs, source-link graphs, trade graphs).
+
+Determinism contract: ranks are BIGINTs scaled by ``SCALE``; every step is
+integer add / multiply / floor-divide, so the learned ranks hash-match the
+oracle's unrolled-CTE iterations bit-for-bit (Spark ``div`` truncates, DuckDB
+``//`` floors — identical on the nonnegative values used here).
+
+Scale shape: the expensive part is EDGE DERIVATION (aggregating the fact
+tables down to the edge list) — one shuffle keyed on (src, dst). Iterations
+then join the rank table (node-dimension-sized, broadcast) back to the edge
+list: each round is one broadcast join + one aggregate keyed on dst, with no
+driver collect anywhere. Rounds are sequential by nature; at 100 TB you bound
+the iteration count, not the data. Overflow bound: 85 * SCALE * max_edge_w
+must fit int64 — at SCALE=1e12 that is max_edge_w < ~1e5; for heavier graphs
+pre-normalize edge weights to per-src integer shares (same shape, smaller
+factors) or lower SCALE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 10**12
+DAMP_NUM, DAMP_DEN = 85, 100  # damping 0.85 as an exact integer ratio
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_iters: int = 3,
+    scale: int = SCALE,
+) -> DataFrame:
+    """PageRank over ``nodes`` ("v") and weighted ``edges`` ("src", "dst",
+    "w": long) — ``n_iters`` power-iteration rounds, damping 85/100,
+    dangling mass redistributed uniformly. Returns (v, pr_scaled) with
+    pr_scaled = rank * scale as an exact BIGINT.
+
+    r_t(v) = (15*S) div (100*N)  +  SUM_{(u,v) in E} (85*r_{t-1}(u)*w) div
+    (100*out(u))  +  (85*dangling_{t-1}) div (100*N), starting from
+    r_0 = S div N. Every divide is a floor-divide of nonnegative integers,
+    applied per edge term on BOTH sides, so the fixpoint trajectory is
+    engine-portable."""
+    outs = edges.groupBy("src").agg(F.sum("w").alias("outw"))
+    ew = edges.join(outs, "src")
+    nn = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+    r = nodes.crossJoin(F.broadcast(nn)).select(
+        "v", F.expr(f"CAST({scale} AS BIGINT) div n_nodes").alias("r")
+    )
+    for _ in range(n_iters):
+        prev = r
+        contrib = (
+            ew.join(F.broadcast(prev.withColumnRenamed("v", "src")), "src")
+            .select(
+                F.col("dst").alias("v"),
+                F.expr(
+                    f"({DAMP_NUM} * r * w) div ({DAMP_DEN} * outw)"
+                ).alias("c"),
+            )
+            .groupBy("v")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        dangling = prev.join(
+            outs.withColumnRenamed("src", "v"), "v", "left_anti"
+        ).agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dang"))
+        r = (
+            nodes.join(contrib, "v", "left")
+            .crossJoin(F.broadcast(nn))
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "v",
+                (
+                    F.expr(
+                        f"({100 - DAMP_NUM} * CAST({scale} AS BIGINT))"
+                        f" div ({DAMP_DEN} * n_nodes)"
+                    )
+                    + F.coalesce(F.col("contrib"), F.lit(0))
+                    + F.expr(f"({DAMP_NUM} * dang) div ({DAMP_DEN} * n_nodes)")
+                )
+                .cast("long")
+                .alias("pr_scaled"),
+            )
+            .withColumnRenamed("pr_scaled", "r")
+        )
+    return r.select("v", F.col("r").alias("pr_scaled"))
+
+
+def pagerank_iter_ctes(
+    n_iters: int = 3, scale: int = SCALE
+) -> tuple[list[str], str]:
+    """Shared oracle fragment: the unrolled iteration CTEs over pre-defined
+    ``edges``(src,dst,w) / ``outs``(src,outw) / ``nodes``(v) / ``nn``
+    (n_nodes) CTEs. Returns (cte_list, final_rank_cte_name)."""
+    d, h = DAMP_NUM, DAMP_DEN
+    ctes = [
+        f"r0 AS (SELECT v, CAST({scale} // (SELECT n_nodes FROM nn)"
+        " AS BIGINT) AS r FROM nodes)"
+    ]
+    for t in range(1, n_iters + 1):
+        p = f"r{t - 1}"
+        ctes.append(
+            f"c{t} AS (SELECT e.dst AS v, CAST(SUM(({d} * p.r * e.w)"
+            f" // ({h} * o.outw)) AS BIGINT) AS contrib"
+            f" FROM edges e JOIN {p} p ON e.src = p.v"
+            " JOIN outs o ON e.src = o.src GROUP BY 1)"
+        )
+        ctes.append(
+            f"d{t} AS (SELECT CAST(COALESCE(SUM(p.r), 0) AS BIGINT) AS dang"
+            f" FROM {p} p LEFT JOIN outs o ON p.v = o.src"
+            " WHERE o.src IS NULL)"
+        )
+        ctes.append(
+            f"r{t} AS (SELECT n.v, CAST(({100 - d} * CAST({scale} AS BIGINT))"
+            f" // ({h} * (SELECT n_nodes FROM nn))"
+            " + COALESCE(c.contrib, 0)"
+            f" + ({d} * (SELECT dang FROM d{t}))"
+            f" // ({h} * (SELECT n_nodes FROM nn)) AS BIGINT) AS r"
+            f" FROM nodes n LEFT JOIN c{t} c ON n.v = c.v)"
+        )
+    return ctes, f"r{n_iters}"
+
+
+def nation_trade_pagerank_oracle_sql(n_iters: int = 3) -> str:
+    """DuckDB twin of the nation-trade PageRank query: identical edge
+    aggregation, identical unrolled integer iterations."""
+    iter_ctes, last = pagerank_iter_ctes(n_iters)
+    base = [
+        "edges AS MATERIALIZED ("
+        " SELECT c.c_nationkey AS src, s.s_nationkey AS dst,"
+        " CAST(COUNT(*) AS BIGINT) AS w"
+        " FROM lineitem l"
+        " JOIN orders o ON l.l_orderkey = o.o_orderkey"
+        " JOIN customer c ON o.o_custkey = c.c_custkey"
+        " JOIN supplier s ON l.l_suppkey = s.s_suppkey"
+        " GROUP BY 1, 2)",
+        "outs AS (SELECT src, CAST(SUM(w) AS BIGINT) AS outw"
+        " FROM edges GROUP BY 1)",
+        "nodes AS (SELECT n_nationkey AS v, n_name FROM nation)",
+        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM nodes)",
+    ]
+    joined = ",\n    ".join(base + iter_ctes)
+    return f"""
+    WITH {joined}
+    SELECT n.n_name, r.r AS pr_scaled
+    FROM {last} r JOIN nodes n ON r.v = n.v
+    """

@@ -971,3 +971,87 @@ def bpe_encode_oracle_sql(
                  / CAST({pipes0} - e0.nw AS BIGINT), 6) AS compression_ratio
     FROM enc0 e0 JOIN enc{n_merges} eN ON e0.{id_col} = eN.{id_col}
     """
+
+
+# --- Source-distribution drift (total-variation distance) --------------------
+# Mixture monitoring for a multi-source corpus: how far each source's unigram
+# token distribution sits from the corpus-wide distribution. KL needs logs
+# (engine-specific transcendental rounding); TOTAL VARIATION distance is
+# rational — TV(s, corpus) = sum_t |c_st*N_c - c_t*N_s| / (2*N_s*N_c) — so the
+# numerator is an EXACT integer sum and only ONE final division is IEEE.
+# Tokens absent from a source contribute c_t*N_s each; rather than outer-join
+# the sparse matrix, that tail is closed-form: N_s*(N_c - sum_{t in s} c_t).
+
+
+def source_tv_drift(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-source total-variation distance between the source's token
+    distribution and the corpus distribution: (source, n_tokens,
+    tv_vs_corpus). Drift gate for mixture rebalancing — a source whose TV
+    jumps between waves changed its content mix.
+
+    Distributed shape: one (source, token) count shuffle; corpus counts
+    re-aggregate FROM that table (never a second pass over the text); the
+    per-source totals broadcast back. Only the final ratio is a double.
+    Overflow bound: c_st*N_c must fit int64 — beyond ~1e9-token corpora
+    lift the two products to DECIMAL(38,0) (exactness is preserved; the
+    shape is unchanged)."""
+    from .dedup import normalized_text  # noqa: PLC0415 (cycle guard)
+
+    toks = df.select(
+        F.col("source"),
+        F.explode(F.split(normalized_text(text_col), " ")).alias("_w"),
+    ).filter(F.col("_w") != "")
+    st = toks.groupBy("source", "_w").agg(F.count(F.lit(1)).alias("c_st"))
+    ct = st.groupBy("_w").agg(F.sum("c_st").alias("c_t"))
+    ns = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+    nc = st.agg(F.sum("c_st").alias("n_c"))
+    num = F.sum(F.abs(F.col("c_st") * F.col("n_c") - F.col("c_t") * F.col("n_s")))
+    present = F.sum(F.col("c_t"))
+    return (
+        st.join(ct, "_w")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(nc))
+        .groupBy("source", "n_s", "n_c")
+        .agg(num.alias("_num"), present.alias("_present_ct"))
+        .select(
+            "source",
+            F.col("n_s").alias("n_tokens"),
+            F.round(
+                (
+                    F.col("_num")
+                    + F.col("n_s") * (F.col("n_c") - F.col("_present_ct"))
+                ).cast("double")
+                / (F.lit(2) * F.col("n_s") * F.col("n_c")).cast("double"),
+                6,
+            ).alias("tv_vs_corpus"),
+        )
+    )
+
+
+def source_tv_drift_oracle_sql(
+    table: str = "documents", text_expr: str = "text"
+) -> str:
+    """DuckDB twin of source_tv_drift (same closed-form absent-token tail,
+    same single final division)."""
+    norm = f"regexp_replace(lower(trim({text_expr})), '\\s+', ' ', 'g')"
+    return f"""
+    WITH toks AS (
+        SELECT source, unnest(string_split({norm}, ' ')) AS w FROM {table}
+    ),
+    st AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c_st
+           FROM toks WHERE w <> '' GROUP BY 1, 2),
+    ct AS (SELECT w, CAST(SUM(c_st) AS BIGINT) AS c_t FROM st GROUP BY 1),
+    ns AS (SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_s FROM st GROUP BY 1),
+    nc AS (SELECT CAST(SUM(c_st) AS BIGINT) AS n_c FROM st)
+    SELECT st.source,
+           ns.n_s AS n_tokens,
+           ROUND(CAST(CAST(SUM(ABS(st.c_st * nc.n_c - ct.c_t * ns.n_s))
+                           AS BIGINT)
+                      + ns.n_s * (nc.n_c - CAST(SUM(ct.c_t) AS BIGINT))
+                      AS DOUBLE)
+                 / CAST(2 * ns.n_s * nc.n_c AS DOUBLE), 6) AS tv_vs_corpus
+    FROM st JOIN ct ON st.w = ct.w
+    JOIN ns ON st.source = ns.source
+    CROSS JOIN nc
+    GROUP BY st.source, ns.n_s, nc.n_c
+    """

@@ -23,6 +23,8 @@ from .catalog import load_table
 from .operators import aggregates as agg
 from .operators import dedup as dd
 from .operators import filters as flt
+from .operators import graph as gr
+from .operators import privacy as pv
 from .operators import sampling as smp
 from .operators import similarity as sim
 from .operators import sketches as sk
@@ -5065,6 +5067,98 @@ def orders_expectations_report_q(spark, sf_dir):
         }),
         ex.fk_expectation(o, "o_custkey", c, "c_custkey", "custkey_fk_customer"),
     ])
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the nation trade graph: iterative GRAPH analytics in-engine
+# ---------------------------------------------------------------------------
+@register("nation_trade_pagerank", gr.nation_trade_pagerank_oracle_sql())
+def nation_trade_pagerank_q(spark, sf_dir):
+    """PageRank over the customer-nation -> supplier-nation trade graph: 3
+    power-iteration rounds with integer-scaled exact arithmetic (ranks are
+    BIGINTs x 1e12; damping 85/100 and teleport/dangling terms are floor
+    divisions applied identically per edge on both engines, so the learned
+    CENTRALITY — not a float approximation of it — hash-matches the
+    unrolled-CTE oracle). The heavy stage is edge derivation: lineitem x
+    orders x customer x supplier aggregated down to the 625-edge nation
+    graph (one (src,dst) shuffle over the fact table); each iteration then
+    broadcasts the 25-row rank table back onto the edges — no driver
+    collect anywhere (operators/graph.py)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .groupBy(
+            c.c_nationkey.alias("src"), s.s_nationkey.alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    nodes = nat.select(F.col("n_nationkey").alias("v"))
+    ranks = gr.pagerank(nodes, edges, n_iters=3)
+    return ranks.join(
+        F.broadcast(nat.select(F.col("n_nationkey").alias("v"), "n_name")), "v"
+    ).select("n_name", "pr_scaled")
+
+
+# ---------------------------------------------------------------------------
+# Source-distribution drift: total-variation distance per source vs corpus
+# ---------------------------------------------------------------------------
+@register("source_token_tv_drift", tx.source_tv_drift_oracle_sql())
+def source_token_tv_drift_q(spark, sf_dir):
+    """Mixture-drift monitor: each source's unigram token distribution vs
+    the corpus-wide distribution as a TOTAL-VARIATION distance (KL needs
+    logs — engine-specific rounding; TV's numerator is an exact integer
+    sum and only the final ratio is IEEE). One (source, token) shuffle;
+    corpus counts re-aggregate from that table; absent-token tail is
+    closed-form so no sparse outer join (operators/text.py)."""
+    return tx.source_tv_drift(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Privacy audit: k-anonymity / l-diversity histogram over quasi-identifiers
+# ---------------------------------------------------------------------------
+@register(
+    "k_anonymity_audit",
+    pv.k_anonymity_oracle_sql(
+        "customer",
+        ["c_nationkey", "CAST(FLOOR(c_acctbal / 1000) AS BIGINT)"],
+        "c_mktsegment",
+        k=5,
+    ),
+)
+def k_anonymity_audit_q(spark, sf_dir):
+    """Release-gate privacy audit on customer: quasi-identifiers =
+    (nation, account-balance band of 1000), sensitive = market segment.
+    Reports the QI group-size histogram with the weakest l-diversity per
+    size and flags sizes below k=5 — the re-identification-risk complement
+    to the PII scrub. One QI-keyed shuffle + one histogram-sized re-agg;
+    integer-exact so the audit itself hash-gates (operators/privacy.py)."""
+    cust = _t(spark, sf_dir, "customer")
+    return pv.k_anonymity_histogram(
+        cust,
+        [F.col("c_nationkey"), F.floor(F.col("c_acctbal") / 1000).cast("long")],
+        "c_mktsegment",
+        k=5,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Longest duplicated span per doc (Lee et al. 2022 exact-substring signal)
+# ---------------------------------------------------------------------------
+@register("doc_longest_dup_span", dd.longest_dup_span_oracle_sql())
+def doc_longest_dup_span_q(spark, sf_dir):
+    """Longest CONTIGUOUS run of corpus-duplicated 8-grams per doc — the
+    span signal that tells 'one verbatim block' (cut the span) apart from
+    'scattered repeats' (keep or drop whole doc), which the repeated-ngram
+    FRACTION cannot distinguish. Gaps-and-islands over duplicated gram
+    positions: one gram-count shuffle + one per-doc window; zero-filled
+    for clean docs (operators/dedup.py::longest_dup_span)."""
+    return dd.longest_dup_span(_t(spark, sf_dir, "documents"), n=8)
 
 
 # Queries with a green row in CORRECTNESS_r01.json (driver gate, round 1).
