@@ -659,3 +659,67 @@ def token_budget_sql(
     FROM cum JOIN b USING (grp)
     WHERE cum_tokens <= budget
     """
+
+
+# --- Leakage-safe train/test split --------------------------------------------
+# with_split keys the split on a single id column; that still LEAKS when two
+# near-duplicate documents carry different ids — the test set then contains
+# paraphrases of training rows and benchmark numbers inflate. The fix: split
+# by near-dup GROUP (connected component of the near-dup graph), so an entire
+# duplicate cluster lands on one side, and MEASURE the remaining cross-split
+# pair count (zero by construction — the report proves it).
+
+
+def leakage_safe_split_report(
+    df: DataFrame,
+    clusters: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 75,
+    salt: str = "ls",
+) -> DataFrame:
+    """Split documents train/test by near-dup-cluster hash and audit the
+    result: (split, n_docs, n_groups, cross_split_pairs). ``clusters`` is
+    (id, canonical_id) over clustered docs (singletons absent — they fall
+    back to their own id); ``pairs`` is the near-dup edge list (id_a,
+    id_b) whose endpoints must never straddle the split.
+
+    Distributed shape: one broadcast-or-shuffle join to attach group ids,
+    one md5 bucket per group (content-addressed — stable under retries
+    and data growth), one count aggregate; the audit joins the EDGE list
+    (duplicate-density-sized, not corpus-sized) against the assignment
+    twice."""
+    g = (
+        df.select(id_col)
+        .join(clusters, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("canonical_id"), F.col(id_col)).alias("gid"),
+        )
+    )
+    b = hash_bucket(F.col("gid"), 100, salt)
+    assigned = g.withColumn(
+        "split", F.when(b < train_pct, F.lit("train")).otherwise(F.lit("test"))
+    )
+    a = assigned.select(F.col(id_col).alias("id_a"), F.col("split").alias("_sa"))
+    bb = assigned.select(F.col(id_col).alias("id_b"), F.col("split").alias("_sb"))
+    leaks = (
+        pairs.select("id_a", "id_b")
+        .join(a, "id_a")
+        .join(bb, "id_b")
+        .agg(
+            F.coalesce(
+                F.sum((F.col("_sa") != F.col("_sb")).cast("long")), F.lit(0)
+            )
+            .cast("long")
+            .alias("cross_split_pairs")
+        )
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("gid").alias("n_groups"),
+        )
+        .crossJoin(F.broadcast(leaks))
+    )

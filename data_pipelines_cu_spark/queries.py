@@ -5161,6 +5161,98 @@ def doc_longest_dup_span_q(spark, sf_dir):
     return dd.longest_dup_span(_t(spark, sf_dir, "documents"), n=8)
 
 
+# ---------------------------------------------------------------------------
+# Leakage-safe train/test split: split by near-dup CLUSTER, audit the leaks
+# ---------------------------------------------------------------------------
+@register(
+    "leakage_safe_split",
+    r"""
+    WITH RECURSIVE norm AS (
+        SELECT doc_id,
+               string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws,
+               lang
+        FROM documents),
+    gidx AS (
+        SELECT doc_id, lang,
+               unnest(CASE WHEN len(ws) >= 3 THEN range(1, len(ws) - 1) ELSE [] END) AS i,
+               ws
+        FROM norm),
+    gram_rows AS (
+        SELECT DISTINCT doc_id, lang, ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS g
+        FROM gidx),
+    gsets AS (
+        SELECT doc_id, lang, list_distinct(list(g)) AS grams
+        FROM gram_rows GROUP BY doc_id, lang),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM gsets a JOIN gsets b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+              / (len(a.grams) + len(b.grams)
+                 - len(list_intersect(a.grams, b.grams))) >= 0.5),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+    assign AS (
+        SELECT a AS doc_id, LEAST(a, MIN(b)) AS canonical_id FROM reach GROUP BY a),
+    gids AS (
+        SELECT d.doc_id, COALESCE(assign.canonical_id, d.doc_id) AS gid
+        FROM documents d LEFT JOIN assign ON d.doc_id = assign.doc_id),
+    assigned AS (
+        SELECT doc_id, gid,
+               CASE WHEN """
+    + smp.hash_bucket_sql("gid", 100, "ls")
+    + r""" < 75 THEN 'train' ELSE 'test' END AS split
+        FROM gids),
+    leaks AS (
+        SELECT CAST(COALESCE(SUM(CASE WHEN sa.split <> sb.split
+                                      THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS cross_split_pairs
+        FROM pairs p
+        JOIN assigned sa ON p.id_a = sa.doc_id
+        JOIN assigned sb ON p.id_b = sb.doc_id)
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT gid) AS BIGINT) AS n_groups,
+           leaks.cross_split_pairs
+    FROM assigned CROSS JOIN leaks
+    GROUP BY split, leaks.cross_split_pairs
+    """,
+)
+def leakage_safe_split_q(spark, sf_dir):
+    """Train/test split that CANNOT leak near-duplicates across the
+    boundary: near-dup pairs (3-gram Jaccard >= 0.5, lang-blocked) ->
+    connected components -> split by md5 of the CLUSTER id, so every
+    duplicate cluster lands whole on one side; the report measures the
+    remaining cross-split pair count (zero by construction — the oracle's
+    recursive-CTE closure proves the same zero independently). The id-hash
+    split (with_split) can't give this guarantee: two paraphrases with
+    different ids straddle it ~2*p*(1-p) of the time
+    (operators/sampling.py::leakage_safe_split_report)."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(d, block_col="lang", threshold=0.5)
+    clusters = dd.dedup_clusters(pairs)
+    return smp.leakage_safe_split_report(d, clusters, pairs, train_pct=75)
+
+
+# ---------------------------------------------------------------------------
+# Robust outlier gate: median/MAD per event type (lower-median selection)
+# ---------------------------------------------------------------------------
+@register("event_value_outliers", agg.robust_outlier_oracle_sql())
+def event_value_outliers_q(spark, sf_dir):
+    """Per-event-type robust outlier report: lower-median, MAD, and the
+    count of values with |x - med| > 3*MAD. Median by exact SELECTION
+    (element at sorted position (n+1) div 2), not interpolation — so the
+    statistic is bit-identical across engines — and no division anywhere:
+    the outlier test is a multiplication comparison. Mean/stddev gates
+    break on the very rows they should catch; this is the robust twin
+    (operators/aggregates.py::robust_outlier_stats)."""
+    ev = _t(spark, sf_dir, "events")
+    return agg.robust_outlier_stats(ev, ["event_type"], "value", k=3.0)
+
+
 # Queries with a green row in CORRECTNESS_r01.json (driver gate, round 1).
 # The driver verifies queries in registration order and stopped at 50 in
 # round 1, so all_queries() front-loads the not-yet-gated entries each round
