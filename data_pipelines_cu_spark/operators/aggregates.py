@@ -263,8 +263,15 @@ def ewma_oracle_sql(
     value_col: str = "value",
 ) -> str:
     """DuckDB twin of ewma_by_key: list_reduce over the same ordered list
-    with the same zero-prepend and the same fold expression."""
-    order = ", ".join(order_cols)
+    with the same zero-prepend and the same fold expression. The ORDER BY
+    mirrors Spark's sort_array over struct(order_cols..., value) exactly:
+    ties on the order columns break by the VALUE, and NULL keys sort
+    FIRST (sort_array ascending puts NULL struct fields first, DuckDB
+    defaults to NULLS LAST) — without both, the two engines fold ties in
+    different orders and the bit-identical contract silently breaks."""
+    order = ", ".join(
+        f"{c} NULLS FIRST" for c in (*order_cols, value_col)
+    )
     return f"""
     SELECT {key_col},
            COUNT(*) AS n_events,

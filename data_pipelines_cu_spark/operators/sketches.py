@@ -560,10 +560,24 @@ def hist_quantile_error(
         )
     )
     v = F.col(value_col).cast("double")
-    bin_ = F.least(
-        F.lit(n_bins - 1),
-        F.floor(((v - F.col("_lo")) * n_bins) / (F.col("_hi") - F.col("_lo"))),
-    ).cast("int")
+    # Degenerate-range guard: a constant column (or single row) makes
+    # hi == lo; dividing by the zero width yields NaN bins (and errors
+    # outright in stricter engines). Everything lands in bin 0, where the
+    # midpoint rule still reports the (single) value's quantile exactly.
+    bin_ = (
+        F.when(
+            F.col("_hi") > F.col("_lo"),
+            F.least(
+                F.lit(n_bins - 1),
+                F.floor(
+                    ((v - F.col("_lo")) * n_bins)
+                    / (F.col("_hi") - F.col("_lo"))
+                ),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+    )
     binned = df.crossJoin(bounds).select(
         F.col(group_col), bin_.alias("_bin"), F.col("_lo"), F.col("_hi")
     )
@@ -633,8 +647,10 @@ def hist_quantile_oracle_sql(
     ),
     binned AS (
         SELECT {group_col} AS grp,
-               CAST(least({n_bins - 1},
-                    FLOOR((({v} - lo) * {n_bins}) / (hi - lo))) AS INT) AS bin,
+               CAST(CASE WHEN hi > lo
+                    THEN least({n_bins - 1},
+                         FLOOR((({v} - lo) * {n_bins}) / (hi - lo)))
+                    ELSE 0 END AS INT) AS bin,
                lo, hi
         FROM {table}, bounds
     ),

@@ -641,12 +641,48 @@ def oov_rate_oracle_sql(
 # contract), and the merge applies as a row-local literal replace.
 
 
-def _bpe_syms(word: Column) -> Column:
-    """Separator-wrapped symbol string: 'key' -> '|k|e|y|'. The wrapping
-    makes literal pair replacement boundary-safe (a pair pattern
-    '|l|r|' can never match across symbol boundaries) and left-to-right
-    non-overlapping replace is exactly greedy BPE application."""
-    return F.concat(F.lit("|"), F.regexp_replace(word, "(.)", "$1|"))
+def _sym_array(word: Column) -> Column:
+    """Character symbol array: 'key' -> ['k','e','y']."""
+    return F.filter(F.split(word, ""), lambda x: x != "")
+
+
+def _apply_merge(arr: Column, left: str, right: str) -> Column:
+    """Greedy left-to-right non-overlapping application of one BPE merge
+    (left, right) to a symbol array, as a row-local fold: append each
+    symbol unless the accumulator's last symbol == left and the incoming
+    symbol == right, in which case replace the last with left+right.
+    The merged symbol left+right can never re-trigger the same merge
+    (it differs from `left` because `right` is non-empty), so ONE fold is
+    exactly Sennrich-style greedy application — including runs of a
+    repeated symbol ('aaaaa' with (a,a) -> [aa, aa, a]), which the
+    earlier literal-replace formulation grouped differently because each
+    replace consumed the shared boundary."""
+    return F.aggregate(
+        arr,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.try_element_at(acc, F.lit(-1)) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(left + right))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+# DuckDB twin of _apply_merge: the same fold via list_reduce over a
+# list-of-singleton-lists (so the accumulator type equals the element type,
+# which DuckDB's list_reduce requires). `{l}`/`{r}` are SQL expressions for
+# the merge pair; when they evaluate to NULL (an unrealized round on a small
+# corpus) every comparison is NULL -> ELSE branch -> the fold is a no-op,
+# matching the Spark loop's early break without any COALESCE guards.
+_SQL_MERGE_FOLD = (
+    "CASE WHEN len({a}) = 0 THEN {a} "
+    "ELSE list_reduce(list_transform({a}, c -> [c]), "
+    "(acc, x) -> CASE WHEN acc[-1] = {l} AND x[1] = {r} "
+    "THEN acc[:len(acc)-1] || [{l} || {r}] "
+    "ELSE acc || x END) END"
+)
 
 
 def bpe_merges(
@@ -686,15 +722,14 @@ def _bpe_learn(
         F.explode(F.split(normalized_text(text_col), " ")).alias("w")
     )
     wf = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
-    cur = wf.select("w", "cnt", _bpe_syms(F.col("w")).alias("s"))
+    cur = wf.select("w", "cnt", _sym_array(F.col("w")).alias("a"))
     # The corpus-wide tokenize+count pass runs ONCE: the word-frequency
     # table is vocabulary-sized, so each round folds over a checkpointed
     # handful of rows instead of re-scanning the corpus per round.
     cur = cur.localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, str, int]] = []
     for rank in range(1, n_merges + 1):
-        arr = F.filter(F.split(F.col("s"), r"\|"), lambda x: x != "")
-        sized = cur.select("cnt", arr.alias("a")).filter(F.size("a") >= 2)
+        sized = cur.select("cnt", "a").filter(F.size("a") >= 2)
         pairs = sized.select(
             "cnt",
             F.explode(
@@ -718,9 +753,7 @@ def _bpe_learn(
             break
         l, r, c = top[0]["l"], top[0]["r"], int(top[0]["c"])
         merges.append((rank, l, r, l + r, c))
-        cur = cur.withColumn(
-            "s", F.replace(F.col("s"), F.lit(f"|{l}|{r}|"), F.lit(f"|{l}{r}|"))
-        )
+        cur = cur.withColumn("a", _apply_merge(F.col("a"), l, r))
     return merges
 
 
@@ -731,8 +764,10 @@ def bpe_oracle_sql(
 ) -> str:
     """DuckDB twin of bpe_merges: the same rounds UNROLLED as chained CTEs
     (the perceptron-oracle pattern) — each level recomputes pair counts,
-    picks the same argmax via scalar subqueries, and applies the same
-    boundary-safe literal replace."""
+    picks the same argmax, and applies the same greedy list_reduce fold as
+    the Spark _apply_merge. Unrealized rounds (small corpus exhausts the
+    pairs early) leave t{k} empty -> the fold's NULL comparisons no-op ->
+    the round contributes no UNION ALL row, matching Spark's loop break."""
     norm = f"regexp_replace(lower(trim({text_expr})), '\\s+', ' ', 'g')"
     ctes = [
         f"""wf AS MATERIALIZED (
@@ -740,7 +775,7 @@ def bpe_oracle_sql(
         FROM (SELECT unnest(string_split({norm}, ' ')) AS w FROM {table})
         GROUP BY w)""",
         """w0 AS MATERIALIZED (
-        SELECT w, cnt, '|' || regexp_replace(w, '(.)', '\\1|', 'g') AS s
+        SELECT w, cnt, list_filter(string_split(w, ''), x -> x <> '') AS a
         FROM wf)""",
     ]
     selects = []
@@ -750,23 +785,15 @@ def bpe_oracle_sql(
             f"""p{k} AS MATERIALIZED (
         SELECT a[i] AS l, a[i + 1] AS r, SUM(cnt) AS c
         FROM (SELECT cnt, a, unnest(range(1, len(a))) AS i
-              FROM (SELECT cnt,
-                           list_filter(string_split(s, '|'),
-                                       x -> x <> '') AS a
-                    FROM {prev})
-              WHERE len(a) >= 2)
+              FROM {prev} WHERE len(a) >= 2)
         GROUP BY 1, 2)"""
         )
         ctes.append(f"t{k} AS MATERIALIZED (SELECT l, r, c FROM p{k} ORDER BY c DESC, l, r LIMIT 1)")
+        fold = _SQL_MERGE_FOLD.format(a="a", l="mk.l", r="mk.r")
         ctes.append(
             f"""w{k} AS MATERIALIZED (
-        SELECT w, cnt,
-               replace(s,
-                       '|' || (SELECT l FROM t{k}) || '|'
-                           || (SELECT r FROM t{k}) || '|',
-                       '|' || (SELECT l FROM t{k})
-                           || (SELECT r FROM t{k}) || '|') AS s
-        FROM {prev})"""
+        SELECT w, cnt, {fold} AS a
+        FROM {prev} LEFT JOIN t{k} mk ON TRUE)"""
         )
         selects.append(
             f"SELECT {k} AS merge_rank, l AS left_sym, r AS right_sym, "
@@ -889,36 +916,36 @@ def bpe_encode_stats(
     rank order — the train-and-apply loop of tokenizer development, with
     the compression ratio as the quality signal.
 
-    The encode is row-local: the whole doc renders as separator-wrapped
-    word symbol strings joined by spaces (a merge pattern '|l|r|' can
-    never span the ' ' word boundary), and each learned merge is one
-    literal replace. Symbol counts come from pipe arithmetic
-    (pipes = chars + words before merging; n_syms = pipes - n_words), so
-    no second tokenize pass."""
+    The encode is row-local: the doc is an array of per-word symbol
+    arrays (merges never span word boundaries), and each learned merge is
+    one greedy _apply_merge fold per word. Symbol counts are sums of
+    array sizes; no second tokenize pass."""
     from .dedup import normalized_text  # noqa: PLC0415 (cycle guard)
 
     merges = _bpe_learn(df, text_col, n_merges)
     docs = df.select(
         F.col(id_col),
-        F.split(normalized_text(text_col), " ").alias("_ws"),
-    ).select(
-        F.col(id_col),
-        F.size("_ws").alias("_nw"),
-        F.concat_ws(" ", F.transform(F.col("_ws"), _bpe_syms)).alias("_s"),
+        F.transform(
+            F.split(normalized_text(text_col), " "), _sym_array
+        ).alias("_sy"),
     )
-    pipes0 = F.length("_s") - F.length(F.replace(F.col("_s"), F.lit("|"), F.lit("")))
-    docs = docs.withColumn("n_chars", (pipes0 - F.col("_nw")).cast("long"))
+    n_syms_col = F.aggregate(
+        F.transform(F.col("_sy"), F.size),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    docs = docs.withColumn("n_chars", n_syms_col)
     for _, l, r, _, _ in merges:
         docs = docs.withColumn(
-            "_s", F.replace(F.col("_s"), F.lit(f"|{l}|{r}|"), F.lit(f"|{l}{r}|"))
+            "_sy",
+            F.transform(F.col("_sy"), lambda wa: _apply_merge(wa, l, r)),  # noqa: B023
         )
-    pipes = F.length("_s") - F.length(F.replace(F.col("_s"), F.lit("|"), F.lit("")))
     return docs.select(
         id_col,
         "n_chars",
-        (pipes - F.col("_nw")).cast("long").alias("n_syms"),
+        n_syms_col.alias("n_syms"),
         F.round(
-            (pipes - F.col("_nw")).cast("double") / F.col("n_chars"), 6
+            n_syms_col.cast("double") / F.col("n_chars"), 6
         ).alias("compression_ratio"),
     )
 
@@ -930,8 +957,9 @@ def bpe_encode_oracle_sql(
     n_merges: int = 6,
 ) -> str:
     """DuckDB twin of bpe_encode_stats: the bpe_oracle_sql CTE chain
-    (same learned merges via scalar subqueries) extended with a doc-level
-    encode applying each round's merge in order."""
+    (same learned merges) extended with a doc-level encode applying each
+    round's merge in order via the same greedy list_reduce fold; rounds
+    the corpus never realized have empty t{k} and fold as no-ops."""
     norm = f"regexp_replace(lower(trim({text_expr})), '\\s+', ' ', 'g')"
     base = bpe_oracle_sql(table=table, text_expr=text_expr, n_merges=n_merges)
     # reuse the trained CTE chain; strip its final SELECT (the merges
@@ -940,35 +968,29 @@ def bpe_encode_oracle_sql(
     # the WITH block ends with the last w{n} CTE followed by the first
     # union SELECT; rindex above cut at the first SELECT of the union.
     doc_syms = (
-        f"array_to_string(list_transform(string_split({norm}, ' '), "
-        f"w -> '|' || regexp_replace(w, '(.)', '\\1|', 'g')), ' ')"
+        f"list_transform(string_split({norm}, ' '), "
+        f"w -> list_filter(string_split(w, ''), x -> x <> ''))"
     )
     enc = [
         f"""enc0 AS MATERIALIZED (
-        SELECT {id_col},
-               len(string_split({norm}, ' ')) AS nw,
-               {doc_syms} AS s
+        SELECT {id_col}, {doc_syms} AS sy
         FROM {table})"""
     ]
     for k in range(1, n_merges + 1):
+        word_fold = _SQL_MERGE_FOLD.format(a="wa", l="mk.l", r="mk.r")
         enc.append(f"""enc{k} AS MATERIALIZED (
-        SELECT {id_col}, nw,
-               replace(s,
-                       '|' || (SELECT l FROM t{k}) || '|'
-                           || (SELECT r FROM t{k}) || '|',
-                       '|' || (SELECT l FROM t{k})
-                           || (SELECT r FROM t{k}) || '|') AS s
-        FROM enc{k - 1})""")
+        SELECT {id_col}, list_transform(sy, wa -> {word_fold}) AS sy
+        FROM enc{k - 1} LEFT JOIN t{k} mk ON TRUE)""")
     enc_block = ",\n    ".join(enc)
-    pipes0 = "(length(e0.s) - length(replace(e0.s, '|', '')))"
-    pipesn = f"(length(eN.s) - length(replace(eN.s, '|', '')))"
+    syms0 = "COALESCE(list_sum(list_transform(e0.sy, w -> len(w))), 0)"
+    symsn = "COALESCE(list_sum(list_transform(eN.sy, w -> len(w))), 0)"
     return f"""{with_block.rstrip()},
     {enc_block}
     SELECT e0.{id_col},
-           CAST({pipes0} - e0.nw AS BIGINT) AS n_chars,
-           CAST({pipesn} - eN.nw AS BIGINT) AS n_syms,
-           ROUND(CAST({pipesn} - eN.nw AS DOUBLE)
-                 / CAST({pipes0} - e0.nw AS BIGINT), 6) AS compression_ratio
+           CAST({syms0} AS BIGINT) AS n_chars,
+           CAST({symsn} AS BIGINT) AS n_syms,
+           ROUND(CAST({symsn} AS DOUBLE)
+                 / CAST({syms0} AS BIGINT), 6) AS compression_ratio
     FROM enc0 e0 JOIN enc{n_merges} eN ON e0.{id_col} = eN.{id_col}
     """
 

@@ -1,0 +1,142 @@
+"""Round-5 regression tests: ADVICE fixes (greedy BPE fold, small-corpus
+oracle parity, EWMA tie order, histogram degenerate guard) and new ops."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipelines_cu_spark.operators import aggregates as ag
+from data_pipelines_cu_spark.operators import sketches as sk
+from data_pipelines_cu_spark.operators import text as tx
+
+
+def test_bpe_merges_adjacent_occurrences(spark):
+    """'abab' must merge BOTH (a,b) occurrences in round 1 (the old
+    literal-replace consumed the shared boundary and left the second),
+    so round 2's top pair is (ab, ab)."""
+    df = spark.createDataFrame([("abab abab",)], "text string")
+    out = {r["merge_rank"]: r for r in tx.bpe_merges(df, n_merges=2).collect()}
+    assert out[1]["left_sym"] == "a" and out[1]["right_sym"] == "b"
+    assert out[2]["left_sym"] == "ab" and out[2]["right_sym"] == "ab"
+    assert out[2]["merged"] == "abab"
+
+
+def test_bpe_repeated_symbol_run_is_greedy(spark):
+    """'aaaa' with merge (a,a): greedy left-to-right gives [aa, aa], so
+    round 2 merges (aa, aa). The old replace gave [aa, a, a] whose round-2
+    argmax was (a, a) again — a different (wrong) merge table."""
+    df = spark.createDataFrame([("aaaa",)], "text string")
+    out = {r["merge_rank"]: r for r in tx.bpe_merges(df, n_merges=2).collect()}
+    assert (out[1]["left_sym"], out[1]["right_sym"]) == ("a", "a")
+    assert (out[2]["left_sym"], out[2]["right_sym"]) == ("aa", "aa")
+
+
+def test_bpe_encode_greedy_compression(spark):
+    """Full-word merge chain: 'aaaa' -> 1 symbol after two merges."""
+    df = spark.createDataFrame([(1, "aaaa")], "doc_id long, text string")
+    row = tx.bpe_encode_stats(df, n_merges=2).collect()[0]
+    assert row["n_chars"] == 4
+    assert row["n_syms"] == 1
+    assert row["compression_ratio"] == 0.25
+
+
+def _tiny_duck(rows):
+    con = duckdb.connect()
+    con.sql(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in rows)
+        + ") AS t(doc_id, text)"
+    )
+    return con
+
+
+def test_bpe_oracle_parity_when_corpus_exhausts_merges(spark):
+    """Corpus realizes fewer merges than n_merges: the Spark loop breaks;
+    the unrolled oracle's empty t{k} rounds must no-op (not NULL-poison
+    every downstream row — the old replace(s, NULL, ...) did)."""
+    from tests.util import rows_key
+
+    rows = [(1, "ab"), (2, "ab ab")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    con = _tiny_duck(rows)
+    for sdf, sql in [
+        (tx.bpe_merges(df, n_merges=6), tx.bpe_oracle_sql(n_merges=6)),
+        (
+            tx.bpe_encode_stats(df, n_merges=6),
+            tx.bpe_encode_oracle_sql(n_merges=6),
+        ),
+    ]:
+        spd = sdf.toPandas()
+        dpd = con.sql(sql).df()
+        assert sorted(spd.columns) == sorted(c for c in dpd.columns)
+        s = rows_key(list(spd.columns), spd.itertuples(index=False, name=None))
+        d = rows_key(list(dpd.columns), dpd.itertuples(index=False, name=None))
+        assert s == d
+    # and the realized merge count is < 6 (the loop actually broke)
+    assert tx.bpe_merges(df, n_merges=6).count() < 6
+
+
+def test_ewma_fold_order_matches_oracle_on_ties_and_nulls(spark):
+    """Duplicate (ts, event_id) order keys and NULL keys: the fold order
+    is tie-broken by VALUE with NULLs first on both engines (the old
+    oracle ORDER BY omitted the value and sorted NULLs last)."""
+    from tests.util import rows_key
+
+    rows = [
+        # user 1: two rows with IDENTICAL order keys, different values —
+        # fold order changes the EWMA (0.5*(0.5*a)+0.5*b depends on a,b
+        # order), so an un-mirrored tie-break diverges here
+        (1, "2024-01-01 00:00:00", 7, 100.0),
+        (1, "2024-01-01 00:00:00", 7, 4.0),
+        # user 2: NULL ts sorts FIRST on both engines
+        (2, None, 1, 8.0),
+        (2, "2024-01-01 00:00:00", 2, 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_id long, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    con = duckdb.connect()
+    con.sql(
+        "CREATE TABLE events AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({u}, {'NULL' if t is None else repr(t)}::TIMESTAMP, {e}, {v})"
+            for u, t, e, v in rows
+        )
+        + ") AS t(user_id, ts, event_id, value)"
+    )
+    spd = ag.ewma_by_key(df).toPandas()
+    dpd = con.sql(ag.ewma_oracle_sql()).df()
+    s = rows_key(list(spd.columns), spd.itertuples(index=False, name=None))
+    d = rows_key(list(dpd.columns), dpd.itertuples(index=False, name=None))
+    assert s == d
+    got = {r["user_id"]: r["ewma_value"] for r in spd.to_dict("records")}
+    # user 1: value tie-break folds 4.0 then 100.0 -> 0.25*4 + 0.5*100 = 51
+    assert got[1] == 51.0
+    # user 2: NULL ts first -> 0.25*8 + 0.5*2 = 3
+    assert got[2] == 3.0
+
+
+def test_hist_quantile_degenerate_constant_column(spark):
+    """All-equal values (hi == lo): bins must collapse to bin 0 and the
+    report must be exact with zero error, on both engines, instead of
+    NaN bins / a crash."""
+    from tests.util import rows_key
+
+    rows = [("a", 5.0), ("a", 5.0), ("b", 5.0)]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    con = duckdb.connect()
+    con.sql(
+        "CREATE TABLE events AS SELECT * FROM (VALUES "
+        + ", ".join(f"('{g}', {v})" for g, v in rows)
+        + ") AS t(event_type, value)"
+    )
+    spd = sk.hist_quantile_error(df).toPandas()
+    dpd = con.sql(sk.hist_quantile_oracle_sql()).df()
+    s = rows_key(list(spd.columns), spd.itertuples(index=False, name=None))
+    d = rows_key(list(dpd.columns), dpd.itertuples(index=False, name=None))
+    assert s == d
+    for r in spd.to_dict("records"):
+        assert r["approx_p50"] == 5.0 and r["err_p50"] == 0.0
+        assert r["approx_p90"] == 5.0 and r["err_p90"] == 0.0
