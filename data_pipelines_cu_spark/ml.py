@@ -410,38 +410,62 @@ def nb_lang_predict(
     text_col: str = "text",
     id_col: str = "doc_id",
     label_col: str = "lang",
+    n_buckets: int | None = 4096,
+    salt: str = "nb",
 ) -> DataFrame:
     """Train a multinomial Naive Bayes classifier on the corpus' own
     language labels and predict every document's language in the same
-    plan: P(l | doc) ∝ P(l) · Π_w P(w | l) with Laplace smoothing
-    P(w|l) = (C(l,w)+1)/(N(l)+V). Returns (doc_id, lang, pred_lang,
+    plan: P(l | doc) ∝ P(l) · Π_f P(f | l) with Laplace smoothing
+    P(f|l) = (C(l,f)+1)/(N(l)+V). Returns (doc_id, lang, pred_lang,
     correct) — the standard in-engine sanity check that labels and text
     agree (a broken lang tag shows up as a wrong, confident prediction).
 
-    Determinism: the posterior is a SEQUENTIAL product fold over the
-    doc's tokens sorted lexicographically (sort_array / list ORDER BY —
-    same multiset, same order, same IEEE multiplies on both engines);
-    priors and likelihoods are single divisions of exact counts. No log:
-    at gate-corpus doc lengths the product stays in double range, and
-    where it underflows it underflows IDENTICALLY on both engines (same
-    op sequence). At 100 TB doc lengths you'd chunk-rescale or go to
-    log-space and give up bit-equality for a tolerance check.
+    Features default to the HASHING TRICK (Weinberger et al. 2009):
+    f = md5-bucket(token) in a fixed ``n_buckets``-wide space, exactly as
+    the DSIR operator next door (operators/sampling.py) buckets its
+    unigrams. That bounds the broadcast likelihood table at
+    langs × n_buckets rows REGARDLESS of corpus size — raw unigrams made
+    it vocabulary-wide, the one unbounded broadcast in the engine (and
+    its steepest measured scale exponent). The smoothing denominator uses
+    V = n_buckets, the feature-space size, so the model is a constant in
+    both corpus and vocabulary. ``n_buckets=None`` restores the raw-vocab
+    variant (V = distinct-token count) for small-corpus introspection.
 
-    Plan shape: one token pass builds (lang, token) counts — a
-    langs×vocab table that BROADCASTS back; the doc-token stream fans out
-    ×n_langs (the candidate axis), then one (doc, cand) aggregate. Linear
-    in corpus × n_langs.
+    Determinism: the posterior is a SEQUENTIAL product fold over the
+    doc's features sorted by (feature, likelihood) (sort_array / list
+    ORDER BY — same multiset, same order, same IEEE multiplies on both
+    engines); priors and likelihoods are single divisions of exact
+    counts. No log: at gate-corpus doc lengths the product stays in
+    double range, and where it underflows it underflows IDENTICALLY on
+    both engines (same op sequence). At 100 TB doc lengths you'd
+    chunk-rescale or go to log-space and give up bit-equality for a
+    tolerance check.
+
+    Plan shape: one token pass builds (lang, feature) counts — a bounded
+    table that BROADCASTS back; the doc-token stream fans out ×n_langs
+    (the candidate axis), then one (doc, cand) aggregate. Linear in
+    corpus × n_langs.
     """
     from .operators.dedup import normalized_text  # noqa: PLC0415
+    from .operators.sampling import hash_bucket  # noqa: PLC0415
 
-    words = df.select(
+    toks = df.select(
         F.col(id_col),
         F.col(label_col),
-        F.explode(F.split(normalized_text(text_col), " ")).alias("w"),
+        F.explode(F.split(normalized_text(text_col), " ")).alias("_t"),
     )
+    if n_buckets is not None:
+        words = toks.select(
+            id_col,
+            label_col,
+            hash_bucket(F.col("_t"), n_buckets, salt).alias("w"),
+        )
+        vocab_v = F.lit(n_buckets).cast("long")
+    else:
+        words = toks.withColumnRenamed("_t", "w")
+        vocab_v = None
     counts = words.groupBy(label_col, "w").agg(F.count(F.lit(1)).alias("c"))
     ntot = words.groupBy(label_col).agg(F.count(F.lit(1)).alias("n"))
-    vocab = words.agg(F.count_distinct("w").alias("v"))
     ndocs = df.count()
     priors = df.groupBy(label_col).agg(
         (F.count(F.lit(1)).cast("double") / F.lit(float(ndocs))).alias("pr")
@@ -450,10 +474,17 @@ def nb_lang_predict(
     cand_counts = F.broadcast(
         counts.select(F.col(label_col).alias("cand"), "w", "c")
     )
-    cand_tot = F.broadcast(
-        ntot.crossJoin(F.broadcast(vocab)).select(
-            F.col(label_col).alias("cand"), (F.col("n") + F.col("v")).alias("nv")
+    if vocab_v is not None:
+        tot = ntot.select(
+            label_col, (F.col("n") + vocab_v).alias("nv")
         )
+    else:
+        vocab = words.agg(F.count_distinct("w").alias("v"))
+        tot = ntot.crossJoin(F.broadcast(vocab)).select(
+            label_col, (F.col("n") + F.col("v")).alias("nv")
+        )
+    cand_tot = F.broadcast(
+        tot.select(F.col(label_col).alias("cand"), "nv")
     )
     cand_pr = F.broadcast(priors.select(F.col(label_col).alias("cand"), "pr"))
     pairs = (
@@ -503,20 +534,37 @@ def nb_lang_oracle_sql(
     text_expr: str = "text",
     id_col: str = "doc_id",
     label_col: str = "lang",
+    n_buckets: int | None = 4096,
+    salt: str = "nb",
 ) -> str:
-    """DuckDB twin of nb_lang_predict (same smoothing, same sorted-token
-    product fold seeded at 1.0, prior applied after the fold)."""
+    """DuckDB twin of nb_lang_predict (same hashed feature buckets, same
+    smoothing, same sorted-feature product fold seeded at 1.0, prior
+    applied after the fold)."""
+    from .operators.sampling import hash_bucket_sql  # noqa: PLC0415
+
     norm = f"regexp_replace(lower(trim({text_expr})), '\\s+', ' ', 'g')"
-    return f"""
-    WITH words AS (
+    if n_buckets is not None:
+        feat = hash_bucket_sql("t", n_buckets, salt)
+        words_cte = f"""words AS (
+        SELECT {id_col}, {label_col}, {feat} AS w
+        FROM (SELECT {id_col}, {label_col},
+                     unnest(string_split({norm}, ' ')) AS t
+              FROM {table})
+    )"""
+        vocab_cte = f"vocab AS (SELECT CAST({n_buckets} AS BIGINT) AS v)"
+    else:
+        words_cte = f"""words AS (
         SELECT {id_col}, {label_col}, unnest(string_split({norm}, ' ')) AS w
         FROM {table}
-    ),
+    )"""
+        vocab_cte = "vocab AS (SELECT COUNT(DISTINCT w) AS v FROM words)"
+    return f"""
+    WITH {words_cte},
     counts AS (SELECT {label_col} AS cand, w, COUNT(*) AS c
                FROM words GROUP BY {label_col}, w),
     ntot AS (SELECT {label_col} AS cand, COUNT(*) AS n
              FROM words GROUP BY {label_col}),
-    vocab AS (SELECT COUNT(DISTINCT w) AS v FROM words),
+    {vocab_cte},
     priors AS (
         SELECT {label_col} AS cand,
                COUNT(*)::DOUBLE

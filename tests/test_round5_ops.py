@@ -118,6 +118,51 @@ def test_ewma_fold_order_matches_oracle_on_ties_and_nulls(spark):
     assert got[2] == 3.0
 
 
+def test_nb_raw_vocab_option_matches_its_oracle(spark, sf_dir, duck):
+    """The raw-unigram NB variant (n_buckets=None) is still available and
+    still oracle-exact; the default is now the bounded hashed-bucket
+    model (langs x 4096 broadcast instead of langs x vocab)."""
+    import data_pipelines_cu_spark.ml as ml
+    from tests.util import assert_matches_oracle
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
+    duck.sql(
+        "CREATE OR REPLACE VIEW nb_docs AS "
+        f"SELECT * FROM '{sf_dir}/documents.parquet' "
+        "ORDER BY doc_id LIMIT 100"
+    )
+    sdf = ml.nb_lang_predict(
+        docs.orderBy("doc_id").limit(100), n_buckets=None
+    )
+    assert_matches_oracle(
+        sdf, duck, ml.nb_lang_oracle_sql(table="nb_docs", n_buckets=None)
+    )
+
+
+def test_nb_bucketed_predictions_track_labels(spark):
+    """Hashing into 4096 buckets must not wreck the classifier: on a
+    corpus whose languages have disjoint vocabularies, the bucketed
+    model still classifies every doc correctly (collisions at
+    vocab << buckets are rare and smoothing washes them out)."""
+    import data_pipelines_cu_spark.ml as ml
+
+    vocabs = {
+        "aa": ["apfel", "birne", "kirsche", "pflaume"],
+        "bb": ["pomme", "poire", "cerise", "prune"],
+        "cc": ["apple", "pear", "cherry", "plum"],
+    }
+    rows = []
+    i = 0
+    for lang, ws in vocabs.items():
+        for k in range(8):
+            i += 1
+            rows.append((i, lang, " ".join(ws[(k + j) % 4] for j in range(3))))
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = ml.nb_lang_predict(df)
+    acc = out.agg(F.avg(F.col("correct").cast("double"))).collect()[0][0]
+    assert acc == 1.0
+
+
 def test_hist_quantile_degenerate_constant_column(spark):
     """All-equal values (hi == lo): bins must collapse to bin 0 and the
     report must be exact with zero error, on both engines, instead of
