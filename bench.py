@@ -234,6 +234,15 @@ def main() -> None:
         gc.collect()
 
     total = round(sum(timings.values()), 3)
+    # Long-tail coverage: every registered query NOT in the headline set,
+    # timed once (median-of-1) so no registered query's wall-time is ever
+    # a blind spot. Kept OUT of the headline total so round-over-round
+    # totals stay comparable; recorded in BENCH_DETAIL.json.
+    long_tail: dict[str, float] = {}
+    for name in sorted(set(queries) - set(HEADLINE)):
+        fn = queries[name].fn
+        long_tail[name] = _timed(lambda: _noop_write(fn(spark, sf_dir)), repeats=1)
+        gc.collect()
     # diagnostic entries (skew mitigation proof) — reported, not in the total
     extras = skew_demo(spark, sf_dir)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -244,6 +253,7 @@ def main() -> None:
         "unit": "sec",
         "n": REPEATS,
         "queries": timings,
+        "long_tail": long_tail,
         "diagnostics": extras,
         "sf": sf_val,
     }

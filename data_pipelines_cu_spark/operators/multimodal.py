@@ -156,6 +156,8 @@ def decode_pixels(payload: bytes):
         return (rgb[::-1] if flip else rgb).copy()
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        return _decode_jpeg(payload)
     raise ValueError(f"unrecognized image magic {payload[:2]!r}")
 
 
@@ -177,11 +179,12 @@ def _png_chunks(payload: bytes):
 
 def _decode_png(payload: bytes):
     """Pure-stdlib PNG decode (zlib inflate + per-scanline unfilter) for
-    non-interlaced 8-bit RGB/RGBA/greyscale — the formats the reference's
-    actual image payloads use (rocket launch images,
+    non-interlaced 8-bit RGB/RGBA/greyscale/palette — the formats the
+    reference's actual image payloads use (rocket launch images,
     Solutions/chapter02/dags/download_rocket_launches.py:34-41). Returns
-    (H, W, 3) uint8 RGB; alpha is dropped, greyscale replicates. Palette,
-    16-bit, and Adam7-interlaced PNGs raise ValueError (declared stub)."""
+    (H, W, 3) uint8 RGB; alpha is dropped, greyscale replicates, palette
+    indices look up PLTE. 16-bit, sub-byte-packed, and Adam7-interlaced
+    PNGs raise a ValueError naming the exact unsupported feature."""
     import struct
     import zlib
 
@@ -189,20 +192,36 @@ def _decode_png(payload: bytes):
 
     ihdr = None
     idat = bytearray()
+    plte = None
     for ctype, data in _png_chunks(payload):
         if ctype == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", data)
         elif ctype == b"IDAT":
             idat.extend(data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, bit_depth, color_type, _comp, _filt, interlace = ihdr
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
-    if bit_depth != 8 or channels is None or interlace != 0:
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if interlace != 0:
+        raise ValueError(
+            "only non-interlaced 8-bit PNG supported "
+            "(Adam7-interlaced PNG not implemented)"
+        )
+    if channels is None:
         raise ValueError(
             f"only non-interlaced 8-bit PNG supported "
-            f"(depth={bit_depth}, color_type={color_type}, interlace={interlace})"
+            f"(unknown color type {color_type})"
         )
+    if bit_depth != 8:
+        kind = "16-bit" if bit_depth == 16 else f"{bit_depth}-bit packed"
+        raise ValueError(
+            f"only non-interlaced 8-bit PNG supported "
+            f"({kind} sample depth not implemented)"
+        )
+    if color_type == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
     raw = zlib.decompress(bytes(idat))
     stride = w * channels
     if len(raw) != h * (stride + 1):
@@ -241,6 +260,11 @@ def _decode_png(payload: bytes):
     px = img.reshape(h, w, channels)
     if color_type == 2:
         return px.copy()
+    if color_type == 3:
+        idxs = px[:, :, 0]
+        if int(idxs.max(initial=0)) >= len(plte):
+            raise ValueError("palette PNG index out of PLTE range")
+        return plte[idxs]
     if color_type == 6:
         return px[:, :, :3].copy()
     grey = px[:, :, 0]
@@ -269,6 +293,521 @@ def encode_png(arr) -> bytes:
         + chunk(b"IHDR", ihdr)
         + chunk(b"IDAT", zlib.compress(raw))
         + chunk(b"IEND", b"")
+    )
+
+
+# --- Baseline JPEG codec (pure numpy/stdlib) ----------------------------------
+# The reference's actual image payloads are JPEG (rocket launch images,
+# Solutions/chapter02/dags/download_rocket_launches.py:34-41); the container
+# has no PIL/libjpeg, so the kernel implements the baseline-sequential JPEG
+# process from the public ITU-T T.81 spec: canonical Huffman entropy coding
+# with the Annex K typical tables, 8x8 DCT via an exact float matrix product,
+# JFIF YCbCr color. Decode supports 1- or 3-component baseline scans with any
+# H/V chroma subsampling (4:4:4, 4:2:2, 4:2:0) and restart intervals; the
+# encoder emits 4:4:4 (its purpose is round-trip fixtures and the media sink).
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+_QT_LUMA = [
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+]
+_QT_CHROMA = [
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+# (bits-per-length[1..16], symbols) — T.81 Annex K typical Huffman tables
+_HT_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HT_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HT_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_HT_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def _canonical_codes(bits, symbols):
+    """(symbol -> (code, length)) canonical Huffman assignment (T.81 C.2)."""
+    out = {}
+    code = 0
+    i = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[symbols[i]] = (code, length)
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+def _decode_map(bits, symbols):
+    """((length, code) -> symbol) for bit-at-a-time Huffman decode."""
+    return {(ln, code): sym for sym, (code, ln) in _canonical_codes(bits, symbols).items()}
+
+
+def _dct_mat():
+    import numpy as np
+
+    x = np.arange(8, dtype=np.float64)
+    m = 0.5 * np.cos((2.0 * x[None, :] + 1.0) * x[:, None] * np.pi / 16.0)
+    m[0, :] /= np.sqrt(2.0)
+    return m  # forward: M @ block @ M.T ; inverse: M.T @ coeff @ M
+
+
+class _JpegBitReader:
+    """Bit reader over entropy-coded data: un-stuffs 0xFF00, stops at any
+    non-RST marker, and surfaces RSTn markers for the MCU loop."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.d = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _feed(self) -> bool:
+        if self.pos >= len(self.d):
+            return False
+        b = self.d[self.pos]
+        if b == 0xFF:
+            nxt = self.d[self.pos + 1] if self.pos + 1 < len(self.d) else 0xD9
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7 or nxt == 0xD9:
+                return False  # restart/EOI marker: consumed by the MCU loop
+            else:
+                return False
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+        return True
+
+    def read_bit(self) -> int:
+        if self.nbits == 0 and not self._feed():
+            raise ValueError("JPEG entropy stream truncated")
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def consume_restart(self) -> None:
+        self.acc = 0
+        self.nbits = 0
+        if (
+            self.pos + 1 < len(self.d)
+            and self.d[self.pos] == 0xFF
+            and 0xD0 <= self.d[self.pos + 1] <= 0xD7
+        ):
+            self.pos += 2
+        else:
+            raise ValueError("expected JPEG restart marker")
+
+
+def _huff_decode(reader: _JpegBitReader, table: dict) -> int:
+    code, ln = 0, 0
+    while ln < 16:
+        code = (code << 1) | reader.read_bit()
+        ln += 1
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, ssss: int) -> int:
+    if ssss == 0:
+        return 0
+    return v if v >= (1 << (ssss - 1)) else v - (1 << ssss) + 1
+
+
+def _decode_jpeg(payload: bytes):
+    """Baseline-sequential JPEG decode (ITU-T T.81): marker parse, canonical
+    Huffman, dequantize, exact float iDCT, chroma upsample, JFIF YCbCr->RGB.
+    Returns (H, W, 3) uint8. Progressive/arithmetic/12-bit scans raise
+    ValueError (declared boundary)."""
+    import struct
+
+    import numpy as np
+
+    qt: dict[int, "np.ndarray"] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    sof = None
+    restart_interval = 0
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = payload[pos + 1]
+        (seg_len,) = struct.unpack_from(">H", payload, pos + 2)
+        data = payload[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(data):
+                pq, tq = data[i] >> 4, data[i] & 0xF
+                if pq != 0:
+                    raise ValueError("only 8-bit JPEG quant tables supported")
+                tbl = np.zeros(64, dtype=np.float64)
+                for k in range(64):
+                    tbl[_ZIGZAG[k]] = data[i + 1 + k]
+                qt[tq] = tbl.reshape(8, 8)
+                i += 65
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(data):
+                tc, th = data[i] >> 4, data[i] & 0xF
+                bits = list(data[i + 1 : i + 17])
+                n = sum(bits)
+                syms = list(data[i + 17 : i + 17 + n])
+                huff[(tc, th)] = _decode_map(bits, syms)
+                i += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, height, width, nf = struct.unpack_from(">BHHB", data, 0)
+            if prec != 8:
+                raise ValueError("only 8-bit baseline JPEG supported")
+            comps = []
+            for c in range(nf):
+                cid, hv, tq = struct.unpack_from(">BBB", data, 6 + 3 * c)
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            sof = (height, width, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError(
+                f"only baseline JPEG (SOF0) supported, got SOF marker {marker:#x}"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", data, 0)
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if sof is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = data[0]
+            scan = []
+            for c in range(ns):
+                cs, tdta = struct.unpack_from(">BB", data, 1 + 2 * c)
+                scan.append((cs, tdta >> 4, tdta & 0xF))
+            return _decode_jpeg_scan(
+                payload,
+                pos + 2 + seg_len,
+                sof,
+                scan,
+                qt,
+                huff,
+                restart_interval,
+            )
+        pos += 2 + seg_len
+    raise ValueError("JPEG missing SOS scan")
+
+
+def _decode_jpeg_scan(payload, start, sof, scan, qt, huff, restart_interval):
+    import numpy as np
+
+    height, width, comps = sof
+    by_id = {c["id"]: c for c in comps}
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    m = _dct_mat()
+    planes = {}
+    for c in comps:
+        planes[c["id"]] = np.zeros(
+            (mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64
+        )
+    reader = _JpegBitReader(payload, start)
+    pred = {c["id"]: 0 for c in comps}
+    n_mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                reader.consume_restart()
+                pred = {c["id"]: 0 for c in comps}
+            for cid, td, ta in scan:
+                comp = by_id[cid]
+                q = qt[comp["tq"]]
+                dc_tbl, ac_tbl = huff[(0, td)], huff[(1, ta)]
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        zz = np.zeros(64, dtype=np.float64)
+                        ssss = _huff_decode(reader, dc_tbl)
+                        diff = _extend(reader.read_bits(ssss), ssss)
+                        pred[cid] += diff
+                        zz[0] = pred[cid]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(reader, ac_tbl)
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC run overflow")
+                            zz[_ZIGZAG[k]] = _extend(reader.read_bits(s), s)
+                            k += 1
+                        block = m.T @ (zz.reshape(8, 8) * q) @ m + 128.0
+                        y0 = (my * comp["v"] + by) * 8
+                        x0 = (mx * comp["h"] + bx) * 8
+                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = block
+            n_mcu += 1
+    out = []
+    for c in comps:
+        p = planes[c["id"]]
+        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        out.append(p[:height, :width])
+    if len(out) == 1:
+        g = np.clip(out[0], 0, 255).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=2,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-fill to byte boundary
+
+
+def encode_jpeg_baseline(
+    arr, subsampling: str = "444", restart_interval: int = 0
+) -> bytes:
+    """Baseline JFIF JPEG encoder (Annex K quant + Huffman tables): the
+    write side of the JPEG kernel, used for round-trip fixtures and the
+    media sink. Pure numpy DCT + canonical Huffman. ``subsampling`` is
+    '444' (no chroma subsampling) or '420' (2x2-averaged chroma, the
+    common camera/web default); ``restart_interval`` > 0 emits DRI + RSTn
+    markers every that many MCUs (exercises the decoder's restart path)."""
+    import struct
+
+    import numpy as np
+
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    sub = 2 if subsampling == "420" else 1
+    px = np.asarray(arr, dtype=np.float64)
+    h, w = px.shape[0], px.shape[1]
+    r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+    planes = [
+        0.299 * r + 0.587 * g + 0.114 * b,
+        -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+        0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+    ]
+    # _QT_* literals are in natural (row-major) order; the DQT segment
+    # stores zigzag order, so emission permutes through _ZIGZAG below.
+    qmats = [
+        np.array(_QT_LUMA, dtype=np.float64).reshape(8, 8),
+        np.array(_QT_CHROMA, dtype=np.float64).reshape(8, 8),
+    ]
+    enc = [
+        (_canonical_codes(*_HT_DC_LUMA), _canonical_codes(*_HT_AC_LUMA)),
+        (_canonical_codes(*_HT_DC_CHROMA), _canonical_codes(*_HT_AC_CHROMA)),
+    ]
+    m = _dct_mat()
+    # component geometry: Y at (sub, sub) sampling, chroma at (1, 1)
+    samp = [(sub, sub), (1, 1), (1, 1)]
+    mcu_px = 8 * sub
+    mcux, mcuy = -(-w // mcu_px), -(-h // mcu_px)
+
+    def pad_plane(p, blocks_x, blocks_y):
+        ph, pw_ = blocks_y * 8, blocks_x * 8
+        full = np.empty((ph, pw_))
+        ch, cw = p.shape
+        full[:ch, :cw] = p
+        if cw < pw_:
+            full[:ch, cw:] = p[:, -1:]
+        if ch < ph:
+            full[ch:, :] = full[ch - 1 : ch, :]
+        return full - 128.0
+
+    comp_planes = []
+    for ci, p in enumerate(planes):
+        if ci > 0 and sub == 2:
+            # 2x2 box-average downsample (pad odd edges by replication)
+            ph2, pw2 = -(-h // 2) * 2, -(-w // 2) * 2
+            tmp = np.empty((ph2, pw2))
+            tmp[:h, :w] = p
+            if w < pw2:
+                tmp[:h, w:] = p[:, -1:]
+            if h < ph2:
+                tmp[h:, :] = tmp[h - 1 : h, :]
+            p = (
+                tmp[0::2, 0::2] + tmp[0::2, 1::2] + tmp[1::2, 0::2] + tmp[1::2, 1::2]
+            ) / 4.0
+        hs, vs = samp[ci]
+        comp_planes.append(pad_plane(p, mcux * hs, mcuy * vs))
+
+    writer = _JpegBitWriter()
+    pred = [0, 0, 0]
+
+    def put_mag(v: int) -> tuple[int, int, int]:
+        ssss = int(v != 0) and int(abs(v)).bit_length()
+        extra = v if v >= 0 else v + (1 << ssss) - 1
+        return ssss, extra, ssss
+
+    def emit_block(ci: int, y0: int, x0: int) -> None:
+        ti = 0 if ci == 0 else 1
+        dc_codes, ac_codes = enc[ti]
+        block = comp_planes[ci][y0 : y0 + 8, x0 : x0 + 8]
+        coeff = m @ block @ m.T
+        quant = np.round(coeff / qmats[ti]).astype(np.int64)
+        zz = np.array([quant.flat[z] for z in _ZIGZAG])
+        diff = int(zz[0]) - pred[ci]
+        pred[ci] = int(zz[0])
+        ssss, extra, n = put_mag(diff)
+        code, ln = dc_codes[ssss]
+        writer.write(code, ln)
+        if n:
+            writer.write(extra, n)
+        run = 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_codes[0xF0]
+                writer.write(code, ln)
+                run -= 16
+            ssss, extra, n = put_mag(v)
+            code, ln = ac_codes[(run << 4) | ssss]
+            writer.write(code, ln)
+            writer.write(extra, n)
+            run = 0
+        if run:
+            code, ln = ac_codes[0x00]
+            writer.write(code, ln)
+
+    n_mcu = 0
+    rst = 0
+    for by in range(mcuy):
+        for bx in range(mcux):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                writer.flush()
+                writer.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                pred[:] = [0, 0, 0]
+            for ci in range(3):
+                hs, vs = samp[ci]
+                for yy in range(vs):
+                    for xx in range(hs):
+                        emit_block(ci, (by * vs + yy) * 8, (bx * hs + xx) * 8)
+            n_mcu += 1
+    writer.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    dqt = b"".join(
+        bytes([tq]) + bytes(int(qmats[tq].flat[_ZIGZAG[k]]) for k in range(64))
+        for tq in (0, 1)
+    )
+    hv_y = (samp[0][0] << 4) | samp[0][1]
+    sof = struct.pack(">BHHB", 8, h, w, 3) + b"".join(
+        struct.pack(">BBB", cid, hv, tq)
+        for cid, hv, tq in [(1, hv_y, 0), (2, 0x11, 1), (3, 0x11, 1)]
+    )
+    dht = b"".join(
+        bytes([(tc << 4) | th]) + bytes(bits) + bytes(syms)
+        for (tc, th), (bits, syms) in [
+            ((0, 0), _HT_DC_LUMA),
+            ((1, 0), _HT_AC_LUMA),
+            ((0, 1), _HT_DC_CHROMA),
+            ((1, 1), _HT_AC_CHROMA),
+        ]
+    )
+    sos = struct.pack(">B", 3) + b"".join(
+        struct.pack(">BB", cid, tt) for cid, tt in [(1, 0x00), (2, 0x11), (3, 0x11)]
+    ) + b"\x00\x3f\x00"
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    dri = seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
+    return (
+        b"\xff\xd8"
+        + seg(0xE0, app0)
+        + seg(0xDB, dqt)
+        + seg(0xC0, sof)
+        + seg(0xC4, dht)
+        + dri
+        + seg(0xDA, sos)
+        + bytes(writer.out)
+        + b"\xff\xd9"
     )
 
 

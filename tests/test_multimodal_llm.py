@@ -324,7 +324,7 @@ def test_png_rgba_grey_and_rejects():
 
     from data_pipelines_cu_spark.operators import multimodal as mm
 
-    def build(px, color_type, bit_depth=8, interlace=0):
+    def build(px, color_type, bit_depth=8, interlace=0, plte=None):
         h, w = px.shape[0], px.shape[1]
         raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
 
@@ -332,10 +332,12 @@ def test_png_rgba_grey_and_rejects():
             crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
             return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
 
+        plte_chunk = chunk(b"PLTE", plte.tobytes()) if plte is not None else b""
         return (
             b"\x89PNG\r\n\x1a\n"
             + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, bit_depth,
                                          color_type, 0, 0, interlace))
+            + plte_chunk
             + chunk(b"IDAT", zlib.compress(raw))
             + chunk(b"IEND", b"")
         )
@@ -345,11 +347,19 @@ def test_png_rgba_grey_and_rejects():
     grey = np.arange(6, dtype=np.uint8).reshape(2, 3, 1)
     out = mm.decode_pixels(build(grey, 0))
     assert np.array_equal(out, np.repeat(grey, 3, axis=2))
+    # 8-bit palette PNG: indices look up PLTE entries
+    palette = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [7, 8, 9]],
+                       dtype=np.uint8)
+    idxs = np.array([[0, 1, 2], [3, 2, 1]], dtype=np.uint8).reshape(2, 3, 1)
+    out = mm.decode_pixels(build(idxs, 3, plte=palette))
+    assert np.array_equal(out, palette[idxs[:, :, 0]])
     rgb = np.zeros((2, 3, 3), dtype=np.uint8)
-    with _pytest.raises(ValueError, match="only non-interlaced 8-bit"):
-        mm.decode_pixels(build(rgb, 3))  # palette
-    with _pytest.raises(ValueError, match="only non-interlaced 8-bit"):
-        mm.decode_pixels(build(rgb, 2, interlace=1))  # Adam7
+    with _pytest.raises(ValueError, match="missing PLTE"):
+        mm.decode_pixels(build(rgb, 3))  # palette without PLTE
+    with _pytest.raises(ValueError, match="Adam7"):
+        mm.decode_pixels(build(rgb, 2, interlace=1))
+    with _pytest.raises(ValueError, match="16-bit"):
+        mm.decode_pixels(build(rgb, 2, bit_depth=16))
 
 
 def test_png_flows_through_arrow_resize(spark):
@@ -367,3 +377,66 @@ def test_png_flows_through_arrow_resize(spark):
     out = mm.decode_pixels(bytes(row.resized))
     assert out.shape == (2, 2, 3)
     assert np.array_equal(out, px[[0, 2]][:, [0, 2]])
+
+
+def test_jpeg_round_trip_all_modes():
+    """Baseline JPEG codec: encode (4:4:4 and 4:2:0, with and without
+    restart intervals) then decode recovers a smooth gradient within
+    quantization error; a flat field is exact."""
+    import numpy as np
+    import pytest as _pytest
+
+    from data_pipelines_cu_spark.operators import multimodal as mm
+
+    h, w = 35, 50
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [
+            xx * 255 / (w - 1),
+            yy * 255 / (h - 1),
+            (xx + yy) * 255 / (w + h - 2),
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    for sub in ("444", "420"):
+        for ri in (0, 2):
+            blob = mm.encode_jpeg_baseline(img, subsampling=sub, restart_interval=ri)
+            assert blob[:2] == b"\xff\xd8" and blob[-2:] == b"\xff\xd9"
+            out = mm.decode_pixels(blob)
+            assert out.shape == (h, w, 3)
+            err = np.abs(out.astype(float) - img.astype(float))
+            assert err.max() <= (12 if sub == "444" else 20)
+            assert err.mean() < 4
+    flat = np.full((8, 8, 3), 200, dtype=np.uint8)
+    assert np.array_equal(
+        mm.decode_pixels(mm.encode_jpeg_baseline(flat)), flat
+    )
+    with _pytest.raises(ValueError, match="only baseline"):
+        # progressive SOF2 marker is a declared boundary
+        blob = mm.encode_jpeg_baseline(flat)
+        mm.decode_pixels(blob.replace(b"\xff\xc0", b"\xff\xc2", 1))
+
+
+def test_jpeg_flows_through_arrow_decode_and_resize(spark):
+    """The reference's actual image payloads are JPEG
+    (download_rocket_launches.py:34-41): a real JPEG flows
+    decode -> features and decode -> resize through the Arrow
+    mapInPandas kernels end-to-end."""
+    import numpy as np
+
+    from data_pipelines_cu_spark.operators import multimodal as mm
+
+    px = np.zeros((16, 16, 3), dtype=np.uint8)
+    px[:, :, 0] = 200
+    blob = mm.encode_jpeg_baseline(px)
+    df = spark.createDataFrame(
+        [(1, bytearray(blob))], "media_id long, payload binary"
+    )
+    row = mm.extract_features(df, kernel=mm.decode_image_real).collect()[0]
+    # flat field survives JPEG exactly -> features are exact
+    assert abs(row.feature[0] - 200 / 255.0) < 1e-6
+    assert abs(row.feature[1]) < 1e-6
+    rrow = mm.resize_images(df, 4, 4, kernel=mm.resize_image_real).collect()[0]
+    out = mm.decode_pixels(bytes(rrow.resized))
+    assert out.shape == (4, 4, 3)
+    assert np.array_equal(out, px[[0, 4, 8, 12]][:, [0, 4, 8, 12]])
