@@ -1547,6 +1547,44 @@ def cross_source_oracle_sql(
 # containing the edit. Mean chunk length = the divisor (8 tokens here).
 
 
+def cdc_doc_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    divisor: int = 8,
+    salt: str = "cdc",
+) -> DataFrame:
+    """Per-doc content-defined chunk digests (id, _ch, _cid) — the
+    DOC-LOCAL half of cdc_chunk_stats (boundaries depend only on the
+    doc's own token content), exposed so incremental pipelines can
+    summarize each wave once and count digests across waves later."""
+    from .sampling import hash_bucket  # noqa: PLC0415 (cycle guard)
+
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(normalized_text(text_col), " ")).alias("_pos", "_w"),
+    ).withColumn(
+        "_flag", F.when(hash_bucket(F.col("_w"), divisor, salt) == 0, 1).otherwise(0)
+    )
+    wc = (
+        Window.partitionBy(id_col)
+        .orderBy("_pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    chunked = toks.withColumn("_cid", F.sum("_flag").over(wc))
+    return chunked.groupBy(id_col, "_cid").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_w"))),
+                    lambda x: x["_w"],
+                ),
+                " ",
+            )
+        ).alias("_ch")
+    )
+
+
 def cdc_chunk_stats(
     df: DataFrame,
     text_col: str = "text",
@@ -1565,30 +1603,8 @@ def cdc_chunk_stats(
     (doc, chunk) -> ONE 32-byte digest shuffle for corpus counts -> per-doc
     aggregate. Same digest-only contract as exact/passage dedup.
     """
-    from .sampling import hash_bucket  # noqa: PLC0415 (cycle guard)
-
-    toks = df.select(
-        F.col(id_col),
-        F.posexplode(F.split(normalized_text(text_col), " ")).alias("_pos", "_w"),
-    ).withColumn(
-        "_flag", F.when(hash_bucket(F.col("_w"), divisor, salt) == 0, 1).otherwise(0)
-    )
-    wc = (
-        Window.partitionBy(id_col)
-        .orderBy("_pos")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    chunked = toks.withColumn("_cid", F.sum("_flag").over(wc))
-    chunks = chunked.groupBy(id_col, "_cid").agg(
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("_pos", "_w"))),
-                    lambda x: x["_w"],
-                ),
-                " ",
-            )
-        ).alias("_ch")
+    chunks = cdc_doc_chunks(
+        df, text_col=text_col, id_col=id_col, divisor=divisor, salt=salt
     )
     counts = chunks.groupBy("_ch").agg(F.count(F.lit(1)).alias("_n"))
     dup = F.sum(F.when(F.col("_n") > 1, 1).otherwise(0))

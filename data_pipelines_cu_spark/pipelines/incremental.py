@@ -154,3 +154,162 @@ def read_corpus(spark: SparkSession, state_dir: str, fs=None) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# --- Curation v2, incremental ------------------------------------------------
+# The round-4 composition (CDC span gate -> DSIR selection -> shard order)
+# run PRODUCTION-SHAPED: each wave tokenizes and chunks ONLY its own new
+# docs, persisting doc-local summaries (chunk digests, DSIR bucket counts)
+# alongside the raw rows under the same atomic multi-table commit as v1
+# waves. Cross-doc decisions (is this chunk duplicated? is this doc in the
+# DSIR top-n?) are inherently corpus-relative — a later wave can change an
+# earlier doc's dup_fraction — so they are taken at MATERIALIZE time from
+# the summaries alone: no stored document is ever re-tokenized. The
+# materialized shard assignment is BYTE-IDENTICAL to running the one-shot
+# curation_v2_shards pipeline over the union corpus (tested by replaying a
+# crashed wave and diffing against the one-shot plan).
+
+
+def ingest_wave_v2(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    state_dir: str,
+    wave_id: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    divisor: int = 8,
+    n_buckets: int = 256,
+    fs=None,
+) -> dict:
+    """Summarize-and-commit one curation-v2 wave: the wave's docs, their
+    content-defined chunk digests, and their DSIR hashed-unigram bucket
+    counts advance under ONE commit point. The only corpus-sized work
+    (tokenize + chunk window) touches the NEW docs exclusively."""
+    from ..operators.dedup import cdc_doc_chunks
+    from ..operators.sampling import hash_bucket
+
+    chunks = cdc_doc_chunks(
+        new_docs, text_col=text_col, id_col=id_col, divisor=divisor
+    ).select(F.col(id_col), F.col("_ch").alias("chunk_digest"))
+    toks = new_docs.select(
+        F.col(id_col),
+        F.col(lang_col),
+        F.explode(F.split(normalized_text(text_col), " ")).alias("_w"),
+    )
+    buckets = (
+        toks.select(
+            id_col, lang_col, hash_bucket(F.col("_w"), n_buckets, "dsir").alias("b")
+        )
+        .groupBy(id_col, lang_col, "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    versions = commit_batch_multi(
+        {"v2_corpus": new_docs, "v2_chunks": chunks, "v2_buckets": buckets},
+        state_dir,
+        wave_id,
+        fs=fs,
+    )
+    if versions is None:  # replayed, already-committed wave
+        versions = multi_table_batches(state_dir, fs=fs)[str(wave_id)]
+    return {
+        "wave_id": wave_id,
+        "incoming": new_docs.count(),
+        "corpus_version": versions["v2_corpus"],
+        "chunks_version": versions["v2_chunks"],
+        "buckets_version": versions["v2_buckets"],
+    }
+
+
+def _read_all_waves(spark: SparkSession, state_dir: str, name: str, fs=None):
+    ledger = multi_table_batches(state_dir, fs=fs)
+    versions = sorted(vs[name] for vs in ledger.values() if name in vs)
+    if not versions:
+        raise FileNotFoundError(f"no committed {name} waves at {state_dir}")
+    parts = [
+        read_multi_table(spark, state_dir, name, version=v, fs=fs)
+        for v in versions
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def materialize_v2_shards(
+    spark: SparkSession,
+    state_dir: str,
+    target_lang: str = "en",
+    dup_threshold: float = 0.25,
+    top_n: int = 300,
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    n_buckets: int = 256,
+    n_shards: int = 16,
+    fs=None,
+) -> DataFrame:
+    """Materialize the v2 training shards from committed wave summaries:
+    CDC gate (dup_fraction over FINAL cross-wave digest counts) -> DSIR
+    top-n (ratio table from the post-gate bucket sums; the per-doc decimal
+    sum folds bucket counts, exactly equal to the one-shot per-token sum)
+    -> shard+pos order. Identical output to queries.curation_v2_shards on
+    the union corpus, without re-reading any document text."""
+    from ..operators.sampling import training_shard_order
+
+    chunks = _read_all_waves(spark, state_dir, "v2_chunks", fs=fs)
+    buckets = _read_all_waves(spark, state_dir, "v2_buckets", fs=fs)
+    corpus = _read_all_waves(spark, state_dir, "v2_corpus", fs=fs)
+
+    counts = chunks.groupBy("chunk_digest").agg(F.count(F.lit(1)).alias("_n"))
+    dup = F.sum(F.when(F.col("_n") > 1, 1).otherwise(0))
+    stats = (
+        chunks.join(counts, "chunk_digest")
+        .groupBy(id_col)
+        .agg(
+            F.round(dup.cast("double") / F.count(F.lit(1)), 6).alias(
+                "dup_fraction"
+            )
+        )
+    )
+    gated = stats.filter(F.col("dup_fraction") <= dup_threshold).select(id_col)
+
+    bs = buckets.join(gated, id_col)
+    bcounts = bs.groupBy("b").agg(
+        F.sum("n").alias("_cc"),
+        F.sum(F.when(F.col(lang_col) == target_lang, F.col("n")).otherwise(0)).alias(
+            "_ct"
+        ),
+    )
+    totals = bcounts.agg(F.sum("_cc").alias("_nc"), F.sum("_ct").alias("_nt"))
+    weights = F.broadcast(
+        bcounts.crossJoin(F.broadcast(totals)).select(
+            "b",
+            (
+                ((F.col("_ct") + 1) * (F.col("_nc") + n_buckets)).cast("double")
+                / ((F.col("_cc") + 1) * (F.col("_nt") + n_buckets)).cast("double")
+            )
+            .cast("decimal(18,9)")
+            .alias("_ratio"),
+        )
+    )
+    scored = (
+        bs.join(weights, "b")
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.sum(F.col("_ratio") * F.col("n")).cast("double")
+                / F.sum("n"),
+                6,
+            ).alias("imp_weight")
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.col("imp_weight").desc(), F.col(id_col).asc())
+    picked = (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= top_n)
+        .select(id_col)
+    )
+    survivors = corpus.join(picked, id_col)
+    return training_shard_order(survivors, id_col=id_col, n_shards=n_shards)

@@ -128,3 +128,55 @@ def test_read_corpus_ignores_orphans_and_empty_state(spark, tmp_path):
     )
     rows = inc.read_corpus(spark, state).collect()
     assert [r.doc_id for r in rows] == [1]  # not doubled
+
+
+def test_v2_waves_plus_replay_match_one_shot_shards(spark, sf_dir, tmp_path):
+    """Curation v2 run incrementally: two waves (the second crash-injected
+    at the commit point, then replayed) followed by materialize must
+    produce BYTE-IDENTICAL shard assignments to the one-shot
+    curation_v2_shards plan over the union corpus — the CDC gate, DSIR
+    ranking, and shard order all resolve from committed summaries alone."""
+    import pytest
+
+    from data_pipelines_cu_spark.operators import table as vt
+    from data_pipelines_cu_spark.queries import all_queries
+
+    class CrashAtPublish(vt.LocalTableFS):
+        def __init__(self):
+            self.crash_next_put = False
+
+        def put_text(self, path, text, if_match=None):
+            if self.crash_next_put:
+                self.crash_next_put = False
+                raise RuntimeError("simulated crash at the commit point")
+            super().put_text(path, text, if_match)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w1 = docs.filter("doc_id % 2 = 0")
+    w2 = docs.filter("doc_id % 2 = 1")
+    state = str(tmp_path / "v2state")
+    fs = CrashAtPublish()
+
+    inc.ingest_wave_v2(spark, w1, state, wave_id=1, fs=fs)
+    fs.crash_next_put = True
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        inc.ingest_wave_v2(spark, w2, state, wave_id=2, fs=fs)
+    # crash left wave 2 entirely uncommitted
+    assert set(vt.multi_table_batches(state, fs=fs)) == {"1"}
+    # replay commits all three summary tables under one manifest put
+    r2 = inc.ingest_wave_v2(spark, w2, state, wave_id=2, fs=fs)
+    assert set(vt.multi_table_batches(state, fs=fs)) == {"1", "2"}
+
+    got = sorted(
+        (r.doc_id, r.shard, r.pos)
+        for r in inc.materialize_v2_shards(spark, state, fs=fs).collect()
+    )
+    want = sorted(
+        (r.doc_id, r.shard, r.pos)
+        for r in all_queries()["curation_v2_shards"].fn(spark, sf_dir).collect()
+    )
+    assert got == want and len(got) > 0
+
+    # double-replay of an already-committed wave is a ledger no-op
+    r2b = inc.ingest_wave_v2(spark, w2, state, wave_id=2, fs=fs)
+    assert r2b["corpus_version"] == r2["corpus_version"]
