@@ -487,8 +487,17 @@ def nb_lang_predict(
         tot.select(F.col(label_col).alias("cand"), "nv")
     )
     cand_pr = F.broadcast(priors.select(F.col(label_col).alias("cand"), "pr"))
+    # Compress the doc's token stream to (feature, multiplicity) BEFORE the
+    # ×n_langs candidate fan-out: the shuffled rows are docs × distinct
+    # features (≤ n_buckets each) instead of tokens × langs. The posterior
+    # stays bit-identical to the per-token fold — the per-token sort order
+    # was (feature asc, pw), i.e. each feature's n identical multiplies run
+    # consecutively, exactly what the inner sequence-fold replays.
+    dbc = words.groupBy(id_col, label_col, "w").agg(
+        F.count(F.lit(1)).alias("mult")
+    )
     pairs = (
-        words.crossJoin(langs)
+        dbc.crossJoin(langs)
         .join(cand_counts, ["cand", "w"], "left")
         .join(cand_tot, "cand")
         .withColumn(
@@ -501,12 +510,13 @@ def nb_lang_predict(
         pairs.groupBy(id_col, label_col, "cand")
         .agg(
             F.aggregate(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("w", "pw"))),
-                    lambda x: x["pw"],
-                ),
+                F.array_sort(F.collect_list(F.struct("w", "mult", "pw"))),
                 F.lit(1.0),
-                lambda acc, p: acc * p,
+                lambda acc, x: F.aggregate(
+                    F.sequence(F.lit(1).cast("long"), x["mult"]),
+                    acc,
+                    lambda a, _: a * x["pw"],
+                ),
             ).alias("lik")
         )
         .join(cand_pr, "cand")

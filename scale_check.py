@@ -46,6 +46,8 @@ HEAVY = [
     "cdc_chunk_dup",
     "ann_ivfpq_topk",
     "nb_lang_predict",
+    # round-5: the production-shaped composition end-to-end
+    "curation_v2_shards",
 ]
 
 # Optional subset filter: SPARK_GRAFT_SCALE_ONLY="a,b" runs just those.
