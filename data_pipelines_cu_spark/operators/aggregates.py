@@ -370,3 +370,78 @@ def robust_outlier_oracle_sql(
     FROM dev JOIN mad ON dev.g = mad.g
     GROUP BY dev.g, dev.med, mad.mad
     """
+
+
+# --- Integer-exact seasonal anomaly gate -------------------------------------
+# Daily volume anomalies against a day-of-week baseline (weekday
+# seasonality is the dominant cycle in event feeds; a global mean flags
+# every weekend). The k-sigma test is evaluated WITHOUT computing sigma:
+#   (x - mean)^2 > k^2 * var   <=>   (n*x - s)^2 > k^2 * (n*ss - s^2)
+# over per-weekday count sums s = sum(c), ss = sum(c^2) — every term an
+# exact integer, so the flag (and therefore the value hash) is
+# engine-independent; only the REPORTED mean takes one rounded division.
+
+
+def daily_count_anomalies(
+    df: DataFrame,
+    ts_col: str = "ts",
+    k: int = 2,
+) -> DataFrame:
+    """(event_date, dow, n_events, dow_mean, is_anomaly): events per day,
+    the day's weekday index (0=Mon), that weekday's mean daily count, and
+    the exact-integer k-sigma flag. One date-keyed count, one 7-row
+    weekday aggregate broadcast back — nothing here grows with corpus
+    size except the first count's shuffle (date-keyed, bounded by the
+    calendar)."""
+    daily = df.groupBy(
+        F.date_format(F.col(ts_col), "yyyy-MM-dd").alias("event_date")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    daily = daily.withColumn(
+        "dow", F.weekday(F.to_date("event_date")).cast("int")
+    )
+    base = F.broadcast(
+        daily.groupBy("dow").agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("n_events").alias("_s"),
+            F.sum(F.col("n_events") * F.col("n_events")).alias("_ss"),
+        )
+    )
+    dev = F.col("_n") * F.col("n_events") - F.col("_s")
+    var_n2 = F.col("_n") * F.col("_ss") - F.col("_s") * F.col("_s")
+    return (
+        daily.join(base, "dow")
+        .select(
+            "event_date",
+            "dow",
+            "n_events",
+            F.round(F.col("_s").cast("double") / F.col("_n"), 6).alias(
+                "dow_mean"
+            ),
+            (dev * dev > F.lit(k * k) * var_n2).alias("is_anomaly"),
+        )
+    )
+
+
+def daily_anomalies_sql(
+    table: str = "events", ts_col: str = "ts", k: int = 2
+) -> str:
+    """DuckDB twin of daily_count_anomalies (same integer inequality,
+    same weekday convention: isodow-1 = Spark weekday, 0=Mon)."""
+    return f"""
+    WITH daily AS (
+        SELECT strftime(CAST({ts_col} AS DATE), '%Y-%m-%d') AS event_date,
+               CAST(isodow(CAST({ts_col} AS DATE)) - 1 AS INT) AS dow,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM {table} GROUP BY 1, 2
+    ),
+    base AS (
+        SELECT dow, COUNT(*) AS n, SUM(n_events) AS s,
+               SUM(n_events * n_events) AS ss
+        FROM daily GROUP BY dow
+    )
+    SELECT event_date, daily.dow, n_events,
+           ROUND(CAST(s AS DOUBLE) / n, 6) AS dow_mean,
+           ((n * n_events - s) * (n * n_events - s)
+            > {k * k} * (n * ss - s * s)) AS is_anomaly
+    FROM daily JOIN base ON daily.dow = base.dow
+    """

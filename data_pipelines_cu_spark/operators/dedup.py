@@ -1863,3 +1863,79 @@ def longest_dup_span_oracle_sql(
                 ELSE per.longest + {n - 1} END AS longest_dup_span_tokens
     FROM {table} d LEFT JOIN per ON d.{id_col} = per.{id_col}
     """
+
+
+# --- N-gram novelty (first-occurrence attribution) ---------------------------
+# Per-doc "how much of this document is NEW text": the fraction of its
+# distinct n-grams whose first corpus occurrence (min doc_id) is this doc.
+# The complement of coverage-style dup metrics — dup_fraction asks "is this
+# text repeated anywhere", novelty asks "did it appear HERE first", which is
+# the signal an ordered-ingest pipeline uses to price a source's marginal
+# contribution (a mirror that re-posts old content scores ~0 even though
+# its docs are not exact dups of any single earlier doc).
+
+
+def ngram_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """(id, n_grams, n_novel, novelty): distinct word-``n``-gram count per
+    doc, how many of them first occur in this doc (corpus-wide min id),
+    and the novel fraction. Docs with fewer than ``n`` words emit no row
+    (they have no n-grams to attribute).
+
+    Distributed shape: grams leave the doc as 32-byte md5 digests; ONE
+    digest-keyed shuffle computes first-occurrence ids; the join back is
+    digest-keyed too. Never shuffles text; linear in corpus gram count."""
+    sets = ngram_sets(df, text_col, id_col, n)
+    rows = sets.select(F.col(id_col), F.explode("grams").alias("_raw")).select(
+        F.col(id_col), F.md5("_raw").alias("_g")
+    )
+    firsts = rows.groupBy("_g").agg(F.min(id_col).alias("_first"))
+    novel = F.sum(F.when(F.col("_first") == F.col(id_col), 1).otherwise(0))
+    return (
+        rows.join(firsts, "_g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            novel.alias("n_novel"),
+            F.round(
+                novel.cast("double") / F.count(F.lit(1)), 6
+            ).alias("novelty"),
+        )
+    )
+
+
+def ngram_novelty_oracle_sql(
+    table: str = "documents",
+    text_expr: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> str:
+    """DuckDB twin of ngram_novelty (same distinct grams, same md5 keys,
+    same min-id attribution)."""
+    norm = f"regexp_replace(lower(trim({text_expr})), '\\s+', ' ', 'g')"
+    gram = " || ' ' || ".join(f"ws[i+{j}]" for j in range(n))
+    return f"""
+    WITH words AS (
+        SELECT {id_col}, string_split({norm}, ' ') AS ws FROM {table}
+    ),
+    grams AS (
+        SELECT DISTINCT {id_col}, md5({gram}) AS g
+        FROM (SELECT {id_col}, ws,
+                     unnest(CASE WHEN len(ws) >= {n}
+                            THEN range(1, len(ws) - {n - 2}) ELSE [] END) AS i
+              FROM words)
+    ),
+    firsts AS (SELECT g, MIN({id_col}) AS f FROM grams GROUP BY g)
+    SELECT {id_col},
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN f = {id_col} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel,
+           ROUND(CAST(SUM(CASE WHEN f = {id_col} THEN 1 ELSE 0 END) AS BIGINT)
+                 ::DOUBLE / COUNT(*), 6) AS novelty
+    FROM grams JOIN firsts USING (g)
+    GROUP BY {id_col}
+    """

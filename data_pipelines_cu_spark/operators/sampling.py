@@ -723,3 +723,49 @@ def leakage_safe_split_report(
         )
         .crossJoin(F.broadcast(leaks))
     )
+
+
+# --- Stratified k-fold assignment --------------------------------------------
+# Cross-validation folds that preserve the label mixture: within each
+# stratum, rank by content-addressed md5 order (stable under
+# repartitioning and engine changes — the quota-sample discipline) and
+# deal round-robin, so every fold holds floor/ceil(n_g / k) rows of each
+# stratum. Purely rank arithmetic: fold sizes are exactly balanced, not
+# balanced in expectation like independent hashing.
+
+
+def stratified_kfold(
+    df: DataFrame,
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    k: int = 5,
+    salt: str = "fold",
+) -> DataFrame:
+    """(key, stratum, fold): round-robin deal of each stratum's
+    md5-ordered rows into ``k`` folds. One window per stratum; no data
+    moves except the (key, stratum) projection."""
+    h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    w = Window.partitionBy(strata_col).orderBy(h, F.col(key_col))
+    return df.select(
+        F.col(key_col),
+        F.col(strata_col),
+        ((F.row_number().over(w) - 1) % k).cast("int").alias("fold"),
+    )
+
+
+def stratified_kfold_sql(
+    table: str = "documents",
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    k: int = 5,
+    salt: str = "fold",
+) -> str:
+    """DuckDB twin of stratified_kfold."""
+    return f"""
+    SELECT {key_col}, {strata_col},
+           CAST((ROW_NUMBER() OVER (
+               PARTITION BY {strata_col}
+               ORDER BY md5('{salt}' || CAST({key_col} AS VARCHAR)),
+                        {key_col}) - 1) % {k} AS INT) AS fold
+    FROM {table}
+    """

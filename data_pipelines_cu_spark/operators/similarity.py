@@ -2113,3 +2113,112 @@ def ivfpq_topk_oracle_sql(
     SELECT query_id, neighbor_id, cos_ivfpq, cos_exact, abs_err, rank
     FROM ranked WHERE rank <= {k_neighbors}
     """
+
+
+# --- Hard-negative triplet mining --------------------------------------------
+# Contrastive-training data prep (the metric-learning classic): for each
+# anchor, the most-similar SAME-label vector (the positive) and the
+# most-similar DIFFERENT-label vector (the hard negative) — pairs whose
+# margin is small or negative are exactly the triplets a contrastive loss
+# learns most from. Anchors are a bounded broadcast set (the repo's ANN
+# query-set contract); at 100 TB the corpus side streams, anchors batch.
+
+
+def hard_negative_pairs(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """(anchor_id, label, pos_id, pos_cos, neg_id, neg_cos, margin) per
+    anchor: top-1 same-label and top-1 different-label cosine neighbor
+    (ties: cos DESC, id ASC) and the positive-negative margin. Anchors
+    with no same-label or no cross-label counterpart drop (inner joins).
+
+    Plan: broadcast anchors × one corpus scan; ONE window ranks both
+    branches (partitioned by anchor × same-label flag); no corpus-corpus
+    pair ever materializes."""
+    q = F.broadcast(
+        anchors.select(
+            F.col(id_col).alias("anchor_id"),
+            F.col(label_col).alias("label"),
+            F.col(vec_col).alias("qv"),
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(label_col).alias("_cl"),
+        F.col(vec_col).alias("cv"),
+    )
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("anchor_id") != F.col("cand_id"))
+        .select(
+            "anchor_id",
+            "label",
+            "cand_id",
+            (F.col("_cl") == F.col("label")).alias("_same"),
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("_cos"),
+        )
+    )
+    from .windows import topk_per_group  # noqa: PLC0415
+
+    best = topk_per_group(
+        scored,
+        ["anchor_id", "_same"],
+        [F.col("_cos").desc(), F.col("cand_id").asc()],
+        k=1,
+        rank_col="_r",
+    )
+    pos = best.filter(F.col("_same")).select(
+        "anchor_id",
+        "label",
+        F.col("cand_id").alias("pos_id"),
+        F.col("_cos").alias("pos_cos"),
+    )
+    neg = best.filter(~F.col("_same")).select(
+        "anchor_id",
+        F.col("cand_id").alias("neg_id"),
+        F.col("_cos").alias("neg_cos"),
+    )
+    return pos.join(neg, "anchor_id").select(
+        "anchor_id",
+        "label",
+        "pos_id",
+        "pos_cos",
+        "neg_id",
+        "neg_cos",
+        F.round(F.col("pos_cos") - F.col("neg_cos"), 6).alias("margin"),
+    )
+
+
+def hard_negative_oracle_sql(
+    n_anchors: int = 10, table: str = "embeddings"
+) -> str:
+    """DuckDB twin of hard_negative_pairs (same rounded cosine, same
+    tie order, same inner-join drop semantics)."""
+    cos = _cos_sql("q.qv", "c.cv")
+    return f"""
+    WITH q AS (SELECT vec_id AS anchor_id, label, embedding AS qv
+               FROM {table} WHERE vec_id < {n_anchors}),
+         c AS (SELECT vec_id AS cand_id, label AS cl, embedding AS cv
+               FROM {table}),
+         scored AS (
+            SELECT q.anchor_id, q.label, c.cand_id,
+                   (c.cl = q.label) AS same,
+                   ROUND({cos}, 6) AS cos_sim
+            FROM q CROSS JOIN c WHERE q.anchor_id <> c.cand_id),
+         ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id, same
+                       ORDER BY cos_sim DESC, cand_id) AS r
+            FROM scored),
+         pos AS (SELECT anchor_id, label, cand_id AS pos_id,
+                        cos_sim AS pos_cos
+                 FROM ranked WHERE r = 1 AND same),
+         neg AS (SELECT anchor_id, cand_id AS neg_id, cos_sim AS neg_cos
+                 FROM ranked WHERE r = 1 AND NOT same)
+    SELECT pos.anchor_id, label, pos_id, pos_cos, neg_id, neg_cos,
+           ROUND(pos_cos - neg_cos, 6) AS margin
+    FROM pos JOIN neg USING (anchor_id)
+    """

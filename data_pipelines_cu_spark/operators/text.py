@@ -1077,3 +1077,277 @@ def source_tv_drift_oracle_sql(
     CROSS JOIN nc
     GROUP BY st.source, ns.n_s, nc.n_c
     """
+
+
+# --- Cross-source quality calibration (quantile normalization) ---------------
+# Heuristic quality scores are not comparable across sources (a forum's
+# median doc scores lower than an encyclopedia's for reasons other than
+# usefulness); mixing sources by RAW score over-prunes whole sources. The
+# standard fix is quantile normalization: map each doc to the GLOBAL score
+# at its within-source quantile position. Selection-based (no
+# interpolation), mirroring the repo's lower-median discipline, so the
+# calibrated scores are exact multiset members and hash-gate cleanly.
+
+
+def quality_quantile_calibrate(
+    df: DataFrame,
+    score_col: str = "quality",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, group, score, src_rank, calibrated): each doc's within-source
+    rank r (score, id order), mapped to the global sorted score at
+    position ceil(r * N / n_src) — pure integer rank arithmetic plus one
+    selection, no interpolation.
+
+    Plan: one per-source window + one global-order window + a rank-keyed
+    join. The global window is the scale bound — at 100 TB replace it
+    with the two-level blocked prefix rank (operators/sampling.py's
+    systematic sampler) or the mergeable histogram sketch; the report
+    shape is unchanged."""
+    from pyspark.sql import Window as W  # noqa: PLC0415
+
+    n_total = df.count()
+    ws = W.partitionBy(group_col).orderBy(score_col, id_col)
+    ranked = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col(score_col),
+        F.row_number().over(ws).alias("src_rank"),
+        F.count(F.lit(1)).over(W.partitionBy(group_col)).alias("_n_src"),
+    )
+    # ceil(r*N / n_src) in exact integer arithmetic
+    target = (
+        (F.col("src_rank") * F.lit(n_total) + F.col("_n_src") - 1)
+        / F.col("_n_src")
+    ).cast("long")
+    wg = W.orderBy(score_col, id_col)
+    glob = df.select(
+        F.col(score_col).alias("_gscore"),
+        F.row_number().over(wg).alias("_grank"),
+    )
+    return (
+        ranked.withColumn("_target", target)
+        .join(glob, F.col("_target") == F.col("_grank"))
+        .select(
+            id_col,
+            group_col,
+            score_col,
+            "src_rank",
+            F.col("_gscore").alias("calibrated"),
+        )
+    )
+
+
+def quantile_calibrate_sql(
+    table: str = "documents",
+    score_sql: str | None = None,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of quality_quantile_calibrate over a scored subquery
+    (``score_sql`` defaults to the quality_oracle_sql scorer)."""
+    if score_sql is None:
+        inner = quality_oracle_sql(table=table)
+        score_sql = (
+            f"(SELECT s.{id_col}, t.{group_col}, s.quality"
+            f" FROM ({inner}) s JOIN {table} t ON s.{id_col} = t.{id_col})"
+        )
+    return f"""
+    WITH scored AS (SELECT * FROM {score_sql} sc),
+    ranked AS (
+        SELECT {id_col}, {group_col}, quality,
+               ROW_NUMBER() OVER (PARTITION BY {group_col}
+                                  ORDER BY quality, {id_col}) AS src_rank,
+               COUNT(*) OVER (PARTITION BY {group_col}) AS n_src,
+               COUNT(*) OVER () AS n_total
+        FROM scored
+    ),
+    gq AS (
+        SELECT quality AS gscore,
+               ROW_NUMBER() OVER (ORDER BY quality, {id_col}) AS grank
+        FROM scored
+    )
+    SELECT {id_col}, {group_col}, quality,
+           CAST(src_rank AS BIGINT) AS src_rank,
+           gscore AS calibrated
+    FROM ranked JOIN gq
+      ON ((src_rank * n_total + n_src - 1) // n_src) = grank
+    """
+
+
+# --- Sliding-window chunking (RAG / context-window prep) ---------------------
+# doc_token_chunks slices disjoint windows; retrieval pipelines overlap them
+# (stride < window) so no answer span straddles a boundary unseen. Chunk
+# identity is the md5 of the joined tokens — the digest a retrieval index
+# dedups and addresses by.
+
+
+def sliding_token_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 64,
+    stride: int = 32,
+) -> DataFrame:
+    """(id, chunk_idx, n_tokens, chunk_hash) for half-open token windows
+    [idx*stride, idx*stride + window): every doc emits
+    1 + ceil(max(n - window, 0) / stride) chunks (the final chunk may be
+    short; a doc shorter than one window emits exactly one chunk).
+    Row-local explode — no shuffle at all until a consumer aggregates."""
+    from .dedup import normalized_text  # noqa: PLC0415 (cycle guard)
+
+    words = df.select(
+        F.col(id_col), F.split(normalized_text(text_col), " ").alias("_ws")
+    )
+    n = F.size("_ws")
+    extra = F.greatest(n - window, F.lit(0))
+    last = ((extra + stride - 1) / stride).cast("int")
+    idx = F.sequence(F.lit(0), last)
+    chunks = words.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    i.alias("chunk_idx"),
+                    F.slice(F.col("_ws"), i * stride + 1, window).alias("_c"),
+                ),
+            )
+        ).alias("_ch"),
+    )
+    return chunks.select(
+        id_col,
+        F.col("_ch.chunk_idx").alias("chunk_idx"),
+        F.size("_ch._c").cast("long").alias("n_tokens"),
+        F.md5(F.array_join("_ch._c", " ")).alias("chunk_hash"),
+    )
+
+
+def sliding_chunks_sql(
+    table: str = "documents",
+    text_expr: str = "text",
+    id_col: str = "doc_id",
+    window: int = 64,
+    stride: int = 32,
+) -> str:
+    """DuckDB twin of sliding_token_chunks (same half-open windows, same
+    md5 chunk identity)."""
+    norm = f"regexp_replace(lower(trim({text_expr})), '\\s+', ' ', 'g')"
+    return f"""
+    WITH words AS (
+        SELECT {id_col}, string_split({norm}, ' ') AS ws FROM {table}
+    ),
+    idx AS (
+        SELECT {id_col}, ws,
+               unnest(range(0, 1 + (greatest(len(ws) - {window}, 0)
+                                    + {stride} - 1) // {stride})) AS i
+        FROM words
+    )
+    SELECT {id_col},
+           CAST(i AS INT) AS chunk_idx,
+           CAST(len(ws[i * {stride} + 1 : i * {stride} + {window}]) AS BIGINT)
+               AS n_tokens,
+           md5(array_to_string(
+               ws[i * {stride} + 1 : i * {stride} + {window}], ' '))
+               AS chunk_hash
+    FROM idx
+    """
+
+
+# --- Sentence-level language consistency -------------------------------------
+# A doc whose labeled language disagrees with the majority of its
+# SENTENCES is either mislabeled or code-mixed — both are filter signals a
+# doc-level lang-id misses (the doc-level vote drowns a 40% minority
+# language). Reuses the stopword-hit CASE chain of with_lang_id per
+# sentence, so both engines classify sentences with literally the same
+# function.
+
+
+def lang_consistency(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    label_col: str = "lang",
+) -> DataFrame:
+    """(id, lang, n_sentences, majority_lang, n_majority, consistent):
+    split into sentences on [.!?]+, classify each with the stopword
+    lang-id, majority-vote (ties: count DESC, lang ASC), compare to the
+    label. Docs with no non-empty sentence emit no row."""
+    sents = df.select(
+        F.col(id_col),
+        F.col(label_col),
+        F.explode(F.split(F.col(text_col), r"[.!?]+")).alias("_s"),
+    ).filter(F.length(F.trim("_s")) > 0)
+    tagged = with_lang_id(sents, text_col="_s", out="_sl")
+    counts = tagged.groupBy(id_col, label_col, "_sl").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    from .windows import topk_per_group  # noqa: PLC0415
+
+    totals = counts.groupBy(id_col, label_col).agg(
+        F.sum("_c").alias("n_sentences")
+    )
+    best = topk_per_group(
+        counts,
+        [id_col],
+        [F.col("_c").desc(), F.col("_sl").asc()],
+        k=1,
+        rank_col="_r",
+    )
+    return (
+        totals.join(
+            best.select(
+                id_col,
+                F.col("_sl").alias("majority_lang"),
+                F.col("_c").alias("n_majority"),
+            ),
+            id_col,
+        )
+        .select(
+            id_col,
+            F.col(label_col),
+            F.col("n_sentences").cast("long").alias("n_sentences"),
+            "majority_lang",
+            F.col("n_majority").cast("long").alias("n_majority"),
+            (F.col("majority_lang") == F.col(label_col)).alias("consistent"),
+        )
+    )
+
+
+def lang_consistency_sql(
+    table: str = "documents",
+    text_expr: str = "text",
+    id_col: str = "doc_id",
+    label_col: str = "lang",
+) -> str:
+    """DuckDB twin of lang_consistency (same sentence split, same CASE
+    chain, same majority tie order)."""
+    case = lang_id_case_sql("s")
+    return f"""
+    WITH sents AS (
+        SELECT {id_col}, {label_col}, s
+        FROM (SELECT {id_col}, {label_col},
+                     unnest(regexp_split_to_array({text_expr}, '[.!?]+')) AS s
+              FROM {table})
+        WHERE length(trim(s)) > 0
+    ),
+    tagged AS (SELECT {id_col}, {label_col}, ({case}) AS sl FROM sents),
+    counts AS (
+        SELECT {id_col}, {label_col}, sl, COUNT(*) AS c
+        FROM tagged GROUP BY 1, 2, 3
+    ),
+    totals AS (
+        SELECT {id_col}, {label_col}, CAST(SUM(c) AS BIGINT) AS n_sentences
+        FROM counts GROUP BY 1, 2
+    ),
+    best AS (
+        SELECT {id_col}, sl AS majority_lang, CAST(c AS BIGINT) AS n_majority
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY {id_col}
+                         ORDER BY c DESC, sl) AS r FROM counts)
+        WHERE r = 1
+    )
+    SELECT t.{id_col}, t.{label_col}, n_sentences, majority_lang, n_majority,
+           (majority_lang = t.{label_col}) AS consistent
+    FROM totals t JOIN best USING ({id_col})
+    """

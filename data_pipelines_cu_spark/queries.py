@@ -5253,6 +5253,81 @@ def event_value_outliers_q(spark, sf_dir):
     return agg.robust_outlier_stats(ev, ["event_type"], "value", k=3.0)
 
 
+# ---------------------------------------------------------------------------
+# Round 5 — curation additions: novelty attribution, triplet mining,
+# cross-source calibration, seasonal anomaly gate, k-fold, RAG chunking,
+# sentence-level language consistency.
+# ---------------------------------------------------------------------------
+@register("doc_ngram_novelty", dd.ngram_novelty_oracle_sql())
+def doc_ngram_novelty_q(spark, sf_dir):
+    """Per-doc 5-gram novelty: fraction of the doc's distinct 5-grams
+    whose FIRST corpus occurrence (min doc_id) is this doc — the marginal
+    -contribution signal for ordered ingest (a mirror re-posting old
+    content scores ~0 without being an exact dup of anything). Grams
+    shuffle as md5 digests only (operators/dedup.py::ngram_novelty)."""
+    return dd.ngram_novelty(_t(spark, sf_dir, "documents"))
+
+
+@register("hard_negative_mining", sim.hard_negative_oracle_sql(n_anchors=10))
+def hard_negative_mining_q(spark, sf_dir):
+    """Contrastive triplet mining: per anchor, the top-1 same-label and
+    top-1 cross-label cosine neighbor and their margin — small/negative
+    margins are the triplets a metric-learning loss needs. Broadcast
+    anchor set × one corpus scan; one window ranks both branches
+    (operators/similarity.py::hard_negative_pairs)."""
+    em = _t(spark, sf_dir, "embeddings")
+    anchors = em.filter(F.col("vec_id") < 10)
+    return sim.hard_negative_pairs(em, anchors)
+
+
+@register("quality_calibrated_scores", tx.quantile_calibrate_sql())
+def quality_calibrated_scores_q(spark, sf_dir):
+    """Cross-source quality calibration: each doc's score maps to the
+    GLOBAL score at its within-source quantile position (exact rank
+    selection, no interpolation), so sources with shifted score
+    distributions stop being over/under-pruned by one raw threshold
+    (operators/text.py::quality_quantile_calibrate)."""
+    d = _t(spark, sf_dir, "documents")
+    scored = tx.with_quality_score(d).select("doc_id", "source", "quality")
+    return tx.quality_quantile_calibrate(scored)
+
+
+@register("daily_count_anomalies", agg.daily_anomalies_sql())
+def daily_count_anomalies_q(spark, sf_dir):
+    """Daily event-volume anomalies vs a day-of-week baseline, flagged by
+    the 2-sigma test in EXACT integer arithmetic:
+    (n*x - s)^2 > 4*(n*ss - s^2) — no sigma, no sqrt, so the flag
+    hash-gates byte-for-byte (operators/aggregates.py::daily_count_anomalies)."""
+    return agg.daily_count_anomalies(_t(spark, sf_dir, "events"))
+
+
+@register("stratified_kfold_assign", smp.stratified_kfold_sql())
+def stratified_kfold_assign_q(spark, sf_dir):
+    """Deterministic stratified 5-fold assignment: round-robin deal of
+    each language's md5-ordered docs — every fold holds floor/ceil(n/k)
+    of each stratum EXACTLY, not in expectation
+    (operators/sampling.py::stratified_kfold)."""
+    return smp.stratified_kfold(_t(spark, sf_dir, "documents"))
+
+
+@register("sliding_window_chunks", tx.sliding_chunks_sql())
+def sliding_window_chunks_q(spark, sf_dir):
+    """Overlapping token windows (64-token window, 32-token stride) with
+    md5 chunk identity — the RAG chunking shape where no answer span can
+    straddle a boundary unseen. Row-local explode, zero shuffle
+    (operators/text.py::sliding_token_chunks)."""
+    return tx.sliding_token_chunks(_t(spark, sf_dir, "documents"))
+
+
+@register("doc_lang_consistency", tx.lang_consistency_sql())
+def doc_lang_consistency_q(spark, sf_dir):
+    """Sentence-level language consistency: split docs into sentences,
+    classify each with the stopword lang-id, majority-vote, and compare
+    to the doc's label — catches mislabeled and code-mixed docs that a
+    doc-level vote drowns (operators/text.py::lang_consistency)."""
+    return tx.lang_consistency(_t(spark, sf_dir, "documents"))
+
+
 # Queries with a green row in CORRECTNESS_r01.json (driver gate, round 1).
 # The driver verifies queries in registration order and stopped at 50 in
 # round 1, so all_queries() front-loads the not-yet-gated entries each round
