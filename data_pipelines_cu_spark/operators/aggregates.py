@@ -445,3 +445,178 @@ def daily_anomalies_sql(
             > {k * k} * (n * ss - s * s)) AS is_anomaly
     FROM daily JOIN base ON daily.dow = base.dow
     """
+
+
+# --- Winsorized statistics (selection-exact tail clipping) -------------------
+# The mean-with-outliers fix that KEEPS the rows (robust_outlier_stats
+# rejects them): clip each group's values at the exact p05/p95 SELECTION
+# members (rank ceil(q*n) of the sorted multiset — no interpolation, so
+# the clip bounds are bit-identical across engines) and report the
+# winsorized mean next to the raw mean.
+
+
+def winsorized_stats(
+    df: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    lo_pct: int = 5,
+    hi_pct: int = 95,
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """(group, n, lo_cut, hi_cut, n_clipped, raw_mean, winsor_mean):
+    cut points are the sorted-multiset members at ranks ceil(n*lo/100)
+    (floored at 1) and ceil(n*hi/100); means are exact decimal sums with
+    one final rounded division (the decimal_avg discipline).
+
+    Plan: one group-local sort window for ranks, a group-keyed broadcast
+    join of the 2-row-per-group cut table, one aggregate. The window is
+    the exact path; at 100 TB swap selection for the mergeable histogram
+    sketch (operators/sketches.py) — same report shape."""
+    from pyspark.sql import Window as W  # noqa: PLC0415
+
+    w = W.partitionBy(group_col).orderBy(value_col, order_tiebreak)
+    ranked = df.select(
+        F.col(group_col),
+        F.col(value_col).cast("double").alias("_v"),
+        F.row_number().over(w).alias("_r"),
+        F.count(F.lit(1)).over(W.partitionBy(group_col)).alias("_n"),
+    )
+    lo_rank = F.greatest(F.lit(1), ((F.col("_n") * lo_pct + 99) / 100).cast("long"))
+    hi_rank = ((F.col("_n") * hi_pct + 99) / 100).cast("long")
+    cuts = F.broadcast(
+        ranked.groupBy(group_col).agg(
+            F.max(F.when(F.col("_r") == lo_rank, F.col("_v"))).alias("_lo"),
+            F.max(F.when(F.col("_r") == hi_rank, F.col("_v"))).alias("_hi"),
+        )
+    )
+    clipped = F.least(F.greatest(F.col("_v"), F.col("_lo")), F.col("_hi"))
+    return (
+        ranked.join(cuts, group_col)
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("_lo").alias("lo_cut"),
+            F.max("_hi").alias("hi_cut"),
+            F.sum(
+                F.when(
+                    (F.col("_v") < F.col("_lo")) | (F.col("_v") > F.col("_hi")), 1
+                ).otherwise(0)
+            ).alias("n_clipped"),
+            F.round(decimal_avg(F.col("_v")), 6).alias("raw_mean"),
+            F.round(decimal_avg(clipped, F.col("_v")), 6).alias("winsor_mean"),
+        )
+    )
+
+
+def winsorized_stats_sql(
+    table: str = "events",
+    group_col: str = "event_type",
+    value_col: str = "value",
+    lo_pct: int = 5,
+    hi_pct: int = 95,
+    order_tiebreak: str = "event_id",
+) -> str:
+    """DuckDB twin of winsorized_stats (same selection ranks, same decimal
+    sums)."""
+    return f"""
+    WITH ranked AS (
+        SELECT {group_col}, CAST({value_col} AS DOUBLE) AS v,
+               ROW_NUMBER() OVER (PARTITION BY {group_col}
+                                  ORDER BY {value_col}, {order_tiebreak}) AS r,
+               COUNT(*) OVER (PARTITION BY {group_col}) AS n
+        FROM {table}
+    ),
+    cuts AS (
+        SELECT {group_col},
+               MAX(CASE WHEN r = greatest(1, (n * {lo_pct} + 99) // 100)
+                        THEN v END) AS lo,
+               MAX(CASE WHEN r = (n * {hi_pct} + 99) // 100 THEN v END) AS hi
+        FROM ranked GROUP BY {group_col}
+    )
+    SELECT ranked.{group_col},
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MAX(lo) AS lo_cut,
+           MAX(hi) AS hi_cut,
+           CAST(SUM(CASE WHEN v < lo OR v > hi THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clipped,
+           ROUND(CAST(SUM(CAST(v AS DECIMAL(38,12))) AS DOUBLE)
+                 / COUNT(v), 6) AS raw_mean,
+           ROUND(CAST(SUM(CAST(least(greatest(v, lo), hi)
+                               AS DECIMAL(38,12))) AS DOUBLE)
+                 / COUNT(v), 6) AS winsor_mean
+    FROM ranked JOIN cuts USING ({group_col})
+    GROUP BY ranked.{group_col}
+    """
+
+
+# --- Time-weighted average (irregular-sample TWAP) ---------------------------
+# The reference's price feed samples once a minute but real feeds are
+# irregular; a plain AVG over samples weights a burst of ticks as heavily
+# as an hour of silence. The fix is the duration-weighted mean
+# sum(v_i * dt_i) / sum(dt_i) with dt from the NEXT event — exact integer
+# microsecond weights, so only the value products are IEEE and both
+# engines multiply the same pairs in the same order.
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """(group, event_date, n_intervals, twap): per group-day
+    duration-weighted mean of value over [event, next event) intervals;
+    the day's last event closes no interval and drops (groups with one
+    event emit nothing). One group-day window for lead, one aggregate."""
+    from pyspark.sql import Window as W  # noqa: PLC0415
+
+    day = F.date_format(F.col(ts_col), "yyyy-MM-dd")
+    w = W.partitionBy(group_col, day).orderBy(ts_col, order_tiebreak)
+    stepped = df.select(
+        F.col(group_col),
+        day.alias("event_date"),
+        F.col(value_col).cast("double").alias("_v"),
+        (F.unix_micros(F.lead(ts_col, 1).over(w)) - F.unix_micros(F.col(ts_col))).alias(
+            "_dt"
+        ),
+    ).filter(F.col("_dt").isNotNull())
+    return stepped.groupBy(group_col, "event_date").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.round(
+            F.sum((F.col("_v") * F.col("_dt")).cast("decimal(38,12)")).cast(
+                "double"
+            )
+            / F.sum("_dt"),
+            6,
+        ).alias("twap"),
+    )
+
+
+def time_weighted_avg_sql(
+    table: str = "events",
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_tiebreak: str = "event_id",
+) -> str:
+    """DuckDB twin of time_weighted_avg (same lead intervals, same decimal
+    sum of double products over exact integer microseconds)."""
+    return f"""
+    WITH stepped AS (
+        SELECT {group_col},
+               strftime(CAST({ts_col} AS DATE), '%Y-%m-%d') AS event_date,
+               CAST({value_col} AS DOUBLE) AS v,
+               epoch_us(lead({ts_col}) OVER (
+                   PARTITION BY {group_col}, CAST({ts_col} AS DATE)
+                   ORDER BY {ts_col}, {order_tiebreak}))
+               - epoch_us({ts_col}) AS dt
+        FROM {table}
+    )
+    SELECT {group_col}, event_date,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           ROUND(CAST(SUM(CAST(v * dt AS DECIMAL(38,12))) AS DOUBLE)
+                 / SUM(dt), 6) AS twap
+    FROM stepped WHERE dt IS NOT NULL
+    GROUP BY {group_col}, event_date
+    """

@@ -2136,9 +2136,11 @@ def hard_negative_pairs(
     (ties: cos DESC, id ASC) and the positive-negative margin. Anchors
     with no same-label or no cross-label counterpart drop (inner joins).
 
-    Plan: broadcast anchors × one corpus scan; ONE window ranks both
-    branches (partitioned by anchor × same-label flag); no corpus-corpus
-    pair ever materializes."""
+    Plan: broadcast anchors × ONE corpus scan; both branches resolve in a
+    single per-anchor aggregate — max over struct(cos, -cand_id) is the
+    deterministic (cos DESC, id ASC) argmax without a window, so the
+    corpus is never scanned twice and nothing but the per-anchor partial
+    maxima shuffles."""
     q = F.broadcast(
         anchors.select(
             F.col(id_col).alias("anchor_id"),
@@ -2162,34 +2164,22 @@ def hard_negative_pairs(
             F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("_cos"),
         )
     )
-    from .windows import topk_per_group  # noqa: PLC0415
-
-    best = topk_per_group(
-        scored,
-        ["anchor_id", "_same"],
-        [F.col("_cos").desc(), F.col("cand_id").asc()],
-        k=1,
-        rank_col="_r",
+    pick = F.struct(F.col("_cos"), (-F.col("cand_id")).alias("_nid"))
+    agg = scored.groupBy("anchor_id", "label").agg(
+        F.max(F.when(F.col("_same"), pick)).alias("_p"),
+        F.max(F.when(~F.col("_same"), pick)).alias("_n"),
     )
-    pos = best.filter(F.col("_same")).select(
-        "anchor_id",
-        "label",
-        F.col("cand_id").alias("pos_id"),
-        F.col("_cos").alias("pos_cos"),
-    )
-    neg = best.filter(~F.col("_same")).select(
-        "anchor_id",
-        F.col("cand_id").alias("neg_id"),
-        F.col("_cos").alias("neg_cos"),
-    )
-    return pos.join(neg, "anchor_id").select(
-        "anchor_id",
-        "label",
-        "pos_id",
-        "pos_cos",
-        "neg_id",
-        "neg_cos",
-        F.round(F.col("pos_cos") - F.col("neg_cos"), 6).alias("margin"),
+    return (
+        agg.filter(F.col("_p").isNotNull() & F.col("_n").isNotNull())
+        .select(
+            "anchor_id",
+            "label",
+            (-F.col("_p._nid")).alias("pos_id"),
+            F.col("_p._cos").alias("pos_cos"),
+            (-F.col("_n._nid")).alias("neg_id"),
+            F.col("_n._cos").alias("neg_cos"),
+            F.round(F.col("_p._cos") - F.col("_n._cos"), 6).alias("margin"),
+        )
     )
 
 

@@ -88,3 +88,120 @@ def first_last_in_bucket(
     return df.withColumn("first_" + value_col, F.first(value_col).over(w)).withColumn(
         "last_" + value_col, F.last(value_col).over(w)
     )
+
+
+# --- Session funnel (ordered in-session conversion) --------------------------
+# purchase_funnel counts stage populations corpus-wide; the session-level
+# question is ORDERED: did view -> click -> purchase happen IN SEQUENCE
+# within one 30-minute-gap session? A pure integer state machine folded
+# over the session's time-ordered events — engine-exact, no timestamps in
+# the output hash beyond the session start.
+
+
+def session_conversion(
+    df,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_tiebreak: str = "event_id",
+    gap_minutes: int = 30,
+):
+    """(user, session_start_us, n_events, funnel_stage, converted):
+    sessions by gaps-and-islands (a session starts when the gap from the
+    previous event is >= gap_minutes), then a row-local fold advances the
+    stage machine 0 -view-> 1 -click-> 2 -purchase-> 3 over the session's
+    (ts, tiebreak)-ordered events. Stage and conversion are integers —
+    the report hash-gates exactly.
+
+    Plan: one user-keyed window pass assigns session ids, one
+    (user, session) aggregate folds the machine. Linear; nothing exceeds
+    a user's event history in any task."""
+    from pyspark.sql import Window as W  # noqa: PLC0415
+
+    w = W.partitionBy(user_col).orderBy(ts_col, order_tiebreak)
+    gap_us = gap_minutes * 60 * 1_000_000
+    lagged = F.lag(ts_col, 1).over(w)
+    new_s = F.when(
+        lagged.isNull()
+        | ((F.unix_micros(F.col(ts_col)) - F.unix_micros(lagged)) >= gap_us),
+        1,
+    ).otherwise(0)
+    sess = df.withColumn("_new", new_s).withColumn(
+        "_sid",
+        F.sum("_new").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    ordered = F.array_sort(
+        F.collect_list(
+            F.struct(F.col(ts_col), F.col(order_tiebreak), F.col(type_col))
+        )
+    )
+    step = lambda acc, x: (  # noqa: E731
+        F.when((acc == 0) & (x[type_col] == "view"), F.lit(1))
+        .when((acc == 1) & (x[type_col] == "click"), F.lit(2))
+        .when((acc == 2) & (x[type_col] == "purchase"), F.lit(3))
+        .otherwise(acc)
+    )
+    fold = F.aggregate(ordered, F.lit(0), step)
+    return (
+        sess.groupBy(user_col, "_sid")
+        .agg(
+            F.unix_micros(F.min(ts_col)).alias("session_start_us"),
+            F.count(F.lit(1)).alias("n_events"),
+            fold.alias("funnel_stage"),
+        )
+        .select(
+            user_col,
+            "session_start_us",
+            "n_events",
+            F.col("funnel_stage").cast("int").alias("funnel_stage"),
+            (F.col("funnel_stage") == 3).alias("converted"),
+        )
+    )
+
+
+def session_conversion_sql(
+    table: str = "events",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_tiebreak: str = "event_id",
+    gap_minutes: int = 30,
+) -> str:
+    """DuckDB twin of session_conversion (same islands, same list_reduce
+    state machine over the same order)."""
+    return f"""
+    WITH o AS (
+        SELECT {user_col}, {ts_col}, {order_tiebreak}, {type_col},
+               CASE WHEN lag({ts_col}) OVER w IS NULL
+                         OR epoch_us({ts_col}) - epoch_us(lag({ts_col}) OVER w)
+                            >= {gap_minutes * 60 * 1000000}
+                    THEN 1 ELSE 0 END AS new_s
+        FROM {table}
+        WINDOW w AS (PARTITION BY {user_col}
+                     ORDER BY {ts_col}, {order_tiebreak})
+    ),
+    s AS (
+        SELECT *, SUM(new_s) OVER (PARTITION BY {user_col}
+                                   ORDER BY {ts_col}, {order_tiebreak}
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM o
+    ),
+    folded AS (
+        SELECT {user_col}, sid,
+               epoch_us(MIN({ts_col})) AS session_start_us,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               list_reduce(
+                   list_prepend('0',
+                       list({type_col} ORDER BY {ts_col}, {order_tiebreak})),
+                   (acc, x) -> CASE
+                       WHEN acc = '0' AND x = 'view' THEN '1'
+                       WHEN acc = '1' AND x = 'click' THEN '2'
+                       WHEN acc = '2' AND x = 'purchase' THEN '3'
+                       ELSE acc END) AS funnel_stage
+        FROM s GROUP BY {user_col}, sid
+    )
+    SELECT {user_col}, session_start_us, n_events,
+           CAST(funnel_stage AS INT) AS funnel_stage,
+           (CAST(funnel_stage AS INT) = 3) AS converted
+    FROM folded
+    """

@@ -238,3 +238,133 @@ def test_kmv_merge_invariant_any_partitioning(spark, values, split):
     if n_distinct < 64:
         est = sk.kmv_distinct(df, ["g"], "v").collect()[0]
         assert est.kmv_estimate == float(n_distinct)
+
+
+text_docs_strategy = st.lists(
+    st.text(
+        alphabet=st.sampled_from(list("ab c")),
+        min_size=0,
+        max_size=40,
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(docs=text_docs_strategy)
+@settings(**SETTINGS)
+def test_ngram_novelty_invariants(spark, docs):
+    """novelty in [0,1]; total novel grams == corpus-wide distinct gram
+    count (every gram is novel in exactly one doc); a doc repeated later
+    under a higher id contributes zero novel grams."""
+    from data_pipelines_cu_spark.operators import dedup as dd
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dd.ngram_novelty(df, n=2).collect()
+    assert all(0.0 <= r.novelty <= 1.0 for r in out)
+    assert all(r.n_novel <= r.n_grams for r in out)
+    total_novel = sum(r.n_novel for r in out)
+    sets = dd.ngram_sets(df, n=2).collect()
+    distinct = len({g for r in sets for g in r.grams})
+    assert total_novel == distinct
+    # append an exact copy of doc 0 under a fresh max id: novelty 0
+    if docs[0].count(" ") >= 1 and len(docs[0].split()) >= 2:
+        df2 = df.unionByName(
+            spark.createDataFrame([(999, docs[0])], "doc_id long, text string")
+        )
+        out2 = {r.doc_id: r for r in dd.ngram_novelty(df2, n=2).collect()}
+        if 999 in out2:
+            assert out2[999].n_novel == 0
+
+
+@given(
+    n_rows=st.integers(min_value=1, max_value=40),
+    k=st.integers(min_value=2, max_value=6),
+)
+@settings(**SETTINGS)
+def test_stratified_kfold_exactly_balanced(spark, n_rows, k):
+    from data_pipelines_cu_spark.operators import sampling as smp
+
+    rows = [(i, ["x", "y"][i % 2]) for i in range(n_rows)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = smp.stratified_kfold(df, k=k).collect()
+    assert len(out) == n_rows
+    # per stratum, fold sizes differ by at most 1 (exact deal)
+    from collections import Counter
+
+    for lang in {"x", "y"}:
+        sizes = Counter(r.fold for r in out if r.lang == lang)
+        if sizes:
+            assert max(sizes.values()) - min(sizes.values()) <= 1
+    # deterministic under re-run
+    again = smp.stratified_kfold(df, k=k).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+@given(
+    n_words=st.integers(min_value=0, max_value=150),
+    window=st.integers(min_value=2, max_value=20),
+)
+@settings(**SETTINGS)
+def test_sliding_chunks_cover_every_token(spark, n_words, window):
+    """Chunks tile the doc: first chunk starts at token 0, consecutive
+    chunks advance by stride, the union of [start, start+len) covers
+    [0, n) when stride <= window, and every chunk is non-empty."""
+    from data_pipelines_cu_spark.operators import text as tx
+
+    stride = max(1, window // 2)
+    text = " ".join(f"w{i}" for i in range(n_words))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = sorted(
+        (r.chunk_idx, r.n_tokens)
+        for r in tx.sliding_token_chunks(
+            df, window=window, stride=stride
+        ).collect()
+    )
+    n = max(n_words, 1)  # empty text still tokenizes to one '' token
+    assert out[0][0] == 0
+    idxs = [i for i, _ in out]
+    assert idxs == list(range(len(out)))
+    covered = max(i * stride + ln for i, ln in out)
+    assert covered == n
+    assert all(ln >= 1 for _, ln in out)
+    # no chunk starts at or past the end
+    assert all(i * stride < n for i, _ in out)
+
+
+@given(
+    scores=st.lists(
+        st.tuples(
+            st.sampled_from(["s1", "s2", "s3"]),
+            st.integers(min_value=0, max_value=100),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**SETTINGS)
+def test_quantile_calibration_is_distribution_preserving(spark, scores):
+    """Calibrated values are members of the global score multiset; within
+    each source, calibration is monotone in the raw rank; a single-source
+    corpus calibrates to (approximately) itself: rank r of n maps to the
+    global element at ceil(r*N/n) = r when n == N."""
+    from data_pipelines_cu_spark.operators import text as tx
+
+    rows = [(i, src, float(v)) for i, (src, v) in enumerate(scores)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, quality double")
+    out = tx.quality_quantile_calibrate(df).collect()
+    assert len(out) == len(rows)
+    glob = sorted((float(v), i) for i, (_, v) in enumerate(scores))
+    glob_vals = {v for v, _ in glob}
+    assert all(r.calibrated in glob_vals for r in out)
+    for src in {"s1", "s2", "s3"}:
+        rs = sorted((r.src_rank, r.calibrated) for r in out if r.source == src)
+        cal = [c for _, c in rs]
+        assert cal == sorted(cal)
+    only = [(i, "one", float(v)) for i, (_, v) in enumerate(scores)]
+    df1 = spark.createDataFrame(only, "doc_id long, source string, quality double")
+    out1 = sorted((r.doc_id, r.calibrated) for r in tx.quality_quantile_calibrate(df1).collect())
+    want = sorted((i, v) for v, i in glob)
+    # single source: rank r maps to global rank r -> the sorted multisets agree
+    assert sorted(c for _, c in out1) == sorted(v for v, _ in glob)
