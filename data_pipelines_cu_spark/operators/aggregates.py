@@ -389,13 +389,27 @@ def daily_count_anomalies(
 ) -> DataFrame:
     """(event_date, dow, n_events, dow_mean, is_anomaly): events per day,
     the day's weekday index (0=Mon), that weekday's mean daily count, and
-    the exact-integer k-sigma flag. One date-keyed count, one 7-row
+    the exact-integer k-sigma flag. The flagged day is INCLUDED in its
+    own baseline (one pass, no leave-one-out), which self-masks at tiny
+    baselines: the max reachable z over n same-weekday samples is
+    (n-1)/sqrt(n), so k=2 needs >= 6 occurrences of the weekday before
+    any single spike can flag — run it on a window of weeks, not days. One date-keyed count, one 7-row
     weekday aggregate broadcast back — nothing here grows with corpus
     size except the first count's shuffle (date-keyed, bounded by the
     calendar)."""
     daily = df.groupBy(
         F.date_format(F.col(ts_col), "yyyy-MM-dd").alias("event_date")
     ).agg(F.count(F.lit(1)).alias("n_events"))
+    return flag_daily_anomalies(daily, k=k)
+
+
+def flag_daily_anomalies(daily: DataFrame, k: int = 2) -> DataFrame:
+    """The weekday-baseline flag applied to a (event_date, n_events)
+    table — shared by the batch operator above and the streaming reader
+    (streaming/jobs.py::daily_anomalies_from_counts), which merges
+    per-micro-batch day counts by addition first. Counts are the ONLY
+    state, and counts add, so stream-so-far == batch over the same rows
+    bit-for-bit."""
     daily = daily.withColumn(
         "dow", F.weekday(F.to_date("event_date")).cast("int")
     )

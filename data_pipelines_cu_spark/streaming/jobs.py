@@ -575,3 +575,62 @@ def run_streaming_kmv(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def daily_count_batch(
+    batch: DataFrame, batch_id: int, counts_path: str, ts_col: str = "ts"
+) -> None:
+    """One replay-idempotent micro-batch of the streaming anomaly gate:
+    the batch's (event_date, n) day counts land in their own batch_id
+    partition via dynamic overwrite (the hist_sketch_batch pattern) — a
+    replayed batch replaces exactly its own contribution."""
+    from ..operators.upsert import upsert_partitions
+
+    if batch.isEmpty():
+        return
+    daily = batch.groupBy(
+        F.date_format(F.col(ts_col), "yyyy-MM-dd").alias("event_date")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    upsert_partitions(
+        daily.withColumn("batch_id", F.lit(batch_id)), counts_path, ["batch_id"]
+    )
+
+
+def run_streaming_daily_anomalies(
+    events: DataFrame,
+    counts_path: str,
+    checkpoint: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming day-of-week anomaly gate via MERGEABLE day counts: each
+    micro-batch appends its (event_date, n) partials; the reader
+    (daily_anomalies_from_counts) merges by addition and applies the same
+    exact-integer flag as the batch operator — counts are the only state,
+    and counts add, so the stream-so-far report equals the batch report
+    over the same rows bit-for-bit."""
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        daily_count_batch(batch, batch_id, counts_path)
+
+    writer = (
+        events.writeStream.outputMode("append")
+        .foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def daily_anomalies_from_counts(spark, counts_path: str, k: int = 2) -> DataFrame:
+    """Merge the per-batch day-count partials (addition — the mergeable
+    contract) and flag against the weekday baseline with the SAME shared
+    code path as the batch operator."""
+    from ..operators.aggregates import flag_daily_anomalies
+
+    merged = (
+        spark.read.parquet(counts_path)
+        .groupBy("event_date")
+        .agg(F.sum("n").alias("n_events"))
+    )
+    return flag_daily_anomalies(merged, k=k)

@@ -586,3 +586,66 @@ def test_streaming_kmv_merges_to_batch_sketch(spark, tmp_path):
     kmv_sketch_batch(b0, 0, path, ["grp"], "uid", k=16)
     after = sorted(map(tuple, spark.read.parquet(path).collect()))
     assert before == after
+
+
+def test_streaming_daily_anomalies_match_batch(spark, tmp_path):
+    """Two micro-batches of events -> per-batch day-count partitions; the
+    merged-read anomaly report must equal the batch operator over the
+    union (counts add), and replaying a batch must not change counts."""
+    import json as _json
+
+    from data_pipelines_cu_spark.operators.aggregates import (
+        daily_count_anomalies,
+    )
+    from data_pipelines_cu_spark.streaming.jobs import (
+        daily_count_batch,
+        daily_anomalies_from_counts,
+        run_streaming_daily_anomalies,
+    )
+
+    src = tmp_path / "ev_in"
+    src.mkdir()
+    # 7 weeks of synthetic days: weekday-dependent volume + one spike day.
+    # 7 samples per weekday matter: with the spike INCLUDED in its own
+    # baseline, the max reachable z is (n-1)/sqrt(n), so k=2 needs n >= 6
+    # occurrences of the weekday before any single spike can flag.
+    rows = []
+    for day in range(1, 50):
+        date = f"2024-01-{day:02d}" if day <= 31 else f"2024-02-{day - 31:02d}"
+        n = 5 + (day % 7) * 2 + (200 if day == 10 else 0)
+        rows += [{"ts": f"{date} 12:{i % 60:02d}:00"} for i in range(n)]
+    half = len(rows) // 2
+    for i, chunk in enumerate([rows[:half], rows[half:]]):
+        p = src / f"part-{i}.json"
+        with open(p, "w") as f:
+            for r in chunk:
+                f.write(_json.dumps(r) + "\n")
+        os.utime(p, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    counts_path = str(tmp_path / "day_counts")
+    stream = (
+        spark.readStream.schema("ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = run_streaming_daily_anomalies(stream, counts_path, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+
+    merged = daily_anomalies_from_counts(spark, counts_path)
+    batch_df = spark.createDataFrame(
+        [(r["ts"],) for r in rows], "ts string"
+    ).selectExpr("CAST(ts AS TIMESTAMP) AS ts")
+    expected = daily_count_anomalies(batch_df)
+    got = sorted(map(tuple, merged.collect()))
+    want = sorted(map(tuple, expected.collect()))
+    assert got == want
+    # the planted spike day is flagged
+    flagged = {r.event_date for r in merged.collect() if r.is_anomaly}
+    assert "2024-01-10" in flagged
+
+    # replay idempotency
+    before = sorted(map(tuple, spark.read.parquet(counts_path).collect()))
+    b0 = spark.read.schema("ts timestamp").json(str(src / "part-0.json"))
+    daily_count_batch(b0, 0, counts_path)
+    after = sorted(map(tuple, spark.read.parquet(counts_path).collect()))
+    assert before == after
