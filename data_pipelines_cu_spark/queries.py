@@ -5347,6 +5347,38 @@ def event_type_twap_q(spark, sf_dir):
     return agg.time_weighted_avg(_t(spark, sf_dir, "events"))
 
 
+from .operators import layout as lay  # noqa: E402
+
+
+@register(
+    "event_zorder_keys",
+    f"""
+    SELECT event_id, {lay.morton_code_sql("xs", "ys")} AS zorder
+    FROM (SELECT event_id,
+                 (user_id * 65536) // 1024 AS xs,
+                 (CAST(FLOOR(value) AS BIGINT) * 65536) // 1024 AS ys
+          FROM events)
+    """,
+)
+def event_zorder_keys_q(spark, sf_dir):
+    """Z-order (Morton) clustering keys over (user_id, floor(value)) —
+    the Delta/Iceberg OPTIMIZE ZORDER technique as an oracle-gated
+    operator: each dimension scales to 16 bits by exact integer
+    arithmetic, then bit-interleaves, so a range-partitioned write
+    clusters rows that are close in EITHER dimension into the same files
+    and parquet min/max pruning works for both predicates
+    (operators/layout.py::zorder_key, write_zordered)."""
+    ev = _t(spark, sf_dir, "events")
+    return lay.zorder_key(
+        ev,
+        F.col("user_id"),
+        F.floor(F.col("value")).cast("long"),
+        x_max=1023,
+        y_max=1023,
+        id_cols=["event_id"],
+    )
+
+
 @register("session_conversion_funnel", win.session_conversion_sql())
 def session_conversion_funnel_q(spark, sf_dir):
     """ORDERED in-session conversion: within each 30-min-gap session, a

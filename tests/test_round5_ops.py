@@ -185,3 +185,51 @@ def test_hist_quantile_degenerate_constant_column(spark):
     for r in spd.to_dict("records"):
         assert r["approx_p50"] == 5.0 and r["err_p50"] == 0.0
         assert r["approx_p90"] == 5.0 and r["err_p90"] == 0.0
+
+
+def test_zorder_write_clusters_both_dimensions(spark, sf_dir, tmp_path):
+    """write_zordered: every output file covers a compact range of BOTH
+    dimensions, unlike a single-column sort (tight on its column,
+    unbounded on the other) — the property parquet min/max pruning needs
+    for predicates on either column."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    from data_pipelines_cu_spark.operators import layout as lay
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", F.floor("value").cast("long").alias("v")
+    )
+    zpath, spath = str(tmp_path / "z"), str(tmp_path / "s")
+    lay.write_zordered(ev, zpath, "user_id", "v", 1023, 1023, n_files=16)
+    # single-column comparison layout: sorted by user only
+    ev.repartitionByRange(16, "user_id").sortWithinPartitions(
+        "user_id"
+    ).write.mode("overwrite").parquet(spath)
+
+    def spreads(path, col):
+        out = []
+        for f in sorted(_glob.glob(f"{path}/part-*.parquet")):
+            stats = (
+                spark.read.parquet(f)
+                .agg(
+                    (F.max(col) - F.min(col)).alias("spread"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .collect()[0]
+            )
+            if stats["n"] > 0:
+                out.append(stats["spread"])
+        return out
+
+    # z-order: the VALUE dimension is also clustered; user-sort leaves it
+    # at (nearly) full range in every file
+    z_v = spreads(zpath, "v")
+    s_v = spreads(spath, "v")
+    assert sum(z_v) / len(z_v) < 0.6 * (sum(s_v) / len(s_v))
+    # and the zorder key round-trips through the oracle-gated expression
+    out = lay.zorder_key(
+        ev, F.col("user_id"), F.col("v"), 1023, 1023, ["event_id"]
+    )
+    assert out.count() == ev.count()
