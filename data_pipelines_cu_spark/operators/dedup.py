@@ -1888,10 +1888,15 @@ def ngram_novelty(
 
     Distributed shape: grams leave the doc as 32-byte md5 digests; ONE
     digest-keyed shuffle computes first-occurrence ids; the join back is
-    digest-keyed too. Never shuffles text; linear in corpus gram count."""
-    sets = ngram_sets(df, text_col, id_col, n)
-    rows = sets.select(F.col(id_col), F.explode("grams").alias("_raw")).select(
-        F.col(id_col), F.md5("_raw").alias("_g")
+    digest-keyed too. Never shuffles text; linear in corpus gram count.
+    Grams come from gram_rows (posexplode + window lead — linear per
+    word); exploding ngram_sets' array transform re-inlines the split
+    into the generator and goes quadratic per doc (measured 30x slower
+    at sf0.1)."""
+    rows = (
+        gram_rows(df, text_col, id_col, n)
+        .select(F.col(id_col), F.md5("gram").alias("_g"))
+        .distinct()
     )
     firsts = rows.groupBy("_g").agg(F.min(id_col).alias("_first"))
     novel = F.sum(F.when(F.col("_first") == F.col(id_col), 1).otherwise(0))

@@ -712,10 +712,13 @@ def bpe_merges(
 
 
 def _bpe_learn(
-    df: DataFrame, text_col: str, n_merges: int
-) -> list[tuple[int, str, str, str, int]]:
+    df: DataFrame, text_col: str, n_merges: int, return_words: bool = False
+):
     """The BPE learning loop shared by bpe_merges (reports the merges)
-    and bpe_encode_stats (applies them)."""
+    and bpe_encode_stats (applies them). With ``return_words`` the
+    fully-merged vocabulary table (w, cnt, a) comes back too — the loop
+    has already applied every merge to every distinct word, so encoding
+    a doc is a lookup, not a re-fold."""
     from .dedup import normalized_text  # noqa: PLC0415 (cycle guard)
 
     words = df.select(
@@ -754,6 +757,8 @@ def _bpe_learn(
         l, r, c = top[0]["l"], top[0]["r"], int(top[0]["c"])
         merges.append((rank, l, r, l + r, c))
         cur = cur.withColumn("a", _apply_merge(F.col("a"), l, r))
+    if return_words:
+        return merges, cur
     return merges
 
 
@@ -916,37 +921,42 @@ def bpe_encode_stats(
     rank order — the train-and-apply loop of tokenizer development, with
     the compression ratio as the quality signal.
 
-    The encode is row-local: the doc is an array of per-word symbol
-    arrays (merges never span word boundaries), and each learned merge is
-    one greedy _apply_merge fold per word. Symbol counts are sums of
-    array sizes; no second tokenize pass."""
+    Merges never span word boundaries, so encoding is WORD-local — and
+    the learn loop has already folded every merge over the (vocabulary-
+    sized) word table. The encode is therefore a broadcast lookup: per
+    distinct word, n_chars = its character count and n_syms = its final
+    symbol count; per doc, both stats SUM over its word stream. One
+    token pass, one broadcast join, zero per-doc folding (re-folding
+    every doc token measured 6x slower at sf0.1)."""
     from .dedup import normalized_text  # noqa: PLC0415 (cycle guard)
 
-    merges = _bpe_learn(df, text_col, n_merges)
+    _, words_tbl = _bpe_learn(df, text_col, n_merges, return_words=True)
+    wstats = F.broadcast(
+        words_tbl.select(
+            "w",
+            F.size(_sym_array(F.col("w"))).cast("long").alias("_nc"),
+            F.size("a").cast("long").alias("_ns"),
+        )
+    )
     docs = df.select(
         F.col(id_col),
-        F.transform(
-            F.split(normalized_text(text_col), " "), _sym_array
-        ).alias("_sy"),
+        F.explode(F.split(normalized_text(text_col), " ")).alias("w"),
     )
-    n_syms_col = F.aggregate(
-        F.transform(F.col("_sy"), F.size),
-        F.lit(0).cast("long"),
-        lambda a, x: a + x,
-    )
-    docs = docs.withColumn("n_chars", n_syms_col)
-    for _, l, r, _, _ in merges:
-        docs = docs.withColumn(
-            "_sy",
-            F.transform(F.col("_sy"), lambda wa: _apply_merge(wa, l, r)),  # noqa: B023
+    return (
+        docs.join(wstats, "w")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_nc").alias("n_chars"),
+            F.sum("_ns").alias("n_syms"),
         )
-    return docs.select(
-        id_col,
-        "n_chars",
-        n_syms_col.alias("n_syms"),
-        F.round(
-            n_syms_col.cast("double") / F.col("n_chars"), 6
-        ).alias("compression_ratio"),
+        .select(
+            id_col,
+            "n_chars",
+            "n_syms",
+            F.round(
+                F.col("n_syms").cast("double") / F.col("n_chars"), 6
+            ).alias("compression_ratio"),
+        )
     )
 
 
@@ -957,41 +967,33 @@ def bpe_encode_oracle_sql(
     n_merges: int = 6,
 ) -> str:
     """DuckDB twin of bpe_encode_stats: the bpe_oracle_sql CTE chain
-    (same learned merges) extended with a doc-level encode applying each
-    round's merge in order via the same greedy list_reduce fold; rounds
-    the corpus never realized have empty t{k} and fold as no-ops."""
+    (same learned merges, same greedy folds — already applied to every
+    distinct word by the last w{{k}} CTE) joined onto the doc word
+    stream; rounds the corpus never realized have empty t{{k}} and fold
+    as no-ops on the word table, exactly as in the Spark loop."""
     norm = f"regexp_replace(lower(trim({text_expr})), '\\s+', ' ', 'g')"
     base = bpe_oracle_sql(table=table, text_expr=text_expr, n_merges=n_merges)
     # reuse the trained CTE chain; strip its final SELECT (the merges
-    # report) and append the encode CTEs instead
+    # report) and append the word-lookup encode instead
     with_block = base[: base.rindex("SELECT 1 AS merge_rank")]
     # the WITH block ends with the last w{n} CTE followed by the first
     # union SELECT; rindex above cut at the first SELECT of the union.
-    doc_syms = (
-        f"list_transform(string_split({norm}, ' '), "
-        f"w -> list_filter(string_split(w, ''), x -> x <> ''))"
-    )
-    enc = [
-        f"""enc0 AS MATERIALIZED (
-        SELECT {id_col}, {doc_syms} AS sy
-        FROM {table})"""
-    ]
-    for k in range(1, n_merges + 1):
-        word_fold = _SQL_MERGE_FOLD.format(a="wa", l="mk.l", r="mk.r")
-        enc.append(f"""enc{k} AS MATERIALIZED (
-        SELECT {id_col}, list_transform(sy, wa -> {word_fold}) AS sy
-        FROM enc{k - 1} LEFT JOIN t{k} mk ON TRUE)""")
-    enc_block = ",\n    ".join(enc)
-    syms0 = "COALESCE(list_sum(list_transform(e0.sy, w -> len(w))), 0)"
-    symsn = "COALESCE(list_sum(list_transform(eN.sy, w -> len(w))), 0)"
     return f"""{with_block.rstrip()},
-    {enc_block}
-    SELECT e0.{id_col},
-           CAST({syms0} AS BIGINT) AS n_chars,
-           CAST({symsn} AS BIGINT) AS n_syms,
-           ROUND(CAST({symsn} AS DOUBLE)
-                 / CAST({syms0} AS BIGINT), 6) AS compression_ratio
-    FROM enc0 e0 JOIN enc{n_merges} eN ON e0.{id_col} = eN.{id_col}
+    dw AS (
+        SELECT {id_col}, unnest(string_split({norm}, ' ')) AS w
+        FROM {table}),
+    wstats AS (
+        SELECT w,
+               len(list_filter(string_split(w, ''), x -> x <> '')) AS nc,
+               len(a) AS ns
+        FROM w{n_merges})
+    SELECT dw.{id_col},
+           CAST(SUM(nc) AS BIGINT) AS n_chars,
+           CAST(SUM(ns) AS BIGINT) AS n_syms,
+           ROUND(CAST(SUM(ns) AS DOUBLE)
+                 / CAST(SUM(nc) AS BIGINT), 6) AS compression_ratio
+    FROM dw JOIN wstats USING (w)
+    GROUP BY dw.{id_col}
     """
 
 
