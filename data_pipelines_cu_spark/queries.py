@@ -1914,8 +1914,11 @@ def daily_stats_unpivot(spark, sf_dir):
 def fuzzy_part_name_pairs(spark, sf_dir):
     """Blocked fuzzy join: near-identical part names (edit distance ≤ 2)
     within a brand block. Blocking bounds the candidate pairs (n²/25 here,
-    bucket-sized in general); levenshtein runs JVM-side on candidates only
-    — the standard entity-resolution shape at scale."""
+    bucket-sized in general); candidates are prefiltered by the free
+    necessary condition |len(a) − len(b)| ≤ 2 before the THRESHOLDED
+    levenshtein (early-exits past distance 2 instead of filling the full
+    DP matrix) runs JVM-side — the standard entity-resolution shape at
+    scale."""
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand")
     a = p.select(
         F.col("p_brand").alias("_blk"),
@@ -1930,8 +1933,15 @@ def fuzzy_part_name_pairs(spark, sf_dir):
     return (
         a.join(b, "_blk")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
-        .filter((F.col("edit_dist") <= 2) & (F.col("name_a") != F.col("name_b")))
+        .filter(
+            F.abs(F.length("name_a") - F.length("name_b")) <= 2
+        )
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b", 2))
+        .filter(
+            (F.col("edit_dist") >= 0)
+            & (F.col("edit_dist") <= 2)
+            & (F.col("name_a") != F.col("name_b"))
+        )
         .select("id_a", "id_b", "edit_dist")
     )
 
