@@ -46,8 +46,10 @@ HEAVY = [
     "cdc_chunk_dup",
     "ann_ivfpq_topk",
     "nb_lang_predict",
-    # round-5: the production-shaped composition end-to-end
+    # round-5: the production-shaped composition end-to-end + the new
+    # corpus-wide gram op
     "curation_v2_shards",
+    "doc_ngram_novelty",
 ]
 
 # Optional subset filter: SPARK_GRAFT_SCALE_ONLY="a,b" runs just those.
