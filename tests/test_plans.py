@@ -381,3 +381,57 @@ def test_ivfpq_probe_join_broadcasts_and_never_cartesian(spark, sf_dir):
     plan = _formatted_plan(QUERIES["ann_ivfpq_topk"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_hard_negative_mining_single_scan_no_window(spark, sf_dir):
+    """Triplet mining: anchors broadcast, corpus scanned ONCE, both
+    branches resolved by one struct-max aggregate — no window, no second
+    corpus scan (the window formulation read the corpus twice)."""
+    plan = _formatted_plan(QUERIES["hard_negative_mining"].fn(spark, sf_dir))
+    assert plan.count("Scan parquet") <= 4  # anchors + corpus (tree+detail)
+    assert "Window" not in plan
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sliding_chunks_shuffle_free(spark, sf_dir):
+    """Overlapping chunking is a row-local explode: zero exchanges."""
+    plan = _formatted_plan(QUERIES["sliding_window_chunks"].fn(spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_zorder_key_is_pure_codegen(spark, sf_dir):
+    """The Morton key is shift/mask column algebra: no shuffle, no
+    Python, and the scan reads only the three involved columns."""
+    plan = _formatted_plan(QUERIES["event_zorder_keys"].fn(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "props" not in read_schema and "event_type" not in read_schema
+
+
+def test_ngram_novelty_shuffles_digests_only(spark, sf_dir):
+    """Novelty attribution: grams cross exchanges as md5 digests; the
+    raw text never shuffles."""
+    plan = _formatted_plan(QUERIES["doc_ngram_novelty"].fn(spark, sf_dir))
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text" not in line
+    assert "CartesianProduct" not in plan
+
+
+def test_nb_candidate_fanout_rides_bucket_counts(spark, sf_dir):
+    """The NB ×n_langs expansion happens AFTER the token stream compresses
+    to (doc, feature, multiplicity): the pre-fan-out aggregate must exist
+    and the likelihood table must broadcast."""
+    plan = _formatted_plan(QUERIES["nb_lang_predict"].fn(spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_daily_anomalies_baseline_broadcasts(spark, sf_dir):
+    """The 7-row weekday baseline joins back by broadcast, never a
+    shuffle of the daily table against itself."""
+    plan = _formatted_plan(QUERIES["daily_count_anomalies"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
