@@ -150,3 +150,95 @@ def nation_trade_pagerank_oracle_sql(n_iters: int = 3) -> str:
     SELECT n.n_name, r.r AS pr_scaled
     FROM {last} r JOIN nodes n ON r.v = n.v
     """
+
+
+# --- Co-occurrence mining (market basket) ------------------------------------
+# "Parts ordered together": the association signal behind related-items.
+# Lift is kept as ONE exact-integer-product ratio — (c_ab * n_baskets) /
+# (c_a * c_b) — a single double division, no logs, so the report
+# hash-gates (the bigram_lift discipline applied to baskets instead of
+# sequences).
+
+
+def co_occurrence_lift(
+    df,
+    basket_col: str = "l_orderkey",
+    item_col: str = "l_partkey",
+    top_n: int = 50,
+):
+    """Top-``top_n`` item pairs by within-basket co-occurrence:
+    (item_a, item_b, pair_count, lift, rank). Pairs generate per basket
+    over the DISTINCT item list (C(items, 2) rows per basket — bounded by
+    basket width, never |items|²), count by pair key, then the per-item
+    count table joins back twice. Ties: count DESC, item_a, item_b."""
+    from pyspark.sql import Window as W  # noqa: PLC0415
+
+    items = df.select(
+        F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
+    ).distinct()
+    n_baskets = items.select("_b").distinct().count()
+    item_counts = items.groupBy("_i").agg(F.count(F.lit(1)).alias("_c"))
+    a = items.select("_b", F.col("_i").alias("item_a"))
+    b = items.select("_b", F.col("_i").alias("item_b"))
+    pairs = (
+        a.join(b, "_b")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+    )
+    ca = item_counts.select(F.col("_i").alias("item_a"), F.col("_c").alias("_ca"))
+    cb = item_counts.select(F.col("_i").alias("item_b"), F.col("_c").alias("_cb"))
+    w = W.orderBy(
+        F.col("pair_count").desc(), F.col("item_a").asc(), F.col("item_b").asc()
+    )
+    return (
+        pairs.join(ca, "item_a")
+        .join(cb, "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "pair_count",
+            F.round(
+                (F.col("pair_count") * F.lit(n_baskets)).cast("double")
+                / (F.col("_ca") * F.col("_cb")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+    )
+
+
+def co_occurrence_sql(
+    table: str = "lineitem",
+    basket_col: str = "l_orderkey",
+    item_col: str = "l_partkey",
+    top_n: int = 50,
+) -> str:
+    """DuckDB twin of co_occurrence_lift."""
+    return f"""
+    WITH items AS (
+        SELECT DISTINCT {basket_col} AS b, {item_col} AS i FROM {table}
+    ),
+    nb AS (SELECT COUNT(DISTINCT b) AS n FROM items),
+    ic AS (SELECT i, COUNT(*) AS c FROM items GROUP BY i),
+    pairs AS (
+        SELECT a.i AS item_a, b.i AS item_b, COUNT(*) AS pair_count
+        FROM items a JOIN items b ON a.b = b.b AND a.i < b.i
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT item_a, item_b,
+               CAST(pair_count AS BIGINT) AS pair_count,
+               ROUND(CAST(pair_count * nb.n AS DOUBLE)
+                     / CAST(ca.c * cb.c AS DOUBLE), 6) AS lift,
+               ROW_NUMBER() OVER (ORDER BY pair_count DESC, item_a, item_b)
+                   AS rank
+        FROM pairs
+        JOIN ic ca ON ca.i = pairs.item_a
+        JOIN ic cb ON cb.i = pairs.item_b
+        CROSS JOIN nb
+    )
+    SELECT item_a, item_b, pair_count, lift, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {top_n}
+    """

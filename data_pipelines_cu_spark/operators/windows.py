@@ -205,3 +205,70 @@ def session_conversion_sql(
            (CAST(funnel_stage AS INT) = 3) AS converted
     FROM folded
     """
+
+
+# --- Event debounce (burst collapse) -----------------------------------------
+# Telemetry feeds double-fire: retries, double-clicks, at-least-once
+# delivery. The debounce keeps the FIRST event of each burst island (a
+# burst = consecutive same-key events each within ``window_seconds`` of
+# the previous) — gaps-and-islands again, but per (user, type) at seconds
+# granularity rather than the 30-minute session gap.
+
+
+def debounce_stats(
+    df,
+    key_cols: tuple[str, ...] = ("user_id", "event_type"),
+    ts_col: str = "ts",
+    order_tiebreak: str = "event_id",
+    window_seconds: int = 10,
+):
+    """(keys..., n_events, n_kept, n_dropped): per key, how many events
+    survive keeping only the first of each burst. One key-partitioned
+    window (lag) + one aggregate; integer-exact, hash-gates."""
+    from pyspark.sql import Window as W  # noqa: PLC0415
+
+    w = W.partitionBy(*key_cols).orderBy(ts_col, order_tiebreak)
+    gap_us = window_seconds * 1_000_000
+    lagged = F.lag(ts_col, 1).over(w)
+    kept = F.when(
+        lagged.isNull()
+        | ((F.unix_micros(F.col(ts_col)) - F.unix_micros(lagged)) >= gap_us),
+        1,
+    ).otherwise(0)
+    return (
+        df.withColumn("_k", kept)
+        .groupBy(*key_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("_k").alias("n_kept"),
+            (F.count(F.lit(1)) - F.sum("_k")).alias("n_dropped"),
+        )
+    )
+
+
+def debounce_sql(
+    table: str = "events",
+    key_cols: tuple[str, ...] = ("user_id", "event_type"),
+    ts_col: str = "ts",
+    order_tiebreak: str = "event_id",
+    window_seconds: int = 10,
+) -> str:
+    """DuckDB twin of debounce_stats."""
+    keys = ", ".join(key_cols)
+    return f"""
+    WITH o AS (
+        SELECT {keys},
+               CASE WHEN lag({ts_col}) OVER w IS NULL
+                         OR epoch_us({ts_col}) - epoch_us(lag({ts_col}) OVER w)
+                            >= {window_seconds * 1000000}
+                    THEN 1 ELSE 0 END AS k
+        FROM {table}
+        WINDOW w AS (PARTITION BY {keys}
+                     ORDER BY {ts_col}, {order_tiebreak})
+    )
+    SELECT {keys},
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(k) AS BIGINT) AS n_kept,
+           CAST(COUNT(*) - SUM(k) AS BIGINT) AS n_dropped
+    FROM o GROUP BY {keys}
+    """

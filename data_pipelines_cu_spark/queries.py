@@ -5398,6 +5398,24 @@ def session_conversion_funnel_q(spark, sf_dir):
     return win.session_conversion(_t(spark, sf_dir, "events"))
 
 
+@register("parts_co_ordered", gr.co_occurrence_sql())
+def parts_co_ordered_q(spark, sf_dir):
+    """Market-basket mining over orders: top-50 part pairs by
+    within-order co-occurrence with exact-integer-ratio lift — pairs
+    generate per basket over the DISTINCT item list (bounded by basket
+    width, never |items|^2) (operators/graph.py::co_occurrence_lift)."""
+    return gr.co_occurrence_lift(_t(spark, sf_dir, "lineitem"))
+
+
+@register("event_debounce_stats", win.debounce_sql())
+def event_debounce_stats_q(spark, sf_dir):
+    """Telemetry debounce audit: per (user, type), how many events
+    survive keeping only the FIRST of each sub-10-second burst — the
+    at-least-once / double-fire collapse every event feed needs
+    (operators/windows.py::debounce_stats)."""
+    return win.debounce_stats(_t(spark, sf_dir, "events"))
+
+
 # Queries with a green row in CORRECTNESS_r01.json (driver gate, round 1).
 # The driver verifies queries in registration order and stopped at 50 in
 # round 1, so all_queries() front-loads the not-yet-gated entries each round
