@@ -5242,7 +5242,11 @@ def leakage_safe_split_q(spark, sf_dir):
     different ids straddle it ~2*p*(1-p) of the time
     (operators/sampling.py::leakage_safe_split_report)."""
     d = _t(spark, sf_dir, "documents")
-    pairs = dd.ngram_jaccard_pairs(d, block_col="lang", threshold=0.5)
+    # the pair table feeds BOTH the clustering and the audit: checkpoint
+    # it once instead of running the inverted-index join twice
+    pairs = dd.ngram_jaccard_pairs(
+        d, block_col="lang", threshold=0.5
+    ).localCheckpoint(eager=True)
     clusters = dd.dedup_clusters(pairs)
     return smp.leakage_safe_split_report(d, clusters, pairs, train_pct=75)
 
