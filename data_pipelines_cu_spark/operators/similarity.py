@@ -2212,3 +2212,65 @@ def hard_negative_oracle_sql(
            ROUND(pos_cos - neg_cos, 6) AS margin
     FROM pos JOIN neg USING (anchor_id)
     """
+
+
+# --- ANN recall evaluation ----------------------------------------------------
+# The eval every approximate index needs before production: per-query
+# recall@k of the LSH path against the brute-force ground truth, computed
+# in ONE plan (both sides already exist as operators; this composes and
+# grades them). Integer hit counts, one rounded division — hash-gates.
+
+
+def ann_recall_report(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, n_true, n_hits, recall): per query, how many of the
+    brute-force top-k the LSH top-k recovered. n_true < k happens when
+    the corpus is small; recall divides by the true count."""
+    truth = cosine_topk(corpus, queries, k=k, id_col=id_col, vec_col=vec_col)
+    approx = cosine_topk_lsh(
+        corpus, queries, k=k, n_bits=n_bits, id_col=id_col, vec_col=vec_col
+    )
+    hits = truth.join(
+        approx.select("query_id", "neighbor_id").withColumn("_hit", F.lit(1)),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    return hits.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_true"),
+        F.coalesce(F.sum("_hit"), F.lit(0)).alias("n_hits"),
+        F.round(
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("recall"),
+    )
+
+
+def ann_recall_oracle_sql(
+    k: int = 5, n_queries: int = 5, n_bits: int = 8, table: str = "embeddings"
+) -> str:
+    """DuckDB twin of ann_recall_report: both existing oracle chains as
+    derived tables, joined and graded."""
+    brute = cosine_topk_oracle_sql(k=k, n_queries=n_queries, table=table)
+    lsh = cosine_topk_lsh_oracle_sql(
+        k=k, n_queries=n_queries, n_bits=n_bits, table=table
+    )
+    return f"""
+    SELECT t.query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_true,
+           CAST(COALESCE(SUM(CASE WHEN l.neighbor_id IS NOT NULL
+                                  THEN 1 END), 0) AS BIGINT) AS n_hits,
+           ROUND(COALESCE(SUM(CASE WHEN l.neighbor_id IS NOT NULL
+                                   THEN 1 END), 0)::DOUBLE
+                 / COUNT(*), 6) AS recall
+    FROM ({brute}) t
+    LEFT JOIN ({lsh}) l
+      ON t.query_id = l.query_id AND t.neighbor_id = l.neighbor_id
+    GROUP BY t.query_id
+    """

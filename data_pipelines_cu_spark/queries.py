@@ -5402,6 +5402,17 @@ def session_conversion_funnel_q(spark, sf_dir):
     return win.session_conversion(_t(spark, sf_dir, "events"))
 
 
+@register("ann_lsh_recall", sim.ann_recall_oracle_sql(k=5, n_queries=5))
+def ann_lsh_recall_q(spark, sf_dir):
+    """Per-query recall@5 of the LSH ANN path against the brute-force
+    ground truth — the eval every approximate index needs before
+    production, computed in one plan by composing the two existing
+    operators (operators/similarity.py::ann_recall_report)."""
+    em = _t(spark, sf_dir, "embeddings")
+    anchors = em.filter(F.col("vec_id") < 5)
+    return sim.ann_recall_report(em, anchors, k=5)
+
+
 @register("parts_co_ordered", gr.co_occurrence_sql())
 def parts_co_ordered_q(spark, sf_dir):
     """Market-basket mining over orders: top-50 part pairs by
