@@ -5413,6 +5413,84 @@ def ann_lsh_recall_q(spark, sf_dir):
     return sim.ann_recall_report(em, anchors, k=5)
 
 
+@register(
+    "customer_rfm_segments",
+    """
+    WITH base AS (
+        SELECT o_custkey,
+               MAX(o_orderdate) AS last_order,
+               COUNT(*) AS n_orders,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,12)))
+                          AS DOUBLE), 2) AS total_spend
+        FROM orders GROUP BY o_custkey
+    ),
+    tiers AS (
+        SELECT o_custkey,
+               CAST(datediff('day', last_order,
+                             (SELECT MAX(o_orderdate) FROM orders))
+                    AS BIGINT) AS recency_days,
+               CAST(n_orders AS BIGINT) AS n_orders,
+               total_spend,
+               CAST(NTILE(4) OVER (ORDER BY last_order DESC, o_custkey)
+                    AS INT) AS r_tier,
+               CAST(NTILE(4) OVER (ORDER BY n_orders DESC, o_custkey)
+                    AS INT) AS f_tier,
+               CAST(NTILE(4) OVER (ORDER BY total_spend DESC, o_custkey)
+                    AS INT) AS m_tier
+        FROM base
+    )
+    SELECT o_custkey, recency_days, n_orders, total_spend,
+           r_tier, f_tier, m_tier,
+           CAST(r_tier AS VARCHAR) || CAST(f_tier AS VARCHAR)
+               || CAST(m_tier AS VARCHAR) AS segment
+    FROM tiers
+    """,
+)
+def customer_rfm_segments_q(spark, sf_dir):
+    """RFM customer segmentation (recency / frequency / monetary
+    quartiles, tier 1 = best): the standard marketing-analytics cut, as
+    one aggregate + three NTILE windows with deterministic (metric,
+    custkey) tie order. The monetary sum is an exact decimal fold
+    (the decimal_avg discipline), so quartile boundaries hash-gate."""
+    o = _t(spark, sf_dir, "orders")
+    base = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(38,12)")).cast("double"),
+            2,
+        ).alias("total_spend"),
+    )
+    max_date = F.broadcast(o.agg(F.max("o_orderdate").alias("_maxd")))
+    wr = Window.orderBy(F.col("last_order").desc(), F.col("o_custkey"))
+    wf = Window.orderBy(F.col("n_orders").desc(), F.col("o_custkey"))
+    wm = Window.orderBy(F.col("total_spend").desc(), F.col("o_custkey"))
+    tiers = (
+        base.crossJoin(max_date)
+        .withColumn(
+            "recency_days",
+            F.datediff(F.col("_maxd"), F.col("last_order")).cast("long"),
+        )
+        .withColumn("r_tier", F.ntile(4).over(wr))
+        .withColumn("f_tier", F.ntile(4).over(wf))
+        .withColumn("m_tier", F.ntile(4).over(wm))
+    )
+    return tiers.select(
+        "o_custkey",
+        "recency_days",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        "total_spend",
+        "r_tier",
+        "f_tier",
+        "m_tier",
+        F.concat(
+            F.col("r_tier").cast("string"),
+            F.col("f_tier").cast("string"),
+            F.col("m_tier").cast("string"),
+        ).alias("segment"),
+    )
+
+
 @register("parts_co_ordered", gr.co_occurrence_sql())
 def parts_co_ordered_q(spark, sf_dir):
     """Market-basket mining over orders: top-50 part pairs by
