@@ -5491,6 +5491,56 @@ def customer_rfm_segments_q(spark, sf_dir):
     )
 
 
+@register(
+    "order_backlog_timeline",
+    """
+    WITH spans AS (
+        SELECT o.o_orderkey, o.o_orderdate AS start_d,
+               MAX(l.l_shipdate) AS end_d
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_orderkey, o.o_orderdate
+    ),
+    deltas AS (
+        SELECT start_d AS d, 1 AS delta FROM spans
+        UNION ALL
+        SELECT end_d AS d, -1 AS delta FROM spans
+    ),
+    daily AS (SELECT d, SUM(delta) AS net FROM deltas GROUP BY d)
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           CAST(net AS BIGINT) AS net_change,
+           CAST(SUM(net) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS open_orders
+    FROM daily
+    """,
+)
+def order_backlog_timeline_q(spark, sf_dir):
+    """Concurrent-interval counting by SWEEP LINE: how many orders are
+    open (placed, not yet fully shipped) on each day. Each order's
+    [orderdate, last ship) span decomposes into a +1/-1 delta pair;
+    one date-keyed aggregate + a running sum over the (calendar-bounded)
+    distinct-date table — never a per-day x per-order join, which is the
+    O(days x orders) trap this shape replaces at scale."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    spans = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("_end"))
+    )
+    deltas = spans.select(
+        F.col("o_orderdate").alias("_d"), F.lit(1).alias("_delta")
+    ).unionByName(
+        spans.select(F.col("_end").alias("_d"), F.lit(-1).alias("_delta"))
+    )
+    daily = deltas.groupBy("_d").agg(F.sum("_delta").alias("net_change"))
+    w = Window.orderBy("_d").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.date_format("_d", "yyyy-MM-dd").alias("day"),
+        F.col("net_change").cast("long").alias("net_change"),
+        F.sum("net_change").over(w).cast("long").alias("open_orders"),
+    )
+
+
 @register("parts_co_ordered", gr.co_occurrence_sql())
 def parts_co_ordered_q(spark, sf_dir):
     """Market-basket mining over orders: top-50 part pairs by
