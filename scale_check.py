@@ -50,6 +50,7 @@ HEAVY = [
     # corpus-wide gram op
     "curation_v2_shards",
     "doc_ngram_novelty",
+    "doc_lang_consistency",
 ]
 
 # Optional subset filter: SPARK_GRAFT_SCALE_ONLY="a,b" runs just those.
