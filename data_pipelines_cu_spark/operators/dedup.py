@@ -1944,3 +1944,203 @@ def ngram_novelty_oracle_sql(
     FROM grams JOIN firsts USING (g)
     GROUP BY {id_col}
     """
+
+
+# --- LSH band-configuration sweep (tuning eval) ------------------------------
+# The bands×rows tradeoff IS the MinHash tuning knob: more bands / fewer
+# rows per band → higher recall, more candidates (cost); fewer, wider
+# bands → precision. This measures all three classic configs of the
+# 16-hash signature IN ONE PLAN against the exact-Jaccard truth set, so
+# the choice is data-driven instead of folklore.
+
+
+def lsh_band_sweep(
+    df: DataFrame,
+    block_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    configs: tuple[tuple[int, int], ...] = ((8, 2), (4, 4), (2, 8)),
+) -> DataFrame:
+    """(config, n_bands, rows_per_band, n_candidates, n_truth, n_hits,
+    precision, recall) — one row per band configuration. Truth = the
+    exact inverted-index Jaccard pairs >= threshold under the SAME
+    blocking discipline (candidates restrict to same-block pairs, as the
+    production pair-gen does). The signature table materializes once and
+    feeds every config; candidate sets never carry text."""
+    sigs = minhash_signatures(df, text_col, id_col, n).localCheckpoint(
+        eager=True
+    )
+    blocks = df.select(F.col(id_col), F.col(block_col).alias("_blk"))
+    truth = (
+        ngram_jaccard_pairs(
+            df, block_col, text_col=text_col, id_col=id_col, n=n,
+            threshold=threshold,
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    n_truth = F.broadcast(truth.agg(F.count(F.lit(1)).alias("n_truth")))
+    spark = df.sparkSession
+    out = None
+    for nb, rpb in configs:
+        band_cols = [
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[F.col(f"h{b * rpb + j}").cast("string") for j in range(rpb)],
+                )
+            ).alias(f"b{b}")
+            for b in range(nb)
+        ]
+        melted = (
+            sigs.select(id_col, *band_cols)
+            .select(
+                id_col,
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(b).alias("band"),
+                                F.col(f"b{b}").alias("bhash"),
+                            )
+                            for b in range(nb)
+                        ]
+                    )
+                ).alias("bb"),
+            )
+            .select(id_col, "bb.band", "bb.bhash")
+            .join(blocks, id_col)
+        )
+        cands = (
+            melted.select(
+                F.col(id_col).alias("id_a"), "band", "bhash", "_blk"
+            )
+            .join(
+                melted.select(
+                    F.col(id_col).alias("id_b"), "band", "bhash", "_blk"
+                ),
+                ["band", "bhash", "_blk"],
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        hits = cands.join(truth, ["id_a", "id_b"], "leftsemi")
+        row = (
+            cands.agg(F.count(F.lit(1)).alias("n_candidates"))
+            .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+            .crossJoin(n_truth)
+            .select(
+                F.lit(f"{nb}x{rpb}").alias("config"),
+                F.lit(nb).alias("n_bands"),
+                F.lit(rpb).alias("rows_per_band"),
+                "n_candidates",
+                "n_truth",
+                "n_hits",
+                F.when(
+                    F.col("n_candidates") > 0,
+                    F.round(
+                        F.col("n_hits").cast("double") / F.col("n_candidates"), 6
+                    ),
+                ).alias("precision"),
+                F.when(
+                    F.col("n_truth") > 0,
+                    F.round(F.col("n_hits").cast("double") / F.col("n_truth"), 6),
+                ).alias("recall"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def lsh_band_sweep_oracle_sql(
+    table: str = "documents",
+    block_col: str = "lang",
+    text_expr: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    configs: tuple[tuple[int, int], ...] = ((8, 2), (4, 4), (2, 8)),
+) -> str:
+    """DuckDB twin of lsh_band_sweep (same signatures, same band md5s,
+    same blocked truth set)."""
+    norm = f"regexp_replace(lower(trim({text_expr})), '\\s+', ' ', 'g')"
+    gram_parts = " || ' ' || ".join(f"ws[i + {j}]" for j in range(n))
+    gx = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(g), {j + 1}, 1)) - 1) * {16 ** (7 - j)}"
+        for j in range(8)
+    )
+    mins = ", ".join(
+        f"MIN(({a} * gx + {b}) % {MINHASH_PRIME}) AS h{i}"
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    )
+    jac = (
+        "len(list_intersect(a.grams, b.grams))::DOUBLE"
+        " / (len(a.grams) + len(b.grams)"
+        " - len(list_intersect(a.grams, b.grams)))"
+    )
+    ctes = [
+        f"""words AS (
+        SELECT {id_col}, {block_col} AS blk, string_split({norm}, ' ') AS ws
+        FROM {table})""",
+        f"""gram_rows AS (
+        SELECT DISTINCT {id_col}, blk, {gram_parts} AS g
+        FROM (SELECT {id_col}, blk, ws,
+                     unnest(CASE WHEN len(ws) >= {n}
+                            THEN range(1, len(ws) - {n - 2})
+                            ELSE [] END) AS i
+              FROM words))""",
+        f"""sigs AS (
+        SELECT {id_col},
+               {mins}
+        FROM (SELECT {id_col}, ({gx})::BIGINT AS gx FROM gram_rows)
+        GROUP BY {id_col})""",
+        f"""gsets AS (
+        SELECT {id_col}, blk, list_distinct(list(g)) AS grams
+        FROM gram_rows GROUP BY {id_col}, blk)""",
+        f"""truth AS (
+        SELECT a.{id_col} AS id_a, b.{id_col} AS id_b
+        FROM gsets a JOIN gsets b
+          ON a.blk = b.blk AND a.{id_col} < b.{id_col}
+        WHERE {jac} >= {threshold})""",
+        "tn AS (SELECT COUNT(*) AS n_truth FROM truth)",
+        f"""blks AS (SELECT {id_col}, {block_col} AS blk FROM {table})""",
+    ]
+    selects = []
+    for nb, rpb in configs:
+        tag = f"c{nb}x{rpb}"
+        band_exprs = " UNION ALL ".join(
+            "SELECT s.{idc}, {b} AS band, md5({parts}) AS bhash FROM sigs s".format(
+                idc=id_col,
+                b=b,
+                parts=" || '|' || ".join(
+                    f"s.h{b * rpb + j}::VARCHAR" for j in range(rpb)
+                ),
+            )
+            for b in range(nb)
+        )
+        ctes.append(f"""m_{tag} AS (
+        SELECT mm.{id_col}, mm.band, mm.bhash, blks.blk
+        FROM ({band_exprs}) mm JOIN blks ON mm.{id_col} = blks.{id_col})""")
+        ctes.append(f"""p_{tag} AS (
+        SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b
+        FROM m_{tag} a JOIN m_{tag} b
+          ON a.band = b.band AND a.bhash = b.bhash AND a.blk = b.blk
+             AND a.{id_col} < b.{id_col})""")
+        ctes.append(f"""s_{tag} AS (
+        SELECT (SELECT COUNT(*) FROM p_{tag}) AS n_candidates,
+               (SELECT COUNT(*) FROM p_{tag} JOIN truth USING (id_a, id_b))
+                   AS n_hits)""")
+        selects.append(f"""
+        SELECT '{nb}x{rpb}' AS config, {nb} AS n_bands, {rpb} AS rows_per_band,
+               CAST(n_candidates AS BIGINT) AS n_candidates,
+               CAST(n_truth AS BIGINT) AS n_truth,
+               CAST(n_hits AS BIGINT) AS n_hits,
+               CASE WHEN n_candidates > 0
+                    THEN ROUND(n_hits::DOUBLE / n_candidates, 6) END AS precision,
+               CASE WHEN n_truth > 0
+                    THEN ROUND(n_hits::DOUBLE / n_truth, 6) END AS recall
+        FROM s_{tag} CROSS JOIN tn""")
+    return "WITH " + ",\n    ".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)

@@ -5541,6 +5541,16 @@ def order_backlog_timeline_q(spark, sf_dir):
     )
 
 
+@register("lsh_band_sweep", dd.lsh_band_sweep_oracle_sql())
+def lsh_band_sweep_q(spark, sf_dir):
+    """MinHash LSH band-configuration sweep: candidates / precision /
+    recall of the 8x2, 4x4, and 2x8 band layouts of the 16-hash
+    signature against the exact-Jaccard truth set, in ONE plan — the
+    measurement that turns the bands-vs-rows tradeoff from folklore into
+    data (operators/dedup.py::lsh_band_sweep)."""
+    return dd.lsh_band_sweep(_t(spark, sf_dir, "documents"))
+
+
 @register("parts_co_ordered", gr.co_occurrence_sql())
 def parts_co_ordered_q(spark, sf_dir):
     """Market-basket mining over orders: top-50 part pairs by
