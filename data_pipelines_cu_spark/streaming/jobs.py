@@ -634,3 +634,63 @@ def daily_anomalies_from_counts(spark, counts_path: str, k: int = 2) -> DataFram
         .agg(F.sum("n").alias("n_events"))
     )
     return flag_daily_anomalies(merged, k=k)
+
+
+_DEBOUNCE_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("kept_ts_us", T.LongType()),
+    ]
+)
+_DEBOUNCE_STATE_SCHEMA = T.StructType(
+    [T.StructField("last_ts_us", T.LongType())]
+)
+
+
+def debounce_stateful(
+    events: DataFrame,
+    window_seconds: int = 10,
+    ts_col: str = "ts",
+    key_cols: tuple[str, ...] = ("user_id", "event_type"),
+) -> DataFrame:
+    """Cross-batch streaming debounce via ``applyInPandasWithState``:
+    per (user, type), emit only events >= ``window_seconds`` after the
+    previously SEEN event — the first of each burst — with the last-seen
+    timestamp as the sole per-key state (one long; contrast with the
+    sessionizer's (start, end, n) + event-time timeout — this is the
+    minimal value-state pattern, no timeout needed because nothing emits
+    on silence). State is bounded by key cardinality; for in-order
+    streams the kept set equals the batch debounce_stats gate
+    (batch-parity tested)."""
+    import pandas as pd  # noqa: PLC0415 — executor-side import
+
+    gap_us = window_seconds * 1_000_000
+
+    def fn(key, pdfs, state):
+        user_id, event_type = key
+        last = state.get[0] if state.exists else None
+        kept: list[tuple[int, str, int]] = []
+        ts_us: list[int] = []
+        for pdf in pdfs:
+            ts_us.extend(pdf[ts_col].astype("int64") // 1000)
+        ts_us.sort()
+        for t in ts_us:
+            if last is None or t - last >= gap_us:
+                kept.append((user_id, event_type, t))
+            last = t
+        if last is not None:
+            state.update((last,))
+        yield pd.DataFrame(
+            kept, columns=["user_id", "event_type", "kept_ts_us"]
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy(*key_cols).applyInPandasWithState(
+        fn,
+        outputStructType=_DEBOUNCE_OUT_SCHEMA,
+        stateStructType=_DEBOUNCE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -649,3 +649,78 @@ def test_streaming_daily_anomalies_match_batch(spark, tmp_path):
     daily_count_batch(b0, 0, counts_path)
     after = sorted(map(tuple, spark.read.parquet(counts_path).collect()))
     assert before == after
+
+
+def test_streaming_debounce_matches_batch_gate(spark, tmp_path):
+    """Cross-batch stateful debounce: the kept-event stream over two
+    in-order micro-batches equals the batch debounce_stats gate on the
+    union — including bursts that STRADDLE the batch boundary (the
+    cross-batch state is exactly what the batch lag sees)."""
+    import json as _json
+
+    from data_pipelines_cu_spark.operators.windows import debounce_stats
+    from data_pipelines_cu_spark.streaming.jobs import debounce_stateful
+
+    src = tmp_path / "ev_in"
+    src.mkdir()
+    rows = []
+    eid = 0
+    # user 1 'click': a burst every ~25s with 3 sub-10s echoes; the
+    # 4th burst straddles the file boundary
+    for burst in range(6):
+        base = burst * 25
+        for echo in range(3):
+            rows.append(
+                {
+                    "user_id": 1,
+                    "event_type": "click",
+                    "event_id": (eid := eid + 1),
+                    "ts": f"2024-01-01 00:00:{base + echo * 3:02.0f}"
+                    if base + echo * 3 < 60
+                    else f"2024-01-01 00:{(base + echo * 3) // 60:02d}:{(base + echo * 3) % 60:02d}",
+                }
+            )
+    half = 10  # splits burst 4 (rows 10-12) across files
+    for i, chunk in enumerate([rows[:half], rows[half:]]):
+        p = src / f"part-{i}.json"
+        with open(p, "w") as f:
+            for r in chunk:
+                f.write(_json.dumps(r) + "\n")
+        os.utime(p, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    schema = "user_id long, event_type string, event_id long, ts timestamp"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out_path = str(tmp_path / "kept")
+    q = (
+        debounce_stateful(stream)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    kept = (
+        spark.read.parquet(out_path)
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_kept_stream"))
+        .collect()
+    )
+    batch_df = spark.createDataFrame(
+        [(r["user_id"], r["event_type"], r["event_id"], r["ts"]) for r in rows],
+        "user_id long, event_type string, event_id long, ts string",
+    ).selectExpr(
+        "user_id", "event_type", "event_id", "CAST(ts AS TIMESTAMP) AS ts"
+    )
+    want = {
+        (r.user_id, r.event_type): r.n_kept
+        for r in debounce_stats(batch_df).collect()
+    }
+    got = {(r.user_id, r.event_type): r.n_kept_stream for r in kept}
+    assert got == want and len(got) == 1
