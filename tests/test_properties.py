@@ -368,3 +368,25 @@ def test_quantile_calibration_is_distribution_preserving(spark, scores):
     want = sorted((i, v) for v, i in glob)
     # single source: rank r maps to global rank r -> the sorted multisets agree
     assert sorted(c for _, c in out1) == sorted(v for v, _ in glob)
+
+
+@given(
+    h=st.integers(min_value=1, max_value=40),
+    w=st.integers(min_value=1, max_value=40),
+    val=st.integers(min_value=0, max_value=255),
+    sub=st.sampled_from(["444", "420"]),
+)
+@settings(**SETTINGS)
+def test_jpeg_flat_field_round_trips_any_shape(h, w, val, sub):
+    """Baseline JPEG: ANY image size (odd, 1-pixel, non-MCU-aligned)
+    encodes and decodes to the exact shape, and a flat field comes back
+    within 1 level (the DC quantization step can shift a flat block by
+    at most round-half of quant/8 = 1)."""
+    import numpy as np
+
+    from data_pipelines_cu_spark.operators import multimodal as mm
+
+    flat = np.full((h, w, 3), val, dtype=np.uint8)
+    out = mm.decode_pixels(mm.encode_jpeg_baseline(flat, subsampling=sub))
+    assert out.shape == (h, w, 3)
+    assert int(np.abs(out.astype(int) - int(val)).max()) <= 1
