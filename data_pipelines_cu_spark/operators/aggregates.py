@@ -595,14 +595,21 @@ def time_weighted_avg(
             "_dt"
         ),
     ).filter(F.col("_dt").isNotNull())
+    # Degenerate guard: every interval can be zero-length (duplicate
+    # timestamps), making SUM(dt) = 0 — an integer division-by-zero
+    # ERROR under ANSI mode rather than a quiet NaN. Report NULL twap
+    # for a zero-duration day on both engines.
     return stepped.groupBy(group_col, "event_date").agg(
         F.count(F.lit(1)).alias("n_intervals"),
-        F.round(
-            F.sum((F.col("_v") * F.col("_dt")).cast("decimal(38,12)")).cast(
-                "double"
-            )
-            / F.sum("_dt"),
-            6,
+        F.when(
+            F.sum("_dt") > 0,
+            F.round(
+                F.sum((F.col("_v") * F.col("_dt")).cast("decimal(38,12)")).cast(
+                    "double"
+                )
+                / F.sum("_dt"),
+                6,
+            ),
         ).alias("twap"),
     )
 
@@ -629,8 +636,9 @@ def time_weighted_avg_sql(
     )
     SELECT {group_col}, event_date,
            CAST(COUNT(*) AS BIGINT) AS n_intervals,
-           ROUND(CAST(SUM(CAST(v * dt AS DECIMAL(38,12))) AS DOUBLE)
-                 / SUM(dt), 6) AS twap
+           CASE WHEN SUM(dt) > 0
+                THEN ROUND(CAST(SUM(CAST(v * dt AS DECIMAL(38,12))) AS DOUBLE)
+                           / SUM(dt), 6) END AS twap
     FROM stepped WHERE dt IS NOT NULL
     GROUP BY {group_col}, event_date
     """
