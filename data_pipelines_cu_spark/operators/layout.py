@@ -54,12 +54,20 @@ def zorder_key(
 ) -> DataFrame:
     """(id_cols..., zorder): each dimension scaled to [0, 2^bits) by its
     stated max (exact integer arithmetic: v * 2^bits // (max + 1)), then
-    bit-interleaved. Rows near each other in BOTH dimensions get nearby
-    keys, so a range-partitioned write clusters them into the same files
-    and min/max pruning works for predicates on either column."""
+    bit-interleaved. Values beyond the stated max CLAMP to the top cell —
+    without the clamp they would overflow past bit ``bits`` and silently
+    alias onto the LOWEST cells (non-monotone clustering), which no
+    correctness gate can see because any twin computing the same formula
+    aliases identically. Rows near each other in BOTH dimensions get
+    nearby keys, so a range-partitioned write clusters them into the same
+    files and min/max pruning works for predicates on either column."""
     scale = 1 << bits
-    xs = (x_col.cast("long") * scale / F.lit(x_max + 1)).cast("long")
-    ys = (y_col.cast("long") * scale / F.lit(y_max + 1)).cast("long")
+    xs = (
+        F.least(x_col.cast("long"), F.lit(x_max)) * scale / F.lit(x_max + 1)
+    ).cast("long")
+    ys = (
+        F.least(y_col.cast("long"), F.lit(y_max)) * scale / F.lit(y_max + 1)
+    ).cast("long")
     return df.select(*id_cols, morton_code(xs, ys, bits).alias(out))
 
 
@@ -78,8 +86,16 @@ def write_zordered(
     row-group min/max stats on BOTH columns are tight and predicates on
     either prune files. The key is dropped from the stored schema."""
     scale = 1 << bits
-    xs = (F.col(x_col).cast("long") * scale / F.lit(x_max + 1)).cast("long")
-    ys = (F.col(y_col).cast("long") * scale / F.lit(y_max + 1)).cast("long")
+    xs = (
+        F.least(F.col(x_col).cast("long"), F.lit(x_max))
+        * scale
+        / F.lit(x_max + 1)
+    ).cast("long")
+    ys = (
+        F.least(F.col(y_col).cast("long"), F.lit(y_max))
+        * scale
+        / F.lit(y_max + 1)
+    ).cast("long")
     keyed = df.withColumn("_z", morton_code(xs, ys, bits))
     (
         keyed.repartitionByRange(n_files, "_z")

@@ -5369,8 +5369,8 @@ from .operators import layout as lay  # noqa: E402
     f"""
     SELECT event_id, {lay.morton_code_sql("xs", "ys")} AS zorder
     FROM (SELECT event_id,
-                 (user_id * 65536) // 1024 AS xs,
-                 (CAST(FLOOR(value) AS BIGINT) * 65536) // 1024 AS ys
+                 (least(user_id, 2047) * 65536) // 2048 AS xs,
+                 (least(CAST(FLOOR(value) AS BIGINT), 1023) * 65536) // 1024 AS ys
           FROM events)
     """,
 )
@@ -5387,7 +5387,7 @@ def event_zorder_keys_q(spark, sf_dir):
         ev,
         F.col("user_id"),
         F.floor(F.col("value")).cast("long"),
-        x_max=1023,
+        x_max=2047,
         y_max=1023,
         id_cols=["event_id"],
     )
