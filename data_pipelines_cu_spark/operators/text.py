@@ -1196,7 +1196,14 @@ def sliding_token_chunks(
     [idx*stride, idx*stride + window): every doc emits
     1 + ceil(max(n - window, 0) / stride) chunks (the final chunk may be
     short; a doc shorter than one window emits exactly one chunk).
-    Row-local explode — no shuffle at all until a consumer aggregates."""
+    Row-local explode — no shuffle at all until a consumer aggregates.
+    ``stride`` must not exceed ``window`` (a larger stride would silently
+    skip tokens between chunks — never what a retrieval index wants)."""
+    if stride > window or stride < 1:
+        raise ValueError(
+            f"stride must be in [1, window]; got stride={stride}, "
+            f"window={window}"
+        )
     from .dedup import normalized_text  # noqa: PLC0415 (cycle guard)
 
     words = df.select(
