@@ -474,7 +474,11 @@ def systematic_weighted_sample(
         (F.col("_lo").cast("double") - off) / step
     )
     return (
-        cum.select(
+        # zero total weight = no mass on the cumulative line = nothing to
+        # draw; without the guard, step = 0 and ANSI mode turns the pick
+        # divisions into a DIVIDE_BY_ZERO error instead of an empty result
+        cum.filter(F.col("_tot") > 0)
+        .select(
             id_col,
             F.col("_w").alias("weight"),
             picks.cast("long").alias("n_picks"),
@@ -511,7 +515,8 @@ def systematic_sample_sql(
                         / (CAST(t AS DOUBLE) / {float(n_draws)}))
                 AS BIGINT) AS n_picks
     FROM cum, tot
-    WHERE CAST(FLOOR((CAST(hi AS DOUBLE)
+    WHERE t > 0
+      AND CAST(FLOOR((CAST(hi AS DOUBLE)
                       - (CAST(t AS DOUBLE) / {float(n_draws)}) / 2.0)
                      / (CAST(t AS DOUBLE) / {float(n_draws)}))
                - FLOOR((CAST(hi - w AS DOUBLE)

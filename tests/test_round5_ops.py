@@ -233,3 +233,25 @@ def test_zorder_write_clusters_both_dimensions(spark, sf_dir, tmp_path):
         ev, F.col("user_id"), F.col("v"), 1023, 1023, ["event_id"]
     )
     assert out.count() == ev.count()
+
+
+def test_systematic_sample_zero_total_weight_is_empty(spark):
+    """All-zero weights: no mass on the cumulative line -> empty draw set
+    (not an ANSI DIVIDE_BY_ZERO from step = 0)."""
+    from data_pipelines_cu_spark.operators import sampling as smp
+
+    zw = spark.createDataFrame([(1, 0), (2, 0)], "doc_id long, n_chars long")
+    assert smp.systematic_weighted_sample(zw, weight_col="n_chars").count() == 0
+
+
+def test_twap_duplicate_timestamps_yield_null_not_crash(spark):
+    """Every interval zero-length: n_intervals reported, twap NULL."""
+    from data_pipelines_cu_spark.operators.aggregates import time_weighted_avg
+
+    df = spark.createDataFrame(
+        [("a", "2024-01-01 10:00:00", 1, 5.0), ("a", "2024-01-01 10:00:00", 2, 9.0)],
+        "event_type string, ts string, event_id long, value double",
+    ).selectExpr("event_type", "CAST(ts AS TIMESTAMP) AS ts", "event_id", "value")
+    rows = time_weighted_avg(df).collect()
+    assert len(rows) == 1 and rows[0]["n_intervals"] == 1
+    assert rows[0]["twap"] is None
