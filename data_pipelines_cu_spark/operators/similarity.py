@@ -33,7 +33,12 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity; NULL when either vector has zero norm (cosine is
+    undefined there — without the guard, ANSI mode turns a single zero
+    vector anywhere in the corpus into a job-killing DIVIDE_BY_ZERO; the
+    hash-feature path filters nrm2 = 0 for the same reason)."""
+    den = norm(a) * norm(b)
+    return F.when(den > 0, dot(a, b) / den)
 
 
 def cosine_topk(
@@ -550,11 +555,12 @@ def cosine_topk_ivf(
 # --- oracle SQL twins --------------------------------------------------------
 
 def _cos_sql(av: str, bv: str) -> str:
-    """Cosine with the same sequential double fold as the Spark side."""
+    """Cosine with the same sequential double fold and the same zero-norm
+    NULL guard as the Spark side."""
     d = f"list_sum([CAST({av}[i] AS DOUBLE) * CAST({bv}[i] AS DOUBLE) for i in range(1, len({av}) + 1)])"
     na = f"sqrt(list_sum([CAST({av}[i] AS DOUBLE) * CAST({av}[i] AS DOUBLE) for i in range(1, len({av}) + 1)]))"
     nb = f"sqrt(list_sum([CAST({bv}[i] AS DOUBLE) * CAST({bv}[i] AS DOUBLE) for i in range(1, len({bv}) + 1)]))"
-    return f"({d} / ({na} * {nb}))"
+    return f"(CASE WHEN ({na} * {nb}) > 0 THEN {d} / ({na} * {nb}) END)"
 
 
 def cosine_topk_oracle_sql(

@@ -255,3 +255,23 @@ def test_twap_duplicate_timestamps_yield_null_not_crash(spark):
     rows = time_weighted_avg(df).collect()
     assert len(rows) == 1 and rows[0]["n_intervals"] == 1
     assert rows[0]["twap"] is None
+
+
+def test_cosine_zero_vector_yields_null_not_crash(spark):
+    """A zero-norm vector anywhere in the corpus must degrade to NULL
+    similarity (excluded by ranking), not an ANSI DIVIDE_BY_ZERO that
+    kills the whole job."""
+    from data_pipelines_cu_spark.operators import similarity as sim
+
+    zv = spark.createDataFrame(
+        [(0, [0.0] * 4, 0), (1, [1.0, 0.0, 0.0, 0.0], 1),
+         (2, [0.0, 1.0, 0.0, 0.0], 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = sim.cosine_topk(zv, zv.filter("vec_id = 0"), k=2).collect()
+    # the zero anchor has no defined similarity to anything: rows exist
+    # with NULL cos_sim (ranked last), no crash
+    assert all(r.cos_sim is None for r in out)
+    out2 = sim.cosine_topk(zv, zv.filter("vec_id = 1"), k=2).collect()
+    by_rank = {r.rank: r for r in out2}
+    assert by_rank[1].cos_sim is not None  # real neighbor ranks first
