@@ -1185,3 +1185,53 @@ def wav_chunk_features(
             yield pd.DataFrame(out)
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=WAV_CHUNK_SCHEMA)
+
+
+def transcode_image(payload: bytes, fmt: str = "jpeg") -> bytes:
+    """Media-sink format conversion: decode any supported image payload
+    (PPM/BMP/PNG/JPEG) and re-encode as ``fmt`` — the kernel the binary
+    sink uses to normalize heterogeneous scraped payloads into one
+    storage format. Same signature class as the resize kernels, so it
+    drops into the Arrow mapInPandas plumbing unchanged."""
+    px = decode_pixels(payload)
+    if fmt == "ppm":
+        return encode_ppm(px)
+    if fmt == "bmp":
+        return encode_bmp(px)
+    if fmt == "png":
+        return encode_png(px)
+    if fmt in ("jpeg", "jpg"):
+        return encode_jpeg_baseline(px)
+    raise ValueError(f"unsupported target format {fmt!r}")
+
+
+def transcode_images(
+    df: DataFrame,
+    fmt: str = "jpeg",
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    out_col: str = "transcoded",
+) -> DataFrame:
+    """Arrow-batched transcode over binary payloads (the resize_images
+    shape): (id, transcoded) with NULL-payload rows passed through as
+    NULL."""
+    import pandas as pd  # noqa: PLC0415 — executor-side import
+
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField(out_col, T.BinaryType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            out = [
+                None if p is None else transcode_image(bytes(p), fmt)
+                for p in pdf[payload_col]
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col], out_col: out})
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=schema)

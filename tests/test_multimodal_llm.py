@@ -440,3 +440,36 @@ def test_jpeg_flows_through_arrow_decode_and_resize(spark):
     out = mm.decode_pixels(bytes(rrow.resized))
     assert out.shape == (4, 4, 3)
     assert np.array_equal(out, px[[0, 4, 8, 12]][:, [0, 4, 8, 12]])
+
+
+def test_transcode_images_any_to_any(spark):
+    """The media-sink transcode kernel: a BMP payload and a PNG payload
+    both normalize to JPEG through Arrow, and the outputs decode back to
+    (near-)identical pixels; NULL payloads pass through as NULL."""
+    import numpy as np
+
+    from data_pipelines_cu_spark.operators import multimodal as mm
+
+    px = np.zeros((12, 9, 3), dtype=np.uint8)
+    px[:, :, 1] = 200
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(mm.encode_bmp(px))),
+            (2, bytearray(mm.encode_png(px))),
+            (3, None),
+        ],
+        "media_id long, payload binary",
+    )
+    rows = {r.media_id: r for r in mm.transcode_images(df, "jpeg").collect()}
+    assert rows[3].transcoded is None
+    for mid in (1, 2):
+        blob = bytes(rows[mid].transcoded)
+        assert blob[:2] == b"\xff\xd8"
+        out = mm.decode_pixels(blob)
+        assert out.shape == (12, 9, 3)
+        assert np.abs(out.astype(int) - px.astype(int)).max() <= 2
+    # and JPEG -> PNG round-trips losslessly from the decoded pixels
+    back = mm.transcode_image(bytes(rows[1].transcoded), "png")
+    assert np.array_equal(
+        mm.decode_pixels(back), mm.decode_pixels(bytes(rows[1].transcoded))
+    )
