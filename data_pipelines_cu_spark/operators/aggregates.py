@@ -495,8 +495,11 @@ def winsorized_stats(
         F.row_number().over(w).alias("_r"),
         F.count(F.lit(1)).over(W.partitionBy(group_col)).alias("_n"),
     )
-    lo_rank = F.greatest(F.lit(1), ((F.col("_n") * lo_pct + 99) / 100).cast("long"))
-    hi_rank = ((F.col("_n") * hi_pct + 99) / 100).cast("long")
+    # SQL `div` on longs, never `/`: double division is exact only below
+    # 2^53 — past ~1e8 rows rounding can cross an integer boundary and
+    # pick a different cut member than the oracle's integer `//`.
+    lo_rank = F.expr(f"greatest(1, (_n * {lo_pct} + 99) div 100)")
+    hi_rank = F.expr(f"(_n * {hi_pct} + 99) div 100")
     cuts = F.broadcast(
         ranked.groupBy(group_col).agg(
             F.max(F.when(F.col("_r") == lo_rank, F.col("_v"))).alias("_lo"),
@@ -536,7 +539,8 @@ def winsorized_stats_sql(
     WITH ranked AS (
         SELECT {group_col}, CAST({value_col} AS DOUBLE) AS v,
                ROW_NUMBER() OVER (PARTITION BY {group_col}
-                                  ORDER BY {value_col}, {order_tiebreak}) AS r,
+                                  ORDER BY {value_col} NULLS FIRST,
+                                           {order_tiebreak}) AS r,
                COUNT(*) OVER (PARTITION BY {group_col}) AS n
         FROM {table}
     ),

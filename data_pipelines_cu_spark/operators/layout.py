@@ -42,6 +42,18 @@ def morton_code_sql(a: str, b: str, bits: int = 16) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def _clamp(col: Column, max_val: int) -> Column:
+    """Clamp to [0, max_val] on longs. BOTH bounds matter: above the max
+    the scaled value overflows past bit ``bits`` and aliases onto low
+    cells; BELOW ZERO shiftright/% on negative longs produce negative
+    Morton terms and a corrupt, non-monotone key. Either failure is
+    invisible to an identical-formula oracle twin, so the clamp is the
+    contract."""
+    return F.greatest(
+        F.lit(0).cast("long"), F.least(col.cast("long"), F.lit(max_val))
+    )
+
+
 def zorder_key(
     df: DataFrame,
     x_col: Column,
@@ -53,22 +65,25 @@ def zorder_key(
     out: str = "zorder",
 ) -> DataFrame:
     """(id_cols..., zorder): each dimension scaled to [0, 2^bits) by its
-    stated max (exact integer arithmetic: v * 2^bits // (max + 1)), then
-    bit-interleaved. Values beyond the stated max CLAMP to the top cell —
-    without the clamp they would overflow past bit ``bits`` and silently
-    alias onto the LOWEST cells (non-monotone clustering), which no
-    correctness gate can see because any twin computing the same formula
-    aliases identically. Rows near each other in BOTH dimensions get
+    stated max (exact integer arithmetic: v * 2^bits div (max + 1) on
+    longs — SQL ``div``, never double division), then bit-interleaved.
+    Values outside [0, max] CLAMP to the edge cells — above the max they
+    would overflow past bit ``bits`` and silently alias onto the LOWEST
+    cells; below zero the shift/mod algebra yields negative Morton terms
+    and a non-monotone key. Neither failure is visible to a correctness
+    gate because any twin computing the same formula aliases identically.
+    Rows near each other in BOTH dimensions get
     nearby keys, so a range-partitioned write clusters them into the same
     files and min/max pruning works for predicates on either column."""
     scale = 1 << bits
-    xs = (
-        F.least(x_col.cast("long"), F.lit(x_max)) * scale / F.lit(x_max + 1)
-    ).cast("long")
-    ys = (
-        F.least(y_col.cast("long"), F.lit(y_max)) * scale / F.lit(y_max + 1)
-    ).cast("long")
-    return df.select(*id_cols, morton_code(xs, ys, bits).alias(out))
+    clamped = df.select(
+        *id_cols,
+        _clamp(x_col, x_max).alias("_zx"),
+        _clamp(y_col, y_max).alias("_zy"),
+    )
+    xs = F.expr(f"_zx * {scale}L div {x_max + 1}L")
+    ys = F.expr(f"_zy * {scale}L div {y_max + 1}L")
+    return clamped.select(*id_cols, morton_code(xs, ys, bits).alias(out))
 
 
 def write_zordered(
@@ -86,17 +101,19 @@ def write_zordered(
     row-group min/max stats on BOTH columns are tight and predicates on
     either prune files. The key is dropped from the stored schema."""
     scale = 1 << bits
-    xs = (
-        F.least(F.col(x_col).cast("long"), F.lit(x_max))
-        * scale
-        / F.lit(x_max + 1)
-    ).cast("long")
-    ys = (
-        F.least(F.col(y_col).cast("long"), F.lit(y_max))
-        * scale
-        / F.lit(y_max + 1)
-    ).cast("long")
-    keyed = df.withColumn("_z", morton_code(xs, ys, bits))
+    keyed = (
+        df.withColumn("_zx", _clamp(F.col(x_col), x_max))
+        .withColumn("_zy", _clamp(F.col(y_col), y_max))
+        .withColumn(
+            "_z",
+            morton_code(
+                F.expr(f"_zx * {scale}L div {x_max + 1}L"),
+                F.expr(f"_zy * {scale}L div {y_max + 1}L"),
+                bits,
+            ),
+        )
+        .drop("_zx", "_zy")
+    )
     (
         keyed.repartitionByRange(n_files, "_z")
         .sortWithinPartitions("_z")

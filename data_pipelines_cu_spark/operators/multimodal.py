@@ -492,7 +492,16 @@ def _decode_jpeg(payload: bytes):
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker stream")
+        # T.81 B.1.1.2: any marker may be preceded by optional 0xFF fill
+        # bytes — real camera/tool output uses them for alignment. Skip
+        # the run so the length parse below reads the true segment.
+        while payload[pos + 1] == 0xFF and pos + 4 <= len(payload):
+            pos += 1
         marker = payload[pos + 1]
+        if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+            # standalone markers (TEM, RSTn, SOI, EOI) carry no length
+            pos += 2
+            continue
         (seg_len,) = struct.unpack_from(">H", payload, pos + 2)
         data = payload[pos + 4 : pos + 2 + seg_len]
         if marker == 0xDB:  # DQT

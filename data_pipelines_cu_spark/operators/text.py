@@ -1118,11 +1118,10 @@ def quality_quantile_calibrate(
         F.row_number().over(ws).alias("src_rank"),
         F.count(F.lit(1)).over(W.partitionBy(group_col)).alias("_n_src"),
     )
-    # ceil(r*N / n_src) in exact integer arithmetic
-    target = (
-        (F.col("src_rank") * F.lit(n_total) + F.col("_n_src") - 1)
-        / F.col("_n_src")
-    ).cast("long")
+    # ceil(r*N / n_src) in exact integer arithmetic — SQL `div` on longs,
+    # never `/`: double division drifts past 2^53 and can pick a
+    # different selection member than the oracle's integer `//`.
+    target = F.expr(f"(src_rank * {n_total}L + _n_src - 1) div _n_src")
     wg = W.orderBy(score_col, id_col)
     glob = df.select(
         F.col(score_col).alias("_gscore"),
@@ -1160,14 +1159,16 @@ def quantile_calibrate_sql(
     ranked AS (
         SELECT {id_col}, {group_col}, quality,
                ROW_NUMBER() OVER (PARTITION BY {group_col}
-                                  ORDER BY quality, {id_col}) AS src_rank,
+                                  ORDER BY quality NULLS FIRST,
+                                           {id_col}) AS src_rank,
                COUNT(*) OVER (PARTITION BY {group_col}) AS n_src,
                COUNT(*) OVER () AS n_total
         FROM scored
     ),
     gq AS (
         SELECT quality AS gscore,
-               ROW_NUMBER() OVER (ORDER BY quality, {id_col}) AS grank
+               ROW_NUMBER() OVER (ORDER BY quality NULLS FIRST, {id_col})
+                   AS grank
         FROM scored
     )
     SELECT {id_col}, {group_col}, quality,

@@ -5369,8 +5369,8 @@ from .operators import layout as lay  # noqa: E402
     f"""
     SELECT event_id, {lay.morton_code_sql("xs", "ys")} AS zorder
     FROM (SELECT event_id,
-                 (least(user_id, 2047) * 65536) // 2048 AS xs,
-                 (least(CAST(FLOOR(value) AS BIGINT), 1023) * 65536) // 1024 AS ys
+                 (greatest(0, least(user_id, 2047)) * 65536) // 2048 AS xs,
+                 (greatest(0, least(CAST(FLOOR(value) AS BIGINT), 1023)) * 65536) // 1024 AS ys
           FROM events)
     """,
 )

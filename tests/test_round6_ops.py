@@ -1,0 +1,143 @@
+"""Round-6 regression tests: ADVICE fixes (Z-order lower clamp, exact
+integer rank division, NULL-ordering parity, JPEG fill bytes)."""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from data_pipelines_cu_spark.operators import aggregates as ag
+from data_pipelines_cu_spark.operators import layout as lay
+from tests.util import rows_key
+
+
+def test_zorder_negative_inputs_clamp_to_origin_cell(spark):
+    """Values below zero clamp to cell 0 in that dimension — without the
+    lower clamp, shiftright/% on negative longs emit negative Morton
+    terms and a corrupt, non-monotone key (invisible to the oracle gate
+    because both engines would compute the identical bad formula)."""
+    df = spark.createDataFrame(
+        [(1, -500, 7), (2, -1, 7), (3, 0, 7), (4, 100, 7), (5, 0, -3)],
+        "event_id long, x long, y long",
+    )
+    out = {
+        r["event_id"]: r["zorder"]
+        for r in lay.zorder_key(
+            df, F.col("x"), F.col("y"), 1023, 1023, ["event_id"]
+        ).collect()
+    }
+    assert all(v >= 0 for v in out.values())
+    # every negative x lands on the same cell as x = 0
+    assert out[1] == out[2] == out[3]
+    # and below a positive-x key (monotone along the clamped axis)
+    assert out[3] < out[4]
+    # (0, -3) clamps to the origin cell: key 0 exactly
+    assert out[5] == 0
+
+
+def test_zorder_oracle_parity_with_out_of_range_values(spark):
+    """Degenerate-input differential probe: the engine and the (fixed)
+    oracle expression agree on rows OUTSIDE [0, max] in either
+    dimension."""
+    rows = [
+        (1, -500, -3.5),
+        (2, -1, 0.0),
+        (3, 0, 2000.0),
+        (4, 5000, 17.2),
+        (5, 42, -0.1),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, value double")
+    got = lay.zorder_key(
+        df,
+        F.col("user_id"),
+        F.floor(F.col("value")).cast("long"),
+        x_max=2047,
+        y_max=1023,
+        id_cols=["event_id"],
+    ).toPandas()
+    con = duckdb.connect()
+    con.sql(
+        "CREATE TABLE events AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, {u}, {v})" for i, u, v in rows)
+        + ") AS t(event_id, user_id, value)"
+    )
+    want = con.sql(
+        f"""
+        SELECT event_id, {lay.morton_code_sql("xs", "ys")} AS zorder
+        FROM (SELECT event_id,
+                 (greatest(0, least(user_id, 2047)) * 65536) // 2048 AS xs,
+                 (greatest(0, least(CAST(FLOOR(value) AS BIGINT), 1023))
+                  * 65536) // 1024 AS ys
+              FROM events)
+        """
+    ).df()
+    s = rows_key(list(got.columns), got.itertuples(index=False, name=None))
+    d = rows_key(list(want.columns), want.itertuples(index=False, name=None))
+    assert s == d
+
+
+def test_winsorized_null_values_match_oracle(spark):
+    """NULL values: Spark windows order NULLS FIRST ascending, DuckDB
+    defaults to NULLS LAST — without an explicit NULLS FIRST in the
+    oracle the rank-selected cut members diverge. Latent until a NULL
+    shows up; this probe pins the parity."""
+    rows = [(i, "a", float(v)) for i, v in enumerate([5, 1, 9, 3, 7, 2, 8])]
+    rows += [(100, "a", None), (101, "a", None)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    got = ag.winsorized_stats(df, lo_pct=20, hi_pct=80).toPandas()
+    con = duckdb.connect()
+    con.sql(
+        "CREATE TABLE events AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, '{t}', {'NULL' if v is None else v})" for i, t, v in rows
+        )
+        + ") AS t(event_id, event_type, value)"
+    )
+    want = con.sql(ag.winsorized_stats_sql(lo_pct=20, hi_pct=80)).df()
+    s = rows_key(list(got.columns), got.itertuples(index=False, name=None))
+    d = rows_key(list(want.columns), want.itertuples(index=False, name=None))
+    assert s == d
+
+
+def test_winsorized_rank_division_is_integer_exact(spark):
+    """The rank cutoffs must use integer `div`, not double `/`: at a
+    boundary case (n*pct divisible by 100) both must pick the same
+    member. 10 rows, pct 20/80 -> lo rank 3 (ceil(2)+guard... exactly
+    (10*20+99)//100 = 2), hi rank (10*80+99)//100 = 8."""
+    rows = [(i, "a", float(i)) for i in range(1, 11)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    row = ag.winsorized_stats(df, lo_pct=20, hi_pct=80).collect()[0]
+    assert row["lo_cut"] == 2.0  # rank (10*20+99)//100 = 2
+    assert row["hi_cut"] == 8.0  # rank (10*80+99)//100 = 8
+    assert row["n_clipped"] == 3  # values 1, 9, 10
+
+
+def test_jpeg_decodes_with_fill_bytes_between_markers():
+    """T.81 B.1.1.2: optional 0xFF fill bytes may precede any marker —
+    real camera output uses them. The marker loop must skip runs of
+    fill bytes instead of misparsing the length field."""
+    import numpy as np
+
+    from data_pipelines_cu_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(24, 17, 3), dtype=np.uint8).astype(np.uint8)
+    payload = mm.encode_jpeg_baseline(img)
+    base = mm.decode_pixels(payload)
+
+    # inject fill bytes after SOI and before every following marker
+    out = bytearray(payload[:2])
+    pos = 2
+    while pos + 4 <= len(payload):
+        assert payload[pos] == 0xFF
+        marker = payload[pos + 1]
+        out += b"\xff\xff\xff"  # three fill bytes, then the real marker
+        if marker == 0xDA:  # SOS: copy the rest verbatim (entropy data)
+            out += payload[pos:]
+            break
+        seg_len = int.from_bytes(payload[pos + 2 : pos + 4], "big")
+        out += payload[pos : pos + 2 + seg_len]
+        pos += 2 + seg_len
+    filled = mm.decode_pixels(bytes(out))
+    assert filled.shape == base.shape
+    assert (filled == base).all()
