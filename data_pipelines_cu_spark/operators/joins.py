@@ -125,3 +125,140 @@ def asof_join(
     else:
         proj = [F.col("_f_" + c).alias(right_prefix + c) for c in rcols]
     return out.select(*by, F.col("_t").alias(on_time), *lpay, *proj)
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    str_col: str,
+    block_col: str | None = None,
+    d: int = 2,
+) -> DataFrame:
+    """All pairs (id_a < id_b, same block) with levenshtein ≤ ``d`` and
+    unequal strings — the entity-resolution fuzzy self-join, via
+    segment-index candidate generation (the PassJoin pigeonhole, Li/Deng/
+    Feng VLDB'11): partition each string into d+1 contiguous segments; if
+    ed(r, s) ≤ d then r must contain one of s's segments VERBATIM at a
+    start shifted by at most d. Candidates therefore come from an
+    EQUI-join on (block, |s|, segment_idx, segment_text) — O(n·const)
+    index/probe rows instead of the O(block²) cross product — and only
+    candidate pairs pay the thresholded levenshtein verify. At 100 TB the
+    shuffle carries short substring keys, never the pair matrix.
+
+    Strings shorter than 2d+1 chars can't be segment-indexed (a segment
+    would be empty); those route through a tiny brute-force path — the
+    two paths split on min(len) ≥ d+1 so the union is exact and disjoint.
+    """
+    k = d + 1
+    c = str_col
+    base = df.select(
+        F.col(block_col).alias("_blk") if block_col else F.lit(1).alias("_blk"),
+        F.col(id_col).alias("_id"),
+        F.col(c).alias("_s"),
+        F.length(c).alias("_len"),
+    )
+    # 0-based even-partition scheme for a length-L string: segment i has
+    # length l_i = (L div k) + [i >= k - L%k], start p_i = i*(L div k) +
+    # max(0, i - (k - L%k)).
+    seg_len = f"((L div {k}) + if(i >= {k} - (L % {k}), 1, 0))"
+    seg_pos = f"(i * (L div {k}) + greatest(0, i - ({k} - (L % {k}))))"
+    idx = base.filter(F.col("_len") >= k).select(
+        "_blk",
+        F.col("_id").alias("_iid"),
+        F.col("_len").alias("idx_len"),
+        F.explode(
+            F.expr(
+                f"""transform(sequence(0, {k - 1}), i ->
+                      named_struct(
+                        'seg_idx', i,
+                        'seg', substring(_s,
+                                 1 + {seg_pos.replace('L', '_len')},
+                                 {seg_len.replace('L', '_len')})))"""
+            )
+        ).alias("_seg"),
+    ).select("_blk", "_iid", "idx_len", "_seg.seg_idx", "_seg.seg")
+    # Probe: index the SHORTER side only (L ≤ probe len; equal lengths
+    # probe both ways and dedupe), with the tight PassJoin shift window:
+    # a segment shifted by t needs |t| edits before it and |Δ − t| after
+    # (Δ = probe len − L), so |t| + |Δ − t| ≤ d bounds the window to
+    # ~(d − Δ)/2 around [p_i, p_i + Δ] — ≤ d+1 starts per (segment, L)
+    # instead of 2d+1. Payload is the id only; strings rejoin at verify.
+    # sequence() is guarded against lo > hi by extending to
+    # greatest(lo, hi) and filtering invalid (overlong) extractions.
+    half = f"(({d} - (_len - L)) div 2)"
+    lo = f"greatest(0, {seg_pos} - {half})"
+    hi = f"least(_len - {seg_len}, {seg_pos} + (_len - L) + {half})"
+    probe = base.filter(F.col("_len") >= k).select(
+        "_blk",
+        F.col("_id").alias("_pid"),
+        F.col("_len").alias("_plen"),
+        F.explode(
+            F.expr(
+                f"""flatten(transform(
+                      sequence(greatest({k}, _len - {d}), _len), L ->
+                      flatten(transform(sequence(0, {k - 1}), i ->
+                        transform(
+                          sequence({lo}, greatest({lo}, {hi})), s ->
+                          named_struct(
+                            'idx_len', L,
+                            'seg_idx', i,
+                            'seg', substring(_s, s + 1, {seg_len}),
+                            'valid', s + {seg_len} <= _len
+                                     and s <= {hi}))))))"""
+            )
+        ).alias("_pr"),
+    ).filter(F.col("_pr.valid")).select(
+        "_blk", "_pid",
+        F.col("_pr.idx_len").alias("idx_len"),
+        F.col("_pr.seg_idx").alias("seg_idx"),
+        F.col("_pr.seg").alias("seg"),
+    )
+    pair_ids = (
+        probe.join(idx, ["_blk", "idx_len", "seg_idx", "seg"])
+        .filter(F.col("_pid") != F.col("_iid"))
+        .select(
+            F.least("_pid", "_iid").alias("id_a"),
+            F.greatest("_pid", "_iid").alias("id_b"),
+        )
+        .distinct()
+    )
+    names = base.select(F.col("_id"), F.col("_s"))
+    cand = (
+        pair_ids.join(names.withColumnRenamed("_id", "id_a"), "id_a")
+        .withColumnRenamed("_s", "s_a")
+        .join(
+            names.withColumnRenamed("_id", "id_b").withColumnRenamed(
+                "_s", "s_b"
+            ),
+            "id_b",
+        )
+        .select("id_a", "s_a", "id_b", "s_b")
+    )
+    # Brute path for the un-indexable short strings: every partner of a
+    # string shorter than k sits within d of it, i.e. below k + d.
+    short = base.filter(F.col("_len") < k + d)
+    brute = (
+        short.select("_blk", F.col("_id").alias("id_a"),
+                     F.col("_s").alias("s_a"), F.col("_len").alias("_la"))
+        .join(
+            short.select("_blk", F.col("_id").alias("id_b"),
+                         F.col("_s").alias("s_b"), F.col("_len").alias("_lb")),
+            "_blk",
+        )
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.least("_la", "_lb") < k)
+            & (F.abs(F.col("_la") - F.col("_lb")) <= d)
+        )
+        .select("id_a", "s_a", "id_b", "s_b")
+    )
+    return (
+        cand.unionByName(brute)
+        .withColumn("edit_dist", F.levenshtein("s_a", "s_b", d))
+        .filter(
+            (F.col("edit_dist") >= 0)
+            & (F.col("edit_dist") <= d)
+            & (F.col("s_a") != F.col("s_b"))
+        )
+        .select("id_a", "id_b", "edit_dist")
+    )

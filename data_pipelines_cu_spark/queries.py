@@ -24,6 +24,7 @@ from .operators import aggregates as agg
 from .operators import dedup as dd
 from .operators import filters as flt
 from .operators import graph as gr
+from .operators import joins as jn
 from .operators import privacy as pv
 from .operators import sampling as smp
 from .operators import similarity as sim
@@ -1913,36 +1914,17 @@ def daily_stats_unpivot(spark, sf_dir):
 )
 def fuzzy_part_name_pairs(spark, sf_dir):
     """Blocked fuzzy join: near-identical part names (edit distance ≤ 2)
-    within a brand block. Blocking bounds the candidate pairs (n²/25 here,
-    bucket-sized in general); candidates are prefiltered by the free
-    necessary condition |len(a) − len(b)| ≤ 2 before the THRESHOLDED
-    levenshtein (early-exits past distance 2 instead of filling the full
-    DP matrix) runs JVM-side — the standard entity-resolution shape at
-    scale."""
+    within a brand block, via PassJoin segment indexing
+    (operators/joins.py::edit_distance_pairs): each name splits into d+1
+    contiguous segments and candidates come from an EQUI-join on
+    (brand, |name|, segment) — O(n·const) index rows instead of the
+    O(block²) cross product — before the THRESHOLDED levenshtein
+    (early-exits past distance 2) verifies only real candidates. The
+    shuffle carries short substring keys, never the pair matrix — the
+    entity-resolution shape that survives 100 TB."""
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand")
-    a = p.select(
-        F.col("p_brand").alias("_blk"),
-        F.col("p_partkey").alias("id_a"),
-        F.col("p_name").alias("name_a"),
-    )
-    b = p.select(
-        F.col("p_brand").alias("_blk"),
-        F.col("p_partkey").alias("id_b"),
-        F.col("p_name").alias("name_b"),
-    )
-    return (
-        a.join(b, "_blk")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(
-            F.abs(F.length("name_a") - F.length("name_b")) <= 2
-        )
-        .withColumn("edit_dist", F.levenshtein("name_a", "name_b", 2))
-        .filter(
-            (F.col("edit_dist") >= 0)
-            & (F.col("edit_dist") <= 2)
-            & (F.col("name_a") != F.col("name_b"))
-        )
-        .select("id_a", "id_b", "edit_dist")
+    return jn.edit_distance_pairs(
+        p, id_col="p_partkey", str_col="p_name", block_col="p_brand", d=2
     )
 
 

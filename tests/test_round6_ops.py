@@ -141,3 +141,46 @@ def test_jpeg_decodes_with_fill_bytes_between_markers():
     filled = mm.decode_pixels(bytes(out))
     assert filled.shape == base.shape
     assert (filled == base).all()
+
+
+def test_edit_distance_pairs_matches_bruteforce(spark):
+    """PassJoin candidate generation is COMPLETE: on a random corpus with
+    short strings (below the segment-index minimum), repeats, and
+    near-misses, the operator's pairs equal the brute-force O(n²)
+    levenshtein answer exactly."""
+    import itertools
+    import random
+
+    from data_pipelines_cu_spark.operators import joins as jn
+
+    rng = random.Random(42)
+    alpha = "ab"
+    rows = [
+        (i, "".join(rng.choice(alpha) for _ in range(rng.randint(0, 9))))
+        for i in range(60)
+    ]
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    want = sorted(
+        (ia, ib, lev(sa, sb))
+        for (ia, sa), (ib, sb) in itertools.combinations(rows, 2)
+        if sa != sb and lev(sa, sb) <= 2
+    )
+    df = spark.createDataFrame(rows, "id long, s string")
+    got = sorted(
+        (r.id_a, r.id_b, r.edit_dist)
+        for r in jn.edit_distance_pairs(df, "id", "s", d=2).collect()
+    )
+    assert got == want
