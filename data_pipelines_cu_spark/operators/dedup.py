@@ -1983,76 +1983,81 @@ def lsh_band_sweep(
     )
     n_truth = F.broadcast(truth.agg(F.count(F.lit(1)).alias("n_truth")))
     spark = df.sparkSession
-    out = None
+    # ONE melt + ONE self-join for every config: the config tag rides in
+    # the bucket key, so the whole sweep costs one shuffle over the union
+    # of band rows (Σ nb per doc) instead of a join per configuration.
+    structs = []
     for nb, rpb in configs:
-        band_cols = [
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    *[F.col(f"h{b * rpb + j}").cast("string") for j in range(rpb)],
+        for b in range(nb):
+            structs.append(
+                F.struct(
+                    F.lit(f"{nb}x{rpb}").alias("config"),
+                    F.lit(b).alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.col(f"h{b * rpb + j}").cast("string")
+                                for j in range(rpb)
+                            ],
+                        )
+                    ).alias("bhash"),
                 )
-            ).alias(f"b{b}")
-            for b in range(nb)
-        ]
-        melted = (
-            sigs.select(id_col, *band_cols)
-            .select(
-                id_col,
-                F.explode(
-                    F.array(
-                        *[
-                            F.struct(
-                                F.lit(b).alias("band"),
-                                F.col(f"b{b}").alias("bhash"),
-                            )
-                            for b in range(nb)
-                        ]
-                    )
-                ).alias("bb"),
             )
-            .select(id_col, "bb.band", "bb.bhash")
-            .join(blocks, id_col)
+    melted = (
+        sigs.select(id_col, F.explode(F.array(*structs)).alias("bb"))
+        .select(id_col, "bb.config", "bb.band", "bb.bhash")
+        .join(blocks, id_col)
+    )
+    cands = (
+        melted.select(
+            F.col(id_col).alias("id_a"), "config", "band", "bhash", "_blk"
         )
-        cands = (
+        .join(
             melted.select(
-                F.col(id_col).alias("id_a"), "band", "bhash", "_blk"
-            )
-            .join(
-                melted.select(
-                    F.col(id_col).alias("id_b"), "band", "bhash", "_blk"
-                ),
-                ["band", "bhash", "_blk"],
-            )
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-            .distinct()
+                F.col(id_col).alias("id_b"), "config", "band", "bhash", "_blk"
+            ),
+            ["config", "band", "bhash", "_blk"],
         )
-        hits = cands.join(truth, ["id_a", "id_b"], "leftsemi")
-        row = (
-            cands.agg(F.count(F.lit(1)).alias("n_candidates"))
-            .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
-            .crossJoin(n_truth)
-            .select(
-                F.lit(f"{nb}x{rpb}").alias("config"),
-                F.lit(nb).alias("n_bands"),
-                F.lit(rpb).alias("rows_per_band"),
-                "n_candidates",
-                "n_truth",
-                "n_hits",
-                F.when(
-                    F.col("n_candidates") > 0,
-                    F.round(
-                        F.col("n_hits").cast("double") / F.col("n_candidates"), 6
-                    ),
-                ).alias("precision"),
-                F.when(
-                    F.col("n_truth") > 0,
-                    F.round(F.col("n_hits").cast("double") / F.col("n_truth"), 6),
-                ).alias("recall"),
-            )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("config", "id_a", "id_b")
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds both the count and the hit join
+    )
+    per_cfg = cands.groupBy("config").agg(
+        F.count(F.lit(1)).alias("n_candidates")
+    )
+    per_hit = (
+        cands.join(truth, ["id_a", "id_b"], "leftsemi")
+        .groupBy("config")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    meta = spark.createDataFrame(
+        [(f"{nb}x{rpb}", nb, rpb) for nb, rpb in configs],
+        "config string, n_bands int, rows_per_band int",
+    )
+    n_c = F.coalesce("n_candidates", F.lit(0)).cast("long")
+    n_h = F.coalesce("n_hits", F.lit(0)).cast("long")
+    return (
+        meta.join(per_cfg, "config", "left")
+        .join(per_hit, "config", "left")
+        .crossJoin(n_truth)
+        .select(
+            "config",
+            "n_bands",
+            "rows_per_band",
+            n_c.alias("n_candidates"),
+            "n_truth",
+            n_h.alias("n_hits"),
+            F.when(
+                n_c > 0, F.round(n_h.cast("double") / n_c, 6)
+            ).alias("precision"),
+            F.when(
+                F.col("n_truth") > 0,
+                F.round(n_h.cast("double") / F.col("n_truth"), 6),
+            ).alias("recall"),
         )
-        out = row if out is None else out.unionByName(row)
-    return out
+    )
 
 
 def lsh_band_sweep_oracle_sql(
