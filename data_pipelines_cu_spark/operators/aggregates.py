@@ -646,3 +646,358 @@ def time_weighted_avg_sql(
     FROM stepped WHERE dt IS NOT NULL
     GROUP BY {group_col}, event_date
     """
+
+
+# --- Population Stability Index (distribution drift on a numeric column) -----
+# The industry-standard drift score between a reference window and the
+# current window: decile bins from the REFERENCE distribution (selection
+# members, no interpolation), Laplace-smoothed proportions, and
+# PSI = Σ (p_cur − p_ref)·ln(p_cur / p_ref). Complements the token-level
+# total-variation drift in operators/text.py with the numeric-column form
+# every feature-monitoring pipeline ships.
+
+
+def psi_value_drift(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    n_bins: int = 10,
+) -> DataFrame:
+    """(bin, n_ref, n_cur, p_ref, p_cur, psi_term, psi_total): the data
+    splits at the midpoint date (half-open; first half = reference), bin
+    edges are the reference's exact selection deciles (rank
+    ceil(n·i/n_bins) members), every row maps to a bin by counting edges
+    below it, and proportions smooth by +1/bin (so empty bins never hit
+    ln(0)). psi_total is the same exact-decimal sum on every row.
+
+    Plan: one ordered window over the REFERENCE half for the ≤ n_bins−1
+    edge members (swap for the mergeable histogram sketch at 100 TB —
+    same report shape), then a broadcast of the 1-row edge array and one
+    corpus-wide group-by-bin. The corpus never sorts globally."""
+    from pyspark.sql import Window as W  # noqa: PLC0415
+
+    spark = df.sparkSession
+    ev = df.select(
+        F.col(id_col).alias("_id"),
+        F.to_date(ts_col).alias("_d"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    cut = F.broadcast(
+        ev.agg(F.min("_d").alias("_d0"), F.max("_d").alias("_d1")).select(
+            F.expr("date_add(_d0, CAST((datediff(_d1, _d0) + 1) div 2 AS INT))")
+            .alias("_cut")
+        )
+    )
+    tagged = ev.crossJoin(cut).select(
+        "_id", "_v", (F.col("_d") < F.col("_cut")).alias("_is_ref")
+    )
+    ref = tagged.filter("_is_ref")
+    n_ref = F.broadcast(ref.agg(F.count(F.lit(1)).alias("_nr")))
+    ranked = ref.select(
+        "_v", F.row_number().over(W.orderBy("_v", "_id")).alias("_r")
+    ).crossJoin(n_ref)
+    spine = spark.range(1, n_bins).select(F.col("id").alias("_i"))
+    edges = F.broadcast(
+        ranked.join(
+            spine,
+            F.col("_r")
+            == F.expr(f"(_nr * _i + {n_bins - 1}) div {n_bins}"),
+        )
+        .groupBy()
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("_i", F.col("_v").alias("_e")))
+            ).alias("_es")
+        )
+        .select(F.expr("transform(_es, x -> x._e)").alias("_edges"))
+    )
+    binned = tagged.crossJoin(edges).select(
+        "_is_ref",
+        F.expr(
+            "1 + aggregate(_edges, 0, (acc, e) -> acc + if(_v > e, 1, 0))"
+        ).alias("bin"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("_is_ref"), 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("_is_ref"), 0).otherwise(1)).alias("n_cur"),
+    )
+    bins = spark.range(1, n_bins + 1).select(
+        F.col("id").cast("int").alias("bin")
+    )
+    filled = (
+        bins.join(counts, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_ref", F.lit(0)).cast("long").alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"),
+        )
+        .crossJoin(
+            F.broadcast(
+                binned.groupBy().agg(
+                    F.sum(F.when(F.col("_is_ref"), 1).otherwise(0)).alias("_tr"),
+                    F.sum(F.when(F.col("_is_ref"), 0).otherwise(1)).alias("_tc"),
+                )
+            )
+        )
+    )
+    p_ref = (F.col("n_ref") + 1) / (F.col("_tr") + n_bins)
+    p_cur = (F.col("n_cur") + 1) / (F.col("_tc") + n_bins)
+    term = (p_cur - p_ref) * F.log(p_cur / p_ref)
+    w_all = W.partitionBy(F.lit(1))
+    return (
+        filled.withColumn("_term", term)
+        .withColumn(
+            "psi_total",
+            F.round(
+                F.sum(F.col("_term").cast("decimal(38,12)"))
+                .over(w_all)
+                .cast("double"),
+                6,
+            ),
+        )
+        .select(
+            "bin",
+            "n_ref",
+            "n_cur",
+            F.round(p_ref, 6).alias("p_ref"),
+            F.round(p_cur, 6).alias("p_cur"),
+            F.round("_term", 6).alias("psi_term"),
+            "psi_total",
+        )
+    )
+
+
+def psi_value_drift_sql(
+    table: str = "events",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    n_bins: int = 10,
+) -> str:
+    """DuckDB twin of psi_value_drift (same midpoint split, same selection
+    edges, same Laplace smoothing, same decimal total)."""
+    return f"""
+    WITH ev AS (
+        SELECT {id_col} AS id, CAST({ts_col} AS DATE) AS d,
+               CAST({value_col} AS DOUBLE) AS v
+        FROM {table}
+    ),
+    cut AS (
+        SELECT MIN(d) + CAST((MAX(d) - MIN(d) + 1) // 2 AS INTEGER) AS cut_d
+        FROM ev
+    ),
+    tagged AS (
+        SELECT id, v, d < cut_d AS is_ref FROM ev CROSS JOIN cut
+    ),
+    ref AS (SELECT * FROM tagged WHERE is_ref),
+    nr AS (SELECT COUNT(*) AS n FROM ref),
+    ranked AS (
+        SELECT v, ROW_NUMBER() OVER (ORDER BY v, id) AS r FROM ref
+    ),
+    edges AS (
+        SELECT list(v ORDER BY i) AS es
+        FROM (SELECT i, (SELECT v FROM ranked, nr
+                         WHERE r = (nr.n * i + {n_bins - 1}) // {n_bins}) AS v
+              FROM range(1, {n_bins}) t(i))
+    ),
+    binned AS (
+        SELECT is_ref,
+               1 + len(list_filter(es, e -> v > e)) AS bin
+        FROM tagged CROSS JOIN edges
+    ),
+    counts AS (
+        SELECT bin,
+               CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+               CAST(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
+        FROM binned GROUP BY bin
+    ),
+    tot AS (
+        SELECT CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS tr,
+               CAST(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS tc
+        FROM binned
+    ),
+    filled AS (
+        SELECT CAST(b.bin AS INT) AS bin,
+               COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur,
+               tr, tc,
+               (COALESCE(n_ref, 0) + 1) / CAST(tr + {n_bins} AS DOUBLE) AS p_ref,
+               (COALESCE(n_cur, 0) + 1) / CAST(tc + {n_bins} AS DOUBLE) AS p_cur
+        FROM range(1, {n_bins + 1}) b(bin)
+        LEFT JOIN counts ON b.bin = counts.bin CROSS JOIN tot
+    )
+    SELECT bin, n_ref, n_cur,
+           ROUND(p_ref, 6) AS p_ref, ROUND(p_cur, 6) AS p_cur,
+           ROUND((p_cur - p_ref) * ln(p_cur / p_ref), 6) AS psi_term,
+           ROUND(CAST(SUM(CAST((p_cur - p_ref) * ln(p_cur / p_ref)
+                               AS DECIMAL(38,12))) OVER () AS DOUBLE), 6)
+               AS psi_total
+    FROM filled
+    """
+
+
+# --- Benford first-digit audit ----------------------------------------------
+# Financial-amount fraud/quality screening: natural multi-magnitude
+# amounts follow log10(1 + 1/d) first-digit frequencies; fabricated or
+# truncated data doesn't. Exact-integer digit extraction (cents as
+# BIGINT, then the leading decimal digit of the integer) so the digit
+# itself can never diverge between engines; the expectation constants are
+# shared literals, not per-engine log() calls.
+
+_BENFORD_P = [0.0] + [
+    0.3010299956639812, 0.17609125905568124, 0.12493873660829993,
+    0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+    0.05799194697768673, 0.05115252244738129, 0.04575749056067514,
+]
+
+
+def benford_digit_audit(
+    df: DataFrame, amount_col: str = "o_totalprice"
+) -> DataFrame:
+    """(digit, n, obs_p, exp_p, chi2_term, chi2_total) for digits 1–9:
+    leading digit of round(amount·100) as an exact BIGINT, observed vs
+    Benford expectation, per-digit χ² contribution and the exact-decimal
+    total. One group-by on a 1-byte key — fully map-side combinable."""
+    from pyspark.sql import Window as W  # noqa: PLC0415
+
+    spark = df.sparkSession
+    digits = df.filter(F.col(amount_col) > 0).select(
+        F.substring(
+            F.round(F.col(amount_col) * 100).cast("long").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    spine = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    total = F.broadcast(digits.agg(F.count(F.lit(1)).alias("_t")))
+    exp_p = F.element_at(
+        F.array(*[F.lit(p) for p in _BENFORD_P[1:]]), F.col("digit")
+    )
+    chi2 = (F.col("n") - F.col("_t") * exp_p) * (
+        F.col("n") - F.col("_t") * exp_p
+    ) / (F.col("_t") * exp_p)
+    return (
+        spine.join(counts, "digit", "left")
+        .select(
+            "digit", F.coalesce("n", F.lit(0)).cast("long").alias("n")
+        )
+        .crossJoin(total)
+        .withColumn("_chi2", chi2)
+        .withColumn(
+            "chi2_total",
+            F.round(
+                F.sum(F.col("_chi2").cast("decimal(38,12)"))
+                .over(W.partitionBy(F.lit(1)))
+                .cast("double"),
+                6,
+            ),
+        )
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n") / F.col("_t"), 6).alias("obs_p"),
+            F.round(exp_p, 6).alias("exp_p"),
+            F.round("_chi2", 6).alias("chi2_term"),
+            "chi2_total",
+        )
+    )
+
+
+def benford_audit_sql(
+    table: str = "orders", amount_col: str = "o_totalprice"
+) -> str:
+    """DuckDB twin of benford_digit_audit (same exact-integer digit, same
+    shared expectation literals)."""
+    # CAST: DuckDB parses bare decimal literals as DECIMAL and the χ²
+    # algebra then overflows DECIMAL(38); force the same IEEE doubles
+    # Spark uses.
+    exp_case = " ".join(
+        f"WHEN {d} THEN CAST({_BENFORD_P[d]!r} AS DOUBLE)"
+        for d in range(1, 10)
+    )
+    return f"""
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(ROUND({amount_col} * 100) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS INT) AS digit
+        FROM {table} WHERE {amount_col} > 0
+    ),
+    counts AS (
+        SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY digit
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM digits),
+    filled AS (
+        SELECT CAST(s.digit AS INT) AS digit, COALESCE(n, 0) AS n, t,
+               CASE CAST(s.digit AS INT) {exp_case} END AS exp_p
+        FROM range(1, 10) s(digit)
+        LEFT JOIN counts ON s.digit = counts.digit CROSS JOIN tot
+    )
+    SELECT digit, n,
+           ROUND(n / CAST(t AS DOUBLE), 6) AS obs_p,
+           ROUND(exp_p, 6) AS exp_p,
+           ROUND((n - t * exp_p) * (n - t * exp_p) / (t * exp_p), 6)
+               AS chi2_term,
+           ROUND(CAST(SUM(CAST((n - t * exp_p) * (n - t * exp_p) / (t * exp_p)
+                               AS DECIMAL(38,12))) OVER () AS DOUBLE), 6)
+               AS chi2_total
+    FROM filled
+    """
+
+
+# --- Seasonal-naive forecast backtest ---------------------------------------
+# The capacity-planning baseline every forecasting system is graded
+# against: predict each day's event count with the count 7 days earlier
+# (calendar join, not row lag — gaps must not slide the season), report
+# per-weekday MAE / MAPE. Errors are exact integers; only the final
+# ratio divisions are IEEE.
+
+
+def seasonal_naive_error(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """(dow, n_days, mae, mape): |count(d) − count(d−7)| aggregated per
+    weekday (0 = Monday) over every day with a lag-7 partner. Daily
+    counts shrink the input to one row per day before the self-join, so
+    the join cost is calendar-sized, never corpus-sized."""
+    daily = df.groupBy(F.to_date(ts_col).alias("_d")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    lagged = daily.join(
+        daily.select(
+            F.col("_d").alias("_dl"), F.col("_n").alias("_np")
+        ),
+        F.col("_dl") == F.date_sub(F.col("_d"), 7),
+    )
+    err = F.abs(F.col("_n") - F.col("_np"))
+    return (
+        lagged.groupBy(F.weekday("_d").alias("dow"))
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(decimal_avg(err), 6).alias("mae"),
+            F.round(
+                decimal_avg((err / F.col("_n")).cast("decimal(38,12)")), 6
+            ).alias("mape"),
+        )
+    )
+
+
+def seasonal_naive_sql(table: str = "events", ts_col: str = "ts") -> str:
+    """DuckDB twin of seasonal_naive_error (same calendar join, same
+    weekday convention isodow−1 = Spark weekday, same decimal means)."""
+    return f"""
+    WITH daily AS (
+        SELECT CAST({ts_col} AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+        FROM {table} GROUP BY 1
+    ),
+    lagged AS (
+        SELECT a.d, a.n, b.n AS np, ABS(a.n - b.n) AS err
+        FROM daily a JOIN daily b ON b.d = a.d - 7
+    )
+    SELECT CAST(isodow(d) - 1 AS INT) AS dow,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(CAST(SUM(CAST(err AS DECIMAL(38,12))) AS DOUBLE)
+                 / COUNT(err), 6) AS mae,
+           ROUND(CAST(SUM(CAST(CAST(err / CAST(n AS DOUBLE)
+                                     AS DECIMAL(38,12))
+                               AS DECIMAL(38,12))) AS DOUBLE)
+                 / COUNT(err), 6) AS mape
+    FROM lagged GROUP BY 1
+    """

@@ -242,3 +242,107 @@ def co_occurrence_sql(
     SELECT item_a, item_b, pair_count, lift, CAST(rank AS BIGINT) AS rank
     FROM ranked WHERE rank <= {top_n}
     """
+
+
+# --- Triangle counting (co-occurrence graph cohesion) ------------------------
+# The classic graph-cohesion statistic: triangles in the thresholded
+# co-order graph mark part COMMUNITIES (three parts that pairwise travel
+# together), where pair counts alone only mark affinities. Distributed
+# shape: the standard oriented-edge join — every edge is stored once with
+# src < dst, so each triangle {a<b<c} is produced by exactly one join
+# chain (a,b)+(b,c)+(a,c) and no post-dedup is needed.
+
+
+def cooccurrence_triangles(
+    fact: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_count: int = 2,
+    top_n: int = 20,
+) -> DataFrame:
+    """(item, n_triangles) for the ``top_n`` items by triangle
+    participation (ties broken by item id): edges are item pairs sharing
+    ≥ ``min_count`` baskets, oriented small-id → large-id; triangles come
+    from two self-joins of the oriented edge list. The threshold keeps
+    the edge list duplicate-density-sized — the fact table shuffles once
+    into pairs and never again; both self-joins run on the (small) edge
+    relation, shuffle-keyed on single item ids."""
+    pairs = (
+        fact.select(
+            F.col(basket_col).alias("_bk"), F.col(item_col).alias("_ia")
+        )
+        .join(
+            fact.select(
+                F.col(basket_col).alias("_bk"), F.col(item_col).alias("_ib")
+            ),
+            "_bk",
+        )
+        .filter(F.col("_ia") < F.col("_ib"))
+        .groupBy("_ia", "_ib")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= min_count)
+        .select("_ia", "_ib")
+        .localCheckpoint(eager=True)  # feeds three join roles
+    )
+    tri = (
+        pairs.select(F.col("_ia").alias("a"), F.col("_ib").alias("b"))
+        .join(
+            pairs.select(F.col("_ia").alias("b"), F.col("_ib").alias("c")),
+            "b",
+        )
+        .join(
+            pairs.select(F.col("_ia").alias("a"), F.col("_ib").alias("c")),
+            ["a", "c"],
+        )
+    )
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    melted = tri.select(
+        F.explode(F.array("a", "b", "c")).alias("item")
+    )
+    counted = melted.groupBy("item").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    w = Window.orderBy(F.col("n_triangles").desc(), F.col("item"))
+    return (
+        counted.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= top_n)
+        .select("item", "n_triangles")
+    )
+
+
+def cooccurrence_triangles_sql(
+    table: str = "lineitem",
+    basket_col: str = "l_orderkey",
+    item_col: str = "l_partkey",
+    min_count: int = 2,
+    top_n: int = 20,
+) -> str:
+    """DuckDB twin of cooccurrence_triangles (same oriented edges, same
+    join chain, same deterministic top-n)."""
+    return f"""
+    WITH pairs AS (
+        SELECT a.{item_col} AS ia, b.{item_col} AS ib
+        FROM {table} a JOIN {table} b
+          ON a.{basket_col} = b.{basket_col} AND a.{item_col} < b.{item_col}
+        GROUP BY 1, 2 HAVING COUNT(*) >= {min_count}
+    ),
+    tri AS (
+        SELECT e1.ia AS a, e1.ib AS b, e2.ib AS c
+        FROM pairs e1
+        JOIN pairs e2 ON e2.ia = e1.ib
+        JOIN pairs e3 ON e3.ia = e1.ia AND e3.ib = e2.ib
+    ),
+    counted AS (
+        SELECT item, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM (SELECT a AS item FROM tri UNION ALL
+              SELECT b FROM tri UNION ALL
+              SELECT c FROM tri)
+        GROUP BY item
+    )
+    SELECT item, n_triangles
+    FROM (SELECT item, n_triangles,
+                 ROW_NUMBER() OVER (ORDER BY n_triangles DESC, item) AS rk
+          FROM counted)
+    WHERE rk <= {top_n}
+    """

@@ -774,3 +774,295 @@ def stratified_kfold_sql(
                         {key_col}) - 1) % {k} AS INT) AS fold
     FROM {table}
     """
+
+
+# --- Priority (bottom-k weighted) sampling -----------------------------------
+# The one-pass, mergeable weighted sample (Duffield/Lund/Thorup, JACM'07):
+# each row gets priority q = w / u with u uniform in (0, 1]; the k highest
+# priorities are the sample, and re-weighting by max(w, τ) (τ = the
+# (k+1)-th priority) makes subset-sum estimates unbiased. u is
+# content-addressed (md5 of the id), so the draw is deterministic,
+# partition-independent, and engine-portable — no RNG state anywhere.
+
+
+def priority_weighted_sample(
+    df: DataFrame,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    k: int = 100,
+    salt: str = "pri",
+) -> DataFrame:
+    """(id, weight, adj_weight): the k rows with the highest priorities
+    w/u, with the DLT unbiased estimator weight max(w, τ) rounded 6dp.
+    If the input has ≤ k rows every row survives with adj_weight = w.
+
+    Distributed shape: top-(k+1) by priority is Spark's TakeOrdered — a
+    per-partition partial top-k then a k-sized merge on the driver side
+    of the plan; the corpus is scanned once and never shuffled. The only
+    doubles are one division per row and the final max(w, τ), identical
+    IEEE ops on any engine."""
+    h32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h32 + 1) / F.lit(4294967296.0)  # (0, 1] — never a zero divide
+    pri = df.select(
+        F.col(id_col),
+        F.col(weight_col).cast("long").alias("weight"),
+        (F.col(weight_col).cast("double") / u).alias("_q"),
+    )
+    top = pri.orderBy(F.col("_q").desc(), F.col(id_col)).limit(k + 1)
+    tau = F.broadcast(
+        top.agg(
+            F.when(F.count(F.lit(1)) > k, F.min("_q"))
+            .otherwise(F.lit(0.0))
+            .alias("_tau")
+        )
+    )
+    return (
+        top.orderBy(F.col("_q").desc(), F.col(id_col))
+        .limit(k)
+        .crossJoin(tau)
+        .select(
+            id_col,
+            "weight",
+            F.round(
+                F.greatest(F.col("weight").cast("double"), F.col("_tau")), 6
+            ).alias("adj_weight"),
+        )
+    )
+
+
+def priority_sample_sql(
+    table: str = "documents",
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    k: int = 100,
+    salt: str = "pri",
+) -> str:
+    """DuckDB twin of priority_weighted_sample (same md5-derived u, same
+    top-(k+1) threshold)."""
+    gx = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5('{salt}' || CAST({id_col} AS VARCHAR)), {j + 1}, 1)) - 1) * {16 ** (7 - j)}"
+        for j in range(8)
+    )
+    return f"""
+    WITH pri AS (
+        SELECT {id_col}, CAST({weight_col} AS BIGINT) AS weight,
+               CAST({weight_col} AS DOUBLE)
+               / ((({gx})::BIGINT + 1) / 4294967296.0) AS q
+        FROM {table}
+    ),
+    top1 AS (
+        SELECT * FROM pri ORDER BY q DESC, {id_col} LIMIT {k + 1}
+    ),
+    tau AS (
+        SELECT CASE WHEN COUNT(*) > {k} THEN MIN(q) ELSE 0.0 END AS tau
+        FROM top1
+    )
+    SELECT {id_col}, weight,
+           ROUND(greatest(CAST(weight AS DOUBLE), tau), 6) AS adj_weight
+    FROM (SELECT * FROM top1 ORDER BY q DESC, {id_col} LIMIT {k})
+    CROSS JOIN tau
+    """
+
+
+# --- Temperature-scaled source mixture ---------------------------------------
+# The multilingual/multi-source training classic (e.g. the α-scaled
+# sampling in public multilingual-LM recipes): sampling weight per source
+# ∝ n_h^α with 0 < α < 1 upweights the tail without flattening it. The
+# doc budget apportions by largest remainder over exact scaled shares, so
+# the targets sum to the budget EXACTLY and the draw is deterministic.
+
+
+def temperature_source_mixture(
+    df: DataFrame,
+    group_col: str = "source",
+    budget: int = 1000,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """(group, n_docs, weight, target_docs): weight = n^α / Σ n^α rounded
+    6dp; target_docs = floor(budget · share) plus one of the
+    largest-remainder top-ups, capped at n_docs (a source can't supply
+    more docs than it has; the leftover stays unassigned, as in the
+    integer token-budget operator). α = 0.5 makes n^α = sqrt(n) — a
+    correctly-rounded IEEE op, bit-identical on any engine.
+
+    One group-count shuffle; everything after runs on the
+    sources-sized table through a single ordered window."""
+    if alpha != 0.5:
+        # pow(x, α) is only ~1-ulp accurate and a 1-ulp share drift can
+        # flip the floor() below between engines; sqrt is IEEE-exact.
+        raise ValueError("only alpha=0.5 (sqrt scaling) is engine-exact")
+    scaled = F.sqrt(F.col("n_docs").cast("double"))
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = F.broadcast(
+        counts.agg(
+            # exact decimal sum: order-independent across partitions
+            F.sum(scaled.cast("decimal(38,12)")).cast("double").alias("_z"),
+        )
+    )
+    share = scaled / F.col("_z")
+    base = F.floor(F.lit(budget) * share).cast("long")
+    rem = F.lit(budget) * share - base
+    w = Window.orderBy(F.col("_rem").desc(), F.col(group_col))
+    wsum = Window.partitionBy(F.lit(1))
+    return (
+        counts.crossJoin(tot)
+        .withColumn("_base", base)
+        .withColumn("_rem", rem)
+        .withColumn("_rk", F.row_number().over(w))
+        .withColumn("_left", F.lit(budget) - F.sum("_base").over(wsum))
+        .select(
+            group_col,
+            "n_docs",
+            F.round(share, 6).alias("weight"),
+            F.least(
+                F.col("_base")
+                + F.when(F.col("_rk") <= F.col("_left"), 1).otherwise(0),
+                F.col("n_docs"),
+            ).alias("target_docs"),
+        )
+    )
+
+
+def temperature_mixture_sql(
+    table: str = "documents",
+    group_col: str = "source",
+    budget: int = 1000,
+    alpha: float = 0.5,
+) -> str:
+    """DuckDB twin of temperature_source_mixture (same sqrt shares, same
+    largest-remainder deal)."""
+    return f"""
+    WITH counts AS (
+        SELECT {group_col}, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM {table} GROUP BY {group_col}
+    ),
+    tot AS (
+        SELECT CAST(SUM(CAST(SQRT(CAST(n_docs AS DOUBLE))
+                             AS DECIMAL(38,12))) AS DOUBLE) AS z
+        FROM counts
+    ),
+    scored AS (
+        SELECT {group_col}, n_docs,
+               SQRT(CAST(n_docs AS DOUBLE)) / z AS share,
+               CAST(FLOOR({budget} * (SQRT(CAST(n_docs AS DOUBLE)) / z))
+                    AS BIGINT) AS base,
+               {budget} * (SQRT(CAST(n_docs AS DOUBLE)) / z)
+               - FLOOR({budget} * (SQRT(CAST(n_docs AS DOUBLE)) / z))
+                   AS rem
+        FROM counts CROSS JOIN tot
+    )
+    SELECT {group_col}, n_docs, ROUND(share, 6) AS weight,
+           least(base + CASE WHEN ROW_NUMBER() OVER (
+                                  ORDER BY rem DESC, {group_col})
+                             <= {budget} - SUM(base) OVER ()
+                             THEN 1 ELSE 0 END,
+                 n_docs) AS target_docs
+    FROM scored
+    """
+
+
+# --- Chronological split with embargo ----------------------------------------
+# Time-series leakage control (the purged/embargoed split from the
+# financial-ML literature): train strictly before the cutoff minus an
+# embargo gap, test strictly from the cutoff on; rows inside the gap are
+# DROPPED so serially-correlated neighbors never straddle the boundary.
+# The audit column reports the one leak no calendar split can fix —
+# entities active on both sides.
+
+
+def time_embargo_split(
+    df: DataFrame,
+    ts_col: str = "ts",
+    entity_col: str = "user_id",
+    train_pct: int = 80,
+    embargo_days: int = 2,
+) -> DataFrame:
+    """(split, n_events, n_entities, overlap_entities): cutoff at
+    min_date + train_pct% of the (inclusive) day span; train days end
+    ``embargo_days`` before the cutoff, test days start at it. The
+    entity-overlap audit counts entities with events in BOTH splits —
+    the residual leakage a time split cannot remove (group-split on the
+    entity instead if it must be zero).
+
+    One broadcast of the 1-row date bounds, one pass to tag, one
+    group-by; the overlap audit joins two entity-distinct sides."""
+    ev = df.select(
+        F.to_date(ts_col).alias("_d"), F.col(entity_col).alias("_e")
+    )
+    bounds = F.broadcast(
+        ev.agg(F.min("_d").alias("_d0"), F.max("_d").alias("_d1")).select(
+            F.expr(
+                f"date_add(_d0, CAST(((datediff(_d1, _d0) + 1) * {train_pct})"
+                f" div 100 AS INT))"
+            ).alias("_cut")
+        )
+    )
+    tagged = ev.crossJoin(bounds).withColumn(
+        "split",
+        F.when(
+            F.col("_d") < F.date_sub(F.col("_cut"), embargo_days), "train"
+        ).when(F.col("_d") >= F.col("_cut"), "test"),
+    ).filter(F.col("split").isNotNull())
+    overlap = F.broadcast(
+        tagged.filter(F.col("split") == "train")
+        .select("_e")
+        .distinct()
+        .join(
+            tagged.filter(F.col("split") == "test").select("_e").distinct(),
+            "_e",
+            "leftsemi",
+        )
+        .agg(F.count(F.lit(1)).alias("overlap_entities"))
+    )
+    return (
+        tagged.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("_e").alias("n_entities"),
+        )
+        .crossJoin(overlap)
+    )
+
+
+def time_embargo_sql(
+    table: str = "events",
+    ts_col: str = "ts",
+    entity_col: str = "user_id",
+    train_pct: int = 80,
+    embargo_days: int = 2,
+) -> str:
+    """DuckDB twin of time_embargo_split (same inclusive-span cutoff, same
+    half-open boundaries)."""
+    return f"""
+    WITH ev AS (
+        SELECT CAST({ts_col} AS DATE) AS d, {entity_col} AS e FROM {table}
+    ),
+    bounds AS (
+        SELECT MIN(d) + CAST(((MAX(d) - MIN(d) + 1) * {train_pct}) // 100
+                             AS INTEGER) AS cut
+        FROM ev
+    ),
+    tagged AS (
+        SELECT e,
+               CASE WHEN d < cut - {embargo_days} THEN 'train'
+                    WHEN d >= cut THEN 'test' END AS split
+        FROM ev CROSS JOIN bounds
+        WHERE d < cut - {embargo_days} OR d >= cut
+    ),
+    overlap AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS overlap_entities
+        FROM (SELECT DISTINCT e FROM tagged WHERE split = 'train')
+        WHERE e IN (SELECT e FROM tagged WHERE split = 'test')
+    )
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT e) AS BIGINT) AS n_entities,
+           overlap_entities
+    FROM tagged CROSS JOIN overlap
+    GROUP BY split, overlap_entities
+    """

@@ -5551,6 +5551,72 @@ def event_debounce_stats_q(spark, sf_dir):
     return win.debounce_stats(_t(spark, sf_dir, "events"))
 
 
+@register("event_value_psi_drift", agg.psi_value_drift_sql())
+def event_value_psi_drift_q(spark, sf_dir):
+    """Population Stability Index of the value distribution, second half
+    of the date span vs the first: reference-decile bins (exact selection
+    members), Laplace-smoothed proportions, per-bin PSI terms and the
+    exact-decimal total — the numeric-drift monitor next to the token-TV
+    drift (operators/aggregates.py::psi_value_drift)."""
+    return agg.psi_value_drift(_t(spark, sf_dir, "events"))
+
+
+@register("order_price_benford", agg.benford_audit_sql())
+def order_price_benford_q(spark, sf_dir):
+    """Benford first-digit audit of order totals: exact-integer leading
+    digits (cents as BIGINT), observed vs log10(1+1/d) expectation with
+    per-digit χ² contributions — the fabricated-data screen every
+    financial ingest runs (operators/aggregates.py::benford_digit_audit)."""
+    return agg.benford_digit_audit(_t(spark, sf_dir, "orders"))
+
+
+@register("daily_seasonal_naive_error", agg.seasonal_naive_sql())
+def daily_seasonal_naive_error_q(spark, sf_dir):
+    """Seasonal-naive (lag-7 calendar join) backtest of daily event
+    counts: per-weekday MAE/MAPE — the forecasting baseline every
+    capacity model must beat
+    (operators/aggregates.py::seasonal_naive_error)."""
+    return agg.seasonal_naive_error(_t(spark, sf_dir, "events"))
+
+
+@register("doc_priority_sample", smp.priority_sample_sql())
+def doc_priority_sample_q(spark, sf_dir):
+    """Bottom-k priority sample (Duffield/Lund/Thorup) of documents
+    weighted by length: content-addressed uniforms, top-k by w/u via
+    distributed TakeOrdered, unbiased max(w, τ) estimator weights
+    (operators/sampling.py::priority_weighted_sample)."""
+    return smp.priority_weighted_sample(_t(spark, sf_dir, "documents"))
+
+
+@register("source_temperature_mixture", smp.temperature_mixture_sql())
+def source_temperature_mixture_q(spark, sf_dir):
+    """Temperature-scaled (α = 0.5) source mixture: sampling weights
+    ∝ sqrt(n) with an exact largest-remainder apportionment of the doc
+    budget — the multilingual-recipe tail-upweighting as a deterministic
+    plan (operators/sampling.py::temperature_source_mixture)."""
+    return smp.temperature_source_mixture(_t(spark, sf_dir, "documents"))
+
+
+@register("events_time_embargo_split", smp.time_embargo_sql())
+def events_time_embargo_split_q(spark, sf_dir):
+    """Chronological train/test split with a 2-day embargo gap (the
+    purged split from financial ML): half-open boundaries, gap rows
+    dropped, and the entity-overlap audit a calendar split cannot fix
+    (operators/sampling.py::time_embargo_split)."""
+    return smp.time_embargo_split(_t(spark, sf_dir, "events"))
+
+
+@register("copurchase_triangles", gr.cooccurrence_triangles_sql())
+def copurchase_triangles_q(spark, sf_dir):
+    """Triangle participation in the thresholded co-order part graph:
+    oriented edges (each triangle built exactly once), two edge-list
+    self-joins, top-20 parts — the community-cohesion signal pair counts
+    alone can't see (operators/graph.py::cooccurrence_triangles)."""
+    return gr.cooccurrence_triangles(
+        _t(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey"
+    )
+
+
 # Queries with a green row in CORRECTNESS_r01.json (driver gate, round 1).
 # The driver verifies queries in registration order and stopped at 50 in
 # round 1, so all_queries() front-loads the not-yet-gated entries each round

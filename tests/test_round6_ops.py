@@ -184,3 +184,111 @@ def test_edit_distance_pairs_matches_bruteforce(spark):
         for r in jn.edit_distance_pairs(df, "id", "s", d=2).collect()
     )
     assert got == want
+
+
+def _duck_events(rows):
+    con = duckdb.connect()
+    con.sql(
+        "CREATE TABLE events AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, TIMESTAMP '{ts}', {u}, {v})" for i, ts, u, v in rows)
+        + ") AS t(event_id, ts, user_id, value)"
+    )
+    return con
+
+
+def test_psi_constant_value_single_day_parity(spark):
+    """Degenerate PSI inputs: a constant value column (every edge equal,
+    all mass in bin 1) and a one-day span (current half empty, Laplace
+    smoothing carries the ln) must both run and match the oracle."""
+    for rows in (
+        [(i, "2024-01-01 10:00:00", i, 5.0) for i in range(8)],
+        [(i, f"2024-01-{d:02d} 10:00:00", i, 5.0)
+         for i, d in enumerate([1, 1, 2, 2, 3, 4, 5, 6])],
+    ):
+        from datetime import datetime
+
+        sdf_rows = [
+            (i, datetime.fromisoformat(ts), u, float(v))
+            for i, ts, u, v in rows
+        ]
+        df = spark.createDataFrame(
+            sdf_rows, "event_id long, ts timestamp, user_id long, value double"
+        )
+        got = ag.psi_value_drift(df).toPandas()
+        con = _duck_events(rows)
+        want = con.sql(ag.psi_value_drift_sql()).df()
+        s = rows_key(list(got.columns), got.itertuples(index=False, name=None))
+        d = rows_key(list(want.columns), want.itertuples(index=False, name=None))
+        assert s == d
+
+
+def test_benford_sub_unit_amounts(spark):
+    """Amounts below 1: the cents integer still yields the leading
+    significant digit (0.05 -> digit 5), never a '0' bucket."""
+    df = spark.createDataFrame(
+        [(1, 0.05), (2, 0.5), (3, 123.45), (4, 9.0)],
+        "o_orderkey long, o_totalprice double",
+    )
+    out = {r["digit"]: r["n"] for r in ag.benford_digit_audit(df).collect()}
+    assert out[5] == 2 and out[1] == 1 and out[9] == 1 and out[2] == 0
+
+
+def test_seasonal_naive_short_span_is_empty(spark):
+    """Fewer than 8 days of data: no lag-7 partner, empty report on both
+    engines (not a crash, not a fabricated row)."""
+    from datetime import datetime
+
+    rows = [(i, f"2024-01-{d:02d} 10:00:00", i, 1.0)
+            for i, d in enumerate(range(1, 7))]
+    df = spark.createDataFrame(
+        [(i, datetime.fromisoformat(ts), u, v) for i, ts, u, v in rows],
+        "event_id long, ts timestamp, user_id long, value double",
+    )
+    assert ag.seasonal_naive_error(df).count() == 0
+    con = _duck_events(rows)
+    assert len(con.sql(ag.seasonal_naive_sql()).df()) == 0
+
+
+def test_priority_sample_small_corpus_keeps_all(spark):
+    """n <= k: every row survives with adj_weight == its own weight
+    (tau = 0), including zero-weight rows."""
+    from data_pipelines_cu_spark.operators import sampling as smp
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 0), (3, 7)], "doc_id long, n_chars long"
+    )
+    out = {r["doc_id"]: r for r in
+           smp.priority_weighted_sample(df, k=100).collect()}
+    assert len(out) == 3
+    assert all(out[i]["adj_weight"] == float(out[i]["weight"]) for i in out)
+
+
+def test_temperature_mixture_single_source_and_budget_cap(spark):
+    """One source: it gets the whole budget, capped at its own size."""
+    from data_pipelines_cu_spark.operators import sampling as smp
+
+    df = spark.createDataFrame(
+        [(i, "only") for i in range(5)], "doc_id long, source string"
+    )
+    row = smp.temperature_source_mixture(df, budget=1000).collect()[0]
+    assert row["weight"] == 1.0
+    assert row["target_docs"] == 5  # min(budget, n_docs)
+
+
+def test_embargo_split_drops_gap_and_counts_overlap(spark):
+    """10-day span, 80% cutoff at day 9, 2-day embargo: days 7-8 dropped,
+    test = days 9-10; a user active in both halves counts once."""
+    from datetime import datetime
+
+    rows = [(i, f"2024-01-{d:02d} 09:00:00", 1 if d in (1, 10) else 100 + d, 1.0)
+            for i, d in enumerate(range(1, 11))]
+    df = spark.createDataFrame(
+        [(i, datetime.fromisoformat(ts), u, v) for i, ts, u, v in rows],
+        "event_id long, ts timestamp, user_id long, value double",
+    )
+    from data_pipelines_cu_spark.operators import sampling as smp
+
+    out = {r["split"]: r for r in smp.time_embargo_split(df).collect()}
+    assert out["train"]["n_events"] == 6  # days 1-6
+    assert out["test"]["n_events"] == 2   # days 9-10
+    assert out["train"]["overlap_entities"] == 1  # user 1 on both sides
