@@ -435,3 +435,37 @@ def test_daily_anomalies_baseline_broadcasts(spark, sf_dir):
     plan = _formatted_plan(QUERIES["daily_count_anomalies"].fn(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_passjoin_has_no_cartesian_stage(spark, sf_dir):
+    """The fuzzy self-join must candidate-generate through the segment
+    EQUI-join: any cartesian/nested-loop join means the PassJoin index
+    degraded to the O(block^2) plan it replaces."""
+    plan = _formatted_plan(QUERIES["fuzzy_part_name_pairs"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_triangle_join_is_equi_only(spark, sf_dir):
+    """Triangle enumeration joins the oriented edge list on item-id keys;
+    no stage may fall back to a nested-loop join."""
+    plan = _formatted_plan(QUERIES["copurchase_triangles"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_psi_reads_only_involved_columns(spark, sf_dir):
+    """PSI touches ts/value/event_id only — props and event_type must be
+    pruned from the events scan."""
+    plan = _formatted_plan(QUERIES["event_value_psi_drift"].fn(spark, sf_dir))
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema and all(
+        "props" not in l and "event_type" not in l for l in read_schema
+    )
+
+
+def test_priority_sample_uses_take_ordered(spark, sf_dir):
+    """The top-k must be the distributed TakeOrdered, never a global
+    sort of the corpus."""
+    plan = _formatted_plan(QUERIES["doc_priority_sample"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
