@@ -785,22 +785,16 @@ def stratified_kfold_sql(
 # partition-independent, and engine-portable — no RNG state anywhere.
 
 
-def priority_weighted_sample(
+def priority_rows(
     df: DataFrame,
     weight_col: str = "n_chars",
     id_col: str = "doc_id",
-    k: int = 100,
     salt: str = "pri",
 ) -> DataFrame:
-    """(id, weight, adj_weight): the k rows with the highest priorities
-    w/u, with the DLT unbiased estimator weight max(w, τ) rounded 6dp.
-    If the input has ≤ k rows every row survives with adj_weight = w.
-
-    Distributed shape: top-(k+1) by priority is Spark's TakeOrdered — a
-    per-partition partial top-k then a k-sized merge on the driver side
-    of the plan; the corpus is scanned once and never shuffled. The only
-    doubles are one division per row and the final max(w, τ), identical
-    IEEE ops on any engine."""
+    """(id, weight, _q): per-row DLT priorities q = w/u with the
+    content-addressed uniform u = (md5₃₂(salt‖id) + 1) / 2³² ∈ (0, 1].
+    Factored out so the streaming job can persist per-batch top-(k+1)
+    prefixes of exactly this table."""
     h32 = F.conv(
         F.substring(
             F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8
@@ -809,11 +803,21 @@ def priority_weighted_sample(
         10,
     ).cast("long")
     u = (h32 + 1) / F.lit(4294967296.0)  # (0, 1] — never a zero divide
-    pri = df.select(
+    return df.select(
         F.col(id_col),
         F.col(weight_col).cast("long").alias("weight"),
         (F.col(weight_col).cast("double") / u).alias("_q"),
     )
+
+
+def priority_sample_finish(
+    pri: DataFrame, id_col: str = "doc_id", k: int = 100
+) -> DataFrame:
+    """Top-k + τ re-weighting over a priority table (see
+    priority_weighted_sample). Because top-(k+1) of a union equals
+    top-(k+1) of per-part top-(k+1) prefixes, this finish step applied to
+    merged per-shard/per-batch prefixes reproduces the one-shot sample
+    bit-for-bit — the mergeability the streaming job relies on."""
     top = pri.orderBy(F.col("_q").desc(), F.col(id_col)).limit(k + 1)
     tau = F.broadcast(
         top.agg(
@@ -833,6 +837,26 @@ def priority_weighted_sample(
                 F.greatest(F.col("weight").cast("double"), F.col("_tau")), 6
             ).alias("adj_weight"),
         )
+    )
+
+
+def priority_weighted_sample(
+    df: DataFrame,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    k: int = 100,
+    salt: str = "pri",
+) -> DataFrame:
+    """(id, weight, adj_weight): the k rows with the highest priorities
+    w/u, with the DLT unbiased estimator weight max(w, τ) rounded 6dp.
+    If the input has ≤ k rows every row survives with adj_weight = w.
+
+    Distributed shape: top-(k+1) by priority is Spark's TakeOrdered — a
+    per-partition partial top-k then a k-sized merge; the corpus is
+    scanned once and never shuffled. The only doubles are one division
+    per row and the final max(w, τ), identical IEEE ops on any engine."""
+    return priority_sample_finish(
+        priority_rows(df, weight_col, id_col, salt), id_col, k
     )
 
 

@@ -694,3 +694,80 @@ def debounce_stateful(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def priority_sample_batch(
+    batch: DataFrame,
+    batch_id: int,
+    sample_path: str,
+    weight_col: str,
+    id_col: str,
+    k: int = 100,
+    salt: str = "pri",
+) -> None:
+    """One replay-idempotent micro-batch of the streaming priority
+    sample: the batch's top-(k+1) priority prefix lands in its own
+    batch_id partition (dynamic overwrite — replays replace, never
+    double; the priorities are content-addressed, so a replay writes the
+    identical prefix)."""
+    from ..operators.sampling import priority_rows
+    from ..operators.upsert import upsert_partitions
+
+    if batch.isEmpty():
+        return
+    top = (
+        priority_rows(batch, weight_col, id_col, salt)
+        .orderBy(F.col("_q").desc(), id_col)
+        .limit(k + 1)
+        .withColumn("batch_id", F.lit(batch_id))
+    )
+    upsert_partitions(top, sample_path, ["batch_id"])
+
+
+def run_streaming_priority_sample(
+    rows: DataFrame,
+    sample_path: str,
+    checkpoint: str,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    k: int = 100,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming weighted sampling via the MERGEABLE bottom-k priority
+    sample (Duffield/Lund/Thorup): each micro-batch persists only its
+    top-(k+1) priority prefix — k+1 rows of state per batch, never the
+    stream. Because the top-(k+1) of a union equals the top-(k+1) over
+    per-batch prefixes, the merged read (priority_sample_from_batches)
+    equals the one-shot batch sample over the whole stream BIT-FOR-BIT —
+    the same defining property the streaming KMV sketch leans on, for
+    weighted sampling instead of distinct counting."""
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        priority_sample_batch(
+            batch, batch_id, sample_path, weight_col, id_col, k
+        )
+
+    writer = (
+        rows.writeStream.outputMode("append")
+        .foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def priority_sample_from_batches(
+    spark, sample_path: str, id_col: str = "doc_id", k: int = 100
+) -> DataFrame:
+    """Merged read of the per-batch priority prefixes: distinct rows (a
+    replayed prefix is byte-identical) through the same finish step the
+    one-shot operator uses."""
+    from ..operators.sampling import priority_sample_finish
+
+    pri = (
+        spark.read.parquet(sample_path)
+        .select(id_col, "weight", "_q")
+        .distinct()
+    )
+    return priority_sample_finish(pri, id_col, k)

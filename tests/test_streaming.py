@@ -724,3 +724,59 @@ def test_streaming_debounce_matches_batch_gate(spark, tmp_path):
     }
     got = {(r.user_id, r.event_type): r.n_kept_stream for r in kept}
     assert got == want and len(got) == 1
+
+
+def test_streaming_priority_sample_matches_batch(spark, tmp_path):
+    """The merged streaming priority sample must equal the one-shot batch
+    sample over the union bit-for-bit (top-k-of-union = top-k of
+    per-batch prefixes), and a batch replay must not change the stored
+    prefixes."""
+    import json as _json
+
+    from data_pipelines_cu_spark.operators.sampling import (
+        priority_weighted_sample,
+    )
+    from data_pipelines_cu_spark.streaming.jobs import (
+        priority_sample_batch,
+        priority_sample_from_batches,
+        run_streaming_priority_sample,
+    )
+
+    src = tmp_path / "pri_in"
+    src.mkdir()
+    rows = [{"doc_id": i, "n_chars": (i * 37) % 500 + 1} for i in range(300)]
+    half = len(rows) // 2
+    for i, chunk in enumerate([rows[:half], rows[half:]]):
+        p = src / f"part-{i}.json"
+        with open(p, "w") as f:
+            for r in chunk:
+                f.write(_json.dumps(r) + "\n")
+        os.utime(p, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    path = str(tmp_path / "pri_prefixes")
+    stream = (
+        spark.readStream.schema("doc_id long, n_chars long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = run_streaming_priority_sample(
+        stream, path, str(tmp_path / "ck"), "n_chars", "doc_id", k=25
+    )
+    q.awaitTermination(120)
+
+    merged = priority_sample_from_batches(spark, path, "doc_id", k=25)
+    batch_df = spark.createDataFrame(
+        [(r["doc_id"], r["n_chars"]) for r in rows], "doc_id long, n_chars long"
+    )
+    expected = priority_weighted_sample(batch_df, "n_chars", "doc_id", k=25)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, expected.collect())
+    )
+
+    before = sorted(map(tuple, spark.read.parquet(path).collect()))
+    b0 = spark.read.schema("doc_id long, n_chars long").json(
+        str(src / "part-0.json")
+    )
+    priority_sample_batch(b0, 0, path, "n_chars", "doc_id", k=25)
+    after = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert before == after
