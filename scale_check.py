@@ -51,6 +51,10 @@ HEAVY = [
     "curation_v2_shards",
     "doc_ngram_novelty",
     "doc_lang_consistency",
+    # round-6: PassJoin fuzzy self-join, triangle counting, PSI drift
+    "fuzzy_part_name_pairs",
+    "copurchase_triangles",
+    "event_value_psi_drift",
 ]
 
 # Optional subset filter: SPARK_GRAFT_SCALE_ONLY="a,b" runs just those.
@@ -97,6 +101,53 @@ def build_sf1(spark, src="/root/testdata/sf0.1", out=SF1_DIR) -> None:
         e = e.unionByName(p)
     d.repartition(32).write.mode("overwrite").parquet(f"{out}/documents.parquet")
     e.repartition(32).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    # Relational replicas for the non-document heavy ops. Same density
+    # discipline: keys shift by a disjoint 1e9 stride per replica so
+    # within-replica structure (co-order baskets, brand blocks, per-user
+    # streams) is preserved exactly and cross-replica joins are
+    # impossible. Part names apply a per-replica CAESAR SHIFT (a
+    # character bijection): within-replica edit distances — and therefore
+    # the true pair set — are preserved exactly, every cross-replica
+    # character differs, and no PassJoin segment can collide across
+    # replicas, so candidate AND verified pair counts scale 10×. (Word
+    # tags were measured wrong twice: a 1-char tag put every 2-word name
+    # at distance exactly 2 from its clones — 12.1M bogus pairs — and
+    # even a 2-char tag left tag-free short segments whose cross-replica
+    # collisions inflated the candidate join 5×.)
+    part = spark.read.parquet(f"{src}/part.parquet")
+    li = spark.read.parquet(f"{src}/lineitem.parquet")
+    ev = spark.read.parquet(f"{src}/events.parquet")
+    STRIDE = 1_000_000_000
+    p_parts, l_parts, e_parts = [], [], []
+    for i in range(10):
+        alpha = "abcdefghijklmnopqrstuvwxyz"
+        shifted = alpha[i:] + alpha[:i]
+        p_parts.append(
+            part.select(
+                (F.col("p_partkey") + i * STRIDE).alias("p_partkey"),
+                F.translate("p_name", alpha, shifted).alias("p_name"),
+                *[c for c in part.columns if c not in ("p_partkey", "p_name")],
+            )
+        )
+        l_parts.append(
+            li.select(
+                (F.col("l_orderkey") + i * STRIDE).alias("l_orderkey"),
+                (F.col("l_partkey") + i * STRIDE).alias("l_partkey"),
+                *[c for c in li.columns if c not in ("l_orderkey", "l_partkey")],
+            )
+        )
+        e_parts.append(
+            ev.select(
+                (F.col("event_id") + i * STRIDE).alias("event_id"),
+                (F.col("user_id") + i * STRIDE).alias("user_id"),
+                *[c for c in ev.columns if c not in ("event_id", "user_id")],
+            )
+        )
+    for parts, name in ((p_parts, "part"), (l_parts, "lineitem"), (e_parts, "events")):
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        u.repartition(32).write.mode("overwrite").parquet(f"{out}/{name}.parquet")
     Path(f"{out}/_BUILT").write_text("ok\n")
 
 

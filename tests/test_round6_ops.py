@@ -292,3 +292,56 @@ def test_embargo_split_drops_gap_and_counts_overlap(spark):
     assert out["train"]["n_events"] == 6  # days 1-6
     assert out["test"]["n_events"] == 2   # days 9-10
     assert out["train"]["overlap_entities"] == 1  # user 1 on both sides
+
+
+def test_edit_distance_pairs_other_thresholds(spark):
+    """The segment scheme generalizes: d=1 (2 segments) and d=3 (4
+    segments) must also match brute force on a mixed-length corpus."""
+    import itertools
+    import random
+
+    from data_pipelines_cu_spark.operators import joins as jn
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    rng = random.Random(7)
+    rows = [
+        (i, "".join(rng.choice("abc") for _ in range(rng.randint(0, 12))))
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "id long, s string")
+    for d in (1, 3):
+        want = sorted(
+            (ia, ib, lev(sa, sb))
+            for (ia, sa), (ib, sb) in itertools.combinations(rows, 2)
+            if sa != sb and lev(sa, sb) <= d
+        )
+        got = sorted(
+            (r.id_a, r.id_b, r.edit_dist)
+            for r in jn.edit_distance_pairs(df, "id", "s", d=d).collect()
+        )
+        assert got == want, f"d={d}"
+
+
+def test_temperature_mixture_apportionment_is_exact(spark):
+    """With no source capping, the largest-remainder targets sum to the
+    budget EXACTLY (floors + top-ups), and every weight is positive."""
+    rows = [(i, f"s{i % 7}") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    from data_pipelines_cu_spark.operators import sampling as smp
+
+    out = smp.temperature_source_mixture(df, budget=57).collect()
+    assert sum(r["target_docs"] for r in out) == 57
+    assert all(r["weight"] > 0 for r in out)
+    assert all(r["target_docs"] <= r["n_docs"] for r in out)
