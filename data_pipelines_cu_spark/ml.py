@@ -17,6 +17,8 @@ the driver's DuckDB gate can verify bit-for-bit.
 
 from __future__ import annotations
 
+import math
+
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -608,4 +610,119 @@ def nb_lang_oracle_sql(
     SELECT {id_col}, {label_col}, cand AS pred_lang,
            (cand = {label_col}) AS correct
     FROM ranked WHERE r = 1
+    """
+
+
+# --- PCA top component (power iteration) -------------------------------------
+# The engine's iterative linear-algebra primitive alongside PageRank's
+# iterative graph primitive: the leading eigenvector of the uncentered
+# second-moment matrix C = Σ x·xᵀ by power iteration, computed entirely
+# as DataFrame algebra — the direction embedding-quantization error,
+# whitening, and drift diagnostics all start from.
+
+
+def pca_top_component(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    n_iters: int = 3,
+) -> DataFrame:
+    """(j, loading, eigenvalue): the leading eigenvector (64 loadings,
+    seeded from the unit-norm constant vector, normalized every round) and its
+    Rayleigh-quotient estimate ‖C·w‖ after ``n_iters`` rounds.
+
+    Determinism contract: every cross-row sum (per-row projection
+    s = x·w, per-dimension re-mix u = Σ s·x, the squared norm) is an
+    EXACT DECIMAL(38,12) sum of deterministic double products — order-
+    independent across partitions and bit-identical to the oracle's
+    unrolled CTEs; no driver collect anywhere (the w table is a 64-row
+    broadcast). Plan per round: one broadcast join + id-keyed aggregate
+    (the corpus-sized stage), one j-keyed aggregate (64 groups), one
+    1-row norm broadcast. At 100 TB fold the (id, j, x) long table into
+    per-partition partial Σ s·x sums via the same decimal discipline —
+    identical report shape."""
+    spark = df.sparkSession
+    rows = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(vec_col).alias("j", "_x"),
+    ).select("_id", "j", F.col("_x").cast("double").alias("_x"))
+    rows = rows.localCheckpoint(eager=True)  # reused 2x per round
+    seed = 1.0 / math.sqrt(dim)  # unit-norm seed: the round-1 Rayleigh
+    # estimate ||C w0|| is only an eigenvalue estimate if ||w0|| = 1
+    w = spark.range(dim).select(
+        F.col("id").cast("int").alias("j"), F.lit(seed).alias("_w")
+    )
+
+    def dsum(col):
+        return F.sum(col.cast("decimal(38,12)")).cast("double")
+
+    eig = None
+    for _ in range(n_iters):
+        s = (
+            rows.join(F.broadcast(w), "j")
+            .groupBy("_id")
+            .agg(dsum(F.col("_x") * F.col("_w")).alias("_s"))
+        )
+        u = (
+            rows.join(s, "_id")
+            .groupBy("j")
+            .agg(dsum(F.col("_x") * F.col("_s")).alias("_u"))
+        )
+        nrm = F.broadcast(
+            u.agg(F.sqrt(dsum(F.col("_u") * F.col("_u"))).alias("_n"))
+        )
+        w = u.crossJoin(nrm).select(
+            "j", (F.col("_u") / F.col("_n")).alias("_w")
+        )
+        eig = nrm
+    return w.crossJoin(eig).select(
+        "j",
+        F.round("_w", 6).alias("loading"),
+        F.round("_n", 6).alias("eigenvalue"),
+    )
+
+
+def pca_oracle_sql(
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    n_iters: int = 3,
+) -> str:
+    """DuckDB twin of pca_top_component: the same unrolled power rounds
+    with the same exact-decimal sums of the same double products."""
+    parts = [
+        f"""rows AS (
+        SELECT {id_col} AS id, i - 1 AS j,
+               CAST({vec_col}[i] AS DOUBLE) AS x
+        FROM {table} CROSS JOIN range(1, {dim + 1}) t(i)
+    ),
+    w0 AS (SELECT i - 1 AS j, CAST({1.0 / math.sqrt(dim)!r} AS DOUBLE) AS w
+           FROM range(1, {dim + 1}) t(i))"""
+    ]
+    prev = "w0"
+    for r in range(1, n_iters + 1):
+        parts.append(
+            f"""s{r} AS (
+        SELECT id, CAST(SUM(CAST(x * w AS DECIMAL(38,12))) AS DOUBLE) AS s
+        FROM rows JOIN {prev} USING (j) GROUP BY id
+    ),
+    u{r} AS (
+        SELECT j, CAST(SUM(CAST(x * s AS DECIMAL(38,12))) AS DOUBLE) AS u
+        FROM rows JOIN s{r} USING (id) GROUP BY j
+    ),
+    n{r} AS (
+        SELECT sqrt(CAST(SUM(CAST(u * u AS DECIMAL(38,12))) AS DOUBLE)) AS n
+        FROM u{r}
+    ),
+    w{r} AS (SELECT j, u / n AS w FROM u{r} CROSS JOIN n{r})"""
+        )
+        prev = f"w{r}"
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes}
+    SELECT CAST(j AS INT) AS j, ROUND(w, 6) AS loading,
+           ROUND(n, 6) AS eigenvalue
+    FROM w{n_iters} CROSS JOIN n{n_iters}
     """

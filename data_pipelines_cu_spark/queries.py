@@ -5606,6 +5606,16 @@ def events_time_embargo_split_q(spark, sf_dir):
     return smp.time_embargo_split(_t(spark, sf_dir, "events"))
 
 
+@register("embedding_pca_component", ml.pca_oracle_sql())
+def embedding_pca_component_q(spark, sf_dir):
+    """Leading eigenvector of the embeddings' second-moment matrix by
+    power iteration — iterative linear algebra as pure DataFrame algebra:
+    every cross-row sum is an exact decimal fold, so three rounds of
+    project/re-mix/normalize hash-match the oracle's unrolled CTEs with
+    no driver collect (ml.py::pca_top_component)."""
+    return ml.pca_top_component(_t(spark, sf_dir, "embeddings"))
+
+
 @register("copurchase_triangles", gr.cooccurrence_triangles_sql())
 def copurchase_triangles_q(spark, sf_dir):
     """Triangle participation in the thresholded co-order part graph:

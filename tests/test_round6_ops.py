@@ -345,3 +345,17 @@ def test_temperature_mixture_apportionment_is_exact(spark):
     assert sum(r["target_docs"] for r in out) == 57
     assert all(r["weight"] > 0 for r in out)
     assert all(r["target_docs"] <= r["n_docs"] for r in out)
+
+
+def test_pca_component_is_unit_norm_and_monotone(spark, sf_dir):
+    """The returned loadings are unit-norm, and the Rayleigh estimate
+    ||C·w|| is nondecreasing in the iteration count (the power-iteration
+    convergence invariant)."""
+    from data_pipelines_cu_spark import ml
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out3 = ml.pca_top_component(emb, n_iters=3).collect()
+    assert abs(sum(r["loading"] ** 2 for r in out3) - 1.0) < 1e-6
+    e1 = ml.pca_top_component(emb, n_iters=1).collect()[0]["eigenvalue"]
+    e3 = out3[0]["eigenvalue"]
+    assert e3 >= e1 - 1e-9
