@@ -689,8 +689,13 @@ def psi_value_drift(
             .alias("_cut")
         )
     )
-    tagged = ev.crossJoin(cut).select(
-        "_id", "_v", (F.col("_d") < F.col("_cut")).alias("_is_ref")
+    # one corpus materialization feeds the ranking AND the binning — the
+    # naive plan re-derives this subtree (and rescans the table) per
+    # consumer; the checkpoint holds 3 narrow columns
+    tagged = (
+        ev.crossJoin(cut)
+        .select("_id", "_v", (F.col("_d") < F.col("_cut")).alias("_is_ref"))
+        .localCheckpoint(eager=True)
     )
     ref = tagged.filter("_is_ref")
     n_ref = F.broadcast(ref.agg(F.count(F.lit(1)).alias("_nr")))
@@ -725,21 +730,19 @@ def psi_value_drift(
     bins = spark.range(1, n_bins + 1).select(
         F.col("id").cast("int").alias("bin")
     )
-    filled = (
-        bins.join(counts, "bin", "left")
-        .select(
-            "bin",
-            F.coalesce("n_ref", F.lit(0)).cast("long").alias("n_ref"),
-            F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"),
-        )
-        .crossJoin(
-            F.broadcast(
-                binned.groupBy().agg(
-                    F.sum(F.when(F.col("_is_ref"), 1).otherwise(0)).alias("_tr"),
-                    F.sum(F.when(F.col("_is_ref"), 0).otherwise(1)).alias("_tc"),
-                )
-            )
-        )
+    # split totals come FROM the bin counts (every row lands in a bin) —
+    # never a second corpus pass
+    w_all = W.partitionBy(F.lit(1))
+    filled = bins.join(counts, "bin", "left").select(
+        "bin",
+        F.coalesce("n_ref", F.lit(0)).cast("long").alias("n_ref"),
+        F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"),
+    ).select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.sum("n_ref").over(w_all).alias("_tr"),
+        F.sum("n_cur").over(w_all).alias("_tc"),
     )
     p_ref = (F.col("n_ref") + 1) / (F.col("_tr") + n_bins)
     p_cur = (F.col("n_cur") + 1) / (F.col("_tc") + n_bins)
