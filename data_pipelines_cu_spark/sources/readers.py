@@ -135,3 +135,17 @@ def read_parquet_evolved(
     columns between lecture versions). Merge happens over footers only;
     at 100 TB the data pages are untouched and pruning still applies."""
     return spark.read.option("mergeSchema", True).parquet(*paths)
+
+
+def read_orc(spark: SparkSession, *paths: str) -> DataFrame:
+    """ORC scan (Spark-native reader): the columnar alternative every
+    Hive-era lake still carries. Same pushdown/pruning contract as the
+    parquet scans — predicates and column selection reach the stripe
+    reader (ORC keeps min/max + bloom stripe statistics)."""
+    return spark.read.orc(*paths)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink (zlib default codec). Interop surface for consumers that
+    read ORC; parquet stays the engine's primary format."""
+    df.write.mode(mode).orc(path)

@@ -359,3 +359,26 @@ def test_pca_component_is_unit_norm_and_monotone(spark, sf_dir):
     e1 = ml.pca_top_component(emb, n_iters=1).collect()[0]["eigenvalue"]
     e3 = out3[0]["eigenvalue"]
     assert e3 >= e1 - 1e-9
+
+
+def test_orc_round_trip_preserves_values_and_pushdown(spark, sf_dir, tmp_path):
+    """ORC sink/scan: values round-trip exactly and a filter reaches the
+    ORC stripe reader as a pushed predicate."""
+    from data_pipelines_cu_spark.sources.readers import read_orc, write_orc
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    path = str(tmp_path / "orders_orc")
+    write_orc(orders, path)
+    back = read_orc(spark, path)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, orders.collect())
+    )
+    plan = (
+        back.filter(F.col("o_totalprice") > 100000.0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan and "o_totalprice" in plan
