@@ -106,11 +106,12 @@ def encode_bmp(pixels) -> bytes:
 
 
 def decode_pixels(payload: bytes):
-    """Decode a P6 PPM, 24-bit uncompressed BMP, or non-interlaced 8-bit
-    PNG (RGB/RGBA/greyscale, stdlib zlib inflate + scanline unfilter) blob
-    to an (H, W, 3) uint8 RGB numpy array — no codec library. Raises
-    ValueError on anything else (the plug point where PIL/libvips widens
-    format support: JPEG, palette/16-bit/interlaced PNG)."""
+    """Decode a P6 PPM, 24-bit uncompressed BMP, non-interlaced 8/16-bit
+    PNG (RGB/RGBA/greyscale/palette, stdlib zlib inflate + scanline
+    unfilter), or baseline JPEG blob to an (H, W, 3) uint8 RGB numpy
+    array — no codec library. Raises ValueError on anything else (the
+    plug point where PIL/libvips widens format support: progressive
+    JPEG, interlaced/sub-byte PNG, video)."""
     import struct
 
     import numpy as np
@@ -179,12 +180,13 @@ def _png_chunks(payload: bytes):
 
 def _decode_png(payload: bytes):
     """Pure-stdlib PNG decode (zlib inflate + per-scanline unfilter) for
-    non-interlaced 8-bit RGB/RGBA/greyscale/palette — the formats the
+    non-interlaced 8/16-bit RGB/RGBA/greyscale and 8-bit palette — the formats the
     reference's actual image payloads use (rocket launch images,
     Solutions/chapter02/dags/download_rocket_launches.py:34-41). Returns
     (H, W, 3) uint8 RGB; alpha is dropped, greyscale replicates, palette
-    indices look up PLTE. 16-bit, sub-byte-packed, and Adam7-interlaced
-    PNGs raise a ValueError naming the exact unsupported feature."""
+    indices look up PLTE, 16-bit samples reduce to their high byte.
+    Sub-byte-packed and Adam7-interlaced PNGs raise a ValueError naming
+    the exact unsupported feature."""
     import struct
     import zlib
 
@@ -214,21 +216,23 @@ def _decode_png(payload: bytes):
             f"only non-interlaced 8-bit PNG supported "
             f"(unknown color type {color_type})"
         )
-    if bit_depth != 8:
-        kind = "16-bit" if bit_depth == 16 else f"{bit_depth}-bit packed"
+    if bit_depth not in (8, 16) or (bit_depth == 16 and color_type == 3):
         raise ValueError(
-            f"only non-interlaced 8-bit PNG supported "
-            f"({kind} sample depth not implemented)"
+            f"only non-interlaced 8/16-bit PNG supported "
+            f"({bit_depth}-bit packed sample depth not implemented)"
         )
     if color_type == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE chunk")
     raw = zlib.decompress(bytes(idat))
-    stride = w * channels
+    sample_bytes = bit_depth // 8
+    stride = w * channels * sample_bytes
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG scanline data truncated")
     img = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int32)
-    bpp = channels  # bytes per pixel at depth 8
+    # PNG filters operate on BYTES at any depth; bpp is the byte distance
+    # to the corresponding byte of the pixel to the left
+    bpp = channels * sample_bytes
     for y in range(h):
         ftype = raw[y * (stride + 1)]
         line = np.frombuffer(
@@ -257,6 +261,10 @@ def _decode_png(payload: bytes):
                 cur[i] = (line[i] + pred) & 0xFF
         img[y] = cur.astype(np.uint8)
         prev = cur
+    if sample_bytes == 2:
+        # 16-bit samples are big-endian; the high byte is the standard
+        # 16->8 reduction (v >> 8)
+        img = img.reshape(h, w * channels, 2)[:, :, 0]
     px = img.reshape(h, w, channels)
     if color_type == 2:
         return px.copy()

@@ -314,8 +314,9 @@ def test_png_decode_round_trip_and_all_filters():
 
 
 def test_png_rgba_grey_and_rejects():
-    """RGBA drops alpha, greyscale replicates to RGB; palette/16-bit/
-    interlaced stay declared stubs (ValueError)."""
+    """RGBA drops alpha, greyscale replicates to RGB, palette looks up
+    PLTE, 16-bit reduces to high bytes; interlaced/sub-byte stay
+    declared stubs (ValueError)."""
     import struct
     import zlib
 
@@ -358,8 +359,19 @@ def test_png_rgba_grey_and_rejects():
         mm.decode_pixels(build(rgb, 3))  # palette without PLTE
     with _pytest.raises(ValueError, match="Adam7"):
         mm.decode_pixels(build(rgb, 2, interlace=1))
-    with _pytest.raises(ValueError, match="16-bit"):
-        mm.decode_pixels(build(rgb, 2, bit_depth=16))
+    # 16-bit RGB: big-endian samples reduce to their high byte
+    px16 = np.array(
+        [[[0x1234, 0xFF00, 0x00FF], [0x8001, 0x0000, 0xFFFF]]],
+        dtype=">u2",
+    )
+    blob16 = build(px16.view(np.uint8).reshape(1, 2, 6), 2, bit_depth=16)
+    out16 = mm.decode_pixels(blob16)
+    assert np.array_equal(
+        out16, (px16.astype(np.uint32) >> 8).astype(np.uint8)
+    )
+    # sub-byte packed depths remain a declared boundary
+    with _pytest.raises(ValueError, match="packed"):
+        mm.decode_pixels(build(rgb, 0, bit_depth=4))
 
 
 def test_png_flows_through_arrow_resize(spark):
