@@ -10,11 +10,12 @@ Decode kernels come in two flavors. ``decode_image_real`` /
 uncompressed formats — P6 PPM and 24-bit BI_RGB BMP pixels, and PCM-16
 RIFF/WAV samples, all decoded with pure numpy (no PIL/libvips/ffmpeg
 needed) — so actual pixels and audio samples flow through the Arrow
-stages end-to-end. Compressed formats (JPEG/PNG/video)
-still need a codec library absent from this container; ``decode_image_
-stub`` keeps those paths testable with a deterministic sha256 fake, and
-the real kernels raise ``ValueError`` on blobs they can't parse, marking
-exactly where a PIL/ffmpeg kernel widens format support.
+stages end-to-end. PNG (8/16-bit,
+sequential or Adam7) and baseline JPEG decode in pure stdlib/numpy too;
+video still needs a codec library absent from this container.
+``decode_image_stub`` keeps that path testable with a deterministic
+sha256 fake, and the real kernels raise ``ValueError`` on blobs they
+can't parse, marking exactly where a PIL/ffmpeg kernel widens support.
 
 Scale notes: blobs ride in parquet binary columns; ``mapInPandas`` streams
 Arrow record batches so executor memory holds one batch of blobs, not a
@@ -106,12 +107,12 @@ def encode_bmp(pixels) -> bytes:
 
 
 def decode_pixels(payload: bytes):
-    """Decode a P6 PPM, 24-bit uncompressed BMP, non-interlaced 8/16-bit
-    PNG (RGB/RGBA/greyscale/palette, stdlib zlib inflate + scanline
-    unfilter), or baseline JPEG blob to an (H, W, 3) uint8 RGB numpy
-    array — no codec library. Raises ValueError on anything else (the
-    plug point where PIL/libvips widens format support: progressive
-    JPEG, interlaced/sub-byte PNG, video)."""
+    """Decode a P6 PPM, 24-bit uncompressed BMP, 8/16-bit PNG
+    (RGB/RGBA/greyscale/palette, sequential or Adam7-interlaced, stdlib
+    zlib inflate + scanline unfilter), or baseline JPEG blob to an
+    (H, W, 3) uint8 RGB numpy array — no codec library. Raises
+    ValueError on anything else (the plug point where PIL/libvips widens
+    format support: progressive JPEG, sub-byte-packed PNG, video)."""
     import struct
 
     import numpy as np
@@ -178,65 +179,30 @@ def _png_chunks(payload: bytes):
             break
 
 
-def _decode_png(payload: bytes):
-    """Pure-stdlib PNG decode (zlib inflate + per-scanline unfilter) for
-    non-interlaced 8/16-bit RGB/RGBA/greyscale and 8-bit palette — the formats the
-    reference's actual image payloads use (rocket launch images,
-    Solutions/chapter02/dags/download_rocket_launches.py:34-41). Returns
-    (H, W, 3) uint8 RGB; alpha is dropped, greyscale replicates, palette
-    indices look up PLTE, 16-bit samples reduce to their high byte.
-    Sub-byte-packed and Adam7-interlaced PNGs raise a ValueError naming
-    the exact unsupported feature."""
-    import struct
-    import zlib
+# Adam7 pass origins and steps: (x_start, y_start, x_step, y_step)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
+
+def _png_unfilter(raw: bytes, offset: int, h: int, stride: int, bpp: int):
+    """Reverse PNG scanline filtering for ``h`` rows of ``stride`` bytes
+    starting at ``offset`` (each row prefixed by its filter byte);
+    returns (rows array (h, stride) uint8, next offset). Shared by the
+    sequential path (one call) and Adam7 (one call per pass — each pass
+    is an independently-filtered sub-image)."""
     import numpy as np
 
-    ihdr = None
-    idat = bytearray()
-    plte = None
-    for ctype, data in _png_chunks(payload):
-        if ctype == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", data)
-        elif ctype == b"IDAT":
-            idat.extend(data)
-        elif ctype == b"PLTE":
-            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
-    if ihdr is None or not idat:
-        raise ValueError("PNG missing IHDR/IDAT")
-    w, h, bit_depth, color_type, _comp, _filt, interlace = ihdr
-    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
-    if interlace != 0:
-        raise ValueError(
-            "only non-interlaced 8-bit PNG supported "
-            "(Adam7-interlaced PNG not implemented)"
-        )
-    if channels is None:
-        raise ValueError(
-            f"only non-interlaced 8-bit PNG supported "
-            f"(unknown color type {color_type})"
-        )
-    if bit_depth not in (8, 16) or (bit_depth == 16 and color_type == 3):
-        raise ValueError(
-            f"only non-interlaced 8/16-bit PNG supported "
-            f"({bit_depth}-bit packed sample depth not implemented)"
-        )
-    if color_type == 3 and plte is None:
-        raise ValueError("palette PNG missing PLTE chunk")
-    raw = zlib.decompress(bytes(idat))
-    sample_bytes = bit_depth // 8
-    stride = w * channels * sample_bytes
-    if len(raw) != h * (stride + 1):
+    if offset + h * (stride + 1) > len(raw):
         raise ValueError("PNG scanline data truncated")
     img = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int32)
-    # PNG filters operate on BYTES at any depth; bpp is the byte distance
-    # to the corresponding byte of the pixel to the left
-    bpp = channels * sample_bytes
     for y in range(h):
-        ftype = raw[y * (stride + 1)]
+        base = offset + y * (stride + 1)
+        ftype = raw[base]
         line = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+            raw, dtype=np.uint8, count=stride, offset=base + 1
         ).astype(np.int32)
         if ftype == 0:  # None
             cur = line
@@ -261,6 +227,75 @@ def _decode_png(payload: bytes):
                 cur[i] = (line[i] + pred) & 0xFF
         img[y] = cur.astype(np.uint8)
         prev = cur
+    return img, offset + h * (stride + 1)
+
+
+def _decode_png(payload: bytes):
+    """Pure-stdlib PNG decode (zlib inflate + per-scanline unfilter) for
+    8/16-bit RGB/RGBA/greyscale and 8-bit palette, sequential or
+    Adam7-interlaced — the formats the reference's actual image payloads
+    use (rocket launch images,
+    Solutions/chapter02/dags/download_rocket_launches.py:34-41). Returns
+    (H, W, 3) uint8 RGB; alpha is dropped, greyscale replicates, palette
+    indices look up PLTE, 16-bit samples reduce to their high byte.
+    Sub-byte-packed depths raise a ValueError naming the exact
+    unsupported feature."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    ihdr = None
+    idat = bytearray()
+    plte = None
+    for ctype, data in _png_chunks(payload):
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, bit_depth, color_type, _comp, _filt, interlace = ihdr
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if interlace not in (0, 1):
+        raise ValueError(f"bad PNG interlace method {interlace}")
+    if channels is None:
+        raise ValueError(f"unknown PNG color type {color_type}")
+    if bit_depth not in (8, 16) or (bit_depth == 16 and color_type == 3):
+        raise ValueError(
+            f"only 8/16-bit PNG supported "
+            f"({bit_depth}-bit packed sample depth not implemented)"
+        )
+    if color_type == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
+    raw = zlib.decompress(bytes(idat))
+    sample_bytes = bit_depth // 8
+    # PNG filters operate on BYTES at any depth; bpp is the byte distance
+    # to the corresponding byte of the pixel to the left
+    bpp = channels * sample_bytes
+    if interlace == 0:
+        stride = w * channels * sample_bytes
+        if len(raw) != h * (stride + 1):
+            raise ValueError("PNG scanline data truncated")
+        img = _png_unfilter(raw, 0, h, stride, bpp)[0]
+    else:
+        # Adam7: seven independently-filtered sub-images scattered onto
+        # the output grid at (x0, y0) with steps (dx, dy)
+        img = np.zeros((h, w * bpp), dtype=np.uint8)
+        offset = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            sub, offset = _png_unfilter(raw, offset, ph, pw * bpp, bpp)
+            sub = sub.reshape(ph, pw, bpp)
+            img3 = img.reshape(h, w, bpp)
+            img3[y0::dy, x0::dx, :] = sub
+        if offset != len(raw):
+            raise ValueError("PNG scanline data truncated")
     if sample_bytes == 2:
         # 16-bit samples are big-endian; the high byte is the standard
         # 16->8 reduction (v >> 8)

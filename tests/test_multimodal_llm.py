@@ -315,8 +315,8 @@ def test_png_decode_round_trip_and_all_filters():
 
 def test_png_rgba_grey_and_rejects():
     """RGBA drops alpha, greyscale replicates to RGB, palette looks up
-    PLTE, 16-bit reduces to high bytes; interlaced/sub-byte stay
-    declared stubs (ValueError)."""
+    PLTE, 16-bit reduces to high bytes, Adam7 interlace round-trips;
+    sub-byte packing stays a declared stub (ValueError)."""
     import struct
     import zlib
 
@@ -357,8 +357,28 @@ def test_png_rgba_grey_and_rejects():
     rgb = np.zeros((2, 3, 3), dtype=np.uint8)
     with _pytest.raises(ValueError, match="missing PLTE"):
         mm.decode_pixels(build(rgb, 3))  # palette without PLTE
-    with _pytest.raises(ValueError, match="Adam7"):
-        mm.decode_pixels(build(rgb, 2, interlace=1))
+    # Adam7 interlace: scatter the image into the 7 passes, each pass an
+    # independently-filtered (filter 0) sub-image — must round-trip
+    adam7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+             (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    big = np.arange(9 * 10 * 3, dtype=np.uint8).reshape(9, 10, 3)
+    raw7 = bytearray()
+    for x0, y0, dx, dy in adam7:
+        sub = big[y0::dy, x0::dx, :]
+        if sub.size == 0:
+            continue
+        for row in sub:
+            raw7 += b"\x00" + row.tobytes()
+    def chunk2(ctype, data):
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+    blob7 = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk2(b"IHDR", struct.pack(">IIBBBBB", 10, 9, 8, 2, 0, 0, 1))
+        + chunk2(b"IDAT", zlib.compress(bytes(raw7)))
+        + chunk2(b"IEND", b"")
+    )
+    assert np.array_equal(mm.decode_pixels(blob7), big)
     # 16-bit RGB: big-endian samples reduce to their high byte
     px16 = np.array(
         [[[0x1234, 0xFF00, 0x00FF], [0x8001, 0x0000, 0xFFFF]]],
