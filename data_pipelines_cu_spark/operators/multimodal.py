@@ -232,14 +232,15 @@ def _png_unfilter(raw: bytes, offset: int, h: int, stride: int, bpp: int):
 
 def _decode_png(payload: bytes):
     """Pure-stdlib PNG decode (zlib inflate + per-scanline unfilter) for
-    8/16-bit RGB/RGBA/greyscale and 8-bit palette, sequential or
-    Adam7-interlaced — the formats the reference's actual image payloads
+    every spec-valid depth/color combination, sequential or
+    Adam7-interlaced — including the formats the reference's actual image payloads
     use (rocket launch images,
     Solutions/chapter02/dags/download_rocket_launches.py:34-41). Returns
     (H, W, 3) uint8 RGB; alpha is dropped, greyscale replicates, palette
-    indices look up PLTE, 16-bit samples reduce to their high byte.
-    Sub-byte-packed depths raise a ValueError naming the exact
-    unsupported feature."""
+    indices look up PLTE, 16-bit samples reduce to their high byte,
+    sub-byte greyscale/palette depths unpack big-bit-first (greyscale
+    expands to full range). Every depth/color combination the spec
+    allows decodes; invalid combinations raise ValueError."""
     import struct
     import zlib
 
@@ -263,43 +264,61 @@ def _decode_png(payload: bytes):
         raise ValueError(f"bad PNG interlace method {interlace}")
     if channels is None:
         raise ValueError(f"unknown PNG color type {color_type}")
-    if bit_depth not in (8, 16) or (bit_depth == 16 and color_type == 3):
+    valid_depths = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+                    4: (8, 16), 6: (8, 16)}[color_type]
+    if bit_depth not in valid_depths:
         raise ValueError(
-            f"only 8/16-bit PNG supported "
-            f"({bit_depth}-bit packed sample depth not implemented)"
+            f"invalid PNG depth {bit_depth} for color type {color_type}"
         )
     if color_type == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE chunk")
     raw = zlib.decompress(bytes(idat))
-    sample_bytes = bit_depth // 8
     # PNG filters operate on BYTES at any depth; bpp is the byte distance
-    # to the corresponding byte of the pixel to the left
-    bpp = channels * sample_bytes
+    # to the corresponding byte of the pixel to the left (1 for packed
+    # sub-byte depths, T.81-style)
+    bpp = max(1, channels * bit_depth // 8)
+
+    def to_samples(rows, width):
+        """(ph, stride_bytes) filtered-row bytes -> (ph, width*channels)
+        uint8 samples: split 16-bit big-endian pairs to their high byte,
+        unpack sub-byte depths big-bit-first."""
+        ph = rows.shape[0]
+        if bit_depth == 8:
+            return rows
+        if bit_depth == 16:
+            return rows.reshape(ph, width * channels, 2)[:, :, 0]
+        bits = np.unpackbits(rows, axis=1)[:, : width * bit_depth]
+        weights = 1 << np.arange(bit_depth - 1, -1, -1)
+        return (
+            (bits.reshape(ph, width, bit_depth) * weights)
+            .sum(axis=2)
+            .astype(np.uint8)
+        )
+
+    def stride_bytes(width):
+        return (width * channels * bit_depth + 7) // 8
+
     if interlace == 0:
-        stride = w * channels * sample_bytes
-        if len(raw) != h * (stride + 1):
+        if len(raw) != h * (stride_bytes(w) + 1):
             raise ValueError("PNG scanline data truncated")
-        img = _png_unfilter(raw, 0, h, stride, bpp)[0]
+        img = to_samples(_png_unfilter(raw, 0, h, stride_bytes(w), bpp)[0], w)
     else:
         # Adam7: seven independently-filtered sub-images scattered onto
-        # the output grid at (x0, y0) with steps (dx, dy)
-        img = np.zeros((h, w * bpp), dtype=np.uint8)
+        # the output grid at (x0, y0) with steps (dx, dy); each pass
+        # packs its own scanlines, so unpack per pass before scattering
+        img = np.zeros((h, w * channels), dtype=np.uint8)
         offset = 0
         for x0, y0, dx, dy in _ADAM7:
             pw = (w - x0 + dx - 1) // dx
             ph = (h - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue
-            sub, offset = _png_unfilter(raw, offset, ph, pw * bpp, bpp)
-            sub = sub.reshape(ph, pw, bpp)
-            img3 = img.reshape(h, w, bpp)
+            sub, offset = _png_unfilter(raw, offset, ph, stride_bytes(pw), bpp)
+            sub = to_samples(sub, pw).reshape(ph, pw, channels)
+            img3 = img.reshape(h, w, channels)
             img3[y0::dy, x0::dx, :] = sub
         if offset != len(raw):
             raise ValueError("PNG scanline data truncated")
-    if sample_bytes == 2:
-        # 16-bit samples are big-endian; the high byte is the standard
-        # 16->8 reduction (v >> 8)
-        img = img.reshape(h, w * channels, 2)[:, :, 0]
     px = img.reshape(h, w, channels)
     if color_type == 2:
         return px.copy()
@@ -311,6 +330,11 @@ def _decode_png(payload: bytes):
     if color_type == 6:
         return px[:, :, :3].copy()
     grey = px[:, :, 0]
+    if bit_depth < 8:
+        # expand 0..2^d-1 to full range: 255 // (2^d - 1) is exact
+        grey = (
+            grey.astype(np.uint16) * (255 // ((1 << bit_depth) - 1))
+        ).astype(np.uint8)
     return np.repeat(grey[:, :, None], 3, axis=2).copy()
 
 

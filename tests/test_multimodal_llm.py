@@ -315,8 +315,9 @@ def test_png_decode_round_trip_and_all_filters():
 
 def test_png_rgba_grey_and_rejects():
     """RGBA drops alpha, greyscale replicates to RGB, palette looks up
-    PLTE, 16-bit reduces to high bytes, Adam7 interlace round-trips;
-    sub-byte packing stays a declared stub (ValueError)."""
+    PLTE, 16-bit reduces to high bytes, Adam7 interlace round-trips,
+    sub-byte depths unpack big-bit-first; spec-invalid combinations
+    error precisely."""
     import struct
     import zlib
 
@@ -325,8 +326,9 @@ def test_png_rgba_grey_and_rejects():
 
     from data_pipelines_cu_spark.operators import multimodal as mm
 
-    def build(px, color_type, bit_depth=8, interlace=0, plte=None):
-        h, w = px.shape[0], px.shape[1]
+    def build(px, color_type, bit_depth=8, interlace=0, plte=None,
+              width=None):
+        h, w = px.shape[0], (width if width is not None else px.shape[1])
         raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
 
         def chunk(ctype, data):
@@ -389,9 +391,22 @@ def test_png_rgba_grey_and_rejects():
     assert np.array_equal(
         out16, (px16.astype(np.uint32) >> 8).astype(np.uint8)
     )
-    # sub-byte packed depths remain a declared boundary
-    with _pytest.raises(ValueError, match="packed"):
-        mm.decode_pixels(build(rgb, 0, bit_depth=4))
+    # 4-bit greyscale: packed two-samples-per-byte, expanded x17
+    g4 = np.array([[0x0F, 0x1A, 0x23]], dtype=np.uint8)  # 6 samples, 3 bytes
+    blob4 = build(g4.reshape(1, 3, 1), 0, bit_depth=4, width=6)
+    want4 = np.array([[0, 15, 1, 10, 2, 3]], dtype=np.uint16) * 17
+    out4 = mm.decode_pixels(blob4)
+    assert out4.shape == (1, 6, 3)
+    assert np.array_equal(out4[:, :, 0], want4.astype(np.uint8))
+    # 1-bit palette: one sample per bit, big-bit-first
+    p1 = np.array([[0b10110000]], dtype=np.uint8)  # width 5 -> 1,0,1,1,0
+    pal2 = np.array([[10, 20, 30], [200, 100, 50]], dtype=np.uint8)
+    out1 = mm.decode_pixels(build(p1.reshape(1, 1, 1), 3, bit_depth=1,
+                                  plte=pal2, width=5))
+    assert np.array_equal(out1, pal2[[1, 0, 1, 1, 0]].reshape(1, 5, 3))
+    # spec-invalid combination still errors precisely
+    with _pytest.raises(ValueError, match="invalid PNG depth"):
+        mm.decode_pixels(build(rgb, 2, bit_depth=4))
 
 
 def test_png_flows_through_arrow_resize(spark):
