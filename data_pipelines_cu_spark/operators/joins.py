@@ -262,3 +262,44 @@ def edit_distance_pairs(
         )
         .select("id_a", "id_b", "edit_dist")
     )
+
+
+def interval_point_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    t_col: str = "t_us",
+    start_col: str = "start_us",
+    end_col: str = "end_us",
+    bucket_us: int = 3_600_000_000,
+) -> DataFrame:
+    """Inner join of point rows to every interval containing them
+    (``start ≤ t ≤ end``, integer microseconds) — the RANGE JOIN Spark's
+    optimizer would otherwise execute as a nested-loop cross product.
+
+    Distributed shape: time buckets. Each interval explodes to the
+    buckets it covers (span/bucket rows); each point keys to its single
+    bucket; containment candidates come from the bucket EQUI-join and
+    the exact predicate filters them. A point lives in exactly one
+    bucket, so no pair appears twice and no post-dedup is needed. Pick
+    ``bucket_us`` near the typical interval span: the explode factor is
+    span/bucket, the candidate fan-in is points-per-bucket ×
+    intervals-overlapping-bucket. Column names must not collide between
+    the two sides (select/rename first)."""
+    pts = points.withColumn("_bk", F.expr(f"{t_col} div {bucket_us}"))
+    ivs = intervals.withColumn(
+        "_bk",
+        F.explode(
+            F.expr(
+                f"sequence({start_col} div {bucket_us},"
+                f" {end_col} div {bucket_us})"
+            )
+        ),
+    )
+    return (
+        pts.join(ivs, "_bk")
+        .filter(
+            (F.col(t_col) >= F.col(start_col))
+            & (F.col(t_col) <= F.col(end_col))
+        )
+        .drop("_bk")
+    )

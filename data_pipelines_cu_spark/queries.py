@@ -5616,6 +5616,54 @@ def embedding_pca_component_q(spark, sf_dir):
     return ml.pca_top_component(_t(spark, sf_dir, "embeddings"))
 
 
+@register(
+    "event_session_concurrency",
+    """
+    WITH o AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    s AS (
+        SELECT user_id, ts,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM o),
+    sessions AS (
+        SELECT epoch_us(MIN(ts)) AS start_us, epoch_us(MAX(ts)) AS end_us
+        FROM s GROUP BY user_id, sid)
+    SELECT e.event_id, CAST(COUNT(*) AS BIGINT) AS n_open_sessions
+    FROM events e JOIN sessions
+      ON epoch_us(e.ts) BETWEEN start_us AND end_us
+    GROUP BY e.event_id
+    """,
+)
+def event_session_concurrency_q(spark, sf_dir):
+    """Platform concurrency per event: how many 30-min-gap sessions
+    (any user) were open at each event's timestamp — a RANGE JOIN
+    executed as the bucketed interval-point join
+    (operators/joins.py::interval_point_join): intervals explode to the
+    hour buckets they cover, points key to their single bucket, and the
+    containment predicate filters the bucket equi-join candidates — no
+    nested-loop cross product at any scale."""
+    ev = _t(spark, sf_dir, "events")
+    sessions = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(
+            F.unix_micros(F.min("ts")).alias("start_us"),
+            F.unix_micros(F.max("ts")).alias("end_us"),
+        )
+        .select("start_us", "end_us")
+    )
+    points = ev.select("event_id", F.unix_micros("ts").alias("t_us"))
+    return (
+        jn.interval_point_join(points, sessions, "t_us", "start_us", "end_us")
+        .groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("n_open_sessions"))
+    )
+
+
 @register("copurchase_triangles", gr.cooccurrence_triangles_sql())
 def copurchase_triangles_q(spark, sf_dir):
     """Triangle participation in the thresholded co-order part graph:

@@ -469,3 +469,13 @@ def test_priority_sample_uses_take_ordered(spark, sf_dir):
     sort of the corpus."""
     plan = _formatted_plan(QUERIES["doc_priority_sample"].fn(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_interval_join_has_no_nested_loop(spark, sf_dir):
+    """The range join must run as the bucketed equi-join, never the
+    nested-loop cross product Catalyst would pick for a raw BETWEEN."""
+    plan = _formatted_plan(
+        QUERIES["event_session_concurrency"].fn(spark, sf_dir)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -382,3 +382,26 @@ def test_orc_round_trip_preserves_values_and_pushdown(spark, sf_dir, tmp_path):
         .toString()
     )
     assert "PushedFilters: [" in plan and "o_totalprice" in plan
+
+
+def test_interval_point_join_bucket_boundaries(spark):
+    """Containment is inclusive on both ends and bucket straddling works:
+    an interval spanning three buckets catches points in each, a point
+    exactly at start/end matches, a point one microsecond outside
+    doesn't."""
+    from data_pipelines_cu_spark.operators import joins as jn
+
+    hour = 3_600_000_000
+    iv = spark.createDataFrame(
+        [(1, hour - 5, 2 * hour + 5)], "iv_id long, start_us long, end_us long"
+    )
+    pts = spark.createDataFrame(
+        [(1, hour - 5), (2, hour), (3, 2 * hour), (4, 2 * hour + 5),
+         (5, hour - 6), (6, 2 * hour + 6)],
+        "pt_id long, t_us long",
+    )
+    got = sorted(
+        r.pt_id
+        for r in jn.interval_point_join(pts, iv, "t_us").collect()
+    )
+    assert got == [1, 2, 3, 4]
