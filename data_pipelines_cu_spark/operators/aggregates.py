@@ -1004,3 +1004,136 @@ def seasonal_naive_sql(table: str = "events", ts_col: str = "ts") -> str:
                  / COUNT(err), 6) AS mape
     FROM lagged GROUP BY 1
     """
+
+
+def psi_reference_edges(
+    ref: DataFrame,
+    value_col: str = "value",
+    id_col: str = "event_id",
+    n_bins: int = 10,
+) -> DataFrame:
+    """1-row (edges array) of the reference distribution's selection
+    deciles — the FROZEN artifact a drift monitor computes once and bins
+    every future window against (the streaming PSI job broadcasts it per
+    micro-batch)."""
+    from pyspark.sql import Window as W  # noqa: PLC0415
+
+    spark = ref.sparkSession
+    n_ref = F.broadcast(ref.agg(F.count(F.lit(1)).alias("_nr")))
+    ranked = ref.select(
+        F.col(value_col).cast("double").alias("_v"),
+        F.row_number()
+        .over(W.orderBy(F.col(value_col).cast("double"), id_col))
+        .alias("_r"),
+    ).crossJoin(n_ref)
+    spine = spark.range(1, n_bins).select(F.col("id").alias("_i"))
+    return (
+        ranked.join(
+            spine,
+            F.col("_r") == F.expr(f"(_nr * _i + {n_bins - 1}) div {n_bins}"),
+        )
+        .groupBy()
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("_i", F.col("_v").alias("_e")))
+            ).alias("_es")
+        )
+        .select(F.expr("transform(_es, x -> x._e)").alias("edges"))
+    )
+
+
+def psi_bin_counts(
+    df: DataFrame,
+    edges: DataFrame,
+    value_col: str = "value",
+    n_bins: int = 10,
+) -> DataFrame:
+    """(bin, n) histogram of ``df`` against a frozen 1-row edges table —
+    row-local binning + one 10-key aggregate; counts MERGE BY ADDITION,
+    so per-batch/per-shard histograms roll up exactly."""
+    return (
+        df.crossJoin(F.broadcast(edges))
+        .select(
+            F.expr(
+                f"1 + aggregate(edges, 0, (acc, e) ->"
+                f" acc + if(CAST({value_col} AS DOUBLE) > e, 1, 0))"
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def psi_from_counts(
+    ref_counts: DataFrame, cur_counts: DataFrame, n_bins: int = 10
+) -> DataFrame:
+    """(bin, n_ref, n_cur, p_ref, p_cur, psi_term, psi_total) from two
+    mergeable (bin, n) histograms — the same report and arithmetic as
+    psi_value_drift's tail, factored so batch and streaming paths share
+    one formula."""
+    from pyspark.sql import Window as W  # noqa: PLC0415
+
+    spark = ref_counts.sparkSession
+    bins = spark.range(1, n_bins + 1).select(
+        F.col("id").cast("int").alias("bin")
+    )
+    w_all = W.partitionBy(F.lit(1))
+    filled = (
+        bins.join(
+            ref_counts.select("bin", F.col("n").alias("n_ref")), "bin", "left"
+        )
+        .join(
+            cur_counts.select("bin", F.col("n").alias("n_cur")), "bin", "left"
+        )
+        .select(
+            "bin",
+            F.coalesce("n_ref", F.lit(0)).cast("long").alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"),
+        )
+        .select(
+            "*",
+            F.sum("n_ref").over(w_all).alias("_tr"),
+            F.sum("n_cur").over(w_all).alias("_tc"),
+        )
+    )
+    p_ref = (F.col("n_ref") + 1) / (F.col("_tr") + n_bins)
+    p_cur = (F.col("n_cur") + 1) / (F.col("_tc") + n_bins)
+    term = (p_cur - p_ref) * F.log(p_cur / p_ref)
+    return (
+        filled.withColumn("_term", term)
+        .withColumn(
+            "psi_total",
+            F.round(
+                F.sum(F.col("_term").cast("decimal(38,12)"))
+                .over(w_all)
+                .cast("double"),
+                6,
+            ),
+        )
+        .select(
+            "bin",
+            "n_ref",
+            "n_cur",
+            F.round(p_ref, 6).alias("p_ref"),
+            F.round(p_cur, 6).alias("p_cur"),
+            F.round("_term", 6).alias("psi_term"),
+            "psi_total",
+        )
+    )
+
+
+def psi_against_reference(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str = "value",
+    id_col: str = "event_id",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Batch PSI of ``cur`` against a frozen reference dataset — the
+    one-shot twin the streaming monitor's merged read must reproduce."""
+    edges = psi_reference_edges(ref, value_col, id_col, n_bins)
+    return psi_from_counts(
+        psi_bin_counts(ref, edges, value_col, n_bins),
+        psi_bin_counts(cur, edges, value_col, n_bins),
+        n_bins,
+    )

@@ -771,3 +771,80 @@ def priority_sample_from_batches(
         .distinct()
     )
     return priority_sample_finish(pri, id_col, k)
+
+
+def psi_counts_batch(
+    batch: DataFrame,
+    batch_id: int,
+    counts_path: str,
+    edges_path: str,
+    value_col: str = "value",
+    n_bins: int = 10,
+) -> None:
+    """One replay-idempotent micro-batch of the streaming PSI monitor:
+    bin the batch against the FROZEN reference edges and land the (bin,
+    n) histogram in its batch_id partition (dynamic overwrite — replays
+    replace, never double; counts merge by addition at read time)."""
+    from ..operators.aggregates import psi_bin_counts
+    from ..operators.upsert import upsert_partitions
+
+    if batch.isEmpty():
+        return
+    edges = batch.sparkSession.read.parquet(edges_path)
+    counts = psi_bin_counts(batch, edges, value_col, n_bins).withColumn(
+        "batch_id", F.lit(batch_id)
+    )
+    upsert_partitions(counts, counts_path, ["batch_id"])
+
+
+def run_streaming_psi(
+    rows: DataFrame,
+    counts_path: str,
+    edges_path: str,
+    checkpoint: str,
+    value_col: str = "value",
+    n_bins: int = 10,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming drift monitoring via the mergeable PSI histogram: the
+    reference decile edges are computed ONCE from a frozen reference
+    dataset (operators/aggregates.py::psi_reference_edges, persisted at
+    ``edges_path``); each micro-batch persists only its 10-bin histogram
+    against those edges. Because bin counts merge by addition, the
+    merged read (psi_report_from_batches) equals the one-shot batch PSI
+    over the whole stream bit-for-bit — the drift monitor never rescans
+    history and holds 10 longs of state per batch."""
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        psi_counts_batch(
+            batch, batch_id, counts_path, edges_path, value_col, n_bins
+        )
+
+    writer = (
+        rows.writeStream.outputMode("append")
+        .foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def psi_report_from_batches(
+    spark,
+    ref_counts_path: str,
+    counts_path: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Merged read of the streaming PSI monitor: per-batch histograms sum
+    into the current-window histogram, then the shared psi_from_counts
+    formula produces the same report as the batch operator."""
+    from ..operators.aggregates import psi_from_counts
+
+    cur = (
+        spark.read.parquet(counts_path)
+        .groupBy("bin")
+        .agg(F.sum("n").alias("n"))
+    )
+    ref = spark.read.parquet(ref_counts_path)
+    return psi_from_counts(ref, cur, n_bins)
