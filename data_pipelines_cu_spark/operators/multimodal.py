@@ -555,6 +555,9 @@ def _decode_jpeg(payload: bytes):
     huff: dict[tuple[int, int], dict] = {}
     sof = None
     restart_interval = 0
+    progressive = False
+    coef = None
+    pred = None
     pos = 2
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
@@ -591,18 +594,20 @@ def _decode_jpeg(payload: bytes):
                 syms = list(data[i + 17 : i + 17 + n])
                 huff[(tc, th)] = _decode_map(bits, syms)
                 i += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             prec, height, width, nf = struct.unpack_from(">BHHB", data, 0)
             if prec != 8:
-                raise ValueError("only 8-bit baseline JPEG supported")
+                raise ValueError("only 8-bit JPEG supported")
             comps = []
             for c in range(nf):
                 cid, hv, tq = struct.unpack_from(">BBB", data, 6 + 3 * c)
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
             sof = (height, width, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            progressive = marker == 0xC2
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError(
-                f"only baseline JPEG (SOF0) supported, got SOF marker {marker:#x}"
+                f"only baseline (SOF0) / progressive (SOF2) JPEG supported,"
+                f" got SOF marker {marker:#x}"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", data, 0)
@@ -614,16 +619,37 @@ def _decode_jpeg(payload: bytes):
             for c in range(ns):
                 cs, tdta = struct.unpack_from(">BB", data, 1 + 2 * c)
                 scan.append((cs, tdta >> 4, tdta & 0xF))
-            return _decode_jpeg_scan(
-                payload,
-                pos + 2 + seg_len,
-                sof,
-                scan,
-                qt,
-                huff,
-                restart_interval,
+            if not progressive:
+                return _decode_jpeg_scan(
+                    payload,
+                    pos + 2 + seg_len,
+                    sof,
+                    scan,
+                    qt,
+                    huff,
+                    restart_interval,
+                )
+            ss = data[1 + 2 * ns]
+            se = data[2 + 2 * ns]
+            ahal = data[3 + 2 * ns]
+            if coef is None:
+                _, _, _, _, geo = _prog_geometry(sof)
+                coef = {
+                    c["id"]: np.zeros(
+                        (geo[c["id"]]["bh"], geo[c["id"]]["bw"], 64),
+                        dtype=np.int32,
+                    )
+                    for c in sof[2]
+                }
+                pred = {c["id"]: 0 for c in sof[2]}
+            pos = _decode_progressive_scan(
+                payload, pos + 2 + seg_len, coef, pred, sof, scan, huff,
+                ss, se, ahal >> 4, ahal & 0xF, restart_interval,
             )
+            continue
         pos += 2 + seg_len
+    if coef is not None:
+        return _finish_progressive(coef, sof, qt)
     raise ValueError("JPEG missing SOS scan")
 
 
@@ -680,24 +706,7 @@ def _decode_jpeg_scan(payload, start, sof, scan, qt, huff, restart_interval):
                         x0 = (mx * comp["h"] + bx) * 8
                         planes[cid][y0 : y0 + 8, x0 : x0 + 8] = block
             n_mcu += 1
-    out = []
-    for c in comps:
-        p = planes[c["id"]]
-        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
-        out.append(p[:height, :width])
-    if len(out) == 1:
-        g = np.clip(out[0], 0, 255).astype(np.uint8)
-        return np.repeat(g[:, :, None], 3, axis=2)
-    y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
-    rgb = np.stack(
-        [
-            y + 1.402 * cr,
-            y - 0.344136 * cb - 0.714136 * cr,
-            y + 1.772 * cb,
-        ],
-        axis=2,
-    )
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return _jpeg_output(planes, sof, hmax, vmax)
 
 
 class _JpegBitWriter:
@@ -1311,3 +1320,519 @@ def transcode_images(
             yield pd.DataFrame({id_col: pdf[id_col], out_col: out})
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=schema)
+
+
+# --- Progressive JPEG (SOF2) decode -------------------------------------------
+# Completes the JPEG surface: spectral selection + successive
+# approximation per ITU-T T.81 Annex G. Coefficients accumulate across
+# scans in integer grids; dequantize + iDCT happen once at EOI through
+# the same matrix kernel as the baseline path.
+
+
+def _next_marker(payload: bytes, pos: int) -> int:
+    """First position >= pos of a real marker (0xFF followed by neither
+    0x00 stuffing nor an RSTn) — how the parser resumes after a
+    progressive scan's entropy data."""
+    p = pos
+    while p + 1 < len(payload):
+        if (
+            payload[p] == 0xFF
+            and payload[p + 1] != 0x00
+            and not (0xD0 <= payload[p + 1] <= 0xD7)
+        ):
+            return p
+        p += 1
+    return len(payload)
+
+
+def _jpeg_output(planes, sof, hmax, vmax):
+    """Assemble spatial-domain, level-shifted component planes into
+    (H, W, 3) uint8 RGB — shared by the baseline and progressive paths."""
+    import numpy as np
+
+    height, width, comps = sof
+    out = []
+    for c in comps:
+        p = planes[c["id"]]
+        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        out.append(p[:height, :width])
+    if len(out) == 1:
+        g = np.clip(out[0], 0, 255).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=2,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _prog_geometry(sof):
+    height, width, comps = sof
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    geo = {}
+    for c in comps:
+        comp_w = -(-width * c["h"] // hmax)
+        comp_h = -(-height * c["v"] // vmax)
+        geo[c["id"]] = {
+            "bw": mcux * c["h"],
+            "bh": mcuy * c["v"],
+            "cw": -(-comp_w // 8),
+            "ch": -(-comp_h // 8),
+        }
+    return hmax, vmax, mcux, mcuy, geo
+
+
+def _decode_progressive_scan(
+    payload, start, coef, pred, sof, scan, huff, ss, se, ah, al,
+    restart_interval,
+):
+    """One SOF2 scan (T.81 G.2): DC first/refine (possibly interleaved in
+    MCU order), AC first/refine (single component over its own block
+    grid, with EOB runs). Mutates the integer coefficient grids in
+    ``coef`` (natural order, index via _ZIGZAG) and the DC predictors in
+    ``pred``; returns the payload position where marker parsing
+    resumes."""
+    height, width, comps = sof
+    by_id = {c["id"]: c for c in comps}
+    hmax, vmax, mcux, mcuy, geo = _prog_geometry(sof)
+    if (ss == 0) != (se == 0):
+        raise ValueError("bad progressive scan header (DC scan needs Se=0)")
+    reader = _JpegBitReader(payload, start)
+    eobrun = [0]
+    for c in comps:
+        pred[c["id"]] = 0  # T.81: DC prediction resets at scan start
+
+    def apply_correction(zz, p, delta):
+        if reader.read_bit():
+            if zz[p] > 0:
+                if not (zz[p] & delta):
+                    zz[p] += delta
+            else:
+                if not ((-zz[p]) & delta):
+                    zz[p] -= delta
+
+    def refine_nonzero(zz, k, delta):
+        while k <= se:
+            p = _ZIGZAG[k]
+            if zz[p] != 0:
+                apply_correction(zz, p, delta)
+            k += 1
+
+    def ac_first(zz, ac_tbl):
+        if eobrun[0] > 0:
+            eobrun[0] -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = _huff_decode(reader, ac_tbl)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                eobrun[0] = (1 << r) + (reader.read_bits(r) if r else 0) - 1
+                return
+            k += r
+            if k > se:
+                raise ValueError("JPEG AC run overflow")
+            zz[_ZIGZAG[k]] = _extend(reader.read_bits(s), s) << al
+            k += 1
+
+    def ac_refine(zz, ac_tbl):
+        delta = 1 << al
+        if eobrun[0] > 0:
+            eobrun[0] -= 1
+            refine_nonzero(zz, ss, delta)
+            return
+        k = ss
+        while k <= se:
+            rs = _huff_decode(reader, ac_tbl)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r != 15:
+                    eobrun[0] = (1 << r) + (reader.read_bits(r) if r else 0) - 1
+                    refine_nonzero(zz, k, delta)
+                    return
+                newval = 0
+            elif s == 1:
+                newval = delta if reader.read_bit() else -delta
+            else:
+                raise ValueError("bad JPEG AC-refine magnitude")
+            # advance past r zero-HISTORY positions, emitting correction
+            # bits at nonzero-history positions crossed, then place the
+            # new ±delta coefficient (ZRL: r=15, nothing placed)
+            while k <= se:
+                p = _ZIGZAG[k]
+                if zz[p] != 0:
+                    apply_correction(zz, p, delta)
+                elif r == 0:
+                    if newval:
+                        zz[p] = newval
+                    k += 1
+                    break
+                else:
+                    r -= 1
+                k += 1
+
+    def decode_unit(cid, td, ta, by, bx):
+        zz = coef[cid][by, bx]
+        if ss == 0:
+            if ah == 0:
+                ssss = _huff_decode(reader, huff[(0, td)])
+                diff = _extend(reader.read_bits(ssss), ssss)
+                pred[cid] += diff
+                zz[0] = pred[cid] << al
+            else:
+                if reader.read_bit():
+                    zz[0] |= 1 << al
+        else:
+            if ah == 0:
+                ac_first(zz, huff[(1, ta)])
+            else:
+                ac_refine(zz, huff[(1, ta)])
+
+    n_unit = 0
+
+    def maybe_restart():
+        if restart_interval and n_unit and n_unit % restart_interval == 0:
+            reader.consume_restart()
+            for c in comps:
+                pred[c["id"]] = 0
+            eobrun[0] = 0
+
+    if ss == 0 and len(scan) > 1:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                maybe_restart()
+                for cid, td, ta in scan:
+                    comp = by_id[cid]
+                    for yy in range(comp["v"]):
+                        for xx in range(comp["h"]):
+                            decode_unit(
+                                cid, td, ta,
+                                my * comp["v"] + yy, mx * comp["h"] + xx,
+                            )
+                n_unit += 1
+    else:
+        if ss != 0 and len(scan) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        cid, td, ta = scan[0]
+        g = geo[cid]
+        for by in range(g["ch"]):
+            for bx in range(g["cw"]):
+                maybe_restart()
+                decode_unit(cid, td, ta, by, bx)
+                n_unit += 1
+    return _next_marker(payload, reader.pos)
+
+
+def _finish_progressive(coef, sof, qt):
+    """Dequantize + iDCT the accumulated coefficient grids and assemble
+    RGB — the progressive twin of the baseline scan's tail."""
+    import numpy as np
+
+    hmax, vmax, mcux, mcuy, geo = _prog_geometry(sof)
+    height, width, comps = sof
+    m = _dct_mat()
+    planes = {}
+    for c in comps:
+        g = geo[c["id"]]
+        plane = np.zeros((g["bh"] * 8, g["bw"] * 8), dtype=np.float64)
+        q = qt[c["tq"]]
+        grid = coef[c["id"]]
+        for by in range(g["bh"]):
+            for bx in range(g["bw"]):
+                zz = grid[by, bx].astype(np.float64)
+                block = m.T @ (zz.reshape(8, 8) * q) @ m + 128.0
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+        planes[c["id"]] = plane
+    return _jpeg_output(planes, sof, hmax, vmax)
+
+
+def _flat_table(symbols):
+    """Fixed-length canonical Huffman table over ``symbols``: every code
+    the same length L with 2^L > n, so the all-ones code stays unused
+    (T.81 requirement). Valid, compact enough for fixtures, and decodes
+    through the same _decode_map as the Annex K tables."""
+    syms = sorted(symbols)
+    n = len(syms)
+    length = max(1, (n + 1 - 1).bit_length())
+    if (1 << length) <= n:
+        length += 1
+    bits = [0] * 16
+    bits[length - 1] = n
+    return bits, syms
+
+
+def encode_jpeg_progressive(arr, al: int = 1) -> bytes:
+    """Progressive (SOF2) JFIF encoder, 4:4:4, with ONE successive-
+    approximation level: DC/AC first scans at point transform ``al``,
+    then DC/AC refinement scans down to ``al``−1 — exercising all four
+    progressive scan types (including EOB runs and AC correction bits).
+    The entropy stream is generated by simulating the decoder's exact
+    read order, so round-trip equality with _decode_progressive_scan is
+    structural, not incidental."""
+    import struct
+
+    import numpy as np
+
+    if al < 1:
+        raise ValueError("al must be >= 1 (one refinement level)")
+    px = np.asarray(arr, dtype=np.float64)
+    h, w = px.shape[0], px.shape[1]
+    r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+    planes = [
+        0.299 * r + 0.587 * g + 0.114 * b,
+        -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+        0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+    ]
+    qmats = [
+        np.array(_QT_LUMA, dtype=np.float64).reshape(8, 8),
+        np.array(_QT_CHROMA, dtype=np.float64).reshape(8, 8),
+    ]
+    m = _dct_mat()
+    mcux, mcuy = -(-w // 8), -(-h // 8)
+
+    def pad(p):
+        full = np.empty((mcuy * 8, mcux * 8))
+        full[:h, :w] = p
+        if w < mcux * 8:
+            full[:h, w:] = p[:, -1:]
+        if h < mcuy * 8:
+            full[h:, :] = full[h - 1 : h, :]
+        return full - 128.0
+
+    blocks = []  # blocks[ci][by][bx] = zig-order int list (64)
+    for ci in range(3):
+        plane = pad(planes[ci])
+        q = qmats[0 if ci == 0 else 1]
+        rows = []
+        for by in range(mcuy):
+            row = []
+            for bx in range(mcux):
+                blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                quant = np.round((m @ blk @ m.T) / q).astype(np.int64)
+                row.append([int(quant.flat[_ZIGZAG[k]]) for k in range(64)])
+            rows.append(row)
+        blocks.append(rows)
+
+    def put_mag(v):
+        ssss = int(v != 0) and int(abs(v)).bit_length()
+        extra = v if v >= 0 else v + (1 << ssss) - 1
+        return ssss, extra, ssss
+
+    def trunc(v, shift):
+        return v >> shift if v >= 0 else -((-v) >> shift)
+
+    def scan_dc_first(sym, bits):
+        pred = [0, 0, 0]
+        for by in range(mcuy):
+            for bx in range(mcux):
+                for ci in range(3):
+                    t = blocks[ci][by][bx][0] >> al
+                    diff = t - pred[ci]
+                    pred[ci] = t
+                    ssss, extra, n = put_mag(diff)
+                    sym("dc", ssss)
+                    if n:
+                        bits(extra, n)
+
+    def scan_dc_refine(sym, bits):
+        for by in range(mcuy):
+            for bx in range(mcux):
+                for ci in range(3):
+                    bits((blocks[ci][by][bx][0] >> (al - 1)) & 1, 1)
+
+    def scan_ac_first(ci):
+        def run(sym, bits):
+            eobrun = [0]
+
+            def flush():
+                if eobrun[0]:
+                    nb = eobrun[0].bit_length() - 1
+                    sym("acf", nb << 4)
+                    if nb:
+                        bits(eobrun[0] - (1 << nb), nb)
+                    eobrun[0] = 0
+
+            for by in range(mcuy):
+                for bx in range(mcux):
+                    zzb = blocks[ci][by][bx]
+                    t = [0] + [trunc(zzb[k], al) for k in range(1, 64)]
+                    nz = [k for k in range(1, 64) if t[k]]
+                    if not nz:
+                        eobrun[0] += 1
+                        if eobrun[0] == 0x7FFF:
+                            flush()
+                        continue
+                    flush()
+                    last = max(nz)
+                    run_ = 0
+                    for k in range(1, last + 1):
+                        v = t[k]
+                        if v == 0:
+                            run_ += 1
+                            continue
+                        while run_ > 15:
+                            sym("acf", 0xF0)
+                            run_ -= 16
+                        ssss, extra, n = put_mag(v)
+                        sym("acf", (run_ << 4) | ssss)
+                        bits(extra, n)
+                        run_ = 0
+                    if last < 63:
+                        eobrun[0] += 1
+            flush()
+
+        return run
+
+    def scan_ac_refine(ci):
+        def run(sym, bits):
+            lo = al - 1
+            eobrun = [0]
+            eob_bits = []
+
+            def flush():
+                if eobrun[0]:
+                    nb = eobrun[0].bit_length() - 1
+                    sym("acr", nb << 4)
+                    if nb:
+                        bits(eobrun[0] - (1 << nb), nb)
+                    for bit in eob_bits:
+                        bits(bit, 1)
+                    eobrun[0] = 0
+                    eob_bits.clear()
+
+            for by in range(mcuy):
+                for bx in range(mcux):
+                    zzb = blocks[ci][by][bx]
+                    absv = [abs(zzb[k]) >> lo for k in range(64)]
+                    news = [k for k in range(1, 64) if absv[k] == 1]
+                    if news:
+                        flush()
+                        pos = 1
+                        for kn in news:
+                            zeros = sum(
+                                1 for kk in range(pos, kn) if absv[kk] <= 1
+                            )
+                            # decoder walk simulation: ZRLs skip 16
+                            # zero-history positions each, crossing
+                            # history positions whose correction bits
+                            # ride immediately behind each symbol
+                            while zeros > 15:
+                                sym("acr", 0xF0)
+                                skipped = 0
+                                while skipped < 16:
+                                    if absv[pos] > 1:
+                                        bits(absv[pos] & 1, 1)
+                                    else:
+                                        skipped += 1
+                                    pos += 1
+                                zeros -= 16
+                            sym("acr", (zeros << 4) | 1)
+                            bits(1 if zzb[kn] > 0 else 0, 1)
+                            while pos < kn:
+                                if absv[pos] > 1:
+                                    bits(absv[pos] & 1, 1)
+                                pos += 1
+                            pos = kn + 1
+                        tail = [
+                            absv[kk] & 1
+                            for kk in range(news[-1] + 1, 64)
+                            if absv[kk] > 1
+                        ]
+                        if news[-1] == 63:
+                            continue
+                        eobrun[0] += 1
+                        eob_bits.extend(tail)
+                    else:
+                        eobrun[0] += 1
+                        eob_bits.extend(
+                            absv[kk] & 1 for kk in range(1, 64) if absv[kk] > 1
+                        )
+                    if eobrun[0] == 0x7FFF:
+                        flush()
+            flush()
+
+        return run
+
+    scans = [
+        (scan_dc_first, 3, 0, 0, 0, 0, al),
+        (scan_ac_first(0), 1, 0, 1, 63, 0, al),
+        (scan_ac_first(1), 1, 1, 1, 63, 0, al),
+        (scan_ac_first(2), 1, 2, 1, 63, 0, al),
+        (scan_dc_refine, 3, 0, 0, 0, al, al - 1),
+        (scan_ac_refine(0), 1, 0, 1, 63, al, al - 1),
+        (scan_ac_refine(1), 1, 1, 1, 63, al, al - 1),
+        (scan_ac_refine(2), 1, 2, 1, 63, al, al - 1),
+    ]
+
+    # pass 1: collect the symbols each table role actually needs
+    used = {"dc": set(), "acf": set(), "acr": set()}
+    for fn, *_ in scans:
+        fn(lambda role, s: used[role].add(s), lambda v, n: None)
+    tables = {role: _flat_table(syms or {0}) for role, syms in used.items()}
+    codes = {role: _canonical_codes(*tbl) for role, tbl in tables.items()}
+
+    # pass 2: emit each scan's entropy stream
+    streams = []
+    for fn, *_ in scans:
+        writer = _JpegBitWriter()
+
+        def sym(role, s, _w=writer):
+            code, ln = codes[role][s]
+            _w.write(code, ln)
+
+        def bits(v, n, _w=writer):
+            if n:
+                _w.write(v, n)
+
+        fn(sym, bits)
+        writer.flush()
+        streams.append(bytes(writer.out))
+
+    def seg(marker, body):
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    dqt = b"".join(
+        bytes([tq]) + bytes(int(qmats[tq].flat[_ZIGZAG[k]]) for k in range(64))
+        for tq in (0, 1)
+    )
+    sof = struct.pack(">BHHB", 8, h, w, 3) + b"".join(
+        struct.pack(">BBB", cid, 0x11, tq)
+        for cid, tq in [(1, 0), (2, 1), (3, 1)]
+    )
+    dht = b"".join(
+        bytes([(tc << 4) | th]) + bytes(tables[role][0]) + bytes(tables[role][1])
+        for (tc, th), role in [((0, 0), "dc"), ((1, 0), "acf"), ((1, 1), "acr")]
+    )
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, dqt)
+    out += seg(0xC2, sof)
+    out += seg(0xC4, dht)
+    for (fn, ns, ci0, ss, se, ah, al_), stream in zip(scans, streams):
+        if ns == 3:
+            comps = b"".join(
+                struct.pack(">BB", cid, 0x00) for cid in (1, 2, 3)
+            )
+        else:
+            ta = 0 if ah == 0 else 1
+            comps = struct.pack(">BB", ci0 + 1, ta)
+        sos = (
+            struct.pack(">B", ns)
+            + comps
+            + struct.pack(">BBB", ss, se, (ah << 4) | al_)
+        )
+        out += seg(0xDA, sos)
+        out += stream
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -458,8 +458,13 @@ def test_jpeg_round_trip_all_modes():
     assert np.array_equal(
         mm.decode_pixels(mm.encode_jpeg_baseline(flat)), flat
     )
-    with _pytest.raises(ValueError, match="only baseline"):
-        # progressive SOF2 marker is a declared boundary
+    with _pytest.raises(ValueError, match="SOF marker"):
+        # extended-sequential SOF1 remains a declared boundary
+        blob = mm.encode_jpeg_baseline(flat)
+        mm.decode_pixels(blob.replace(b"\xff\xc0", b"\xff\xc1", 1))
+    with _pytest.raises(ValueError, match="progressive scan header"):
+        # a baseline stream relabeled SOF2 has an illegal scan header
+        # (interleaved Ss=0, Se=63) — rejected, not misparsed
         blob = mm.encode_jpeg_baseline(flat)
         mm.decode_pixels(blob.replace(b"\xff\xc0", b"\xff\xc2", 1))
 
@@ -520,3 +525,40 @@ def test_transcode_images_any_to_any(spark):
     assert np.array_equal(
         mm.decode_pixels(back), mm.decode_pixels(bytes(rows[1].transcoded))
     )
+
+
+def test_progressive_jpeg_decodes_identically_to_baseline():
+    """Progressive (SOF2) entropy coding is a lossless re-arrangement of
+    the same quantized coefficients, so progressive decode must equal
+    baseline decode EXACTLY for the same image — across flat fields
+    (massive EOB runs), dense noise (all four scan types), sparse
+    low-amplitude noise (ZRL + newly-significant refinement paths), and
+    non-MCU-aligned sizes."""
+    import numpy as np
+
+    from data_pipelines_cu_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(11)
+    images = [
+        np.full((16, 16, 3), 130, dtype=np.uint8),
+        rng.integers(0, 256, size=(24, 17, 3)).astype(np.uint8),
+        (np.full((9, 30, 3), 128) + rng.integers(-3, 4, size=(9, 30, 3)))
+        .clip(0, 255)
+        .astype(np.uint8),
+        (
+            np.linspace(0, 255, 40 * 33 * 3).reshape(40, 33, 3)
+            + rng.integers(-2, 3, size=(40, 33, 3))
+        )
+        .clip(0, 255)
+        .astype(np.uint8),
+    ]
+    for img in images:
+        prog = mm.encode_jpeg_progressive(img)
+        base = mm.encode_jpeg_baseline(img)
+        got = mm.decode_pixels(prog)
+        want = mm.decode_pixels(base)
+        assert got.shape == want.shape == img.shape
+        assert np.array_equal(got, want), (
+            f"shape {img.shape}: max diff "
+            f"{np.abs(got.astype(int) - want.astype(int)).max()}"
+        )

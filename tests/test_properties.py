@@ -550,3 +550,26 @@ def test_twap_matches_python_referee(spark, rows):
         else:
             assert abs(gtw - tw) < 1e-9
     assert set(got) == set(want)
+
+
+@given(
+    h=st.integers(min_value=1, max_value=24),
+    w=st.integers(min_value=1, max_value=24),
+    amp=st.integers(min_value=0, max_value=120),
+)
+@settings(**SETTINGS)
+def test_progressive_jpeg_equals_baseline_any_shape(h, w, amp):
+    """Any image size and noise amplitude: progressive decode ==
+    baseline decode exactly (same quantized coefficients, different
+    entropy arrangement)."""
+    import numpy as np
+
+    from data_pipelines_cu_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(h * 1000 + w * 10 + amp)
+    img = (
+        np.full((h, w, 3), 128) + rng.integers(-amp, amp + 1, size=(h, w, 3))
+    ).clip(0, 255).astype(np.uint8)
+    got = mm.decode_pixels(mm.encode_jpeg_progressive(img))
+    want = mm.decode_pixels(mm.encode_jpeg_baseline(img))
+    assert np.array_equal(got, want)
