@@ -320,12 +320,20 @@ def cosine_topk_arrow(
     import pandas as pd  # noqa: PLC0415
 
     q_rows = queries.select(id_col, vec_col).collect()
+    if not q_rows:
+        # empty query set: an (0, ?) matrix axis-errors in numpy — the
+        # report is simply empty (found by the empty-corpus sweep)
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cos_sim double, rank int"
+        )
     q_ids = np.array([r[0] for r in q_rows])
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
     q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
 
     def score(batches):
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
             c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
             c_norm = np.linalg.norm(c_mat, axis=1, keepdims=True)
             sims = (c_mat / c_norm) @ q_norm.T  # (batch, n_queries)
