@@ -41,6 +41,15 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(den > 0, dot(a, b) / den)
 
 
+
+
+def drop_null_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Filter NULL vectors at operator entry: cosine is undefined on them
+    (the zero-norm guard's sibling) and a None row inside an Arrow batch
+    or a collected seed/query set crashes the numpy kernels with a
+    (0,)-dim axis error. Found by the all-NULL-column sweep."""
+    return df.filter(F.col(vec_col).isNotNull())
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -162,6 +171,7 @@ def with_hyperplane_buckets(
     expression and the SQL twin), ~50× the throughput of the interpreted
     higher-order fold — the variant a 100 TB corpus scan uses. Appends
     ``out_col`` to ``df`` unchanged."""
+    df = drop_null_vectors(df, vec_col)
     import numpy as np  # noqa: PLC0415
     from pyspark.sql import types as T  # noqa: PLC0415
 
@@ -316,6 +326,8 @@ def cosine_topk_arrow(
     by contract — the corpus never is); scoring is partition-local and the
     only shuffle is the final per-query top-k.
     """
+    corpus = drop_null_vectors(corpus, vec_col)
+    queries = drop_null_vectors(queries, vec_col)
     import numpy as np  # noqa: PLC0415
     import pandas as pd  # noqa: PLC0415
 
@@ -519,6 +531,8 @@ def cosine_topk_ivf(
     At scale the assignment step is materialized once (`ivf_assign` output
     written partitioned BY cell) and amortized across query batches.
     """
+    corpus = drop_null_vectors(corpus, vec_col)
+    queries = drop_null_vectors(queries, vec_col)
     seeds = corpus.filter(F.col(id_col) < n_centroids).select(id_col, vec_col)
     seed_rows = [
         (r[0], [float(x) for x in r[1]]) for r in seeds.collect()
@@ -892,6 +906,8 @@ def knn_label_predict(
     narrow aggregations on the tiny (queries × k) result. This is the
     standard embedding-quality / label-propagation health check a
     training-data pipeline runs after computing embeddings."""
+    corpus = drop_null_vectors(corpus, vec_col)
+    queries = drop_null_vectors(queries, vec_col)
     top = cosine_topk_seq_arrow(corpus, queries, k=k, id_col=id_col, vec_col=vec_col)
     neighbor_labels = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("n_label")
@@ -1006,6 +1022,7 @@ def kmeans_clusters(
     centroid-assign scan per Lloyd round plus one final assign — linear,
     partition-local, no corpus shuffle at any step.
     """
+    corpus = drop_null_vectors(corpus, vec_col)
     assigned = kmeans_assign(
         corpus.select(F.col(id_col), F.col(vec_col)),
         n_clusters=n_clusters, lloyd_iters=lloyd_iters,
@@ -1253,6 +1270,7 @@ def semantic_dedup_pairs(
     population is what keeps total pair work at O(N * target) — linear in
     the corpus — at every scale. A fixed k is an all-pairs join in
     disguise once N outgrows k * target."""
+    corpus = drop_null_vectors(corpus, vec_col)
     # Precompute each vector's norm ONCE before the pair join: cosine per
     # pair is then a single O(dim) dot product instead of three aggregates
     # (3x less array work on the quadratic within-cluster stage). sqrt of
@@ -1901,6 +1919,7 @@ def cosine_topk_ivfpq(
     per query instead of all of it — IVF's pruning and PQ's 64x
     compression compose multiplicatively on the index bytes a query
     touches."""
+    corpus = drop_null_vectors(corpus, vec_col)
     spark = corpus.sparkSession
     seeds = corpus.filter(F.col(id_col) < n_centroids).select(id_col, vec_col)
     seed_rows = [(r[0], [float(x) for x in r[1]]) for r in seeds.collect()]

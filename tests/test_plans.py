@@ -455,13 +455,11 @@ def test_triangle_join_is_equi_only(spark, sf_dir):
 
 
 def test_psi_reads_only_involved_columns(spark, sf_dir):
-    """PSI touches ts/value/event_id only — props and event_type must be
-    pruned from the events scan."""
+    """PSI touches ts/value/event_id only — props and event_type never
+    appear anywhere in the plan (the corpus is materialized once as a
+    3-narrow-column checkpoint, so a ReadSchema line may be absent)."""
     plan = _formatted_plan(QUERIES["event_value_psi_drift"].fn(spark, sf_dir))
-    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
-    assert read_schema and all(
-        "props" not in l and "event_type" not in l for l in read_schema
-    )
+    assert "props" not in plan and "event_type" not in plan
 
 
 def test_priority_sample_uses_take_ordered(spark, sf_dir):
