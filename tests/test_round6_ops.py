@@ -405,3 +405,50 @@ def test_interval_point_join_bucket_boundaries(spark):
         for r in jn.interval_point_join(pts, iv, "t_us").collect()
     )
     assert got == [1, 2, 3, 4]
+
+
+def test_priority_sample_null_weights_match_oracle(spark):
+    """NULL weights: q is NULL, both engines order it out of the top-k
+    identically (pinned — null ordering under DESC differs by default in
+    some engines)."""
+    from data_pipelines_cu_spark.operators import sampling as smp
+
+    rows = [(i, None if i % 5 == 0 else (i * 37) % 100 + 1)
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    got = smp.priority_weighted_sample(df, k=10).toPandas()
+    con = duckdb.connect()
+    con.sql(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, {'NULL' if w is None else w})" for i, w in rows
+        )
+        + ") AS t(doc_id, n_chars)"
+    )
+    want = con.sql(smp.priority_sample_sql(k=10)).df()
+    s = rows_key(list(got.columns), got.itertuples(index=False, name=None))
+    d = rows_key(list(want.columns), want.itertuples(index=False, name=None))
+    assert s == d
+
+
+def test_temperature_mixture_null_source_matches_oracle(spark):
+    """A NULL source is a real group on both engines (kept, weighted,
+    apportioned) — pinned against group-by-null divergence."""
+    from data_pipelines_cu_spark.operators import sampling as smp
+
+    rows = [(i, None if i % 7 == 0 else f"s{i % 3}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = smp.temperature_source_mixture(df, budget=30).toPandas()
+    con = duckdb.connect()
+    con.sql(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, {'NULL' if s_ is None else repr(s_)})"
+            for i, s_ in rows
+        )
+        + ") AS t(doc_id, source)"
+    )
+    want = con.sql(smp.temperature_mixture_sql(budget=30)).df()
+    s = rows_key(list(got.columns), got.itertuples(index=False, name=None))
+    d = rows_key(list(want.columns), want.itertuples(index=False, name=None))
+    assert s == d
