@@ -1137,3 +1137,149 @@ def psi_against_reference(
         psi_bin_counts(cur, edges, value_col, n_bins),
         n_bins,
     )
+
+
+# --- Gini / Lorenz revenue concentration -------------------------------------
+# The scalar every "how concentrated is our revenue" question wants
+# (top-N share answers a different, coarser question): sample Gini over
+# the FULL customer base (zero-revenue customers included — dropping
+# them understates concentration) plus the decile Lorenz curve the
+# number summarizes.
+
+
+def gini_concentration(
+    entities: DataFrame,
+    fact: DataFrame,
+    entity_key: str = "c_custkey",
+    fact_key: str = "o_custkey",
+    amount_col: str = "o_totalprice",
+    n_deciles: int = 10,
+) -> DataFrame:
+    """(decile, n_entities, decile_amount, cum_share, gini): amounts are
+    exact decimal sums per entity (zero-filled across the full entity
+    table); Gini = 2·Σ rank·x / (n·Σx) − (n+1)/n over the ascending
+    (amount, key) order — rank·x products fold through exact decimals so
+    the scalar is partition-order independent. One aggregate shuffle,
+    one ordered rank window (swap for the two-level blocked rank of
+    operators/sampling.py past memory — the report shape is unchanged),
+    one 10-row group.
+    """
+    from pyspark.sql import Window as W  # noqa: PLC0415
+
+    per = (
+        entities.select(F.col(entity_key).alias("_k"))
+        .join(
+            fact.groupBy(F.col(fact_key).alias("_k")).agg(
+                F.sum(F.col(amount_col).cast("decimal(38,12)"))
+                .cast("double")
+                .alias("_x")
+            ),
+            "_k",
+            "left",
+        )
+        .select("_k", F.coalesce("_x", F.lit(0.0)).alias("_x"))
+    )
+    ranked = per.select(
+        "_x", F.row_number().over(W.orderBy("_x", "_k")).alias("_r")
+    )
+    stats = F.broadcast(
+        ranked.agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.col("_x").cast("decimal(38,12)")).cast("double").alias("_t"),
+            F.sum((F.col("_r") * F.col("_x")).cast("decimal(38,12)"))
+            .cast("double")
+            .alias("_rx"),
+        )
+    )
+    # total = 0 (no revenue anywhere): Gini/Lorenz are undefined — NULL,
+    # not an ANSI DIVIDE_BY_ZERO crash
+    gini = F.when(
+        F.col("_t") > 0,
+        F.round(
+            2.0 * F.col("_rx") / (F.col("_n") * F.col("_t"))
+            - (F.col("_n") + 1.0) / F.col("_n"),
+            6,
+        ),
+    )
+    deciled = ranked.crossJoin(stats).select(
+        "_x", "_n", "_t", "_rx",
+        F.expr(f"CAST(((_r - 1) * {n_deciles}) div _n AS INT) + 1").alias(
+            "decile"
+        ),
+    )
+    w_cum = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        deciled.groupBy("decile", "_n", "_t", "_rx")
+        .agg(
+            F.count(F.lit(1)).alias("n_entities"),
+            F.round(
+                F.sum(F.col("_x").cast("decimal(38,12)")).cast("double"), 2
+            ).alias("decile_amount"),
+            F.sum(F.col("_x").cast("decimal(38,12)")).alias("_da"),
+        )
+        .select(
+            "decile",
+            "n_entities",
+            "decile_amount",
+            F.when(
+                F.col("_t") > 0,
+                F.round(
+                    F.sum("_da").over(w_cum).cast("double") / F.col("_t"), 6
+                ),
+            ).alias("cum_share"),
+            gini.alias("gini"),
+        )
+    )
+
+
+def gini_oracle_sql(
+    entity_table: str = "customer",
+    fact_table: str = "orders",
+    entity_key: str = "c_custkey",
+    fact_key: str = "o_custkey",
+    amount_col: str = "o_totalprice",
+    n_deciles: int = 10,
+) -> str:
+    """DuckDB twin of gini_concentration (same zero-fill, same ascending
+    rank order, same decimal folds)."""
+    return f"""
+    WITH per AS (
+        SELECT e.{entity_key} AS k,
+               COALESCE(CAST(f.x AS DOUBLE), 0.0) AS x
+        FROM {entity_table} e
+        LEFT JOIN (SELECT {fact_key} AS k,
+                          SUM(CAST({amount_col} AS DECIMAL(38,12))) AS x
+                   FROM {fact_table} GROUP BY 1) f
+          ON e.{entity_key} = f.k
+    ),
+    ranked AS (
+        SELECT x, ROW_NUMBER() OVER (ORDER BY x, k) AS r FROM per
+    ),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS t,
+               CAST(SUM(CAST(r * x AS DECIMAL(38,12))) AS DOUBLE) AS rx
+        FROM ranked
+    ),
+    deciled AS (
+        SELECT x, n, t, rx,
+               CAST(((r - 1) * {n_deciles}) // n AS INT) + 1 AS decile
+        FROM ranked CROSS JOIN stats
+    ),
+    grouped AS (
+        SELECT decile, n, t, rx,
+               CAST(COUNT(*) AS BIGINT) AS n_entities,
+               ROUND(CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE), 2)
+                   AS decile_amount,
+               SUM(CAST(x AS DECIMAL(38,12))) AS da
+        FROM deciled GROUP BY decile, n, t, rx
+    )
+    SELECT decile, n_entities, decile_amount,
+           CASE WHEN t > 0 THEN
+               ROUND(CAST(SUM(da) OVER (ORDER BY decile
+                                        ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                     / t, 6) END AS cum_share,
+           CASE WHEN t > 0 THEN
+               ROUND(2.0 * rx / (n * t) - (n + 1.0) / n, 6) END AS gini
+    FROM grouped
+    """

@@ -5664,6 +5664,17 @@ def event_session_concurrency_q(spark, sf_dir):
     )
 
 
+@register("customer_revenue_gini", agg.gini_oracle_sql())
+def customer_revenue_gini_q(spark, sf_dir):
+    """Revenue concentration over the FULL customer base: decile Lorenz
+    curve + the sample Gini coefficient (exact decimal rank·x folds —
+    the scalar top-N share can't give)
+    (operators/aggregates.py::gini_concentration)."""
+    return agg.gini_concentration(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
 @register("copurchase_triangles", gr.cooccurrence_triangles_sql())
 def copurchase_triangles_q(spark, sf_dir):
     """Triangle participation in the thresholded co-order part graph:

@@ -452,3 +452,29 @@ def test_temperature_mixture_null_source_matches_oracle(spark):
     s = rows_key(list(got.columns), got.itertuples(index=False, name=None))
     d = rows_key(list(want.columns), want.itertuples(index=False, name=None))
     assert s == d
+
+
+def test_gini_uniform_and_degenerate(spark):
+    """Uniform amounts: Gini -> (n-1)/n-adjusted ~0 (exactly 0 for the
+    discrete formula with equal x); concentration of everything in one
+    entity -> Gini -> (n-1)/n; all-zero revenue must not crash."""
+    from data_pipelines_cu_spark.operators import aggregates as ag
+
+    ent = spark.createDataFrame([(i,) for i in range(10)], "c_custkey long")
+    uniform = spark.createDataFrame(
+        [(i, i, 100.0) for i in range(10)],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    )
+    out = ag.gini_concentration(ent, uniform).collect()
+    assert all(r["gini"] == 0.0 for r in out)
+    one = spark.createDataFrame(
+        [(1, 7, 1000.0)], "o_orderkey long, o_custkey long, o_totalprice double"
+    )
+    out1 = ag.gini_concentration(ent, one).collect()
+    assert all(r["gini"] == 0.9 for r in out1)  # (n-1)/n with n=10
+    empty = spark.createDataFrame(
+        [], "o_orderkey long, o_custkey long, o_totalprice double"
+    )
+    rows = ag.gini_concentration(ent, empty).collect()
+    assert len(rows) == 10  # zero-filled deciles, no crash
+    assert all(r["gini"] is None and r["cum_share"] is None for r in rows)
