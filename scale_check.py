@@ -55,6 +55,10 @@ HEAVY = [
     "fuzzy_part_name_pairs",
     "copurchase_triangles",
     "event_value_psi_drift",
+    # round-6b: power-iteration PCA, bucketed range join, priority sample
+    "embedding_pca_component",
+    "event_session_concurrency",
+    "doc_priority_sample",
 ]
 
 # Optional subset filter: SPARK_GRAFT_SCALE_ONLY="a,b" runs just those.
@@ -136,11 +140,24 @@ def build_sf1(spark, src="/root/testdata/sf0.1", out=SF1_DIR) -> None:
                 *[c for c in li.columns if c not in ("l_orderkey", "l_partkey")],
             )
         )
+        # ts shifts by 40 days per replica (the raw column is int64
+        # nanos): 10× data = 10× HISTORY, not 10× temporal density —
+        # same-window replication would square every time-containment
+        # join's true output (measured: session-concurrency pairs ×100)
+        if dict(ev.dtypes)["ts"] == "bigint":  # raw int64 nanos
+            shifted_ts = F.col("ts") + i * 40 * 86_400 * 1_000_000_000
+        else:
+            shifted_ts = F.col("ts") + F.expr(f"INTERVAL {i * 40} DAYS")
         e_parts.append(
             ev.select(
                 (F.col("event_id") + i * STRIDE).alias("event_id"),
                 (F.col("user_id") + i * STRIDE).alias("user_id"),
-                *[c for c in ev.columns if c not in ("event_id", "user_id")],
+                shifted_ts.alias("ts"),
+                *[
+                    c
+                    for c in ev.columns
+                    if c not in ("event_id", "user_id", "ts")
+                ],
             )
         )
     for parts, name in ((p_parts, "part"), (l_parts, "lineitem"), (e_parts, "events")):
