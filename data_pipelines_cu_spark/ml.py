@@ -643,11 +643,37 @@ def pca_top_component(
     per-partition partial Σ s·x sums via the same decimal discipline —
     identical report shape."""
     spark = df.sparkSession
-    rows = df.select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(vec_col).alias("j", "_x"),
-    ).select("_id", "j", F.col("_x").cast("double").alias("_x"))
-    rows = rows.localCheckpoint(eager=True)  # reused 2x per round
+    rows = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(vec_col).alias("j", "_x"),
+        )
+        .select("_id", "j", F.col("_x").cast("double").alias("_x"))
+        # an embedding longer than `dim` would otherwise feed j >= dim
+        # rows into the re-mix aggregate in Spark only (the oracle
+        # generates exactly dim positions) — clamp so malformed vectors
+        # diverge identically on both engines
+        .filter(F.col("j") < dim)
+    )
+    # hash-partition by _id ONCE so every round's groupBy("_id") and
+    # rows-join-s reuse the distribution and the corpus-sized long table
+    # never re-shuffles inside the iteration (only the 64-group
+    # j-aggregate's map-side partials move per round). localCheckpoint
+    # records outputPartitioning ONLY when the checkpoint is materialized
+    # outside AQE (AdaptiveSparkPlanExec reports its partitioning before
+    # the final plan exists, so an AQE-built checkpoint downgrades to
+    # unknown and every consumer re-shuffles — measured 2 corpus
+    # exchanges per round); consumers honor the recorded partitioning
+    # with AQE on, so only this one materialization flips the flag.
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        rows = rows.repartition(n_part, "_id").localCheckpoint(
+            eager=True
+        )  # reused 2x per round
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
     seed = 1.0 / math.sqrt(dim)  # unit-norm seed: the round-1 Rayleigh
     # estimate ||C w0|| is only an eigenvalue estimate if ||w0|| = 1
     w = spark.range(dim).select(

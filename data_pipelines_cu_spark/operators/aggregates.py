@@ -671,11 +671,14 @@ def psi_value_drift(
     below it, and proportions smooth by +1/bin (so empty bins never hit
     ln(0)). psi_total is the same exact-decimal sum on every row.
 
-    Plan: one ordered window over the REFERENCE half for the ≤ n_bins−1
-    edge members (swap for the mergeable histogram sketch at 100 TB —
-    same report shape), then a broadcast of the 1-row edge array and one
-    corpus-wide group-by-bin. The corpus never sorts globally."""
+    Plan: one TWO-LEVEL BLOCKED rank over the REFERENCE half for the
+    ≤ n_bins−1 edge members (windows.blocked_row_number — no single-task
+    sort of the reference half; the mergeable histogram sketch remains the
+    approximate alternative), then a broadcast of the 1-row edge array and
+    one corpus-wide group-by-bin. The corpus never sorts globally."""
     from pyspark.sql import Window as W  # noqa: PLC0415
+
+    from .windows import blocked_row_number  # noqa: PLC0415
 
     spark = df.sparkSession
     ev = df.select(
@@ -699,9 +702,11 @@ def psi_value_drift(
     )
     ref = tagged.filter("_is_ref")
     n_ref = F.broadcast(ref.agg(F.count(F.lit(1)).alias("_nr")))
-    ranked = ref.select(
-        "_v", F.row_number().over(W.orderBy("_v", "_id")).alias("_r")
-    ).crossJoin(n_ref)
+    ranked = (
+        blocked_row_number(ref.select("_v", "_id"), ["_v", "_id"], "_r")
+        .select("_v", "_r")
+        .crossJoin(n_ref)
+    )
     spine = spark.range(1, n_bins).select(F.col("id").alias("_i"))
     edges = F.broadcast(
         ranked.join(
@@ -796,7 +801,12 @@ def psi_value_drift_sql(
     ref AS (SELECT * FROM tagged WHERE is_ref),
     nr AS (SELECT COUNT(*) AS n FROM ref),
     ranked AS (
-        SELECT v, ROW_NUMBER() OVER (ORDER BY v, id) AS r FROM ref
+        -- NULLS FIRST pins DuckDB (default NULLS LAST) to Spark's
+        -- asc_nulls_first Window order: a NULL value in the reference
+        -- half must shift every rank identically on both engines
+        SELECT v, ROW_NUMBER() OVER (ORDER BY v NULLS FIRST,
+                                     id NULLS FIRST) AS r
+        FROM ref
     ),
     edges AS (
         SELECT list(v ORDER BY i) AS es
@@ -1015,17 +1025,22 @@ def psi_reference_edges(
     """1-row (edges array) of the reference distribution's selection
     deciles — the FROZEN artifact a drift monitor computes once and bins
     every future window against (the streaming PSI job broadcasts it per
-    micro-batch)."""
-    from pyspark.sql import Window as W  # noqa: PLC0415
+    micro-batch). Edge selection ranks through the two-level blocked rank
+    (windows.blocked_row_number), so the reference corpus never
+    single-task sorts."""
+    from .windows import blocked_row_number  # noqa: PLC0415
 
     spark = ref.sparkSession
     n_ref = F.broadcast(ref.agg(F.count(F.lit(1)).alias("_nr")))
-    ranked = ref.select(
+    vals = ref.select(
         F.col(value_col).cast("double").alias("_v"),
-        F.row_number()
-        .over(W.orderBy(F.col(value_col).cast("double"), id_col))
-        .alias("_r"),
-    ).crossJoin(n_ref)
+        F.col(id_col).alias("_id"),
+    )
+    ranked = (
+        blocked_row_number(vals, ["_v", "_id"], "_r")
+        .select("_v", "_r")
+        .crossJoin(n_ref)
+    )
     spine = spark.range(1, n_bins).select(F.col("id").alias("_i"))
     return (
         ranked.join(
@@ -1160,11 +1175,13 @@ def gini_concentration(
     table); Gini = 2·Σ rank·x / (n·Σx) − (n+1)/n over the ascending
     (amount, key) order — rank·x products fold through exact decimals so
     the scalar is partition-order independent. One aggregate shuffle,
-    one ordered rank window (swap for the two-level blocked rank of
-    operators/sampling.py past memory — the report shape is unchanged),
-    one 10-row group.
+    one TWO-LEVEL BLOCKED rank (windows.blocked_row_number: the entity
+    base never single-task sorts; ranks are total-order exact, so the
+    ROW_NUMBER oracle is byte-identical), one 10-row group.
     """
     from pyspark.sql import Window as W  # noqa: PLC0415
+
+    from .windows import blocked_row_number  # noqa: PLC0415
 
     per = (
         entities.select(F.col(entity_key).alias("_k"))
@@ -1179,8 +1196,8 @@ def gini_concentration(
         )
         .select("_k", F.coalesce("_x", F.lit(0.0)).alias("_x"))
     )
-    ranked = per.select(
-        "_x", F.row_number().over(W.orderBy("_x", "_k")).alias("_r")
+    ranked = blocked_row_number(per, ["_x", "_k"], rank_col="_r").select(
+        "_x", "_r"
     )
     stats = F.broadcast(
         ranked.agg(

@@ -271,6 +271,7 @@ def interval_point_join(
     start_col: str = "start_us",
     end_col: str = "end_us",
     bucket_us: int = 3_600_000_000,
+    long_factor: int = 64,
 ) -> DataFrame:
     """Inner join of point rows to every interval containing them
     (``start ≤ t ≤ end``, integer microseconds) — the RANGE JOIN Spark's
@@ -280,26 +281,51 @@ def interval_point_join(
     buckets it covers (span/bucket rows); each point keys to its single
     bucket; containment candidates come from the bucket EQUI-join and
     the exact predicate filters them. A point lives in exactly one
-    bucket, so no pair appears twice and no post-dedup is needed. Pick
-    ``bucket_us`` near the typical interval span: the explode factor is
-    span/bucket, the candidate fan-in is points-per-bucket ×
-    intervals-overlapping-bucket. Column names must not collide between
-    the two sides (select/rename first)."""
-    pts = points.withColumn("_bk", F.expr(f"{t_col} div {bucket_us}"))
-    ivs = intervals.withColumn(
-        "_bk",
-        F.explode(
-            F.expr(
-                f"sequence({start_col} div {bucket_us},"
-                f" {end_col} div {bucket_us})"
-            )
-        ),
+    bucket per lane, so no pair appears twice and no post-dedup is
+    needed. Pick ``bucket_us`` near the typical interval span: the
+    explode factor is span/bucket, the candidate fan-in is
+    points-per-bucket × intervals-overlapping-bucket. Column names must
+    not collide between the two sides (select/rename first).
+
+    Long-interval guard: a pathological interval spanning K fine buckets
+    would explode to K rows (one year-long session at hour buckets =
+    8,760). Intervals covering more than ``long_factor`` fine buckets
+    therefore route through a SECOND, coarser lane (bucket width
+    ``bucket_us * long_factor``): their explode factor drops by
+    ``long_factor``×, while every point also keys into its single coarse
+    bucket. Each interval lives in EXACTLY ONE lane, so every
+    (point, interval) pair still arises from exactly one equi-join row.
+    Explode factor is thus ≤ max(long_factor + 1, span/(bucket·factor))
+    — the year-long hour-bucket case emits 137 coarse rows, not 8,760;
+    one more lane level bounds any span at any scale."""
+    fine = F.expr(f"{t_col} div {bucket_us}")
+    coarse_us = bucket_us * long_factor
+    coarse = F.expr(f"{t_col} div {coarse_us}")
+    n_fine = F.expr(
+        f"{end_col} div {bucket_us} - {start_col} div {bucket_us} + 1"
     )
-    return (
-        pts.join(ivs, "_bk")
-        .filter(
-            (F.col(t_col) >= F.col(start_col))
-            & (F.col(t_col) <= F.col(end_col))
+    is_long = n_fine > long_factor
+    containment = (F.col(t_col) >= F.col(start_col)) & (
+        F.col(t_col) <= F.col(end_col)
+    )
+
+    def lane(ivs: DataFrame, pt_bucket, width: int) -> DataFrame:
+        exploded = ivs.withColumn(
+            "_bk",
+            F.explode(
+                F.expr(
+                    f"sequence({start_col} div {width},"
+                    f" {end_col} div {width})"
+                )
+            ),
         )
-        .drop("_bk")
+        return (
+            points.withColumn("_bk", pt_bucket)
+            .join(exploded, "_bk")
+            .filter(containment)
+            .drop("_bk")
+        )
+
+    return lane(intervals.filter(~is_long), fine, bucket_us).unionByName(
+        lane(intervals.filter(is_long), coarse, coarse_us)
     )

@@ -107,12 +107,13 @@ def encode_bmp(pixels) -> bytes:
 
 
 def decode_pixels(payload: bytes):
-    """Decode a P6 PPM, 24-bit uncompressed BMP, 8/16-bit PNG
-    (RGB/RGBA/greyscale/palette, sequential or Adam7-interlaced, stdlib
-    zlib inflate + scanline unfilter), or baseline JPEG blob to an
-    (H, W, 3) uint8 RGB numpy array — no codec library. Raises
-    ValueError on anything else (the plug point where PIL/libvips widens
-    format support: progressive JPEG, sub-byte-packed PNG, video)."""
+    """Decode a P6 PPM, 24-bit uncompressed BMP, PNG (1/2/4/8/16-bit,
+    RGB/RGBA/greyscale/palette, sequential or Adam7-interlaced, stdlib
+    zlib inflate + scanline unfilter), or JPEG (baseline AND progressive
+    DCT, restart markers, fill bytes) blob to an (H, W, 3) uint8 RGB
+    numpy array — no codec library. Raises ValueError on anything else
+    (the plug point where PIL/libvips/ffmpeg widens format support:
+    GIF, WebP, and video bitstreams)."""
     import struct
 
     import numpy as np

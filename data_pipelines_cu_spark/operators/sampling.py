@@ -313,7 +313,11 @@ def importance_weighted_sample(
     Plan shape: one tokenize pass -> bucket counts (B keys — tiny shuffle,
     map-side partial), the B-row weight table BROADCASTS back onto the
     token stream (tokens never shuffle by bucket), one per-doc aggregate,
-    one top-n rank. Linear in corpus size at any scale.
+    then orderBy().limit(top_n) = TakeOrderedAndProject (per-partition
+    top-n + driver-side merge of n_partitions × top_n rows — no global
+    sort, no corpus-sized rank window); the rank column is minted by a
+    window over the ALREADY top_n-bounded result. Linear in corpus size
+    at any scale.
     """
     from .dedup import normalized_text  # noqa: PLC0415 (cycle guard)
 
@@ -357,12 +361,12 @@ def importance_weighted_sample(
         )
     )
     keep = df.select(id_col, *keep_cols)
-    w = Window.orderBy(F.col("imp_weight").desc(), F.col(id_col).asc())
-    return (
-        scored.join(keep, id_col)
-        .withColumn(rank_col, F.row_number().over(w))
-        .filter(F.col(rank_col) <= top_n)
-        .select(id_col, *keep_cols, "n_tokens", "imp_weight", rank_col)
+    order = [F.col("imp_weight").desc(), F.col(id_col).asc()]
+    picked = scored.join(keep, id_col).orderBy(*order).limit(top_n)
+    # the window sorts <= top_n rows by contract — bounded, never the corpus
+    w = Window.orderBy(*order)
+    return picked.withColumn(rank_col, F.row_number().over(w)).select(
+        id_col, *keep_cols, "n_tokens", "imp_weight", rank_col
     )
 
 
@@ -932,7 +936,11 @@ def temperature_source_mixture(
     share = scaled / F.col("_z")
     base = F.floor(F.lit(budget) * share).cast("long")
     rem = F.lit(budget) * share - base
-    w = Window.orderBy(F.col("_rem").desc(), F.col(group_col))
+    # tiebreak NULL order is pinned on both engines: Spark asc defaults to
+    # NULLS FIRST and the SQL twin says NULLS FIRST explicitly — exact rem
+    # ties (two sources with equal doc counts) are common, and a NULL
+    # group must take the +1 top-up on the same engine-independent rank
+    w = Window.orderBy(F.col("_rem").desc(), F.asc_nulls_first(group_col))
     wsum = Window.partitionBy(F.lit(1))
     return (
         counts.crossJoin(tot)
@@ -983,7 +991,8 @@ def temperature_mixture_sql(
     )
     SELECT {group_col}, n_docs, ROUND(share, 6) AS weight,
            least(base + CASE WHEN ROW_NUMBER() OVER (
-                                  ORDER BY rem DESC, {group_col})
+                                  ORDER BY rem DESC,
+                                           {group_col} NULLS FIRST)
                              <= {budget} - SUM(base) OVER ()
                              THEN 1 ELSE 0 END,
                  n_docs) AS target_docs

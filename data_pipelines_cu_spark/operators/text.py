@@ -1102,12 +1102,14 @@ def quality_quantile_calibrate(
     position ceil(r * N / n_src) — pure integer rank arithmetic plus one
     selection, no interpolation.
 
-    Plan: one per-source window + one global-order window + a rank-keyed
-    join. The global window is the scale bound — at 100 TB replace it
-    with the two-level blocked prefix rank (operators/sampling.py's
-    systematic sampler) or the mergeable histogram sketch; the report
-    shape is unchanged."""
+    Plan: one per-source window (partitioned — scale-safe) + one
+    TWO-LEVEL BLOCKED global rank (windows.blocked_row_number: the corpus
+    never single-task sorts; ranks are total-order exact over
+    (score, id), so the ROW_NUMBER oracle twin is byte-identical) + a
+    rank-keyed join."""
     from pyspark.sql import Window as W  # noqa: PLC0415
+
+    from .windows import blocked_row_number  # noqa: PLC0415
 
     n_total = df.count()
     ws = W.partitionBy(group_col).orderBy(score_col, id_col)
@@ -1122,11 +1124,13 @@ def quality_quantile_calibrate(
     # never `/`: double division drifts past 2^53 and can pick a
     # different selection member than the oracle's integer `//`.
     target = F.expr(f"(src_rank * {n_total}L + _n_src - 1) div _n_src")
-    wg = W.orderBy(score_col, id_col)
-    glob = df.select(
-        F.col(score_col).alias("_gscore"),
-        F.row_number().over(wg).alias("_grank"),
-    )
+    glob = blocked_row_number(
+        df.select(
+            F.col(score_col).alias("_gscore"), F.col(id_col).alias("_gid")
+        ),
+        ["_gscore", "_gid"],
+        rank_col="_grank",
+    ).select("_gscore", "_grank")
     return (
         ranked.withColumn("_target", target)
         .join(glob, F.col("_target") == F.col("_grank"))

@@ -35,6 +35,102 @@ def topk_per_group(
     )
 
 
+# --- Scale-safe exact global ranking -----------------------------------------
+# An unpartitioned Window.orderBy(...) moves the WHOLE input into one task
+# — fine for decile rows / vocab tables / config metas, fatal for a
+# corpus-sized table at 100 TB. These helpers are the engine's DEFAULT for
+# exact corpus-sized ranking: the two-level prefix-sum shape of
+# operators/sampling.py::systematic_weighted_sample generalized from
+# id-blocks to arbitrary sort keys via a range shuffle.
+
+
+def blocked_row_number(
+    df: DataFrame,
+    order_by: Sequence,
+    rank_col: str = "_r",
+    n_blocks: int = 32,
+) -> DataFrame:
+    """Exact global ROW_NUMBER over ``order_by`` with NO single-task global
+    sort. Returns ``df`` plus ``rank_col`` (IntegerType, 1-based, identical
+    to ``row_number().over(Window.orderBy(*order_by))`` whenever
+    ``order_by`` is a TOTAL order — include a unique tiebreak key).
+
+    Two-level plan: ``repartitionByRange(n_blocks, *order_by)`` splits the
+    key space into contiguous ascending blocks (block id = range partition
+    id — RangePartitioner assigns ascending ranges to ascending partition
+    ids, and ``spark_partition_id()`` is non-deterministic to Catalyst, so
+    its evaluation is pinned above the range exchange); each block ranks
+    locally (one ordinary-sized task per block, never a fat task), and only
+    the ``n_blocks``-row block-count table crosses the ordered prefix
+    window. Global rank = local rank + broadcast block offset. Because the
+    order is total, block-boundary placement (which range sampling does not
+    fully determine) cannot change any rank — every ROW_NUMBER oracle twin
+    stays byte-identical. The explicit partition count keeps AQE from
+    coalescing the range exchange. One more blocking level extends the same
+    plan to any scale.
+    """
+    part = df.repartitionByRange(n_blocks, *order_by).withColumn(
+        "_brn_blk", F.spark_partition_id()
+    )
+    w_loc = Window.partitionBy("_brn_blk").orderBy(*order_by)
+    w_off = Window.orderBy("_brn_blk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    off = (
+        part.groupBy("_brn_blk")
+        .agg(F.count(F.lit(1)).alias("_brn_n"))
+        .select(
+            "_brn_blk",
+            F.coalesce(F.sum("_brn_n").over(w_off), F.lit(0)).alias(
+                "_brn_off"
+            ),
+        )
+    )
+    return (
+        part.withColumn("_brn_lr", F.row_number().over(w_loc))
+        .join(F.broadcast(off), "_brn_blk")
+        .withColumn(
+            rank_col,
+            (F.col("_brn_off") + F.col("_brn_lr")).cast("int"),
+        )
+        .drop("_brn_blk", "_brn_lr", "_brn_off")
+    )
+
+
+def blocked_ntile(
+    df: DataFrame,
+    order_by: Sequence,
+    n_tiles: int,
+    out_col: str = "tile",
+    n_blocks: int = 32,
+) -> DataFrame:
+    """Exact SQL NTILE(n) over ``order_by`` without the single-task global
+    sort: NTILE is pure integer arithmetic on the global row number — with
+    n rows, q = n div tiles and r = n mod tiles, the first r tiles hold
+    q+1 rows and the rest q — so the blocked rank plus ONE broadcast total
+    reproduces ``ntile(n).over(Window.orderBy(...))`` bit-for-bit
+    (``order_by`` must be a total order for the assignment to be
+    deterministic, same as the window form). The q = 0 branch (fewer rows
+    than tiles: tile = rank) stays inside the IF's untaken arm, so ANSI
+    mode never sees the div-by-zero."""
+    ranked = blocked_row_number(df, order_by, "_bnt_rn", n_blocks)
+    tot = F.broadcast(ranked.agg(F.count(F.lit(1)).alias("_bnt_n")))
+    tile = F.expr(
+        f"CAST(IF(_bnt_rn <= (_bnt_n % {n_tiles})"
+        f" * ((_bnt_n div {n_tiles}) + 1),"
+        f" (_bnt_rn - 1) div ((_bnt_n div {n_tiles}) + 1) + 1,"
+        f" (_bnt_n % {n_tiles})"
+        f" + (_bnt_rn - (_bnt_n % {n_tiles})"
+        f" * ((_bnt_n div {n_tiles}) + 1) - 1)"
+        f" div (_bnt_n div {n_tiles}) + 1) AS INT)"
+    )
+    return (
+        ranked.crossJoin(tot)
+        .withColumn(out_col, tile)
+        .drop("_bnt_rn", "_bnt_n")
+    )
+
+
 def lead_shift(
     df: DataFrame,
     order_by: str,

@@ -303,12 +303,12 @@ def materialize_v2_shards(
             ).alias("imp_weight")
         )
     )
-    from pyspark.sql import Window as W
-
-    w = W.orderBy(F.col("imp_weight").desc(), F.col(id_col).asc())
+    # TakeOrderedAndProject (per-partition top-n + bounded merge), never a
+    # corpus-sized global rank window — identical selection set: the
+    # (imp_weight DESC, id ASC) order is total
     picked = (
-        scored.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= top_n)
+        scored.orderBy(F.col("imp_weight").desc(), F.col(id_col).asc())
+        .limit(top_n)
         .select(id_col)
     )
     survivors = corpus.join(picked, id_col)

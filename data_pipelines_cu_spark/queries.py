@@ -1494,9 +1494,14 @@ def llm_extract_structured(spark, sf_dir):
 
 @register("approx_daily_users", None)
 def approx_daily_users(spark, sf_dir):
-    """HyperLogLog++ distinct users per day — the 100 TB cardinality path
-    (sketch internals differ per engine, so no exact oracle by design;
-    exact twin is daily_active_users)."""
+    """HyperLogLog++ distinct users per day — the 100 TB cardinality path.
+    BY DESIGN the registry's only no-oracle row (rows-only gate): HLL
+    register layouts differ per engine, so the estimate cannot hash-gate.
+    The DESIGNED pairing: exact twin = daily_active_users (same report,
+    exact distinct), hash-gated sketch twin = kmv_daily_users (KMV
+    k-smallest md5 — estimate derived from engine-independent hashes, so
+    it DOES hash-gate). Use this one when only Spark-native speed matters,
+    KMV when cross-engine reproducibility matters."""
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("date")).agg(
         F.approx_count_distinct("user_id", 0.02).alias("approx_dau")
@@ -5431,9 +5436,12 @@ def ann_lsh_recall_q(spark, sf_dir):
 def customer_rfm_segments_q(spark, sf_dir):
     """RFM customer segmentation (recency / frequency / monetary
     quartiles, tier 1 = best): the standard marketing-analytics cut, as
-    one aggregate + three NTILE windows with deterministic (metric,
-    custkey) tie order. The monetary sum is an exact decimal fold
-    (the decimal_avg discipline), so quartile boundaries hash-gate."""
+    one aggregate + three EXACT NTILE assignments with deterministic
+    (metric, custkey) tie order — each through the two-level blocked
+    rank (windows.blocked_ntile), so the customer base never single-task
+    sorts and the NTILE oracle stays byte-identical. The monetary sum is
+    an exact decimal fold (the decimal_avg discipline), so quartile
+    boundaries hash-gate."""
     o = _t(spark, sf_dir, "orders")
     base = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
@@ -5444,19 +5452,18 @@ def customer_rfm_segments_q(spark, sf_dir):
         ).alias("total_spend"),
     )
     max_date = F.broadcast(o.agg(F.max("o_orderdate").alias("_maxd")))
-    wr = Window.orderBy(F.col("last_order").desc(), F.col("o_custkey"))
-    wf = Window.orderBy(F.col("n_orders").desc(), F.col("o_custkey"))
-    wm = Window.orderBy(F.col("total_spend").desc(), F.col("o_custkey"))
-    tiers = (
-        base.crossJoin(max_date)
-        .withColumn(
-            "recency_days",
-            F.datediff(F.col("_maxd"), F.col("last_order")).cast("long"),
-        )
-        .withColumn("r_tier", F.ntile(4).over(wr))
-        .withColumn("f_tier", F.ntile(4).over(wf))
-        .withColumn("m_tier", F.ntile(4).over(wm))
+    tiers = base.crossJoin(max_date).withColumn(
+        "recency_days",
+        F.datediff(F.col("_maxd"), F.col("last_order")).cast("long"),
     )
+    for metric, col in (
+        ("last_order", "r_tier"),
+        ("n_orders", "f_tier"),
+        ("total_spend", "m_tier"),
+    ):
+        tiers = win.blocked_ntile(
+            tiers, [F.col(metric).desc(), F.col("o_custkey")], 4, col
+        )
     return tiers.select(
         "o_custkey",
         "recency_days",

@@ -762,7 +762,17 @@ def priority_sample_from_batches(
 ) -> DataFrame:
     """Merged read of the per-batch priority prefixes: distinct rows (a
     replayed prefix is byte-identical) through the same finish step the
-    one-shot operator uses."""
+    one-shot operator uses.
+
+    PRECONDITION — unique ids across the stream: ``.distinct()`` removes
+    checkpoint REPLAYS (the same batch landing twice is byte-identical),
+    but it would also collapse a document id that legitimately arrives in
+    two different micro-batches (duplicate events, not replays) into one
+    row, while the one-shot batch sample over the same union keeps both.
+    The bit-for-bit batch-equivalence contract therefore holds for
+    duplicate-free streams only; feed a keyed dedup (streaming_dedup) in
+    front, or partition replays by batch identity, if duplicate ids are
+    possible."""
     from ..operators.sampling import priority_sample_finish
 
     pri = (

@@ -59,6 +59,11 @@ HEAVY = [
     "embedding_pca_component",
     "event_session_concurrency",
     "doc_priority_sample",
+    # round-7: the blocked-rank rewrites (previously corpus-sized global
+    # row_number windows — single-task sorts at 100×)
+    "customer_revenue_gini",
+    "quality_calibrated_scores",
+    "importance_weighted_docs",
 ]
 
 # Optional subset filter: SPARK_GRAFT_SCALE_ONLY="a,b" runs just those.
@@ -71,6 +76,7 @@ SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/scale_sf1")
 
 def build_sf1(spark, src="/root/testdata/sf0.1", out=SF1_DIR) -> None:
     if os.path.exists(f"{out}/_BUILT"):
+        build_sf1_custorders(spark, src, out)  # round-7 add-on tables
         return
     docs = spark.read.parquet(f"{src}/documents.parquet")
     emb = spark.read.parquet(f"{src}/embeddings.parquet")
@@ -166,6 +172,45 @@ def build_sf1(spark, src="/root/testdata/sf0.1", out=SF1_DIR) -> None:
             u = u.unionByName(p)
         u.repartition(32).write.mode("overwrite").parquet(f"{out}/{name}.parquet")
     Path(f"{out}/_BUILT").write_text("ok\n")
+    build_sf1_custorders(spark, src, out)
+
+
+def build_sf1_custorders(spark, src="/root/testdata/sf0.1", out=SF1_DIR) -> None:
+    """customer/orders replicas (round 7, for the gini/RFM family):
+    same disjoint-stride discipline — every key shifts by 1e9 per
+    replica, so per-customer revenue distributions (and therefore the
+    rank/decile structure the blocked rank sorts) replicate exactly 10×
+    with zero cross-replica joins."""
+    if os.path.exists(f"{out}/_BUILT_CUSTORD"):
+        return
+    cust = spark.read.parquet(f"{src}/customer.parquet")
+    orders = spark.read.parquet(f"{src}/orders.parquet")
+    STRIDE = 1_000_000_000
+    c_parts, o_parts = [], []
+    for i in range(10):
+        c_parts.append(
+            cust.select(
+                (F.col("c_custkey") + i * STRIDE).alias("c_custkey"),
+                *[c for c in cust.columns if c != "c_custkey"],
+            )
+        )
+        o_parts.append(
+            orders.select(
+                (F.col("o_orderkey") + i * STRIDE).alias("o_orderkey"),
+                (F.col("o_custkey") + i * STRIDE).alias("o_custkey"),
+                *[
+                    c
+                    for c in orders.columns
+                    if c not in ("o_orderkey", "o_custkey")
+                ],
+            )
+        )
+    for parts, name in ((c_parts, "customer"), (o_parts, "orders")):
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        u.repartition(32).write.mode("overwrite").parquet(f"{out}/{name}.parquet")
+    Path(f"{out}/_BUILT_CUSTORD").write_text("ok\n")
 
 
 def _ui_json(path: str):
