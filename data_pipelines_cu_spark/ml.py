@@ -634,64 +634,55 @@ def pca_top_component(
 
     Determinism contract: every cross-row sum (per-row projection
     s = x·w, per-dimension re-mix u = Σ s·x, the squared norm) is an
-    EXACT DECIMAL(38,12) sum of deterministic double products — order-
-    independent across partitions and bit-identical to the oracle's
-    unrolled CTEs; no driver collect anywhere (the w table is a 64-row
-    broadcast). Plan per round: one broadcast join + id-keyed aggregate
-    (the corpus-sized stage), one j-keyed aggregate (64 groups), one
-    1-row norm broadcast. At 100 TB fold the (id, j, x) long table into
-    per-partition partial Σ s·x sums via the same decimal discipline —
-    identical report shape."""
+    EXACT decimal sum of deterministic double products — order-independent
+    across partitions and bit-identical to the oracle's unrolled CTEs; no
+    driver collect anywhere (w travels as a broadcast 1-row array).
+
+    Plan per round — ZERO joins, ZERO corpus shuffles: the vector table
+    crossJoins the broadcast 1-row w array; s = x·w is a ROW-LOCAL exact
+    decimal fold (zip_with products cast to DECIMAL(30,12), each fold step
+    cast back to DECIMAL(30,12) — scale never drops, so the fold equals
+    the SUM(DECIMAL(38,12)) aggregate bit-for-bit; the naive fold widens
+    to scale 11 per add and is NOT exact); the re-mix u = Σ s·x is one
+    posexplode + dim-group aggregate whose map-side partials are the only
+    bytes crossing an exchange (dim × n_partitions decimal sums). The
+    previous long-table shape (per-round id-keyed join + aggregate)
+    measured 2.3× slower at sf0.1 and 0.43/decade vs 0.31 here. Vectors
+    are sliced to ``dim`` positions so overlong embeddings diverge
+    identically on both engines (the oracle generates exactly dim
+    positions)."""
     spark = df.sparkSession
-    rows = (
-        df.select(
-            F.col(id_col).alias("_id"),
-            F.posexplode(vec_col).alias("j", "_x"),
-        )
-        .select("_id", "j", F.col("_x").cast("double").alias("_x"))
-        # an embedding longer than `dim` would otherwise feed j >= dim
-        # rows into the re-mix aggregate in Spark only (the oracle
-        # generates exactly dim positions) — clamp so malformed vectors
-        # diverge identically on both engines
-        .filter(F.col("j") < dim)
-    )
-    # hash-partition by _id ONCE so every round's groupBy("_id") and
-    # rows-join-s reuse the distribution and the corpus-sized long table
-    # never re-shuffles inside the iteration (only the 64-group
-    # j-aggregate's map-side partials move per round). localCheckpoint
-    # records outputPartitioning ONLY when the checkpoint is materialized
-    # outside AQE (AdaptiveSparkPlanExec reports its partitioning before
-    # the final plan exists, so an AQE-built checkpoint downgrades to
-    # unknown and every consumer re-shuffles — measured 2 corpus
-    # exchanges per round); consumers honor the recorded partitioning
-    # with AQE on, so only this one materialization flips the flag.
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    try:
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-        rows = rows.repartition(n_part, "_id").localCheckpoint(
-            eager=True
-        )  # reused 2x per round
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    vecs = df.select(
+        F.col(id_col).alias("_id"),
+        F.expr(
+            f"transform(slice({vec_col}, 1, {dim}), x -> CAST(x AS DOUBLE))"
+        ).alias("_v"),
+    ).localCheckpoint(eager=True)  # one materialization, reused per round
     seed = 1.0 / math.sqrt(dim)  # unit-norm seed: the round-1 Rayleigh
     # estimate ||C w0|| is only an eigenvalue estimate if ||w0|| = 1
-    w = spark.range(dim).select(
-        F.col("id").cast("int").alias("j"), F.lit(seed).alias("_w")
+    w_arr = spark.range(1).select(
+        F.array_repeat(F.lit(seed).cast("double"), dim).alias("_wa")
     )
 
     def dsum(col):
         return F.sum(col.cast("decimal(38,12)")).cast("double")
 
-    eig = None
+    # NULL elements contribute 0 — identical to SUM skipping the NULL
+    # products in the oracle's s CTE
+    s_fold = (
+        "aggregate("
+        " zip_with(_v, _wa, (x, wv) -> CAST(x * wv AS DECIMAL(30,12))),"
+        " CAST(0 AS DECIMAL(30,12)),"
+        " (acc, p) -> CAST(acc + coalesce(p, CAST(0 AS DECIMAL(30,12)))"
+        " AS DECIMAL(30,12)))"
+    )
+    w = eig = None
     for _ in range(n_iters):
-        s = (
-            rows.join(F.broadcast(w), "j")
-            .groupBy("_id")
-            .agg(dsum(F.col("_x") * F.col("_w")).alias("_s"))
+        st = vecs.crossJoin(F.broadcast(w_arr)).select(
+            "_v", F.expr(s_fold).cast("double").alias("_s")
         )
         u = (
-            rows.join(s, "_id")
+            st.select(F.posexplode("_v").alias("j", "_x"), "_s")
             .groupBy("j")
             .agg(dsum(F.col("_x") * F.col("_s")).alias("_u"))
         )
@@ -700,6 +691,19 @@ def pca_top_component(
         )
         w = u.crossJoin(nrm).select(
             "j", (F.col("_u") / F.col("_n")).alias("_w")
+        )
+        # positional re-assembly through a map: a j absent from u (no
+        # vector reaches that position) yields NULL at that slot, which
+        # the fold's coalesce treats as 0 — same as the oracle's NULL u
+        w_arr = F.broadcast(
+            w.agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("j", "_w"))
+                ).alias("_m")
+            ).select(
+                F.expr(f"transform(sequence(0, {dim - 1}), i -> _m[i])")
+                .alias("_wa")
+            )
         )
         eig = nrm
     return w.crossJoin(eig).select(

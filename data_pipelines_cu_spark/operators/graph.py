@@ -188,10 +188,11 @@ def co_occurrence_lift(
     )
     ca = item_counts.select(F.col("_i").alias("item_a"), F.col("_c").alias("_ca"))
     cb = item_counts.select(F.col("_i").alias("item_b"), F.col("_c").alias("_cb"))
-    w = W.orderBy(
-        F.col("pair_count").desc(), F.col("item_a").asc(), F.col("item_b").asc()
-    )
-    return (
+    order = [
+        F.col("pair_count").desc(), F.col("item_a").asc(),
+        F.col("item_b").asc(),
+    ]
+    top = (
         pairs.join(ca, "item_a")
         .join(cb, "item_b")
         .select(
@@ -204,9 +205,13 @@ def co_occurrence_lift(
                 6,
             ).alias("lift"),
         )
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= top_n)
+        # top-n selection first (TakeOrderedAndProject — the pair table
+        # never single-task sorts); the rank window then orders <= top_n
+        # rows by contract
+        .orderBy(*order)
+        .limit(top_n)
     )
+    return top.withColumn("rank", F.row_number().over(W.orderBy(*order)))
 
 
 def co_occurrence_sql(
@@ -303,10 +308,11 @@ def cooccurrence_triangles(
     counted = melted.groupBy("item").agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
-    w = Window.orderBy(F.col("n_triangles").desc(), F.col("item"))
+    # top-n selection: TakeOrderedAndProject, never a global rank window
+    # over the item-sized count table
     return (
-        counted.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= top_n)
+        counted.orderBy(F.col("n_triangles").desc(), F.col("item"))
+        .limit(top_n)
         .select("item", "n_triangles")
     )
 

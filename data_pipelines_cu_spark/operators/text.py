@@ -585,10 +585,12 @@ def oov_rate(
         F.col(id_col), F.explode(F.split(normalized_text(text_col), " ")).alias("_w")
     )
     freq = words.groupBy("_w").agg(F.count(F.lit(1)).alias("_cnt"))
-    wv = Window.orderBy(F.col("_cnt").desc(), F.col("_w").asc())
+    # top-k selection, not ranking: orderBy().limit() compiles to
+    # TakeOrderedAndProject (per-partition top-k + bounded merge) — the
+    # distinct-token table never single-task sorts
     vocab = F.broadcast(
-        freq.withColumn("_vr", F.row_number().over(wv))
-        .filter(F.col("_vr") <= vocab_size)
+        freq.orderBy(F.col("_cnt").desc(), F.col("_w").asc())
+        .limit(vocab_size)
         .select("_w", F.lit(True).alias("_in_v"))
     )
     oov = F.sum(F.when(F.col("_in_v").isNull(), 1).otherwise(0))

@@ -760,26 +760,22 @@ def run_streaming_priority_sample(
 def priority_sample_from_batches(
     spark, sample_path: str, id_col: str = "doc_id", k: int = 100
 ) -> DataFrame:
-    """Merged read of the per-batch priority prefixes: distinct rows (a
-    replayed prefix is byte-identical) through the same finish step the
-    one-shot operator uses.
+    """Merged read of the per-batch priority prefixes through the same
+    finish step the one-shot operator uses.
 
-    PRECONDITION — unique ids across the stream: ``.distinct()`` removes
-    checkpoint REPLAYS (the same batch landing twice is byte-identical),
-    but it would also collapse a document id that legitimately arrives in
-    two different micro-batches (duplicate events, not replays) into one
-    row, while the one-shot batch sample over the same union keeps both.
-    The bit-for-bit batch-equivalence contract therefore holds for
-    duplicate-free streams only; feed a keyed dedup (streaming_dedup) in
-    front, or partition replays by batch identity, if duplicate ids are
-    possible."""
+    No dedup is needed — or wanted. Checkpoint REPLAYS cannot double rows
+    because each batch's prefix lands in its own ``batch_id`` partition
+    under dynamic overwrite (a replay REPLACES its partition, see
+    priority_sample_batch). A document id that legitimately arrives in
+    several micro-batches (duplicate events, not replays) is a real
+    multiset member: the one-shot batch sample over the same union keeps
+    every copy, and top-(k+1) of a multiset union equals top-(k+1) over
+    per-batch prefixes, so the bit-for-bit equivalence holds WITH
+    duplicates precisely because nothing collapses them (a global
+    .distinct() here broke that for duplicate-id streams)."""
     from ..operators.sampling import priority_sample_finish
 
-    pri = (
-        spark.read.parquet(sample_path)
-        .select(id_col, "weight", "_q")
-        .distinct()
-    )
+    pri = spark.read.parquet(sample_path).select(id_col, "weight", "_q")
     return priority_sample_finish(pri, id_col, k)
 
 

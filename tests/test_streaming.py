@@ -729,8 +729,12 @@ def test_streaming_debounce_matches_batch_gate(spark, tmp_path):
 def test_streaming_priority_sample_matches_batch(spark, tmp_path):
     """The merged streaming priority sample must equal the one-shot batch
     sample over the union bit-for-bit (top-k-of-union = top-k of
-    per-batch prefixes), and a batch replay must not change the stored
-    prefixes."""
+    per-batch prefixes) — INCLUDING duplicate events: ids that
+    legitimately arrive in both micro-batches are real multiset members
+    on both paths (the old global .distinct() collapsed them on the
+    streaming side only). A batch replay must not change the stored
+    prefixes (partition overwrite, not dedup, is what makes replays
+    no-ops)."""
     import json as _json
 
     from data_pipelines_cu_spark.operators.sampling import (
@@ -746,7 +750,12 @@ def test_streaming_priority_sample_matches_batch(spark, tmp_path):
     src.mkdir()
     rows = [{"doc_id": i, "n_chars": (i * 37) % 500 + 1} for i in range(300)]
     half = len(rows) // 2
-    for i, chunk in enumerate([rows[:half], rows[half:]]):
+    # duplicate events: 20 heavy-ish docs from the first half arrive AGAIN
+    # in the second micro-batch, byte-identical
+    dups = [dict(r) for r in rows[5:25]]
+    chunks = [rows[:half], rows[half:] + dups]
+    rows = rows + dups  # the one-shot union is the same multiset
+    for i, chunk in enumerate(chunks):
         p = src / f"part-{i}.json"
         with open(p, "w") as f:
             for r in chunk:
