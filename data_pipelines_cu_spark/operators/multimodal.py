@@ -109,11 +109,12 @@ def encode_bmp(pixels) -> bytes:
 def decode_pixels(payload: bytes):
     """Decode a P6 PPM, 24-bit uncompressed BMP, PNG (1/2/4/8/16-bit,
     RGB/RGBA/greyscale/palette, sequential or Adam7-interlaced, stdlib
-    zlib inflate + scanline unfilter), or JPEG (baseline AND progressive
-    DCT, restart markers, fill bytes) blob to an (H, W, 3) uint8 RGB
-    numpy array — no codec library. Raises ValueError on anything else
-    (the plug point where PIL/libvips/ffmpeg widens format support:
-    GIF, WebP, and video bitstreams)."""
+    zlib inflate + scanline unfilter), JPEG (baseline AND progressive
+    DCT, restart markers, fill bytes), or GIF (LZW, interlace, local
+    color tables, transparency, first frame) blob to an (H, W, 3) uint8
+    RGB numpy array — no codec library. Raises ValueError on anything
+    else (the plug point where PIL/libvips/ffmpeg widens format support:
+    WebP and video bitstreams)."""
     import struct
 
     import numpy as np
@@ -161,7 +162,237 @@ def decode_pixels(payload: bytes):
         return _decode_png(payload)
     if payload[:2] == b"\xff\xd8":
         return _decode_jpeg(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(payload)
     raise ValueError(f"unrecognized image magic {payload[:2]!r}")
+
+
+# --- GIF (LZW) ----------------------------------------------------------------
+# First-frame render of a GIF87a/89a stream: variable-width LSB-first LZW
+# with clear/end codes and early width change, global/local color tables,
+# 4-pass interlace, sub-screen frames composed on the background color,
+# transparent pixels showing the background through. Own encoder (real
+# growing-dictionary LZW, clear-code reset at 4096) so the codec is
+# property-testable without any library, like the PNG/JPEG surface.
+
+_GIF_MAX_CODE = 4096
+
+
+def _gif_interlace_order(h: int) -> list:
+    """Row order of the 4 interlace passes (8/8, 8/4 offset 4, 4/2 offset
+    2, 2/1 offset 1)."""
+    order = []
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        order.extend(range(start, h, step))
+    return order
+
+
+def _gif_lzw_decode(data: bytes, min_code: int, n_pixels: int) -> bytearray:
+    """GIF-flavor LZW: codes are LSB-first, width starts min_code+1 and
+    bumps when the dictionary reaches 2^width (early change), CLEAR
+    resets, dictionary caps at 4096 codes."""
+    clear = 1 << min_code
+    end = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    dict_ = list(base)
+    width = min_code + 1
+    out = bytearray()
+    prev: bytes | None = None
+    bitpos = 0
+    total = len(data) * 8
+    while len(out) < n_pixels and bitpos + width <= total:
+        byte_i = bitpos >> 3
+        code = (
+            int.from_bytes(data[byte_i : byte_i + 4], "little")
+            >> (bitpos & 7)
+        ) & ((1 << width) - 1)
+        bitpos += width
+        if code == clear:
+            dict_ = list(base)
+            width = min_code + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = dict_[code]
+        elif code < len(dict_):
+            entry = dict_[code]
+            if len(dict_) < _GIF_MAX_CODE:
+                dict_.append(prev + entry[:1])
+        elif code == len(dict_):
+            entry = prev + prev[:1]
+            if len(dict_) < _GIF_MAX_CODE:
+                dict_.append(entry)
+        else:
+            raise ValueError(f"corrupt GIF LZW stream (code {code})")
+        out.extend(entry)
+        prev = entry
+        if len(dict_) == (1 << width) and width < 12:
+            width += 1
+    if len(out) < n_pixels:
+        raise ValueError("GIF LZW stream ended early")
+    return out[:n_pixels]
+
+
+def _decode_gif(payload: bytes):
+    """First frame of a GIF to (H, W, 3) uint8 RGB: the frame rectangle
+    composes onto a background-color canvas; transparent pixels (GCE
+    flag) show the background through."""
+    import struct
+
+    import numpy as np
+
+    sw, sh = struct.unpack_from("<HH", payload, 6)
+    packed = payload[10]
+    bg_idx = payload[11]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    transparent = -1
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x3B:  # trailer before any image
+            break
+        if block == 0x21:  # extension
+            label = payload[pos + 1]
+            pos += 2
+            if label == 0xF9 and payload[pos] == 4:
+                gce_packed = payload[pos + 1]
+                if gce_packed & 0x01:
+                    transparent = payload[pos + 4]
+            while payload[pos] != 0:  # skip sub-blocks
+                pos += payload[pos] + 1
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        left, top, fw, fh = struct.unpack_from("<HHHH", payload, pos + 1)
+        ipacked = payload[pos + 9]
+        pos += 10
+        pal = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            pal = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+            pos += n * 3
+        if pal is None:
+            raise ValueError("GIF frame has no color table")
+        min_code = payload[pos]
+        pos += 1
+        chunks = []
+        while payload[pos] != 0:
+            ln = payload[pos]
+            chunks.append(payload[pos + 1 : pos + 1 + ln])
+            pos += ln + 1
+        idx = np.frombuffer(
+            bytes(_gif_lzw_decode(b"".join(chunks), min_code, fw * fh)),
+            np.uint8,
+        ).reshape(fh, fw)
+        if ipacked & 0x40:  # interlaced: decoded rows are in pass order
+            out_rows = np.empty_like(idx)
+            out_rows[_gif_interlace_order(fh)] = idx
+            idx = out_rows
+        bg = pal[bg_idx] if bg_idx < len(pal) else np.zeros(3, np.uint8)
+        canvas = np.tile(bg.astype(np.uint8), (sh, sw, 1))
+        frame = pal[np.minimum(idx, len(pal) - 1)]
+        if transparent >= 0:
+            keep = (idx != transparent)[:, :, None]
+            frame = np.where(keep, frame, canvas[top : top + fh, left : left + fw])
+        canvas[top : top + fh, left : left + fw] = frame
+        return canvas.astype(np.uint8)
+    raise ValueError("GIF stream contains no image block")
+
+
+def _gif_lzw_encode(indices: bytes, min_code: int) -> bytes:
+    """Growing-dictionary GIF LZW encoder, exact mirror of the decoder's
+    early width change; emits CLEAR + resets when the table hits 4096."""
+    clear = 1 << min_code
+    end = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def fresh():
+        return {bytes([i]): i for i in range(clear)}
+
+    width = min_code + 1
+    dict_ = fresh()
+    next_code = end + 1
+    emit(clear, width)
+    w = b""
+    for k in bytes(indices):
+        wk = w + bytes([k])
+        if wk in dict_:
+            w = wk
+            continue
+        emit(dict_[w], width)
+        dict_[wk] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        if next_code == _GIF_MAX_CODE:
+            emit(clear, width)
+            dict_ = fresh()
+            next_code = end + 1
+            width = min_code + 1
+        w = bytes([k])
+    if w:
+        emit(dict_[w], width)
+    emit(end, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def encode_gif(arr, interlace: bool = False) -> bytes:
+    """GIF89a encoder for an (H, W, 3) uint8 array with <= 256 distinct
+    colors (raises ValueError beyond — GIF is palette-bound by format):
+    exact palette, real LZW, optional 4-pass interlace, 255-byte
+    sub-block framing."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(arr, dtype=np.uint8)
+    h, w = px.shape[:2]
+    colors, inv = np.unique(px.reshape(-1, 3), axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError(f"GIF needs <= 256 colors, image has {len(colors)}")
+    pal_bits = max(1, int(np.ceil(np.log2(max(len(colors), 2)))))
+    table = np.zeros((1 << pal_bits, 3), np.uint8)
+    table[: len(colors)] = colors
+    min_code = max(2, pal_bits)
+    idx = inv.astype(np.uint8).reshape(h, w)
+    if interlace:
+        idx = idx[_gif_interlace_order(h)]
+    data = _gif_lzw_encode(idx.tobytes(), min_code)
+    out = bytearray(b"GIF89a")
+    out += struct.pack(
+        "<HHBBB", w, h, 0x80 | (0x07 << 4) | (pal_bits - 1), 0, 0
+    )
+    out += table.tobytes()
+    out += struct.pack(
+        "<BHHHHB", 0x2C, 0, 0, w, h, 0x40 if interlace else 0
+    )
+    out.append(min_code)
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
 
 
 def _png_chunks(payload: bytes):
@@ -1275,8 +1506,8 @@ def wav_chunk_features(
 
 def transcode_image(payload: bytes, fmt: str = "jpeg") -> bytes:
     """Media-sink format conversion: decode any supported image payload
-    (PPM/BMP/PNG/JPEG) and re-encode as ``fmt`` — the kernel the binary
-    sink uses to normalize heterogeneous scraped payloads into one
+    (PPM/BMP/PNG/JPEG/GIF) and re-encode as ``fmt`` — the kernel the
+    binary sink uses to normalize heterogeneous scraped payloads into one
     storage format. Same signature class as the resize kernels, so it
     drops into the Arrow mapInPandas plumbing unchanged."""
     px = decode_pixels(payload)
@@ -1286,6 +1517,8 @@ def transcode_image(payload: bytes, fmt: str = "jpeg") -> bytes:
         return encode_bmp(px)
     if fmt == "png":
         return encode_png(px)
+    if fmt == "gif":
+        return encode_gif(px)
     if fmt in ("jpeg", "jpg"):
         return encode_jpeg_baseline(px)
     raise ValueError(f"unsupported target format {fmt!r}")

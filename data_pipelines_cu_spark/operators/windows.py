@@ -68,9 +68,19 @@ def blocked_row_number(
     stays byte-identical. The explicit partition count keeps AQE from
     coalescing the range exchange. One more blocking level extends the same
     plan to any scale.
+
+    The ranged table is localCheckpoint-ed: its two consumers (the ranking
+    window and the block-count aggregate) would otherwise each recompute
+    the WHOLE upstream plan — ``spark_partition_id()`` is non-deterministic
+    to Catalyst, which disables sameResult/ReusedExchange for this subtree,
+    and a chain of blocked ranks (the RFM shape) doubles the plan per level
+    without the cut (measured: 128 file scans and zero reuse for three
+    chained ntiles; 3 scans with it).
     """
-    part = df.repartitionByRange(n_blocks, *order_by).withColumn(
-        "_brn_blk", F.spark_partition_id()
+    part = (
+        df.repartitionByRange(n_blocks, *order_by)
+        .withColumn("_brn_blk", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     w_loc = Window.partitionBy("_brn_blk").orderBy(*order_by)
     w_off = Window.orderBy("_brn_blk").rowsBetween(

@@ -64,6 +64,7 @@ HEAVY = [
     "customer_revenue_gini",
     "quality_calibrated_scores",
     "importance_weighted_docs",
+    "customer_rfm_segments",
 ]
 
 # Optional subset filter: SPARK_GRAFT_SCALE_ONLY="a,b" runs just those.

@@ -291,3 +291,136 @@ def test_importance_sample_takeordered_tie_semantics(spark):
         by_w.setdefault(r["imp_weight"], []).append(r["doc_id"])
     for _w, ids in by_w.items():
         assert ids == sorted(ids)
+
+
+# --- GIF codec (round 7: shrink the decode plug-point list) -------------------
+
+
+def _rand_img(h, w, n_colors, seed):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    pal = rng.randint(0, 256, size=(n_colors, 3), dtype=np.uint8)
+    return pal[rng.randint(0, n_colors, size=(h, w))]
+
+
+def test_gif_round_trip_shapes_and_palettes():
+    """encode_gif -> decode_pixels is lossless for palette-bound images
+    across odd shapes, palette sizes crossing LZW width boundaries, and
+    a 64x64 image whose LZW stream spans multiple 255-byte sub-blocks
+    and grows the dictionary through several width bumps."""
+    import numpy as np
+
+    from data_pipelines_cu_spark.operators.multimodal import (
+        decode_pixels,
+        encode_gif,
+    )
+
+    cases = [
+        (1, 1, 1, 0),
+        (3, 7, 2, 1),
+        (5, 5, 5, 2),
+        (16, 9, 17, 3),
+        (64, 64, 200, 4),
+    ]
+    for h, w, nc, seed in cases:
+        img = _rand_img(h, w, nc, seed)
+        out = decode_pixels(encode_gif(img))
+        assert out.shape == (h, w, 3), (h, w, nc)
+        assert (out == img).all(), (h, w, nc)
+
+
+def test_gif_interlaced_round_trip():
+    """4-pass interlace: encoder reorders rows, decoder restores them."""
+    from data_pipelines_cu_spark.operators.multimodal import (
+        decode_pixels,
+        encode_gif,
+    )
+
+    for h in (1, 2, 3, 4, 5, 8, 13, 33):
+        img = _rand_img(h, 6, 4, 100 + h)
+        out = decode_pixels(encode_gif(img, interlace=True))
+        assert (out == img).all(), f"h={h}"
+
+
+def test_gif_dictionary_overflow_clear_reset():
+    """An image with enough distinct LZW phrases to hit code 4096 forces
+    the encoder's CLEAR-reset path; the decoder must resync."""
+    import numpy as np
+
+    from data_pipelines_cu_spark.operators.multimodal import (
+        decode_pixels,
+        encode_gif,
+    )
+
+    rng = np.random.RandomState(9)
+    pal = rng.randint(0, 256, size=(256, 3), dtype=np.uint8)
+    idx = rng.randint(0, 256, size=(96, 96))
+    img = pal[idx]
+    out = decode_pixels(encode_gif(img))
+    assert (out == img).all()
+
+
+def test_gif_too_many_colors_raises():
+    import numpy as np
+    import pytest
+
+    from data_pipelines_cu_spark.operators.multimodal import encode_gif
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    assert len(np.unique(img.reshape(-1, 3), axis=0)) > 256
+    with pytest.raises(ValueError, match="256"):
+        encode_gif(img)
+
+
+def test_gif_subframe_transparency_composes_on_background():
+    """Hand-built GIF: 4x4 screen, white background (index 1), a 2x2
+    frame at (1,1) whose top-left pixel is transparent — the render
+    shows background there and the frame's red elsewhere."""
+    import struct
+
+    import numpy as np
+
+    from data_pipelines_cu_spark.operators.multimodal import (
+        _gif_lzw_encode,
+        decode_pixels,
+    )
+
+    # palette: 0 = red, 1 = white (bg), 2 = transparent slot, 3 unused
+    gct = bytes([255, 0, 0, 255, 255, 255, 9, 9, 9, 0, 0, 0])
+    payload = bytearray(b"GIF89a")
+    payload += struct.pack("<HHBBB", 4, 4, 0x80 | 0x70 | 0x01, 1, 0)
+    payload += gct
+    # graphic control: transparency on, transparent index 2
+    payload += bytes([0x21, 0xF9, 4, 0x01, 0, 0, 2, 0])
+    payload += struct.pack("<BHHHHB", 0x2C, 1, 1, 2, 2, 0)
+    data = _gif_lzw_encode(bytes([2, 0, 0, 0]), 2)
+    payload.append(2)  # LZW min code size
+    payload.append(len(data))
+    payload += data
+    payload += b"\x00\x3b"
+    out = decode_pixels(bytes(payload))
+    white = [255, 255, 255]
+    red = [255, 0, 0]
+    assert out.shape == (4, 4, 3)
+    assert (out[0] == white).all() and (out[:, 0] == white).all()
+    assert (out[1, 1] == white).all()  # transparent shows background
+    assert (out[1, 2] == red).all()
+    assert (out[2, 1] == red).all() and (out[2, 2] == red).all()
+
+
+def test_gif_transcode_any_to_any():
+    """GIF participates in the transcode kernel both ways."""
+    from data_pipelines_cu_spark.operators.multimodal import (
+        decode_pixels,
+        encode_png,
+        transcode_image,
+    )
+
+    img = _rand_img(9, 11, 12, 42)
+    png = encode_png(img)
+    gif = transcode_image(png, "gif")
+    assert gif[:6] == b"GIF89a"
+    back = transcode_image(gif, "png")
+    assert (decode_pixels(back) == img).all()
