@@ -232,6 +232,28 @@ def shuffle_bytes_since(app_id: str, seen: set[int]) -> tuple[int, set[int]]:
     return total, ids
 
 
+def max_task_since(app_id: str, seen: set) -> float:
+    """Max executor task seconds across stages not in ``seen`` — the
+    fat-task detector: a corpus-sized single task (global sort, giant
+    broadcast build) shows up here long before it dominates wall clock
+    at test scale. Multi-task stages whose max is ordinary and 1-task
+    stages over small inputs both read low."""
+    worst = 0.0
+    for st in _ui_json(f"/api/v1/applications/{app_id}/stages?status=complete"):
+        key = (st["stageId"], st["attemptId"])
+        if key in seen:
+            continue
+        try:
+            ts = _ui_json(
+                f"/api/v1/applications/{app_id}/stages/{st['stageId']}/"
+                f"{st['attemptId']}/taskSummary?quantiles=1.0"
+            )
+            worst = max(worst, ts["executorRunTime"][0] / 1000.0)
+        except Exception:  # noqa: BLE001 (stage evicted from UI store)
+            continue
+    return round(worst, 2)
+
+
 def main() -> None:
     spark = get_spark(
         "scale-check",
@@ -256,16 +278,20 @@ def main() -> None:
         results[name] = {}
         for label, path, _ in scales:
             fn = queries[name].fn
+            before = set(seen)
             start = time.perf_counter()
             fn(spark, path).write.format("noop").mode("overwrite").save()
             wall = round(time.perf_counter() - start, 2)
             sh, seen = shuffle_bytes_since(app_id, seen)
-            results[name][label] = {"wall_s": wall, "shuffle_mb": round(sh / 1e6, 1)}
-            print(json.dumps({"query": name, "scale": label, "wall_s": wall,
-                              "shuffle_mb": round(sh / 1e6, 1)}), flush=True)
+            rec = {"wall_s": wall, "shuffle_mb": round(sh / 1e6, 1)}
+            if label == "sf1.0*":  # fat-task detector at the top scale
+                rec["max_task_s"] = max_task_since(app_id, before)
+            results[name][label] = rec
+            print(json.dumps({"query": name, "scale": label, **rec}),
+                  flush=True)
 
-    print("\n| query | sf0.01 wall | sf0.1 wall | sf1.0* wall | exp 0.01→0.1 | exp 0.1→1.0 | sf1.0* shuffle MB |")
-    print("|---|---|---|---|---|---|---|")
+    print("\n| query | sf0.01 wall | sf0.1 wall | sf1.0* wall | exp 0.01→0.1 | exp 0.1→1.0 | sf1.0* shuffle MB | sf1.0* max task s |")
+    print("|---|---|---|---|---|---|---|---|")
     for name in HEAVY:
         r = results[name]
         w = [r[s]["wall_s"] for s, _, _ in scales]
@@ -273,7 +299,8 @@ def main() -> None:
         e2 = math.log10(w[2] / w[1]) if w[1] > 0 else float("nan")
         print(
             f"| {name} | {w[0]} | {w[1]} | {w[2]} | {e1:.2f} | {e2:.2f} "
-            f"| {r['sf1.0*']['shuffle_mb']} |"
+            f"| {r['sf1.0*']['shuffle_mb']} "
+            f"| {r['sf1.0*'].get('max_task_s', '—')} |"
         )
 
 

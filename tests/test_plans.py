@@ -477,3 +477,54 @@ def test_interval_join_has_no_nested_loop(spark, sf_dir):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_blocked_rank_replaces_global_rank_windows(spark, sf_dir):
+    """The round-7 rewrites: corpus-sized exact ranking goes through the
+    two-level blocked rank — the block id column must appear in the plan
+    and the ranking window must be partitioned by it (no unpartitioned
+    corpus-sized row_number survives)."""
+    for name in (
+        "customer_revenue_gini",
+        "quality_calibrated_scores",
+        "event_value_psi_drift",
+    ):
+        plan = _formatted_plan(QUERIES[name].fn(spark, sf_dir))
+        assert "_brn_blk" in plan, name
+
+
+def test_rfm_uses_blocked_ntile_not_ntile_window(spark, sf_dir):
+    """Three exact quartile assignments with zero NTILE window functions
+    (each would be a single-task sort of the customer base)."""
+    plan = _formatted_plan(QUERIES["customer_rfm_segments"].fn(spark, sf_dir))
+    assert "_bnt_rn" in plan
+    assert "ntile(" not in plan
+
+
+def test_dsir_top_n_is_take_ordered(spark, sf_dir):
+    """DSIR selection: per-partition top-n + bounded merge, never a
+    corpus-sized global rank window."""
+    plan = _formatted_plan(
+        QUERIES["importance_weighted_docs"].fn(spark, sf_dir)
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_top_n_selections_take_ordered(spark, sf_dir):
+    """Vocabulary top-k, co-occurrence lift top-n, and triangle top-n all
+    compile to TakeOrderedAndProject."""
+    for name in ("doc_oov_rate", "parts_co_ordered", "copurchase_triangles"):
+        plan = _formatted_plan(QUERIES[name].fn(spark, sf_dir))
+        assert "TakeOrderedAndProject" in plan, name
+
+
+def test_pca_loop_has_no_corpus_joins_or_id_shuffles(spark, sf_dir):
+    """The array-fold PCA: no join of the corpus against per-id scores
+    (the rejected long-table shape) — no sort-merge or shuffled-hash join
+    anywhere, no hash exchange on the vector id."""
+    plan = _formatted_plan(
+        QUERIES["embedding_pca_component"].fn(spark, sf_dir)
+    )
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "hashpartitioning(_id" not in plan
