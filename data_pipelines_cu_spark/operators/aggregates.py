@@ -1016,6 +1016,99 @@ def seasonal_naive_sql(table: str = "events", ts_col: str = "ts") -> str:
     """
 
 
+def cusum_changepoint(
+    df: DataFrame,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Single-changepoint detection over the daily event-count series —
+    the offline CUSUM statistic (Page's test shape): the day t maximizing
+    |S_t − t·μ| over cumulative sums S. Evaluated as the ALL-INTEGER
+    argmax of |D·S_t − t·S_D| (D days, S_D total events): no mean, no
+    division, no float anywhere near the comparison, so the selected day
+    is bit-exact on any engine; the reported magnitudes divide once at
+    the end. Complements the PSI/seasonal/anomaly drift family with a
+    "WHEN did the level shift" answer.
+
+    1 row out: (change_day, n_days, cusum_peak = |C_t|, mean_before,
+    mean_after; mean_after NULL when the argmax is the last day — a
+    constant series ties every |G| at 0 and the earliest day wins).
+
+    Plan: one date-keyed count shuffle; every window below runs on the
+    CALENDAR-sized daily table (one row per day — an annotated
+    small-table global window, not a corpus sort)."""
+    from pyspark.sql import Window as W  # noqa: PLC0415
+
+    daily = df.groupBy(F.to_date(ts_col).alias("_d")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    w_ord = W.orderBy("_d").rowsBetween(W.unboundedPreceding, 0)
+    w_all = W.partitionBy(F.lit(1))
+    cum = daily.select(
+        "_d",
+        F.sum("_n").over(w_ord).alias("_s"),
+        F.row_number().over(W.orderBy("_d")).cast("long").alias("_t"),
+    ).select(
+        "*",
+        F.max("_t").over(w_all).alias("_nd"),
+        F.max("_s").over(w_all).alias("_sd"),  # counts are >= 1, so the
+        # cumulative sum is strictly increasing and max = grand total
+    )
+    g = F.abs(F.col("_nd") * F.col("_s") - F.col("_t") * F.col("_sd"))
+    w_pick = W.orderBy(g.desc(), F.col("_t").asc())
+    return (
+        cum.withColumn("_rk", F.row_number().over(w_pick))
+        .filter(F.col("_rk") == 1)
+        .select(
+            F.date_format("_d", "yyyy-MM-dd").alias("change_day"),
+            F.col("_nd").alias("n_days"),
+            F.round(g.cast("double") / F.col("_nd"), 6).alias("cusum_peak"),
+            F.round(F.col("_s").cast("double") / F.col("_t"), 6).alias(
+                "mean_before"
+            ),
+            F.when(
+                F.col("_t") < F.col("_nd"),
+                F.round(
+                    (F.col("_sd") - F.col("_s")).cast("double")
+                    / (F.col("_nd") - F.col("_t")),
+                    6,
+                ),
+            ).alias("mean_after"),
+        )
+    )
+
+
+def cusum_changepoint_sql(table: str = "events", ts_col: str = "ts") -> str:
+    """DuckDB twin of cusum_changepoint (same integer argmax, same final
+    divisions)."""
+    return f"""
+    WITH daily AS (
+        SELECT CAST({ts_col} AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+        FROM {table} GROUP BY 1
+    ),
+    cum AS (
+        SELECT d,
+               CAST(SUM(n) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS s,
+               CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS t,
+               CAST(COUNT(*) OVER () AS BIGINT) AS nd,
+               CAST(SUM(n) OVER () AS BIGINT) AS sd
+        FROM daily
+    ),
+    scored AS (SELECT *, ABS(nd * s - t * sd) AS ag FROM cum),
+    pick AS (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY ag DESC, t) AS rk FROM scored
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS change_day,
+           nd AS n_days,
+           ROUND(CAST(ag AS DOUBLE) / nd, 6) AS cusum_peak,
+           ROUND(CAST(s AS DOUBLE) / t, 6) AS mean_before,
+           CASE WHEN t < nd
+                THEN ROUND(CAST(sd - s AS DOUBLE) / (nd - t), 6) END
+               AS mean_after
+    FROM pick WHERE rk = 1
+    """
+
+
 def psi_reference_edges(
     ref: DataFrame,
     value_col: str = "value",

@@ -5671,6 +5671,88 @@ def event_session_concurrency_q(spark, sf_dir):
     )
 
 
+@register("daily_volume_changepoint", agg.cusum_changepoint_sql())
+def daily_volume_changepoint_q(spark, sf_dir):
+    """WHEN did the event level shift: offline CUSUM changepoint over
+    the daily count series — the day maximizing |S_t − t·μ|, selected by
+    the ALL-INTEGER argmax |D·S_t − t·S_D| so the chosen day is
+    engine-exact; magnitudes divide once at the end. Every window runs
+    on the calendar-sized daily table
+    (operators/aggregates.py::cusum_changepoint)."""
+    return agg.cusum_changepoint(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "part_entity_resolution",
+    """
+    WITH RECURSIVE pairs AS (
+        SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+        FROM part a JOIN part b
+          ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        WHERE levenshtein(a.p_name, b.p_name) <= 2
+          AND a.p_name <> b.p_name
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    assign AS (
+        SELECT a AS member, LEAST(a, MIN(b)) AS canonical_id
+        FROM reach GROUP BY a
+    )
+    SELECT s.canonical_id,
+           p.p_name AS canonical_name,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           string_agg(CAST(s.member AS VARCHAR), ',' ORDER BY s.member)
+               AS member_ids
+    FROM assign s JOIN part p ON p.p_partkey = s.canonical_id
+    GROUP BY s.canonical_id, p.p_name
+    """,
+)
+def part_entity_resolution_q(spark, sf_dir):
+    """End-to-end ENTITY RESOLUTION over a dimension table — the MDM
+    composition of three existing operators in one plan: PassJoin fuzzy
+    blocking (segment equi-join candidates, thresholded-levenshtein
+    verify — operators/joins.py::edit_distance_pairs), pointer-doubling
+    connected components over the match graph
+    (operators/dedup.py::dedup_clusters), and canonical-survivor rollup
+    (min-id canonical, member roster as a deterministic sorted string).
+    Exact-name duplicates route through the exact-dedup operators; this
+    resolves the NEAR-identical names those can't see. Oracle: the same
+    pair predicate + recursive-CTE transitive closure."""
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand")
+    pairs = jn.edit_distance_pairs(
+        p, id_col="p_partkey", str_col="p_name", block_col="p_brand", d=2
+    )
+    assign = dd.dedup_clusters(pairs)
+    names = p.select(
+        F.col("p_partkey").alias("canonical_id"),
+        F.col("p_name").alias("canonical_name"),
+    )
+    return (
+        assign.groupBy("canonical_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("member_ids"),
+        )
+        .join(F.broadcast(names), "canonical_id")
+        .select(
+            "canonical_id", "canonical_name", "n_members", "member_ids"
+        )
+    )
+
+
 @register("customer_revenue_gini", agg.gini_oracle_sql())
 def customer_revenue_gini_q(spark, sf_dir):
     """Revenue concentration over the FULL customer base: decile Lorenz

@@ -424,3 +424,93 @@ def test_gif_transcode_any_to_any():
     assert gif[:6] == b"GIF89a"
     back = transcode_image(gif, "png")
     assert (decode_pixels(back) == img).all()
+
+
+# --- Round-7 new registry entries (2 — the rotation cap) ----------------------
+
+
+def test_cusum_constant_series_picks_earliest_day(spark):
+    """A perfectly flat series ties every |G| at 0: the earliest day wins
+    (deterministic tiebreak), the peak is 0, and both means equal the
+    constant level."""
+    rows = [
+        (i * 10 + j, f"2024-02-{d:02d} 03:00:00")
+        for i, d in enumerate(range(1, 8))
+        for j in range(5)
+    ]
+    df = spark.createDataFrame(
+        [(eid, ts) for eid, ts in rows], "event_id long, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = ag.cusum_changepoint(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["change_day"] == "2024-02-01"
+    assert r["cusum_peak"] == 0.0
+    assert r["mean_before"] == 5.0 and r["mean_after"] == 5.0
+    assert r["n_days"] == 7
+
+
+def test_cusum_single_day_mean_after_null(spark):
+    """One day of data: the argmax is the last (only) day, so mean_after
+    is NULL, not a DIVIDE_BY_ZERO crash."""
+    df = spark.createDataFrame(
+        [(1, "2024-02-01 03:00:00"), (2, "2024-02-01 04:00:00")],
+        "event_id long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    r = ag.cusum_changepoint(df).collect()[0]
+    assert r["n_days"] == 1 and r["mean_after"] is None
+    assert r["mean_before"] == 2.0 and r["cusum_peak"] == 0.0
+
+
+def test_cusum_detects_obvious_level_shift(spark):
+    """10 days at 2/day then 10 days at 20/day: the changepoint is the
+    last low day, mean_before = 2, mean_after = 20."""
+    rows = []
+    eid = 0
+    for d in range(1, 11):
+        for _ in range(2):
+            rows.append((eid, f"2024-03-{d:02d} 01:00:00")); eid += 1
+    for d in range(11, 21):
+        for _ in range(20):
+            rows.append((eid, f"2024-03-{d:02d} 01:00:00")); eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    r = ag.cusum_changepoint(df).collect()[0]
+    assert r["change_day"] == "2024-03-10"
+    assert r["mean_before"] == 2.0 and r["mean_after"] == 20.0
+
+
+def test_entity_resolution_roster_is_numeric_sorted(spark):
+    """Member rosters sort NUMERICALLY (9 before 10) — a lexicographic
+    sort of string-cast ids would silently diverge from the oracle's
+    ORDER BY member."""
+    rows = [
+        (9, "navy linen case", "B1"),
+        (10, "navy linen vase", "B1"),
+        (100, "navy linen base", "B1"),
+        (5, "unrelated widget", "B2"),
+    ]
+    p = spark.createDataFrame(rows, "p_partkey long, p_name string, p_brand string")
+    pairs = jn.edit_distance_pairs(
+        p, id_col="p_partkey", str_col="p_name", block_col="p_brand", d=2
+    )
+    from data_pipelines_cu_spark.operators import dedup as dd
+
+    assign = dd.dedup_clusters(pairs)
+    roster = (
+        assign.groupBy("canonical_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("member_ids")
+        )
+        .collect()
+    )
+    assert len(roster) == 1
+    assert roster[0]["canonical_id"] == 9
+    assert roster[0]["member_ids"] == "9,10,100"
