@@ -1035,18 +1035,28 @@ def cusum_changepoint(
 
     Plan: one date-keyed count shuffle; every window below runs on the
     CALENDAR-sized daily table (one row per day — an annotated
-    small-table global window, not a corpus sort)."""
+    small-table global window, not a corpus sort). Day counts MERGE BY
+    ADDITION, so the finish step (cusum_from_daily) is shared with the
+    streaming monitor's per-batch-partials reader — stream-so-far equals
+    the batch report bit-for-bit."""
+    daily = df.groupBy(
+        F.date_format(F.to_date(ts_col), "yyyy-MM-dd").alias("event_date")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return cusum_from_daily(daily)
+
+
+def cusum_from_daily(daily: DataFrame) -> DataFrame:
+    """The CUSUM finish step over a mergeable (event_date 'yyyy-MM-dd',
+    n) day-count table — shared verbatim by the batch operator and the
+    streaming monitor so the two are equal by construction."""
     from pyspark.sql import Window as W  # noqa: PLC0415
 
-    daily = df.groupBy(F.to_date(ts_col).alias("_d")).agg(
-        F.count(F.lit(1)).alias("_n")
-    )
-    w_ord = W.orderBy("_d").rowsBetween(W.unboundedPreceding, 0)
+    w_ord = W.orderBy("event_date").rowsBetween(W.unboundedPreceding, 0)
     w_all = W.partitionBy(F.lit(1))
     cum = daily.select(
-        "_d",
-        F.sum("_n").over(w_ord).alias("_s"),
-        F.row_number().over(W.orderBy("_d")).cast("long").alias("_t"),
+        "event_date",
+        F.sum("n").over(w_ord).alias("_s"),
+        F.row_number().over(W.orderBy("event_date")).cast("long").alias("_t"),
     ).select(
         "*",
         F.max("_t").over(w_all).alias("_nd"),
@@ -1059,7 +1069,7 @@ def cusum_changepoint(
         cum.withColumn("_rk", F.row_number().over(w_pick))
         .filter(F.col("_rk") == 1)
         .select(
-            F.date_format("_d", "yyyy-MM-dd").alias("change_day"),
+            F.col("event_date").alias("change_day"),
             F.col("_nd").alias("n_days"),
             F.round(g.cast("double") / F.col("_nd"), 6).alias("cusum_peak"),
             F.round(F.col("_s").cast("double") / F.col("_t"), 6).alias(

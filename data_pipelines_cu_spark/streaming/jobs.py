@@ -622,6 +622,46 @@ def run_streaming_daily_anomalies(
     return writer.start()
 
 
+def run_streaming_cusum(
+    events: DataFrame,
+    counts_path: str,
+    checkpoint: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming CUSUM changepoint monitor: the SAME mergeable day-count
+    partials as the anomaly gate (daily_count_batch — per-batch
+    (event_date, n) in a batch_id partition, dynamic overwrite makes
+    replays no-ops), finished by cusum_from_counts through the exact
+    code path the batch operator uses (cusum_from_daily), so the
+    stream-so-far changepoint equals the batch changepoint over the same
+    rows bit-for-bit."""
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        daily_count_batch(batch, batch_id, counts_path)
+
+    writer = (
+        events.writeStream.outputMode("append")
+        .foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def cusum_from_counts(spark, counts_path: str) -> DataFrame:
+    """Merge the per-batch day-count partials by addition and run the
+    shared CUSUM finish step."""
+    from ..operators.aggregates import cusum_from_daily
+
+    merged = (
+        spark.read.parquet(counts_path)
+        .groupBy("event_date")
+        .agg(F.sum("n").alias("n"))
+    )
+    return cusum_from_daily(merged)
+
+
 def daily_anomalies_from_counts(spark, counts_path: str, k: int = 2) -> DataFrame:
     """Merge the per-batch day-count partials (addition — the mergeable
     contract) and flag against the weekday baseline with the SAME shared

@@ -862,3 +862,64 @@ def test_streaming_psi_matches_batch_reference_psi(spark, tmp_path):
     psi_counts_batch(b0, 0, counts_path, edges_path)
     after = sorted(map(tuple, spark.read.parquet(counts_path).collect()))
     assert before == after
+
+
+def test_streaming_cusum_matches_batch_changepoint(spark, tmp_path):
+    """Streaming CUSUM monitor: per-batch mergeable day counts, finished
+    through the SAME cusum_from_daily code path as the batch operator —
+    the stream-so-far changepoint must equal the batch changepoint over
+    the union bit-for-bit (the level shift straddles the micro-batch
+    boundary on purpose), and a batch replay must not change the stored
+    counts."""
+    import json as _json
+
+    from data_pipelines_cu_spark.operators.aggregates import (
+        cusum_changepoint,
+    )
+    from data_pipelines_cu_spark.streaming.jobs import (
+        cusum_from_counts,
+        daily_count_batch,
+        run_streaming_cusum,
+    )
+
+    src = tmp_path / "cusum_in"
+    src.mkdir()
+    rows = []
+    for day in range(1, 25):
+        n = 3 if day <= 12 else 17  # level shift at day 12/13
+        rows += [
+            {"ts": f"2024-01-{day:02d} 08:{i % 60:02d}:00"} for i in range(n)
+        ]
+    half = len(rows) // 2  # splits INSIDE the post-shift regime
+    for i, chunk in enumerate([rows[:half], rows[half:]]):
+        p = src / f"part-{i}.json"
+        with open(p, "w") as f:
+            for r in chunk:
+                f.write(_json.dumps(r) + "\n")
+        os.utime(p, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    counts_path = str(tmp_path / "cusum_counts")
+    stream = (
+        spark.readStream.schema("ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = run_streaming_cusum(stream, counts_path, str(tmp_path / "ck_cusum"))
+    q.awaitTermination(120)
+
+    merged = cusum_from_counts(spark, counts_path)
+    batch_df = spark.createDataFrame(
+        [(r["ts"],) for r in rows], "ts string"
+    ).selectExpr("CAST(ts AS TIMESTAMP) AS ts")
+    expected = cusum_changepoint(batch_df)
+    got = sorted(map(tuple, merged.collect()))
+    want = sorted(map(tuple, expected.collect()))
+    assert got == want
+    assert got[0][0] == "2024-01-12"  # the boundary day before the shift
+
+    # replay idempotency: re-running batch 0 must not change the counts
+    before = sorted(map(tuple, spark.read.parquet(counts_path).collect()))
+    b0 = spark.read.schema("ts timestamp").json(str(src / "part-0.json"))
+    daily_count_batch(b0, 0, counts_path)
+    after = sorted(map(tuple, spark.read.parquet(counts_path).collect()))
+    assert before == after
