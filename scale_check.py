@@ -65,6 +65,8 @@ HEAVY = [
     "quality_calibrated_scores",
     "importance_weighted_docs",
     "customer_rfm_segments",
+    # round-7b: the ER composite (PassJoin blocking + CC + survivor)
+    "part_entity_resolution",
 ]
 
 # Optional subset filter: SPARK_GRAFT_SCALE_ONLY="a,b" runs just those.
