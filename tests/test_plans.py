@@ -528,3 +528,13 @@ def test_pca_loop_has_no_corpus_joins_or_id_shuffles(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
     assert "hashpartitioning(_id" not in plan
+
+
+def test_chained_blocked_ranks_do_not_duplicate_upstream(spark, sf_dir):
+    """Regression guard on the blocked-rank checkpoint cut:
+    spark_partition_id() disables ReusedExchange, so without the
+    localCheckpoint inside blocked_row_number, three chained NTILEs
+    compiled the orders scan into 128 copies. The plan may scan orders
+    at most twice (base aggregate + max-date broadcast)."""
+    plan = _formatted_plan(QUERIES["customer_rfm_segments"].fn(spark, sf_dir))
+    assert plan.count("Scan parquet") + plan.count("FileScan") <= 2

@@ -573,3 +573,86 @@ def test_progressive_jpeg_equals_baseline_any_shape(h, w, amp):
     got = mm.decode_pixels(mm.encode_jpeg_progressive(img))
     want = mm.decode_pixels(mm.encode_jpeg_baseline(img))
     assert np.array_equal(got, want)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),
+            st.one_of(
+                st.none(),
+                st.floats(
+                    min_value=-50, max_value=50, allow_nan=False, width=32
+                ),
+            ),
+        ),
+        min_size=0,
+        max_size=80,
+        unique_by=lambda r: r[0],
+    ),
+    n_blocks=st.sampled_from([1, 2, 5, 32]),
+    n_tiles=st.sampled_from([1, 3, 4, 10]),
+)
+@settings(**SETTINGS)
+def test_blocked_rank_and_ntile_match_windows(spark, rows, n_blocks, n_tiles):
+    """blocked_row_number / blocked_ntile equal the single-window forms on
+    ARBITRARY inputs — ties, NULLs, empty, any block count (the property
+    the five round-7 rank rewrites rely on for byte-identical oracles)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, "k long, v double")
+    exp = {
+        (r.k, r.r)
+        for r in df.select(
+            "k", F.row_number().over(W.orderBy("v", "k")).alias("r")
+        ).collect()
+    }
+    got = {
+        (r.k, r.r)
+        for r in windows.blocked_row_number(
+            df, ["v", "k"], rank_col="r", n_blocks=n_blocks
+        )
+        .select("k", "r")
+        .collect()
+    }
+    assert got == exp
+    exp_t = {
+        (r.k, r.t)
+        for r in df.select(
+            "k", F.ntile(n_tiles).over(W.orderBy("v", "k")).alias("t")
+        ).collect()
+    }
+    got_t = {
+        (r.k, r.t)
+        for r in windows.blocked_ntile(
+            df, ["v", "k"], n_tiles, out_col="t", n_blocks=n_blocks
+        )
+        .select("k", "t")
+        .collect()
+    }
+    assert got_t == exp_t
+
+
+@given(
+    h=st.integers(min_value=1, max_value=24),
+    w=st.integers(min_value=1, max_value=24),
+    n_colors=st.integers(min_value=1, max_value=256),
+    interlace=st.booleans(),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(**SETTINGS)
+def test_gif_round_trip_any_shape(h, w, n_colors, interlace, seed):
+    """encode_gif -> decode_pixels is the identity for ANY palette-bound
+    image, shape, palette size (crossing every LZW width boundary), and
+    interlace flag."""
+    import numpy as np
+
+    from data_pipelines_cu_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, size=(n_colors, 3), dtype=np.uint8)
+    px = pal[rng.integers(0, n_colors, size=(h, w))]
+    assert np.array_equal(
+        mm.decode_pixels(mm.encode_gif(px, interlace=interlace)), px
+    )
