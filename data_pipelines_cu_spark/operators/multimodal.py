@@ -168,12 +168,14 @@ def decode_pixels(payload: bytes):
 
 
 # --- GIF (LZW) ----------------------------------------------------------------
-# First-frame render of a GIF87a/89a stream: variable-width LSB-first LZW
-# with clear/end codes and early width change, global/local color tables,
-# 4-pass interlace, sub-screen frames composed on the background color,
-# transparent pixels showing the background through. Own encoder (real
-# growing-dictionary LZW, clear-code reset at 4096) so the codec is
-# property-testable without any library, like the PNG/JPEG surface.
+# First-frame render of a GIF87a/89a stream per the public GIF89a
+# specification (CompuServe 1990) and the Welch LZW variant it mandates:
+# variable-width LSB-first codes with clear/end codes and early width
+# change, global/local color tables, 4-pass interlace, sub-screen frames
+# composed on the background color, transparent pixels showing the
+# background through. Own encoder (real growing-dictionary LZW,
+# clear-code reset at 4096) so the codec is property-testable without
+# any library, like the PNG/JPEG surface.
 
 _GIF_MAX_CODE = 4096
 
