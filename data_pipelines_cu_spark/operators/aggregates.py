@@ -1096,10 +1096,15 @@ def cusum_changepoint_sql(table: str = "events", ts_col: str = "ts") -> str:
         FROM {table} GROUP BY 1
     ),
     cum AS (
+        -- NULLS FIRST pins DuckDB (default NULLS LAST) to Spark's
+        -- asc_nulls_first ordering: a NULL-timestamp day must take the
+        -- same rank on both engines (the PSI/temperature ADVICE class)
         SELECT d,
-               CAST(SUM(n) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+               CAST(SUM(n) OVER (ORDER BY d NULLS FIRST
+                                 ROWS UNBOUNDED PRECEDING)
                     AS BIGINT) AS s,
-               CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS t,
+               CAST(ROW_NUMBER() OVER (ORDER BY d NULLS FIRST) AS BIGINT)
+                   AS t,
                CAST(COUNT(*) OVER () AS BIGINT) AS nd,
                CAST(SUM(n) OVER () AS BIGINT) AS sd
         FROM daily

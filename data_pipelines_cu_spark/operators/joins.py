@@ -292,40 +292,46 @@ def interval_point_join(
     8,760). Intervals covering more than ``long_factor`` fine buckets
     therefore route through a SECOND, coarser lane (bucket width
     ``bucket_us * long_factor``): their explode factor drops by
-    ``long_factor``×, while every point also keys into its single coarse
-    bucket. Each interval lives in EXACTLY ONE lane, so every
-    (point, interval) pair still arises from exactly one equi-join row.
-    Explode factor is thus ≤ max(long_factor + 1, span/(bucket·factor))
-    — the year-long hour-bucket case emits 137 coarse rows, not 8,760;
-    one more lane level bounds any span at any scale."""
-    fine = F.expr(f"{t_col} div {bucket_us}")
+    ``long_factor``×. Each interval lives in EXACTLY ONE lane (the lane
+    flag is part of the join key) and each point keys into exactly one
+    bucket per lane, so every (point, interval) pair still arises from
+    exactly one equi-join row. Explode factor is thus
+    ≤ max(long_factor + 1, span/(bucket·factor)) — the year-long
+    hour-bucket case emits 137 coarse rows, not 8,760; one more lane
+    level bounds any span at any scale. ONE join, ONE scan per side: the
+    point side explodes to exactly two (lane, bucket) keys instead of
+    joining twice (a lane-per-join formulation re-executed both upstream
+    plans — the double-consumed-DataFrame pitfall)."""
     coarse_us = bucket_us * long_factor
-    coarse = F.expr(f"{t_col} div {coarse_us}")
-    n_fine = F.expr(
-        f"{end_col} div {bucket_us} - {start_col} div {bucket_us} + 1"
+    is_long = (
+        f"({end_col} div {bucket_us} - {start_col} div {bucket_us} + 1)"
+        f" > {long_factor}"
     )
-    is_long = n_fine > long_factor
-    containment = (F.col(t_col) >= F.col(start_col)) & (
-        F.col(t_col) <= F.col(end_col)
+    pts = points.select(
+        "*",
+        F.expr(
+            f"explode(array("
+            f" named_struct('_lg', false, '_bk', {t_col} div {bucket_us}),"
+            f" named_struct('_lg', true,  '_bk', {t_col} div {coarse_us})"
+            f"))"
+        ).alias("_lane"),
+    ).select("*", "_lane._lg", "_lane._bk").drop("_lane")
+    ivs = intervals.select(
+        "*",
+        F.expr(is_long).alias("_lg"),
+        F.explode(
+            F.expr(
+                f"sequence("
+                f" {start_col} div IF({is_long}, {coarse_us}, {bucket_us}),"
+                f" {end_col} div IF({is_long}, {coarse_us}, {bucket_us}))"
+            )
+        ).alias("_bk"),
     )
-
-    def lane(ivs: DataFrame, pt_bucket, width: int) -> DataFrame:
-        exploded = ivs.withColumn(
-            "_bk",
-            F.explode(
-                F.expr(
-                    f"sequence({start_col} div {width},"
-                    f" {end_col} div {width})"
-                )
-            ),
+    return (
+        pts.join(ivs, ["_lg", "_bk"])
+        .filter(
+            (F.col(t_col) >= F.col(start_col))
+            & (F.col(t_col) <= F.col(end_col))
         )
-        return (
-            points.withColumn("_bk", pt_bucket)
-            .join(exploded, "_bk")
-            .filter(containment)
-            .drop("_bk")
-        )
-
-    return lane(intervals.filter(~is_long), fine, bucket_us).unionByName(
-        lane(intervals.filter(is_long), coarse, coarse_us)
+        .drop("_lg", "_bk")
     )

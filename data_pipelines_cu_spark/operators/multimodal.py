@@ -163,7 +163,12 @@ def decode_pixels(payload: bytes):
     if payload[:2] == b"\xff\xd8":
         return _decode_jpeg(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
-        return _decode_gif(payload)
+        try:
+            return _decode_gif(payload)
+        except (IndexError, struct.error) as exc:
+            # truncated block chains index past the buffer — surface the
+            # documented ValueError, not a bare IndexError
+            raise ValueError(f"corrupt GIF stream: {exc}") from exc
     raise ValueError(f"unrecognized image magic {payload[:2]!r}")
 
 
@@ -297,7 +302,13 @@ def _decode_gif(payload: bytes):
             out_rows = np.empty_like(idx)
             out_rows[_gif_interlace_order(fh)] = idx
             idx = out_rows
-        bg = pal[bg_idx] if bg_idx < len(pal) else np.zeros(3, np.uint8)
+        # the background color index is into the GLOBAL color table by
+        # spec — never the frame's local table
+        bg = (
+            gct[bg_idx]
+            if gct is not None and bg_idx < len(gct)
+            else np.zeros(3, np.uint8)
+        )
         canvas = np.tile(bg.astype(np.uint8), (sh, sw, 1))
         frame = pal[np.minimum(idx, len(pal) - 1)]
         if transparent >= 0:

@@ -317,7 +317,10 @@ def importance_weighted_sample(
     top-n + driver-side merge of n_partitions × top_n rows — no global
     sort, no corpus-sized rank window); the rank column is minted by a
     window over the ALREADY top_n-bounded result. Linear in corpus size
-    at any scale.
+    at any scale. NB: Spark compiles Sort+Limit to TakeOrdered only below
+    ``spark.sql.execution.topKSortFallbackThreshold`` (default 10,000) —
+    callers selecting top_n beyond that must raise the conf or the plan
+    silently falls back to a full global sort.
     """
     from .dedup import normalized_text  # noqa: PLC0415 (cycle guard)
 

@@ -51,9 +51,11 @@ def blocked_row_number(
     n_blocks: int = 32,
 ) -> DataFrame:
     """Exact global ROW_NUMBER over ``order_by`` with NO single-task global
-    sort. Returns ``df`` plus ``rank_col`` (IntegerType, 1-based, identical
-    to ``row_number().over(Window.orderBy(*order_by))`` whenever
-    ``order_by`` is a TOTAL order — include a unique tiebreak key).
+    sort. Returns ``df`` plus ``rank_col`` (LongType, 1-based — NOT the
+    window function's IntegerType: the helper exists precisely for corpora
+    past 2^31 rows, where an int rank would wrap; values are identical to
+    ``row_number().over(Window.orderBy(*order_by))`` whenever ``order_by``
+    is a TOTAL order — include a unique tiebreak key).
 
     Two-level plan: ``repartitionByRange(n_blocks, *order_by)`` splits the
     key space into contiguous ascending blocks (block id = range partition
@@ -101,7 +103,7 @@ def blocked_row_number(
         .join(F.broadcast(off), "_brn_blk")
         .withColumn(
             rank_col,
-            (F.col("_brn_off") + F.col("_brn_lr")).cast("int"),
+            (F.col("_brn_off") + F.col("_brn_lr")).cast("long"),
         )
         .drop("_brn_blk", "_brn_lr", "_brn_off")
     )

@@ -514,3 +514,84 @@ def test_entity_resolution_roster_is_numeric_sorted(spark):
     assert len(roster) == 1
     assert roster[0]["canonical_id"] == 9
     assert roster[0]["member_ids"] == "9,10,100"
+
+
+def test_gif_background_index_resolves_against_global_table():
+    """Review fix: the background color index is into the GLOBAL color
+    table by spec — a first frame carrying a LOCAL color table must not
+    rebind it. 4x4 screen, GCT bg = white; 2x2 sub-frame with an LCT
+    (red/green): the border must be GCT-white, the frame LCT-colored."""
+    import struct
+
+    from data_pipelines_cu_spark.operators.multimodal import (
+        _gif_lzw_encode,
+        decode_pixels,
+    )
+
+    gct = bytes([0, 0, 255, 255, 255, 255])  # 0 = blue, 1 = white (bg)
+    lct = bytes([255, 0, 0, 0, 255, 0])  # 0 = red, 1 = green
+    payload = bytearray(b"GIF89a")
+    payload += struct.pack("<HHBBB", 4, 4, 0x80 | 0x70 | 0x00, 1, 0)
+    payload += gct
+    # image descriptor at (1,1) 2x2 with a local color table (0x80 | size 0)
+    payload += struct.pack("<BHHHHB", 0x2C, 1, 1, 2, 2, 0x80)
+    payload += lct
+    data = _gif_lzw_encode(bytes([0, 1, 1, 0]), 2)
+    payload.append(2)
+    payload.append(len(data))
+    payload += data
+    payload += b"\x00\x3b"
+    out = decode_pixels(bytes(payload))
+    assert (out[0] == [255, 255, 255]).all()  # GCT white, not LCT green
+    assert (out[:, 0] == [255, 255, 255]).all()
+    assert (out[1, 1] == [255, 0, 0]).all() and (out[1, 2] == [0, 255, 0]).all()
+    assert (out[2, 1] == [0, 255, 0]).all() and (out[2, 2] == [255, 0, 0]).all()
+
+
+def test_gif_truncated_payload_raises_valueerror():
+    """Review fix: truncated GIF block chains must surface the documented
+    ValueError, not a bare IndexError."""
+    import pytest
+
+    from data_pipelines_cu_spark.operators.multimodal import (
+        decode_pixels,
+        encode_gif,
+    )
+
+    full = encode_gif(_rand_img(8, 8, 5, 11))
+    for cut in (7, 12, len(full) // 2, len(full) - 3):
+        with pytest.raises(ValueError):
+            decode_pixels(full[:cut])
+
+
+def test_cusum_null_timestamp_day_rank_parity(spark):
+    """Review fix: a NULL-timestamp day ranks FIRST on both engines
+    (Spark asc_nulls_first vs the oracle's explicit NULLS FIRST) — the
+    cumulative sums and the integer argmax must stay engine-identical."""
+    rows = [
+        (1, None),
+        (2, "2024-01-02 01:00:00"),
+        (3, "2024-01-02 02:00:00"),
+        (4, "2024-01-03 01:00:00"),
+        (5, None),
+        (6, "2024-01-10 01:00:00"),
+        (7, "2024-01-10 02:00:00"),
+        (8, "2024-01-10 03:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    got = ag.cusum_changepoint(df).toPandas()
+    con = duckdb.connect()
+    con.sql(
+        "CREATE TABLE events AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, {'NULL::TIMESTAMP' if t is None else repr(t) + '::TIMESTAMP'})"
+            for i, t in rows
+        )
+        + ") t(event_id, ts)"
+    )
+    exp = con.sql(ag.cusum_changepoint_sql()).df()
+    assert rows_key(
+        list(got.columns), got.itertuples(index=False, name=None)
+    ) == rows_key(list(exp.columns), exp.itertuples(index=False, name=None))
