@@ -621,6 +621,28 @@ def nb_lang_oracle_sql(
 # whitening, and drift diagnostics all start from.
 
 
+def projection_fold_expr(vec_col: str = "_v", w_col: str = "_wa") -> str:
+    """The row-local exact projection fold s = x·w as a SQL expression:
+    zip_with products cast to DECIMAL(37,12), each fold step cast back to
+    DECIMAL(37,12). (37,12)+(37,12) widens to (38,12) with no scale loss,
+    so the cast-back is exact — the fold is bit-identical to
+    SUM(CAST(x*w AS DECIMAL(38,12))) whenever every product and every
+    partial sum stays below 1e25 in magnitude (25 integer digits; the
+    previous (30,12) accumulator bound was 1e18, and under ANSI mode a
+    breach raised mid-query). NULL elements contribute 0 — identical to
+    SUM skipping NULL products. NB: pca_top_component's re-mix
+    SUM(CAST(s*x AS DECIMAL(38,12))) binds EARLIER, at |s·x| < 1e26 —
+    past it ANSI raises loudly rather than silently dropping rows."""
+    return (
+        "aggregate("
+        f" zip_with({vec_col}, {w_col},"
+        " (x, wv) -> CAST(x * wv AS DECIMAL(37,12))),"
+        " CAST(0 AS DECIMAL(37,12)),"
+        " (acc, p) -> CAST(acc + coalesce(p, CAST(0 AS DECIMAL(37,12)))"
+        " AS DECIMAL(37,12)))"
+    )
+
+
 def pca_top_component(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -640,9 +662,12 @@ def pca_top_component(
 
     Plan per round — ZERO joins, ZERO corpus shuffles: the vector table
     crossJoins the broadcast 1-row w array; s = x·w is a ROW-LOCAL exact
-    decimal fold (zip_with products cast to DECIMAL(30,12), each fold step
-    cast back to DECIMAL(30,12) — scale never drops, so the fold equals
-    the SUM(DECIMAL(38,12)) aggregate bit-for-bit; the naive fold widens
+    decimal fold (zip_with products cast to DECIMAL(37,12), each fold step
+    cast back to DECIMAL(37,12) — (37,12)+(37,12) widens to (38,12) with
+    no scale loss, so the cast-back is exact and the fold equals the
+    SUM(DECIMAL(38,12)) aggregate bit-for-bit as long as |s| stays under
+    1e25, i.e. 25 integer digits of headroom — unreachable for a unit-norm
+    w against any real embedding table; the naive fold widens
     to scale 11 per add and is NOT exact); the re-mix u = Σ s·x is one
     posexplode + dim-group aggregate whose map-side partials are the only
     bytes crossing an exchange (dim × n_partitions decimal sums). The
@@ -667,15 +692,7 @@ def pca_top_component(
     def dsum(col):
         return F.sum(col.cast("decimal(38,12)")).cast("double")
 
-    # NULL elements contribute 0 — identical to SUM skipping the NULL
-    # products in the oracle's s CTE
-    s_fold = (
-        "aggregate("
-        " zip_with(_v, _wa, (x, wv) -> CAST(x * wv AS DECIMAL(30,12))),"
-        " CAST(0 AS DECIMAL(30,12)),"
-        " (acc, p) -> CAST(acc + coalesce(p, CAST(0 AS DECIMAL(30,12)))"
-        " AS DECIMAL(30,12)))"
-    )
+    s_fold = projection_fold_expr()
     w = eig = None
     for _ in range(n_iters):
         st = vecs.crossJoin(F.broadcast(w_arr)).select(

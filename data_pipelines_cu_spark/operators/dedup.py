@@ -1188,12 +1188,18 @@ def ngram_containment_pairs(
     count per surviving (a, b) pair, divided by |grams(a)|. Pairs sharing
     zero grams never materialize, and no gram array ever crosses a pair —
     the all-pairs array_intersect variant measured 25x slower at sf0.1 and
-    is quadratic in block size at any scale."""
+    is quadratic in block size at any scale.
+
+    The distinct gram-rows table feeds THREE consumers (sizes, both join
+    sides) whose exchanges differ in output attributes, so Catalyst cannot
+    ReusedExchange them (measured: 6 parquet scans / 3 Generate stages
+    without the cut, 2 scans / 1 with) — it is checkpointed once."""
     grams = (
         gram_rows(df, text_col, id_col, n)
         .select(F.col(id_col), "gram")
         .distinct()
         .join(df.select(id_col, block_col), id_col)
+        .localCheckpoint(eager=True)
     )
     sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
     a = grams.select(

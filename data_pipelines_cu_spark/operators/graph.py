@@ -171,7 +171,7 @@ def co_occurrence_lift(
     over the DISTINCT item list (C(items, 2) rows per basket — bounded by
     basket width, never |items|²), count by pair key, then the per-item
     count table joins back twice. Ties: count DESC, item_a, item_b."""
-    from pyspark.sql import Window as W  # noqa: PLC0415
+    from .windows import take_ordered  # noqa: PLC0415 (cycle guard)
 
     items = df.select(
         F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
@@ -192,7 +192,7 @@ def co_occurrence_lift(
         F.col("pair_count").desc(), F.col("item_a").asc(),
         F.col("item_b").asc(),
     ]
-    top = (
+    lifted = (
         pairs.join(ca, "item_a")
         .join(cb, "item_b")
         .select(
@@ -205,13 +205,11 @@ def co_occurrence_lift(
                 6,
             ).alias("lift"),
         )
-        # top-n selection first (TakeOrderedAndProject — the pair table
-        # never single-task sorts); the rank window then orders <= top_n
-        # rows by contract
-        .orderBy(*order)
-        .limit(top_n)
     )
-    return top.withColumn("rank", F.row_number().over(W.orderBy(*order)))
+    # guarded top-n selection + rank: TakeOrderedAndProject below the
+    # topKSortFallbackThreshold, blocked rank past it — the pair table
+    # never single-task sorts either way
+    return take_ordered(lifted, order, top_n, rank_col="rank")
 
 
 def co_occurrence_sql(
@@ -300,7 +298,7 @@ def cooccurrence_triangles(
             ["a", "c"],
         )
     )
-    from pyspark.sql import Window  # noqa: PLC0415
+    from .windows import take_ordered  # noqa: PLC0415 (cycle guard)
 
     melted = tri.select(
         F.explode(F.array("a", "b", "c")).alias("item")
@@ -308,13 +306,11 @@ def cooccurrence_triangles(
     counted = melted.groupBy("item").agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
-    # top-n selection: TakeOrderedAndProject, never a global rank window
-    # over the item-sized count table
-    return (
-        counted.orderBy(F.col("n_triangles").desc(), F.col("item"))
-        .limit(top_n)
-        .select("item", "n_triangles")
-    )
+    # guarded top-n selection: TakeOrderedAndProject below the threshold,
+    # blocked rank past it — never a global sort of the item count table
+    return take_ordered(
+        counted, [F.col("n_triangles").desc(), F.col("item")], top_n
+    ).select("item", "n_triangles")
 
 
 def cooccurrence_triangles_sql(

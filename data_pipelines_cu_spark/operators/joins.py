@@ -271,7 +271,7 @@ def interval_point_join(
     start_col: str = "start_us",
     end_col: str = "end_us",
     bucket_us: int = 3_600_000_000,
-    long_factor: int = 64,
+    long_factor: int | None = 64,
 ) -> DataFrame:
     """Inner join of point rows to every interval containing them
     (``start ≤ t ≤ end``, integer microseconds) — the RANGE JOIN Spark's
@@ -301,37 +301,76 @@ def interval_point_join(
     level bounds any span at any scale. ONE join, ONE scan per side: the
     point side explodes to exactly two (lane, bucket) keys instead of
     joining twice (a lane-per-join formulation re-executed both upstream
-    plans — the double-consumed-DataFrame pitfall)."""
-    coarse_us = bucket_us * long_factor
-    is_long = (
-        f"({end_col} div {bucket_us} - {start_col} div {bucket_us} + 1)"
-        f" > {long_factor}"
-    )
-    pts = points.select(
-        "*",
-        F.expr(
-            f"explode(array("
-            f" named_struct('_lg', false, '_bk', {t_col} div {bucket_us}),"
-            f" named_struct('_lg', true,  '_bk', {t_col} div {coarse_us})"
-            f"))"
-        ).alias("_lane"),
-    ).select("*", "_lane._lg", "_lane._bk").drop("_lane")
-    ivs = intervals.select(
-        "*",
-        F.expr(is_long).alias("_lg"),
-        F.explode(
+    plans — the double-consumed-DataFrame pitfall).
+
+    The coarse lane doubles point-side shuffle volume, which is wasted
+    when NO interval is long (the common case). ``long_factor=None``
+    opts out explicitly (single fine lane, no point doubling); otherwise
+    a one-row probe aggregate over the interval side (column-pruned to
+    start/end) runs at plan-build time and skips the coarse lane when
+    the longest interval fits ``long_factor`` fine buckets — workloads
+    with no long interval pay one cheap interval-side scan instead of 2×
+    point shuffle. An empty interval table gates to the single lane.
+
+    Inverted intervals (start > end) can match no point under the
+    containment predicate, so they are dropped up front — without the
+    prefilter ``sequence(start_bucket, end_bucket)`` would count DOWN and
+    explode a hugely-inverted row into |span| bogus bucket rows before
+    the filter discards every candidate."""
+    intervals = intervals.filter(F.col(start_col) <= F.col(end_col))
+    if long_factor is not None:
+        span_buckets = F.expr(
+            f"{end_col} div {bucket_us} - {start_col} div {bucket_us} + 1"
+        )
+        row = intervals.agg(
+            F.max(span_buckets > F.lit(long_factor)).alias("_any_long")
+        ).first()
+        if not row[0]:
+            long_factor = None
+    if long_factor is None:
+        pts = points.withColumn("_bk", F.expr(f"{t_col} div {bucket_us}"))
+        ivs = intervals.select(
+            "*",
+            F.explode(
+                F.expr(
+                    f"sequence({start_col} div {bucket_us},"
+                    f" {end_col} div {bucket_us})"
+                )
+            ).alias("_bk"),
+        )
+        join_keys = ["_bk"]
+    else:
+        coarse_us = bucket_us * long_factor
+        is_long = (
+            f"({end_col} div {bucket_us} - {start_col} div {bucket_us} + 1)"
+            f" > {long_factor}"
+        )
+        pts = points.select(
+            "*",
             F.expr(
-                f"sequence("
-                f" {start_col} div IF({is_long}, {coarse_us}, {bucket_us}),"
-                f" {end_col} div IF({is_long}, {coarse_us}, {bucket_us}))"
-            )
-        ).alias("_bk"),
-    )
+                f"explode(array("
+                f" named_struct('_lg', false, '_bk', {t_col} div {bucket_us}),"
+                f" named_struct('_lg', true,  '_bk', {t_col} div {coarse_us})"
+                f"))"
+            ).alias("_lane"),
+        ).select("*", "_lane._lg", "_lane._bk").drop("_lane")
+        ivs = intervals.select(
+            "*",
+            F.expr(is_long).alias("_lg"),
+            F.explode(
+                F.expr(
+                    f"sequence("
+                    f" {start_col} div IF({is_long}, {coarse_us}, {bucket_us}),"
+                    f" {end_col} div IF({is_long}, {coarse_us}, {bucket_us}))"
+                )
+            ).alias("_bk"),
+        )
+        join_keys = ["_lg", "_bk"]
     return (
-        pts.join(ivs, ["_lg", "_bk"])
+        pts.join(ivs, join_keys)
         .filter(
             (F.col(t_col) >= F.col(start_col))
             & (F.col(t_col) <= F.col(end_col))
         )
-        .drop("_lg", "_bk")
+        .drop(*join_keys)
     )

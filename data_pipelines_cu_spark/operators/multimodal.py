@@ -278,6 +278,10 @@ def _decode_gif(payload: bytes):
         if block != 0x2C:
             raise ValueError(f"unexpected GIF block 0x{block:02x}")
         left, top, fw, fh = struct.unpack_from("<HHHH", payload, pos + 1)
+        if fw == 0 or fh == 0:
+            # a zero-area image descriptor carries no raster — reject as
+            # nonconforming rather than decode an empty frame
+            raise ValueError(f"GIF image descriptor has zero size ({fw}x{fh})")
         ipacked = payload[pos + 9]
         pos += 10
         pal = gct
@@ -310,7 +314,15 @@ def _decode_gif(payload: bytes):
             else np.zeros(3, np.uint8)
         )
         canvas = np.tile(bg.astype(np.uint8), (sh, sw, 1))
-        frame = pal[np.minimum(idx, len(pal) - 1)]
+        # a pixel index past the color table is a corrupt/nonconforming
+        # stream — reject like every other corrupt-stream path here, never
+        # decode silently-wrong pixels
+        if idx.size and int(idx.max()) >= len(pal):
+            raise ValueError(
+                f"GIF pixel index {int(idx.max())} out of range for"
+                f" {len(pal)}-entry color table"
+            )
+        frame = pal[idx]
         if transparent >= 0:
             keep = (idx != transparent)[:, :, None]
             frame = np.where(keep, frame, canvas[top : top + fh, left : left + fw])

@@ -363,12 +363,16 @@ def importance_weighted_sample(
             ).alias("imp_weight"),
         )
     )
+    from .windows import take_ordered  # noqa: PLC0415 (cycle guard)
+
     keep = df.select(id_col, *keep_cols)
     order = [F.col("imp_weight").desc(), F.col(id_col).asc()]
-    picked = scored.join(keep, id_col).orderBy(*order).limit(top_n)
-    # the window sorts <= top_n rows by contract — bounded, never the corpus
-    w = Window.orderBy(*order)
-    return picked.withColumn(rank_col, F.row_number().over(w)).select(
+    # guarded top-n: TakeOrdered below topKSortFallbackThreshold, blocked
+    # rank past it — never the silent full-sort fallback
+    picked = take_ordered(
+        scored.join(keep, id_col), order, top_n, rank_col=rank_col
+    )
+    return picked.select(
         id_col, *keep_cols, "n_tokens", "imp_weight", rank_col
     )
 
@@ -825,7 +829,9 @@ def priority_sample_finish(
     top-(k+1) of per-part top-(k+1) prefixes, this finish step applied to
     merged per-shard/per-batch prefixes reproduces the one-shot sample
     bit-for-bit — the mergeability the streaming job relies on."""
-    top = pri.orderBy(F.col("_q").desc(), F.col(id_col)).limit(k + 1)
+    from .windows import take_ordered  # noqa: PLC0415 (cycle guard)
+
+    top = take_ordered(pri, [F.col("_q").desc(), F.col(id_col)], k + 1)
     tau = F.broadcast(
         top.agg(
             F.when(F.count(F.lit(1)) > k, F.min("_q"))
@@ -834,8 +840,7 @@ def priority_sample_finish(
         )
     )
     return (
-        top.orderBy(F.col("_q").desc(), F.col(id_col))
-        .limit(k)
+        take_ordered(top, [F.col("_q").desc(), F.col(id_col)], k)
         .crossJoin(tau)
         .select(
             id_col,

@@ -585,13 +585,15 @@ def oov_rate(
         F.col(id_col), F.explode(F.split(normalized_text(text_col), " ")).alias("_w")
     )
     freq = words.groupBy("_w").agg(F.count(F.lit(1)).alias("_cnt"))
-    # top-k selection, not ranking: orderBy().limit() compiles to
-    # TakeOrderedAndProject (per-partition top-k + bounded merge) — the
+    from .windows import take_ordered  # noqa: PLC0415 (cycle guard)
+
+    # guarded top-k selection, not ranking: TakeOrderedAndProject below
+    # the topKSortFallbackThreshold, blocked rank past it — the
     # distinct-token table never single-task sorts
     vocab = F.broadcast(
-        freq.orderBy(F.col("_cnt").desc(), F.col("_w").asc())
-        .limit(vocab_size)
-        .select("_w", F.lit(True).alias("_in_v"))
+        take_ordered(
+            freq, [F.col("_cnt").desc(), F.col("_w").asc()], vocab_size
+        ).select("_w", F.lit(True).alias("_in_v"))
     )
     oov = F.sum(F.when(F.col("_in_v").isNull(), 1).otherwise(0))
     return (

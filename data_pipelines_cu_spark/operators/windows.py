@@ -49,6 +49,7 @@ def blocked_row_number(
     order_by: Sequence,
     rank_col: str = "_r",
     n_blocks: int = 32,
+    materialize: str = "local",
 ) -> DataFrame:
     """Exact global ROW_NUMBER over ``order_by`` with NO single-task global
     sort. Returns ``df`` plus ``rank_col`` (LongType, 1-based — NOT the
@@ -71,18 +72,45 @@ def blocked_row_number(
     coalescing the range exchange. One more blocking level extends the same
     plan to any scale.
 
-    The ranged table is localCheckpoint-ed: its two consumers (the ranking
+    The ranged table is checkpointed: its two consumers (the ranking
     window and the block-count aggregate) would otherwise each recompute
     the WHOLE upstream plan — ``spark_partition_id()`` is non-deterministic
     to Catalyst, which disables sameResult/ReusedExchange for this subtree,
     and a chain of blocked ranks (the RFM shape) doubles the plan per level
     without the cut (measured: 128 file scans and zero reuse for three
     chained ntiles; 3 scans with it).
+
+    ``materialize`` picks where that cut lives — the cost is real and a
+    caller ranking a genuinely corpus-sized table should choose
+    deliberately:
+
+    - ``"local"`` (default): ``localCheckpoint(eager=True)`` — executor
+      block storage, no extra shuffle or HDFS round-trip, but it PINS a
+      full copy of the ranged input on executor storage until the
+      DataFrame is garbage-collected (three chained calls, as in RFM, pin
+      three copies) and the lineage cut is NON-RELIABLE: losing any
+      executor after materialization makes the job unrecoverable (no
+      lineage left to recompute from). Right for gate/bench-sized tables
+      and for clusters where task retry, not executor loss, is the
+      failure mode.
+    - ``"reliable"``: ``checkpoint(eager=True)`` to the SparkContext's
+      checkpoint directory (caller must have called
+      ``spark.sparkContext.setCheckpointDir`` on durable storage, e.g.
+      HDFS/S3). One extra write+read of the ranged table, but executor
+      loss recovers by re-reading the checkpoint — the right trade for a
+      100 TB corpus where re-running the whole upstream plan costs hours.
     """
+    if materialize not in ("local", "reliable"):
+        raise ValueError(
+            f"materialize must be 'local' or 'reliable', got {materialize!r}"
+        )
+    ranged = df.repartitionByRange(n_blocks, *order_by).withColumn(
+        "_brn_blk", F.spark_partition_id()
+    )
     part = (
-        df.repartitionByRange(n_blocks, *order_by)
-        .withColumn("_brn_blk", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        ranged.localCheckpoint(eager=True)
+        if materialize == "local"
+        else ranged.checkpoint(eager=True)
     )
     w_loc = Window.partitionBy("_brn_blk").orderBy(*order_by)
     w_off = Window.orderBy("_brn_blk").rowsBetween(
@@ -109,12 +137,63 @@ def blocked_row_number(
     )
 
 
+def take_ordered(
+    df: DataFrame,
+    order_by: Sequence,
+    n: int,
+    rank_col: str | None = None,
+    n_blocks: int = 32,
+) -> DataFrame:
+    """Top-``n`` selection under ``order_by`` that never plans a
+    single-task global sort, whatever ``n`` is.
+
+    ``orderBy().limit(n)`` compiles to TakeOrderedAndProject
+    (per-partition top-n + bounded driver-side merge) ONLY while ``n`` is
+    strictly below ``spark.sql.execution.topKSortFallbackThreshold``
+    (default 10,000); at or past it Catalyst silently falls back to a
+    full global Sort + GlobalLimit — the whole input in one task. This
+    helper is the engine-wide chokepoint for top-n selection: small ``n``
+    takes the TakeOrdered fast path, large ``n`` routes through
+    :func:`blocked_row_number` + a rank filter, which selects the
+    identical row set whenever ``order_by`` is a total order (include a
+    unique tiebreak key, as every caller here does).
+
+    ``rank_col``: optionally annotate the 1-based selection rank. On the
+    fast path it is minted by a row_number window over the ALREADY
+    n-bounded result (< threshold rows by construction — bounded, never
+    the corpus) and is IntegerType, matching the plain window form; on
+    the blocked path it IS the blocked global rank (LongType — past 2^31
+    selected rows an int rank would wrap anyway).
+    """
+    spark = df.sparkSession
+    thr = int(
+        spark.conf.get(
+            "spark.sql.execution.topKSortFallbackThreshold", "10000"
+        )
+        or 10000
+    )
+    if n < thr:
+        out = df.orderBy(*order_by).limit(n)
+        if rank_col is not None:
+            out = out.withColumn(
+                rank_col, F.row_number().over(Window.orderBy(*order_by))
+            )
+        return out
+    ranked = blocked_row_number(df, order_by, "_tko_rn", n_blocks).filter(
+        F.col("_tko_rn") <= n
+    )
+    if rank_col is not None:
+        return ranked.withColumnRenamed("_tko_rn", rank_col)
+    return ranked.drop("_tko_rn")
+
+
 def blocked_ntile(
     df: DataFrame,
     order_by: Sequence,
     n_tiles: int,
     out_col: str = "tile",
     n_blocks: int = 32,
+    materialize: str = "local",
 ) -> DataFrame:
     """Exact SQL NTILE(n) over ``order_by`` without the single-task global
     sort: NTILE is pure integer arithmetic on the global row number — with
@@ -124,8 +203,9 @@ def blocked_ntile(
     (``order_by`` must be a total order for the assignment to be
     deterministic, same as the window form). The q = 0 branch (fewer rows
     than tiles: tile = rank) stays inside the IF's untaken arm, so ANSI
-    mode never sees the div-by-zero."""
-    ranked = blocked_row_number(df, order_by, "_bnt_rn", n_blocks)
+    mode never sees the div-by-zero. ``materialize`` passes through to
+    :func:`blocked_row_number` (see its fault-tolerance note)."""
+    ranked = blocked_row_number(df, order_by, "_bnt_rn", n_blocks, materialize)
     tot = F.broadcast(ranked.agg(F.count(F.lit(1)).alias("_bnt_n")))
     tile = F.expr(
         f"CAST(IF(_bnt_rn <= (_bnt_n % {n_tiles})"

@@ -41,6 +41,7 @@ from ..operators.dedup import (
     incremental_near_dup,
     normalized_text,
 )
+from ..operators.windows import take_ordered
 from ..operators.table import (
     commit_batch_multi,
     multi_table_batches,
@@ -303,13 +304,12 @@ def materialize_v2_shards(
             ).alias("imp_weight")
         )
     )
-    # TakeOrderedAndProject (per-partition top-n + bounded merge), never a
-    # corpus-sized global rank window — identical selection set: the
-    # (imp_weight DESC, id ASC) order is total
-    picked = (
-        scored.orderBy(F.col("imp_weight").desc(), F.col(id_col).asc())
-        .limit(top_n)
-        .select(id_col)
-    )
+    # guarded top-n (TakeOrderedAndProject below the
+    # topKSortFallbackThreshold, blocked rank past it), never a
+    # corpus-sized global rank window OR the silent full-sort fallback —
+    # identical selection set: the (imp_weight DESC, id ASC) order is total
+    picked = take_ordered(
+        scored, [F.col("imp_weight").desc(), F.col(id_col).asc()], top_n
+    ).select(id_col)
     survivors = corpus.join(picked, id_col)
     return training_shard_order(survivors, id_col=id_col, n_shards=n_shards)

@@ -752,15 +752,15 @@ def priority_sample_batch(
     identical prefix)."""
     from ..operators.sampling import priority_rows
     from ..operators.upsert import upsert_partitions
+    from ..operators.windows import take_ordered
 
     if batch.isEmpty():
         return
-    top = (
-        priority_rows(batch, weight_col, id_col, salt)
-        .orderBy(F.col("_q").desc(), id_col)
-        .limit(k + 1)
-        .withColumn("batch_id", F.lit(batch_id))
-    )
+    top = take_ordered(
+        priority_rows(batch, weight_col, id_col, salt),
+        [F.col("_q").desc(), id_col],
+        k + 1,
+    ).withColumn("batch_id", F.lit(batch_id))
     upsert_partitions(top, sample_path, ["batch_id"])
 
 

