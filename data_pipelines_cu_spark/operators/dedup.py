@@ -294,10 +294,26 @@ def dedup_clusters(
     warranted.
     """
     edges = (
-        pairs.select(F.col(id_col_a).alias("a"), F.col(id_col_b).alias("b"))
-        .unionByName(
-            pairs.select(F.col(id_col_b).alias("a"), F.col(id_col_a).alias("b"))
+        # Both directions from ONE scan: the old
+        # pairs.unionByName(pairs.swapped) consumed the caller's whole
+        # pair-generation plan twice before the checkpoint could cut it
+        # (measured: the PassJoin candidate join's partitions each read
+        # twice inside one fat stage — 6.6s max task at sf1.0*, 2x the
+        # balanced stage). The explode emits (a,b) and (b,a) per pair in
+        # a single pass.
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(id_col_a).alias("a"), F.col(id_col_b).alias("b")
+                    ),
+                    F.struct(
+                        F.col(id_col_b).alias("a"), F.col(id_col_a).alias("b")
+                    ),
+                )
+            ).alias("_e")
         )
+        .select("_e.a", "_e.b")
         .distinct()
         # Materialize ONCE: every round joins against edges, and without a
         # cut each round re-executes the caller's whole pair-generation

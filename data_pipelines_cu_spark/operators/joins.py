@@ -319,6 +319,10 @@ def interval_point_join(
     the filter discards every candidate."""
     intervals = intervals.filter(F.col(start_col) <= F.col(end_col))
     if long_factor is not None:
+        # the probe executes the interval-side plan once and the join
+        # build would execute it again (sessionization-derived interval
+        # tables are not free) — materialize it once for both consumers
+        intervals = intervals.localCheckpoint(eager=True)
         span_buckets = F.expr(
             f"{end_col} div {bucket_us} - {start_col} div {bucket_us} + 1"
         )
