@@ -10,9 +10,11 @@ Decode kernels come in two flavors. ``decode_image_real`` /
 uncompressed formats — P6 PPM and 24-bit BI_RGB BMP pixels, and PCM-16
 RIFF/WAV samples, all decoded with pure numpy (no PIL/libvips/ffmpeg
 needed) — so actual pixels and audio samples flow through the Arrow
-stages end-to-end. PNG (8/16-bit,
-sequential or Adam7) and baseline JPEG decode in pure stdlib/numpy too;
-video still needs a codec library absent from this container.
+stages end-to-end. PNG (8/16-bit, sequential or Adam7), baseline and
+progressive JPEG, GIF, and MJPEG-in-AVI video (container walk + the JPEG
+kernel: first-frame decode, per-frame split, real frame sampling) decode
+in pure stdlib/numpy too; inter-frame video codecs (H.264/VP9/AV1) and
+WebP still need a codec library absent from this container.
 ``decode_image_stub`` keeps that path testable with a deterministic
 sha256 fake, and the real kernels raise ``ValueError`` on blobs they
 can't parse, marking exactly where a PIL/ffmpeg kernel widens support.
@@ -110,11 +112,12 @@ def decode_pixels(payload: bytes):
     """Decode a P6 PPM, 24-bit uncompressed BMP, PNG (1/2/4/8/16-bit,
     RGB/RGBA/greyscale/palette, sequential or Adam7-interlaced, stdlib
     zlib inflate + scanline unfilter), JPEG (baseline AND progressive
-    DCT, restart markers, fill bytes), or GIF (LZW, interlace, local
-    color tables, transparency, first frame) blob to an (H, W, 3) uint8
-    RGB numpy array — no codec library. Raises ValueError on anything
-    else (the plug point where PIL/libvips/ffmpeg widens format support:
-    WebP and video bitstreams)."""
+    DCT, restart markers, fill bytes), GIF (LZW, interlace, local
+    color tables, transparency, first frame), or MJPEG AVI (RIFF
+    container walk + the JPEG kernel, first frame) blob to an (H, W, 3)
+    uint8 RGB numpy array — no codec library. Raises ValueError on
+    anything else (the plug point where PIL/libvips/ffmpeg widens format
+    support: WebP and inter-frame video codecs)."""
     import struct
 
     import numpy as np
@@ -169,6 +172,8 @@ def decode_pixels(payload: bytes):
             # truncated block chains index past the buffer — surface the
             # documented ValueError, not a bare IndexError
             raise ValueError(f"corrupt GIF stream: {exc}") from exc
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return _decode_jpeg(avi_mjpeg_frames(payload)[0])
     raise ValueError(f"unrecognized image magic {payload[:2]!r}")
 
 
@@ -1292,6 +1297,103 @@ def sample_frames(
     return frames.mapInPandas(run, schema=FRAME_SCHEMA)
 
 
+def avi_frame_count(payload: bytes) -> int:
+    """Frame count of an MJPEG AVI by container walk alone — no JPEG
+    decode, so counting is cheap relative to decoding."""
+    return len(avi_mjpeg_frames(payload))
+
+
+def decode_frame_mjpeg(payload: bytes, frame_idx: int, w: int, h: int) -> bytes:
+    """REAL video frame kernel (decode_frame_stub's signature): extract
+    frame ``frame_idx`` from an MJPEG AVI, JPEG-decode it, nearest-
+    neighbor resample to (h, w), return the BT.601-weighted grayscale
+    uint8 raster (w*h bytes, the stub's output contract)."""
+    import numpy as np
+
+    frames = avi_mjpeg_frames(payload)
+    if not 0 <= frame_idx < len(frames):
+        raise ValueError(
+            f"frame {frame_idx} out of range ({len(frames)} frames)"
+        )
+    px = _decode_jpeg(frames[frame_idx])
+    sh, sw = px.shape[:2]
+    ys = np.arange(h) * sh // h
+    xs = np.arange(w) * sw // w
+    small = px[ys][:, xs].astype(np.uint32)
+    gray = (
+        small[..., 0] * 299 + small[..., 1] * 587 + small[..., 2] * 114
+    ) // 1000
+    return gray.astype(np.uint8).tobytes()
+
+
+def sample_frames_mjpeg(
+    df: DataFrame,
+    every_n: int = 10,
+    out_w: int = 32,
+    out_h: int = 32,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """sample_frames with TRUE frame counts and the real MJPEG kernel:
+    a first Arrow pass counts frames per container (header walk, no
+    pixel decode), the JVM explodes the real index range, and the
+    per-frame decode runs on the fanned-out (media, frame) rows — the
+    same scale-critical ordering as sample_frames (decode parallelism is
+    per-frame, a viral video spreads across the cluster)."""
+    import pandas as pd  # noqa: PLC0415
+
+    count_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("n_frames", T.IntegerType(), False),
+        ]
+    )
+
+    def count(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "n_frames": [
+                        avi_frame_count(p) for p in pdf[payload_col]
+                    ],
+                }
+            )
+
+    counts = df.select(id_col, payload_col).mapInPandas(
+        count, schema=count_schema
+    )
+    frames = (
+        df.select(id_col, payload_col)
+        .join(counts, id_col)
+        .select(
+            id_col,
+            payload_col,
+            F.explode(
+                F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
+            ).alias("frame_idx"),
+        )
+        .repartition(id_col, "frame_idx")
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "frame_idx": pdf["frame_idx"].astype("int32"),
+                    "frame": [
+                        decode_frame_mjpeg(p, int(i), out_w, out_h)
+                        for p, i in zip(pdf[payload_col], pdf["frame_idx"])
+                    ],
+                    "out_w": out_w,
+                    "out_h": out_h,
+                }
+            )
+
+    return frames.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 AUDIO_CHUNK_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -1410,6 +1512,150 @@ def resize_images(
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+# --- Video container path: MJPEG-in-AVI (pure stdlib + the JPEG kernel) ------
+# The declared video plug point narrows to REAL bitstreams: an AVI (RIFF)
+# container whose video stream is Motion-JPEG decodes with the repo's own
+# baseline/progressive JPEG kernel — first-frame render plus a per-frame
+# splitter the frame-sample plan can explode. Inter-frame codecs
+# (H.264/VP9/AV1) still need a codec library and raise ValueError at the
+# same plug point. Layout per the public RIFF/AVI specification
+# (Microsoft/IBM Multimedia Programming Interface, 1991): nested LIST
+# chunks 'hdrl' (avih + one 'strl' per stream: strh/strf) and 'movi'
+# (frame chunks named ##dc/##db), WORD-aligned chunk sizes.
+
+
+def _riff_chunks(payload: bytes, pos: int, end: int):
+    """Iterate (fourcc, body_start, body_size) over a RIFF chunk run;
+    LIST chunks yield their list type as fourcc with the body AFTER the
+    type word, so callers recurse naturally."""
+    import struct
+
+    while pos + 8 <= end:
+        fourcc = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = pos + 8
+        if body + size > end:
+            raise ValueError("truncated RIFF chunk")
+        if fourcc in (b"LIST", b"RIFF"):
+            yield payload[body : body + 4], body + 4, size - 4
+        else:
+            yield fourcc, body, size
+        pos = body + size + (size & 1)  # chunks are WORD-aligned
+
+
+def avi_mjpeg_frames(payload: bytes) -> list:
+    """Split an MJPEG AVI into its per-frame JPEG blobs (decode-ready for
+    decode_pixels / the frame-sample plan). Validates the container: RIFF
+    type 'AVI ', a 'vids' stream whose handler/compression is MJPG, and
+    every video frame chunk starting with the JPEG SOI marker. Raises
+    ValueError on other codecs — the declared plug point."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    (riff_size,) = struct.unpack_from("<I", payload, 4)
+    end = min(len(payload), 8 + riff_size)
+    vids_codec = None
+    frames: list = []
+    for fourcc, body, size in _riff_chunks(payload, 12, end):
+        if fourcc == b"hdrl":
+            for f2, b2, s2 in _riff_chunks(payload, body, body + size):
+                if f2 != b"strl":
+                    continue
+                stype = shandler = None
+                for f3, b3, s3 in _riff_chunks(payload, b2, b2 + s2):
+                    if f3 == b"strh" and s3 >= 8:
+                        stype = payload[b3 : b3 + 4]
+                        shandler = payload[b3 + 4 : b3 + 8]
+                    elif f3 == b"strf" and stype == b"vids" and s3 >= 40:
+                        # BITMAPINFOHEADER.biCompression at offset 16
+                        shandler = payload[b3 + 16 : b3 + 20] or shandler
+                if stype == b"vids":
+                    vids_codec = shandler
+        elif fourcc == b"movi":
+            for f2, b2, s2 in _riff_chunks(payload, body, body + size):
+                # ##dc/##db = compressed/uncompressed video of stream ##
+                if f2[2:4] in (b"dc", b"db"):
+                    frames.append(payload[b2 : b2 + s2])
+    if vids_codec is None:
+        raise ValueError("AVI has no video stream header")
+    if vids_codec.upper() not in (b"MJPG", b"JPEG"):
+        raise ValueError(
+            f"unsupported AVI video codec {vids_codec!r} (MJPG only)"
+        )
+    if not frames:
+        raise ValueError("AVI movi list contains no video frames")
+    for fr in frames:
+        if fr[:2] != b"\xff\xd8":
+            raise ValueError("MJPEG frame chunk lacks the JPEG SOI marker")
+    return frames
+
+
+def encode_avi_mjpeg(frames, fps: int = 10) -> bytes:
+    """Encode a list of same-shape (H, W, 3) uint8 arrays as an MJPEG AVI
+    (each frame a baseline JPEG '00dc' chunk, conformant hdrl/movi/idx1
+    layout) — the write side of the video kernel, so the container codec
+    is property-testable without ffmpeg."""
+    import struct
+
+    import numpy as np
+
+    if not frames:
+        raise ValueError("need at least one frame")
+    px = [np.asarray(f, dtype=np.uint8) for f in frames]
+    h, w = px[0].shape[:2]
+    if any(p.shape != px[0].shape for p in px):
+        raise ValueError("all frames must share one shape")
+    blobs = [encode_jpeg_baseline(p) for p in px]
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        return fourcc + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    max_bytes = max(len(b) for b in blobs)
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,  # microseconds per frame
+        max_bytes * fps,   # max bytes per second
+        0, 0x10,           # padding, flags (AVIF_HASINDEX)
+        len(blobs), 0, 1, max_bytes, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, len(blobs),
+                      max_bytes, 0, 0)
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, struct.unpack("<I", b"MJPG")[0],
+        w * h * 3, 0, 0, 0, 0
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_body = b"movi"
+    offsets = []
+    for b in blobs:
+        offsets.append(len(movi_body))
+        movi_body += chunk(b"00dc", b)
+    movi = chunk(b"LIST", movi_body)
+    idx1 = chunk(
+        b"idx1",
+        b"".join(
+            b"00dc" + struct.pack("<III", 0x10, off, len(b))
+            for off, b in zip(offsets, blobs)
+        ),
+    )
+    riff_body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
 
 
 # --- Real audio path: RIFF/WAV PCM decode (pure numpy) -----------------------

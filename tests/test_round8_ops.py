@@ -361,3 +361,91 @@ def test_approx_daily_users_within_hll_bounds(spark, sf_dir):
     for day, est in approx.items():
         tol = max(3 * rsd * exact[day], 2)
         assert abs(est - exact[day]) <= tol, (day, est, exact[day])
+
+
+# --- MJPEG-in-AVI video container (verdict item 8) -----------------------------
+
+
+def _frames(n, h, w, seed=0):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    # flat per-frame colors: baseline JPEG round-trips these near-exactly
+    # (hard edges ring by design — fidelity is the JPEG suite's job; here
+    # the point is the container split/identity per frame)
+    out = []
+    for i in range(n):
+        f = np.zeros((h, w, 3), np.uint8)
+        f[:, :, :] = rng.randint(16, 240, size=3, dtype=np.uint8)
+        out.append(f)
+    return out
+
+
+def test_avi_mjpeg_round_trip_first_frame():
+    """encode_avi_mjpeg -> decode_pixels returns the FIRST frame within
+    JPEG tolerance, across odd shapes and frame counts; the splitter
+    yields every frame as a standalone decodable JPEG."""
+    import numpy as np
+
+    from data_pipelines_cu_spark.operators import multimodal as mm
+
+    for n, h, w, seed in [(1, 8, 8, 0), (3, 17, 9, 1), (5, 24, 40, 2)]:
+        frames = _frames(n, h, w, seed)
+        blob = mm.encode_avi_mjpeg(frames)
+        split = mm.avi_mjpeg_frames(blob)
+        assert len(split) == n
+        first = mm.decode_pixels(blob)
+        assert first.shape == (h, w, 3)
+        assert np.abs(first.astype(int) - frames[0].astype(int)).max() <= 4
+        for i, fr in enumerate(split):
+            px = mm.decode_pixels(fr)
+            assert (
+                np.abs(px.astype(int) - frames[i].astype(int)).max() <= 4
+            ), (n, i)
+        assert mm.avi_frame_count(blob) == n
+
+
+def test_avi_rejects_other_codecs_and_corruption():
+    import pytest as _pytest
+
+    from data_pipelines_cu_spark.operators import multimodal as mm
+
+    blob = bytearray(mm.encode_avi_mjpeg(_frames(2, 8, 8)))
+    # flip the strh handler + strf biCompression fourccs to H264
+    i = blob.find(b"MJPG")
+    while i != -1:
+        blob[i : i + 4] = b"H264"
+        i = blob.find(b"MJPG")
+    with _pytest.raises(ValueError, match="codec"):
+        mm.avi_mjpeg_frames(bytes(blob))
+    good = mm.encode_avi_mjpeg(_frames(2, 8, 8))
+    with _pytest.raises(ValueError):
+        mm.avi_mjpeg_frames(good[:40])  # truncated chunk run
+    with _pytest.raises(ValueError, match="RIFF/AVI"):
+        mm.avi_mjpeg_frames(b"RIFF\x04\x00\x00\x00WAVE")
+    with _pytest.raises(ValueError):
+        mm.encode_avi_mjpeg([])
+
+
+def test_avi_real_frame_sampling_end_to_end(spark):
+    """sample_frames_mjpeg: true per-container frame counts fan out
+    JVM-side, the real kernel decodes + grayscales each sampled frame —
+    one row per (video, sampled frame) with w*h raster bytes."""
+    import numpy as np
+
+    from data_pipelines_cu_spark.operators import multimodal as mm
+
+    vids = [
+        (1, mm.encode_avi_mjpeg(_frames(5, 16, 16, 3))),
+        (2, mm.encode_avi_mjpeg(_frames(2, 16, 16, 4))),
+    ]
+    df = spark.createDataFrame(vids, "media_id long, payload binary")
+    out = mm.sample_frames_mjpeg(df, every_n=2, out_w=4, out_h=4)
+    rows = {(r.media_id, r.frame_idx): r for r in out.collect()}
+    assert set(rows) == {(1, 0), (1, 2), (1, 4), (2, 0)}
+    for r in rows.values():
+        assert len(r.frame) == 16 and r.out_w == 4 and r.out_h == 4
+    # kernel output matches a direct numpy recompute of frame (1, 2)
+    direct = mm.decode_frame_mjpeg(vids[0][1], 2, 4, 4)
+    assert rows[(1, 2)].frame == direct
+    assert isinstance(np.frombuffer(direct, np.uint8).reshape(4, 4), np.ndarray)
