@@ -336,16 +336,20 @@ def interval_point_join(
     the filter discards every candidate."""
     intervals = intervals.filter(F.col(start_col) <= F.col(end_col))
     if long_factor is not None:
-        # the probe executes the interval-side plan once and the join
-        # build would execute it again (sessionization-derived interval
-        # tables are not free) — materialize it once for both consumers
-        intervals = intervals.localCheckpoint(eager=True)
+        # the probe is COLUMN-PRUNED to (start, end): it re-derives the
+        # interval-side plan once more than the join build does, but only
+        # the two range columns flow through it, and nothing is
+        # checkpointed or pinned — a caller whose interval subtree is
+        # expensive enough to matter can localCheckpoint it before
+        # calling (or pass long_factor=None to skip the probe entirely)
         span_buckets = F.expr(
             f"{end_col} div {bucket_us} - {start_col} div {bucket_us} + 1"
         )
-        row = intervals.agg(
-            F.max(span_buckets > F.lit(long_factor)).alias("_any_long")
-        ).first()
+        row = (
+            intervals.select(start_col, end_col)
+            .agg(F.max(span_buckets > F.lit(long_factor)).alias("_any_long"))
+            .first()
+        )
         if not row[0]:
             long_factor = None
     if long_factor is None:

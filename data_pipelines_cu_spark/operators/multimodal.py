@@ -319,15 +319,20 @@ def _decode_gif(payload: bytes):
             else np.zeros(3, np.uint8)
         )
         canvas = np.tile(bg.astype(np.uint8), (sh, sw, 1))
-        # a pixel index past the color table is a corrupt/nonconforming
-        # stream — reject like every other corrupt-stream path here, never
-        # decode silently-wrong pixels
-        if idx.size and int(idx.max()) >= len(pal):
+        # a RENDERED pixel index past the color table is a corrupt /
+        # nonconforming stream — reject, never decode silently-wrong
+        # pixels. Transparent indices are exempt: their palette entry is
+        # never read (the background shows through), and real encoders
+        # legitimately park the transparent index outside a trimmed table.
+        opaque = idx if transparent < 0 else idx[idx != transparent]
+        if opaque.size and int(opaque.max()) >= len(pal):
             raise ValueError(
-                f"GIF pixel index {int(idx.max())} out of range for"
+                f"GIF pixel index {int(opaque.max())} out of range for"
                 f" {len(pal)}-entry color table"
             )
-        frame = pal[idx]
+        # the clamp only ever touches transparent slots (validated above),
+        # whose colors are overwritten by the background composite below
+        frame = pal[np.minimum(idx, len(pal) - 1)]
         if transparent >= 0:
             keep = (idx != transparent)[:, :, None]
             frame = np.where(keep, frame, canvas[top : top + fh, left : left + fw])
@@ -1335,16 +1340,19 @@ def sample_frames_mjpeg(
     id_col: str = "media_id",
 ) -> DataFrame:
     """sample_frames with TRUE frame counts and the real MJPEG kernel:
-    a first Arrow pass counts frames per container (header walk, no
-    pixel decode), the JVM explodes the real index range, and the
-    per-frame decode runs on the fanned-out (media, frame) rows — the
-    same scale-critical ordering as sample_frames (decode parallelism is
-    per-frame, a viral video spreads across the cluster)."""
+    ONE Arrow pass annotates each row with its container's frame count
+    (header walk, no pixel decode — the blob rides along, so the input
+    plan executes once and nothing joins back), the JVM explodes the
+    real index range, and the per-frame decode runs on the fanned-out
+    (media, frame) rows — the same scale-critical ordering as
+    sample_frames (decode parallelism is per-frame, a viral video
+    spreads across the cluster)."""
     import pandas as pd  # noqa: PLC0415
 
     count_schema = T.StructType(
         [
-            T.StructField("media_id", T.LongType(), False),
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField(payload_col, T.BinaryType(), True),
             T.StructField("n_frames", T.IntegerType(), False),
         ]
     )
@@ -1353,19 +1361,17 @@ def sample_frames_mjpeg(
         for pdf in batches:
             yield pd.DataFrame(
                 {
-                    "media_id": pdf[id_col],
+                    id_col: pdf[id_col],
+                    payload_col: pdf[payload_col],
                     "n_frames": [
                         avi_frame_count(p) for p in pdf[payload_col]
                     ],
                 }
             )
 
-    counts = df.select(id_col, payload_col).mapInPandas(
-        count, schema=count_schema
-    )
     frames = (
         df.select(id_col, payload_col)
-        .join(counts, id_col)
+        .mapInPandas(count, schema=count_schema)
         .select(
             id_col,
             payload_col,
@@ -1550,41 +1556,66 @@ def avi_mjpeg_frames(payload: bytes) -> list:
     decode_pixels / the frame-sample plan). Validates the container: RIFF
     type 'AVI ', a 'vids' stream whose handler/compression is MJPG, and
     every video frame chunk starting with the JPEG SOI marker. Raises
-    ValueError on other codecs — the declared plug point."""
+    ValueError on other codecs — the declared plug point.
+
+    Real-world interleaving is handled: frame chunks are matched by the
+    MJPEG stream's OWN number (a second stream's ##dc chunks are never
+    mixed in), 'rec ' LIST groupings inside movi are recursed into, and
+    zero-length ##dc chunks (the standard drop-frame encoding) are
+    skipped rather than failing the SOI check."""
     import struct
 
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI payload")
     (riff_size,) = struct.unpack_from("<I", payload, 4)
     end = min(len(payload), 8 + riff_size)
-    vids_codec = None
-    frames: list = []
+    vids_codec = vids_stream = None
+    movi_spans: list = []
     for fourcc, body, size in _riff_chunks(payload, 12, end):
         if fourcc == b"hdrl":
+            stream_no = -1
             for f2, b2, s2 in _riff_chunks(payload, body, body + size):
                 if f2 != b"strl":
                     continue
+                stream_no += 1
                 stype = shandler = None
                 for f3, b3, s3 in _riff_chunks(payload, b2, b2 + s2):
                     if f3 == b"strh" and s3 >= 8:
                         stype = payload[b3 : b3 + 4]
                         shandler = payload[b3 + 4 : b3 + 8]
                     elif f3 == b"strf" and stype == b"vids" and s3 >= 40:
-                        # BITMAPINFOHEADER.biCompression at offset 16
-                        shandler = payload[b3 + 16 : b3 + 20] or shandler
-                if stype == b"vids":
+                        # BITMAPINFOHEADER.biCompression at offset 16;
+                        # some muxers write BI_RGB (zeros) there and rely
+                        # on the strh fccHandler — only a real fourcc
+                        # overrides it
+                        comp = payload[b3 + 16 : b3 + 20]
+                        if comp.strip(b"\x00"):
+                            shandler = comp
+                if stype == b"vids" and vids_stream is None:
                     vids_codec = shandler
+                    vids_stream = stream_no
         elif fourcc == b"movi":
-            for f2, b2, s2 in _riff_chunks(payload, body, body + size):
-                # ##dc/##db = compressed/uncompressed video of stream ##
-                if f2[2:4] in (b"dc", b"db"):
-                    frames.append(payload[b2 : b2 + s2])
-    if vids_codec is None:
+            movi_spans.append((body, body + size))
+    if vids_codec is None or vids_stream is None:
         raise ValueError("AVI has no video stream header")
     if vids_codec.upper() not in (b"MJPG", b"JPEG"):
         raise ValueError(
             f"unsupported AVI video codec {vids_codec!r} (MJPG only)"
         )
+    want = b"%02d" % vids_stream
+    frames: list = []
+
+    def walk_movi(pos: int, stop: int) -> None:
+        for f2, b2, s2 in _riff_chunks(payload, pos, stop):
+            if f2 == b"rec ":  # interleave grouping — frames live inside
+                walk_movi(b2, b2 + s2)
+            elif f2[:2] == want and f2[2:4] in (b"dc", b"db"):
+                if s2 == 0:
+                    continue  # drop-frame placeholder
+                frames.append(payload[b2 : b2 + s2])
+
+    for lo, hi in movi_spans:
+        walk_movi(lo, hi)
     if not frames:
         raise ValueError("AVI movi list contains no video frames")
     for fr in frames:

@@ -313,14 +313,14 @@ def importance_weighted_sample(
     Plan shape: one tokenize pass -> bucket counts (B keys — tiny shuffle,
     map-side partial), the B-row weight table BROADCASTS back onto the
     token stream (tokens never shuffle by bucket), one per-doc aggregate,
-    then orderBy().limit(top_n) = TakeOrderedAndProject (per-partition
-    top-n + driver-side merge of n_partitions × top_n rows — no global
-    sort, no corpus-sized rank window); the rank column is minted by a
-    window over the ALREADY top_n-bounded result. Linear in corpus size
-    at any scale. NB: Spark compiles Sort+Limit to TakeOrdered only below
-    ``spark.sql.execution.topKSortFallbackThreshold`` (default 10,000) —
-    callers selecting top_n beyond that must raise the conf or the plan
-    silently falls back to a full global sort.
+    then the guarded top-n (windows.take_ordered): TakeOrderedAndProject
+    (per-partition top-n + single-point merge of n_partitions × top_n
+    rows — no global sort, no corpus-sized rank window) below the
+    boundary min(topKSortFallbackThreshold, merge_cap), the blocked rank
+    past it — neither the planner's global-sort fallback nor an
+    unbounded single-point merge is reachable for any top_n. The rank
+    column is minted by a window over the ALREADY top_n-bounded result
+    on the fast path. Linear in corpus size at any scale.
     """
     from .dedup import normalized_text  # noqa: PLC0415 (cycle guard)
 

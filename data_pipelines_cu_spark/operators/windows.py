@@ -143,34 +143,49 @@ def take_ordered(
     n: int,
     rank_col: str | None = None,
     n_blocks: int = 32,
+    materialize: str = "local",
+    merge_cap: int = 65_536,
 ) -> DataFrame:
     """Top-``n`` selection under ``order_by`` that never plans a
-    single-task global sort, whatever ``n`` is.
+    single-task global sort OR an unbounded single-point merge, whatever
+    ``n`` is.
 
-    ``orderBy().limit(n)`` compiles to TakeOrderedAndProject
-    (per-partition top-n + bounded driver-side merge) ONLY while ``n`` is
-    strictly below ``spark.sql.execution.topKSortFallbackThreshold``
-    (default 10,000); at or past it Catalyst silently falls back to a
-    full global Sort + GlobalLimit — the whole input in one task. This
-    helper is the engine-wide chokepoint for top-n selection: small ``n``
-    takes the TakeOrdered fast path, large ``n`` routes through
-    :func:`blocked_row_number` + a rank filter, which selects the
-    identical row set whenever ``order_by`` is a total order (include a
-    unique tiebreak key, as every caller here does).
+    ``orderBy().limit(n)`` compiles to TakeOrderedAndProject only while
+    ``n`` is strictly below ``spark.sql.execution.topKSortFallbackThreshold``;
+    at or past it Catalyst silently falls back to a full global Sort +
+    GlobalLimit — the whole input in one task. NB the conf's REAL default
+    is Int.MaxValue−15 (2147483632; verified on this Spark 4.1.2 — the
+    widely repeated "default 10,000" is wrong), so out of the box the
+    planner never falls back — but TakeOrderedAndProject itself merges
+    ``n_partitions × n`` rows at a single point, which is its own scale
+    trap for large ``n``: top-10M over 1,000 partitions is a 10-billion-row
+    single-point merge the planner does nothing about. This helper is the
+    engine-wide chokepoint for top-n selection and guards BOTH cliffs:
+    the effective boundary is ``min(configured threshold, merge_cap)``
+    (merge_cap default 64Ki ⇒ at 32 shuffle partitions a ≤2M-row merge,
+    tens of MB — fine; at 1,000 partitions ≤65M rows — the documented
+    ceiling, lower ``merge_cap`` on very wide clusters). Below it: the
+    TakeOrdered fast path. At/past it: :func:`blocked_row_number` + a
+    rank filter — fully distributed, identical row set whenever
+    ``order_by`` is a total order (include a unique tiebreak key, as
+    every caller here does).
 
     ``rank_col``: optionally annotate the 1-based selection rank. On the
     fast path it is minted by a row_number window over the ALREADY
-    n-bounded result (< threshold rows by construction — bounded, never
+    n-bounded result (< boundary rows by construction — bounded, never
     the corpus) and is IntegerType, matching the plain window form; on
     the blocked path it IS the blocked global rank (LongType — past 2^31
-    selected rows an int rank would wrap anyway).
+    selected rows an int rank would wrap anyway). ``materialize`` passes
+    through to the blocked path's lineage cut ('local' | 'reliable' —
+    see :func:`blocked_row_number`; large selections over genuinely
+    corpus-sized inputs should pick 'reliable').
     """
     spark = df.sparkSession
-    thr = int(
-        spark.conf.get(
-            "spark.sql.execution.topKSortFallbackThreshold", "10000"
-        )
-        or 10000
+    # no fallback literal: the conf is registered, so the no-arg get
+    # returns the build's real default (a two-arg get would mask it)
+    thr = min(
+        int(spark.conf.get("spark.sql.execution.topKSortFallbackThreshold")),
+        merge_cap,
     )
     if n < thr:
         out = df.orderBy(*order_by).limit(n)
@@ -179,9 +194,9 @@ def take_ordered(
                 rank_col, F.row_number().over(Window.orderBy(*order_by))
             )
         return out
-    ranked = blocked_row_number(df, order_by, "_tko_rn", n_blocks).filter(
-        F.col("_tko_rn") <= n
-    )
+    ranked = blocked_row_number(
+        df, order_by, "_tko_rn", n_blocks, materialize
+    ).filter(F.col("_tko_rn") <= n)
     if rank_col is not None:
         return ranked.withColumnRenamed("_tko_rn", rank_col)
     return ranked.drop("_tko_rn")

@@ -598,3 +598,21 @@ def test_take_ordered_guard_boundary(spark):
         ]
     finally:
         spark.conf.set(key, old)
+    # the OTHER cliff: with the conf at its real default (Int.MaxValue-15
+    # on this build — the planner never falls back on its own), n at the
+    # merge_cap must still route through the blocked rank, because
+    # TakeOrderedAndProject's n_partitions x n single-point merge is the
+    # engine's problem to bound, not the planner's
+    assert int(spark.conf.get(key)) > 2_000_000_000
+    capped = take_ordered(df, order, 65_536)
+    plan_c = capped._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" not in plan_c
+    assert "_brn_blk" in plan_c
+    assert capped.count() == 500  # n > rows: every row selected
+    # fast-path twin must keep n below the child's KNOWN maxRows (500):
+    # EliminateLimits drops a limit that provably exceeds the row count,
+    # leaving a plain global sort of the (≤ n-row) input
+    fast = take_ordered(df, order, 400)
+    assert "TakeOrderedAndProject" in (
+        fast._jdf.queryExecution().executedPlan().toString()
+    )

@@ -449,3 +449,113 @@ def test_avi_real_frame_sampling_end_to_end(spark):
     direct = mm.decode_frame_mjpeg(vids[0][1], 2, 4, 4)
     assert rows[(1, 2)].frame == direct
     assert isinstance(np.frombuffer(direct, np.uint8).reshape(4, 4), np.ndarray)
+
+
+# --- round-8 code-review regressions -------------------------------------------
+
+
+def test_avi_drop_frames_rec_lists_and_stream_filter():
+    """Real-world interleaving: zero-length ##dc drop-frames are skipped,
+    frames inside LIST 'rec ' groupings are found, and a second stream's
+    chunks are never mixed into the MJPEG frame list."""
+    import struct
+
+    from data_pipelines_cu_spark.operators import multimodal as mm
+
+    base = bytearray(mm.encode_avi_mjpeg(_frames(2, 8, 8, 7)))
+    # locate the movi LIST and rebuild it: frame0, a drop frame, a
+    # foreign stream-1 chunk, then frame1 wrapped in a 'rec ' LIST
+    movi_at = bytes(base).find(b"LIST") and bytes(base).index(b"movi")
+    frames = mm.avi_mjpeg_frames(bytes(base))
+
+    def chunk(fourcc, body):
+        return fourcc + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    rec = chunk(b"LIST", b"rec " + chunk(b"00dc", frames[1]))
+    movi_body = (
+        b"movi"
+        + chunk(b"00dc", frames[0])
+        + chunk(b"00dc", b"")              # drop frame
+        + chunk(b"01dc", b"NOTJPEG!")      # foreign stream
+        + rec
+    )
+    hdr_end = bytes(base).index(b"LIST", bytes(base).index(b"movi") - 8)
+    rebuilt = bytes(base[:hdr_end]) + chunk(b"LIST", movi_body)
+    rebuilt = b"RIFF" + struct.pack("<I", len(rebuilt) - 8 + 4)[:4] + rebuilt[8:]
+    got = mm.avi_mjpeg_frames(rebuilt)
+    assert got == [frames[0], frames[1]]
+
+
+def test_avi_bi_rgb_compression_falls_back_to_strh_handler():
+    """A muxer writing biCompression=0 (BI_RGB) with fccHandler MJPG must
+    still be accepted — the all-zero fourcc no longer overrides strh."""
+    from data_pipelines_cu_spark.operators import multimodal as mm
+
+    blob = bytearray(mm.encode_avi_mjpeg(_frames(1, 8, 8, 9)))
+    # strf's biCompression sits 16 bytes into the strf body
+    strf_at = bytes(blob).index(b"strf") + 8 + 16
+    assert bytes(blob[strf_at : strf_at + 4]) == b"MJPG"
+    blob[strf_at : strf_at + 4] = b"\x00\x00\x00\x00"
+    assert len(mm.avi_mjpeg_frames(bytes(blob))) == 1
+
+
+def test_sample_frames_mjpeg_honors_id_col(spark):
+    from data_pipelines_cu_spark.operators import multimodal as mm
+
+    df = spark.createDataFrame(
+        [(7, mm.encode_avi_mjpeg(_frames(3, 8, 8, 5)))],
+        "video_id long, payload binary",
+    )
+    out = mm.sample_frames_mjpeg(df, every_n=2, id_col="video_id").collect()
+    assert sorted((r.media_id, r.frame_idx) for r in out) == [(7, 0), (7, 2)]
+
+
+def test_sample_frames_mjpeg_single_input_scan(spark):
+    """The count pass annotates rows in place — the input plan must scan
+    once (no join back, no second Generate of the source)."""
+    from data_pipelines_cu_spark.operators import multimodal as mm
+
+    df = spark.createDataFrame(
+        [(1, mm.encode_avi_mjpeg(_frames(2, 8, 8, 6)))],
+        "media_id long, payload binary",
+    )
+    plan = (
+        mm.sample_frames_mjpeg(df, every_n=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan ExistingRDD") <= 1
+    assert "Join" not in plan
+
+
+def test_gif_transparent_only_out_of_range_index_still_decodes():
+    """Indices past the palette that are ONLY used transparently render
+    fine (background shows through) — strictness applies to rendered
+    pixels alone."""
+    import struct
+
+    import numpy as np
+
+    from data_pipelines_cu_spark.operators.multimodal import (
+        _decode_gif,
+        _gif_lzw_encode,
+    )
+
+    pal_bits = 1
+    data = _gif_lzw_encode(bytes([0, 3]), 2)  # 3 >= 2-entry table
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", 2, 1, 0x80 | (pal_bits - 1), 1, 0)  # bg=1
+    out += bytes([10, 20, 30, 200, 210, 220])
+    out += b"\x21\xf9\x04\x01\x00\x00\x03\x00"  # GCE: transparent idx 3
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, 2, 1, 0)
+    out.append(2)
+    out.append(len(data))
+    out += data
+    out += b"\x00\x3b"
+    px = _decode_gif(bytes(out))
+    assert px.shape == (1, 2, 3)
+    assert list(px[0, 0]) == [10, 20, 30]     # palette 0
+    assert list(px[0, 1]) == [200, 210, 220]  # transparent -> background
