@@ -1349,12 +1349,17 @@ def sample_frames_mjpeg(
     spreads across the cluster)."""
     import pandas as pd  # noqa: PLC0415
 
+    id_type = df.schema[id_col].dataType  # honor non-long media keys too
     count_schema = T.StructType(
         [
-            T.StructField(id_col, T.LongType(), False),
+            T.StructField(id_col, id_type, False),
             T.StructField(payload_col, T.BinaryType(), True),
             T.StructField("n_frames", T.IntegerType(), False),
         ]
+    )
+    out_schema = T.StructType(
+        [T.StructField("media_id", id_type, False)]
+        + [f for f in FRAME_SCHEMA.fields if f.name != "media_id"]
     )
 
     def count(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -1397,7 +1402,7 @@ def sample_frames_mjpeg(
                 }
             )
 
-    return frames.mapInPandas(run, schema=FRAME_SCHEMA)
+    return frames.mapInPandas(run, schema=out_schema)
 
 
 AUDIO_CHUNK_SCHEMA = T.StructType(
@@ -1602,14 +1607,18 @@ def avi_mjpeg_frames(payload: bytes) -> list:
         raise ValueError(
             f"unsupported AVI video codec {vids_codec!r} (MJPG only)"
         )
-    want = b"%02d" % vids_stream
+    # stream-number prefixes: ffmpeg-style muxers write two DECIMAL
+    # digits, Microsoft's avifmt.h (ToHex) writes two HEX digits — the
+    # encodings agree for streams 0-9 and diverge from 10 up, so accept
+    # both spellings of this stream's number
+    want = {b"%02d" % vids_stream, b"%02X" % vids_stream}
     frames: list = []
 
     def walk_movi(pos: int, stop: int) -> None:
         for f2, b2, s2 in _riff_chunks(payload, pos, stop):
             if f2 == b"rec ":  # interleave grouping — frames live inside
                 walk_movi(b2, b2 + s2)
-            elif f2[:2] == want and f2[2:4] in (b"dc", b"db"):
+            elif f2[:2] in want and f2[2:4] in (b"dc", b"db"):
                 if s2 == 0:
                     continue  # drop-frame placeholder
                 frames.append(payload[b2 : b2 + s2])

@@ -316,7 +316,8 @@ def importance_weighted_sample(
     then the guarded top-n (windows.take_ordered): TakeOrderedAndProject
     (per-partition top-n + single-point merge of n_partitions × top_n
     rows — no global sort, no corpus-sized rank window) below the
-    boundary min(topKSortFallbackThreshold, merge_cap), the blocked rank
+    partition-aware boundary (below topKSortFallbackThreshold AND inside
+    the merge-rows budget), the blocked rank
     past it — neither the planner's global-sort fallback nor an
     unbounded single-point merge is reachable for any top_n. The rank
     column is minted by a window over the ALREADY top_n-bounded result

@@ -144,7 +144,7 @@ def take_ordered(
     rank_col: str | None = None,
     n_blocks: int = 32,
     materialize: str = "local",
-    merge_cap: int = 65_536,
+    merge_rows_budget: int = 8_388_608,
 ) -> DataFrame:
     """Top-``n`` selection under ``order_by`` that never plans a
     single-task global sort OR an unbounded single-point merge, whatever
@@ -157,41 +157,46 @@ def take_ordered(
     is Int.MaxValue−15 (2147483632; verified on this Spark 4.1.2 — the
     widely repeated "default 10,000" is wrong), so out of the box the
     planner never falls back — but TakeOrderedAndProject itself merges
-    ``n_partitions × n`` rows at a single point, which is its own scale
+    ``partitions × n`` rows at a single point, which is its own scale
     trap for large ``n``: top-10M over 1,000 partitions is a 10-billion-row
     single-point merge the planner does nothing about. This helper is the
-    engine-wide chokepoint for top-n selection and guards BOTH cliffs:
-    the effective boundary is ``min(configured threshold, merge_cap)``
-    (merge_cap default 64Ki ⇒ at 32 shuffle partitions a ≤2M-row merge,
-    tens of MB — fine; at 1,000 partitions ≤65M rows — the documented
-    ceiling, lower ``merge_cap`` on very wide clusters). Below it: the
-    TakeOrdered fast path. At/past it: :func:`blocked_row_number` + a
-    rank filter — fully distributed, identical row set whenever
-    ``order_by`` is a total order (include a unique tiebreak key, as
-    every caller here does).
+    engine-wide chokepoint for top-n selection and guards BOTH cliffs.
+    The boundary is PARTITION-AWARE: the fast path is taken iff ``n``
+    is below the configured threshold AND ``n × defaultParallelism ≤
+    merge_rows_budget`` (default 8Mi rows: at 32-way local parallelism
+    top-256K stays the cheap TakeOrdered; on a 1,000-core cluster the
+    same budget flips to blocked at n ≈ 8K, where a 1,000-partition
+    merge would otherwise be the bottleneck). Past the boundary:
+    :func:`blocked_row_number` + a rank filter — fully distributed,
+    identical row set whenever ``order_by`` is a total order (include a
+    unique tiebreak key, as every caller here does). NB the blocked path
+    range-shuffles and materializes the WHOLE input — it is the right
+    tool when n×partitions is genuinely unmergeable, not a free upgrade;
+    raise ``merge_rows_budget`` if the input is known-small.
 
-    ``rank_col``: optionally annotate the 1-based selection rank. On the
-    fast path it is minted by a row_number window over the ALREADY
-    n-bounded result (< boundary rows by construction — bounded, never
-    the corpus) and is IntegerType, matching the plain window form; on
-    the blocked path it IS the blocked global rank (LongType — past 2^31
-    selected rows an int rank would wrap anyway). ``materialize`` passes
-    through to the blocked path's lineage cut ('local' | 'reliable' —
-    see :func:`blocked_row_number`; large selections over genuinely
-    corpus-sized inputs should pick 'reliable').
+    ``rank_col``: optionally annotate the 1-based selection rank —
+    LongType on BOTH branches, so the output schema is stable across
+    ``n`` (on the fast path it is minted by a row_number window over the
+    ALREADY n-bounded result; on the blocked path it IS the blocked
+    global rank, which must be long anyway past 2^31 selected rows).
+    ``materialize`` passes through to the blocked path's lineage cut
+    ('local' | 'reliable' — see :func:`blocked_row_number`; large
+    selections over genuinely corpus-sized inputs should pick
+    'reliable').
     """
     spark = df.sparkSession
     # no fallback literal: the conf is registered, so the no-arg get
     # returns the build's real default (a two-arg get would mask it)
-    thr = min(
-        int(spark.conf.get("spark.sql.execution.topKSortFallbackThreshold")),
-        merge_cap,
+    thr = int(
+        spark.conf.get("spark.sql.execution.topKSortFallbackThreshold")
     )
-    if n < thr:
+    est_partitions = max(1, spark.sparkContext.defaultParallelism)
+    if n < thr and n * est_partitions <= merge_rows_budget:
         out = df.orderBy(*order_by).limit(n)
         if rank_col is not None:
             out = out.withColumn(
-                rank_col, F.row_number().over(Window.orderBy(*order_by))
+                rank_col,
+                F.row_number().over(Window.orderBy(*order_by)).cast("long"),
             )
         return out
     ranked = blocked_row_number(

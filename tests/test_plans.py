@@ -599,12 +599,15 @@ def test_take_ordered_guard_boundary(spark):
     finally:
         spark.conf.set(key, old)
     # the OTHER cliff: with the conf at its real default (Int.MaxValue-15
-    # on this build — the planner never falls back on its own), n at the
-    # merge_cap must still route through the blocked rank, because
-    # TakeOrderedAndProject's n_partitions x n single-point merge is the
+    # on this build — the planner never falls back on its own), an n
+    # whose n x defaultParallelism exceeds the merge-rows budget must
+    # still route through the blocked rank, because
+    # TakeOrderedAndProject's partitions x n single-point merge is the
     # engine's problem to bound, not the planner's
     assert int(spark.conf.get(key)) > 2_000_000_000
-    capped = take_ordered(df, order, 65_536)
+    par = max(1, spark.sparkContext.defaultParallelism)
+    big_n = 8_388_608 // par + 1
+    capped = take_ordered(df, order, big_n)
     plan_c = capped._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" not in plan_c
     assert "_brn_blk" in plan_c

@@ -656,3 +656,99 @@ def test_gif_round_trip_any_shape(h, w, n_colors, interlace, seed):
     assert np.array_equal(
         mm.decode_pixels(mm.encode_gif(px, interlace=interlace)), px
     )
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),
+            st.one_of(
+                st.none(),
+                st.floats(
+                    min_value=-50, max_value=50, allow_nan=False, width=32
+                ),
+            ),
+        ),
+        min_size=1,
+        max_size=50,
+        unique_by=lambda t: t[0],
+    ),
+    n=st.integers(min_value=1, max_value=60),
+    boundary=st.sampled_from([3, 1_000_000]),
+)
+@settings(**SETTINGS)
+def test_take_ordered_matches_window_rank_any_boundary(spark, rows, n, boundary):
+    """take_ordered == row_number window + filter on any input, on BOTH
+    sides of the threshold boundary (lowered to 3 to force the blocked
+    path on small n; raised high to force the fast path), including NULL
+    sort values (Spark desc = NULLS LAST) and n > row count."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    key = "spark.sql.execution.topKSortFallbackThreshold"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, str(boundary))
+        df = spark.createDataFrame(rows, "k long, v float")
+        order = [F.col("v").desc(), F.col("k").asc()]
+        exp = sorted(
+            (r.k, r.r)
+            for r in df.select(
+                "k", F.row_number().over(W.orderBy(*order)).alias("r")
+            )
+            .filter(F.col("r") <= n)
+            .collect()
+        )
+        got = sorted(
+            (r.k, int(r.r))
+            for r in windows.take_ordered(
+                df, order, n, rank_col="r"
+            ).collect()
+        )
+        assert got == exp
+    finally:
+        spark.conf.set(key, old)
+
+
+@given(
+    ivs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2000),
+            st.integers(min_value=-100, max_value=2600),
+        ),
+        min_size=0,
+        max_size=25,
+    ),
+    pts=st.lists(
+        st.integers(min_value=-50, max_value=2700),
+        min_size=1,
+        max_size=40,
+    ),
+    long_factor=st.sampled_from([None, 4, 64]),
+)
+@settings(**SETTINGS)
+def test_interval_point_join_matches_brute_force(spark, ivs, pts, long_factor):
+    """Bucketed interval join == brute-force containment on arbitrary
+    interval mixes: inverted spans (start > end), zero-width, spans far
+    past long_factor buckets, duplicate points, negative times — every
+    lane config yields the identical pair set with no duplicates."""
+    iv_rows = [(i, lo, lo + delta) for i, (lo, delta) in enumerate(ivs)]
+    pt_rows = [(j, t) for j, t in enumerate(pts)]
+    iv_df = spark.createDataFrame(
+        iv_rows or [(0, 1, 0)], "session_id long, start_us long, end_us long"
+    )
+    pt_df = spark.createDataFrame(pt_rows, "event_id long, t_us long")
+    got = sorted(
+        (r["event_id"], r["session_id"])
+        for r in joins.interval_point_join(
+            pt_df, iv_df, "t_us", bucket_us=10, long_factor=long_factor
+        ).collect()
+    )
+    brute = sorted(
+        (j, i)
+        for j, t in pt_rows
+        for i, lo, hi in (iv_rows or [(0, 1, 0)])
+        if lo <= t <= hi
+    )
+    assert got == brute
+    assert len(got) == len(set(got)), "duplicate pair across lanes"

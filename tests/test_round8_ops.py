@@ -74,8 +74,9 @@ def test_blocked_ntile_tiles_and_blocks_exceed_rows(spark):
 
 
 def test_take_ordered_rank_col_fast_path(spark):
-    """Fast path (n below threshold): rank is the selection order,
-    IntegerType, identical to the window form."""
+    """Fast path (n below the boundary): rank is the selection order,
+    LongType on both branches (schema stable across n), identical to the
+    window form's values."""
     df = spark.createDataFrame(
         [(i, float(i % 3)) for i in range(30)], "k long, v double"
     )
@@ -463,9 +464,8 @@ def test_avi_drop_frames_rec_lists_and_stream_filter():
     from data_pipelines_cu_spark.operators import multimodal as mm
 
     base = bytearray(mm.encode_avi_mjpeg(_frames(2, 8, 8, 7)))
-    # locate the movi LIST and rebuild it: frame0, a drop frame, a
-    # foreign stream-1 chunk, then frame1 wrapped in a 'rec ' LIST
-    movi_at = bytes(base).find(b"LIST") and bytes(base).index(b"movi")
+    # rebuild the movi LIST as: frame0, a drop frame, a foreign
+    # stream-1 chunk, then frame1 wrapped in a 'rec ' LIST
     frames = mm.avi_mjpeg_frames(bytes(base))
 
     def chunk(fourcc, body):
@@ -483,7 +483,7 @@ def test_avi_drop_frames_rec_lists_and_stream_filter():
     )
     hdr_end = bytes(base).index(b"LIST", bytes(base).index(b"movi") - 8)
     rebuilt = bytes(base[:hdr_end]) + chunk(b"LIST", movi_body)
-    rebuilt = b"RIFF" + struct.pack("<I", len(rebuilt) - 8 + 4)[:4] + rebuilt[8:]
+    rebuilt = b"RIFF" + struct.pack("<I", len(rebuilt) - 8) + rebuilt[8:]
     got = mm.avi_mjpeg_frames(rebuilt)
     assert got == [frames[0], frames[1]]
 
@@ -559,3 +559,63 @@ def test_gif_transparent_only_out_of_range_index_still_decodes():
     assert px.shape == (1, 2, 3)
     assert list(px[0, 0]) == [10, 20, 30]     # palette 0
     assert list(px[0, 1]) == [200, 210, 220]  # transparent -> background
+
+
+def test_sample_frames_mjpeg_string_id(spark):
+    """Non-long media keys: the count pass and the output schema derive
+    the id type from the input, not a hardcoded LongType."""
+    from data_pipelines_cu_spark.operators import multimodal as mm
+
+    df = spark.createDataFrame(
+        [("vid-a", mm.encode_avi_mjpeg(_frames(2, 8, 8, 8)))],
+        "video_id string, payload binary",
+    )
+    out = mm.sample_frames_mjpeg(df, every_n=1, id_col="video_id").collect()
+    assert sorted((r.media_id, r.frame_idx) for r in out) == [
+        ("vid-a", 0),
+        ("vid-a", 1),
+    ]
+
+
+def test_avi_hex_stream_numbers_accepted():
+    """MS-conformant muxers write stream numbers as two HEX digits: an
+    MJPEG video at stream 10 ('0Adc' chunks) must still split."""
+    import struct
+
+    from data_pipelines_cu_spark.operators import multimodal as mm
+
+    base = mm.encode_avi_mjpeg(_frames(1, 8, 8, 11))
+    frames = mm.avi_mjpeg_frames(base)
+
+    def chunk(fourcc, body):
+        return fourcc + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    def lst(ltype, body):
+        return chunk(b"LIST", ltype + body)
+
+    # hdrl with 10 audio strls before the vids strl -> video stream 10
+    strh_a = b"auds" + b"\x00" * 48
+    strf_a = b"\x00" * 16
+    audio_strl = lst(b"strl", chunk(b"strh", strh_a) + chunk(b"strf", strf_a))
+    strh_v = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, 10, 0, 1, 99, 0, 0)
+        + struct.pack("<4H", 0, 0, 8, 8)
+    )
+    strf_v = struct.pack(
+        "<IiiHHIIiiII", 40, 8, 8, 1, 24,
+        struct.unpack("<I", b"MJPG")[0], 192, 0, 0, 0, 0,
+    )
+    avih = struct.pack("<14I", 100000, 0, 0, 0x10, 1, 0, 11, 99, 8, 8, 0, 0, 0, 0)
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + audio_strl * 10
+        + lst(b"strl", chunk(b"strh", strh_v) + chunk(b"strf", strf_v)),
+    )
+    movi = lst(b"movi", chunk(b"0Adc", frames[0]))
+    body = b"AVI " + hdrl + movi
+    blob = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert mm.avi_mjpeg_frames(blob) == [frames[0]]
