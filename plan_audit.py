@@ -1,0 +1,131 @@
+#!/usr/bin/env python
+"""Plan-hygiene audit: run the N most expensive registered queries (by
+the last BENCH_DETAIL.json) and flag, per stage, the two execution
+pathologies that correctness tests and wall-clock benchmarks both miss
+until they explode at 100×:
+
+1. **Duplicate partition reads** — distinct tasks within one stage whose
+   shuffle-read record counts repeat pairwise. That is the signature of
+   a plan consuming one expensive subtree twice (a union of two selects,
+   a probe + build pair, a nondeterministic expression blocking
+   ReusedExchange): the same map output is fetched once per consumer.
+   Caught this way in round 8: dedup_clusters' edge union executed the
+   whole PassJoin candidate join twice (max task 6.6s → 1.8s after the
+   single-scan rewrite).
+2. **Stragglers** — max task time > 3× the stage median. Distinguishes a
+   hot key / fat group (data problem: salt or split) from uniform stage
+   width (max ≈ median — add partitions, not salt).
+
+Usage: python plan_audit.py [N]   (default 20; needs BENCH_DETAIL.json)
+Prints one line per flagged (query, stage); exits 1 if anything flagged,
+so it slots into CI next to the oracle gate.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import urllib.request
+from collections import Counter
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from data_pipelines_cu_spark.queries import all_queries  # noqa: E402
+from data_pipelines_cu_spark.session import get_spark  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.1"
+FAT_READ_ROWS = 100_000  # only fat reads can hide a meaningful double scan
+STRAGGLER_RATIO = 3.0
+STRAGGLER_FLOOR_MS = 2_000  # ignore ratios on sub-2s stages (noise)
+
+
+def _ui(app_id: str, path: str):
+    url = f"http://localhost:4040/api/v1/applications/{app_id}{path}"
+    with urllib.request.urlopen(url, timeout=15) as r:
+        return json.load(r)
+
+
+def audit(n_queries: int = 20) -> int:
+    spark = get_spark(
+        "plan-audit",
+        **{"spark.ui.enabled": "true", "spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    app = spark.sparkContext.applicationId
+    detail = json.loads(Path("BENCH_DETAIL.json").read_text())
+    walls = dict(detail["queries"], **detail.get("long_tail", {}))
+    targets = [
+        k for k, _ in sorted(walls.items(), key=lambda kv: -kv[1])[:n_queries]
+    ]
+    queries = all_queries()
+    seen: set = set()
+    n_flags = 0
+    for name in targets:
+        queries[name].fn(spark, SF_DIR).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        for st in _ui(app, "/stages?status=complete"):
+            key = (st["stageId"], st["attemptId"])
+            if key in seen:
+                continue
+            seen.add(key)
+            if st["numCompleteTasks"] < 4:
+                continue
+            try:
+                tasks = _ui(
+                    app,
+                    f"/stages/{st['stageId']}/{st['attemptId']}/taskList"
+                    "?length=1000",
+                )
+            except OSError:
+                continue
+            reads = [
+                t.get("taskMetrics", {})
+                .get("shuffleReadMetrics", {})
+                .get("recordsRead", 0)
+                for t in tasks
+            ]
+            times = sorted(
+                t.get("taskMetrics", {}).get("executorRunTime", 0)
+                for t in tasks
+            )
+            fat = [r for r in reads if r > FAT_READ_ROWS]
+            dup = [c for _, c in Counter(fat).items() if c >= 2]
+            if dup and sum(dup) >= 0.8 * len(fat) and len(fat) >= 8:
+                print(
+                    json.dumps(
+                        {
+                            "query": name,
+                            "stage": st["stageId"],
+                            "flag": "duplicate_partition_reads",
+                            "fat_reads": len(fat),
+                            "duplicated": sum(dup),
+                        }
+                    )
+                )
+                n_flags += 1
+            mx, md = (times[-1], times[len(times) // 2]) if times else (0, 0)
+            if mx > STRAGGLER_FLOOR_MS and md and mx / md > STRAGGLER_RATIO:
+                print(
+                    json.dumps(
+                        {
+                            "query": name,
+                            "stage": st["stageId"],
+                            "flag": "straggler",
+                            "max_s": round(mx / 1000, 2),
+                            "med_s": round(md / 1000, 2),
+                        }
+                    )
+                )
+                n_flags += 1
+    print(
+        json.dumps(
+            {"audited": len(targets), "flags": n_flags, "sf_dir": SF_DIR}
+        )
+    )
+    return 1 if n_flags else 0
+
+
+if __name__ == "__main__":
+    sys.exit(audit(int(sys.argv[1]) if len(sys.argv) > 1 else 20))
