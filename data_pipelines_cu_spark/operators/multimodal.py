@@ -1575,6 +1575,7 @@ def avi_mjpeg_frames(payload: bytes) -> list:
     (riff_size,) = struct.unpack_from("<I", payload, 4)
     end = min(len(payload), 8 + riff_size)
     vids_codec = vids_stream = None
+    n_streams = 0
     movi_spans: list = []
     for fourcc, body, size in _riff_chunks(payload, 12, end):
         if fourcc == b"hdrl":
@@ -1599,6 +1600,7 @@ def avi_mjpeg_frames(payload: bytes) -> list:
                 if stype == b"vids" and vids_stream is None:
                     vids_codec = shandler
                     vids_stream = stream_no
+            n_streams = max(n_streams, stream_no + 1)
         elif fourcc == b"movi":
             movi_spans.append((body, body + size))
     if vids_codec is None or vids_stream is None:
@@ -1609,9 +1611,22 @@ def avi_mjpeg_frames(payload: bytes) -> list:
         )
     # stream-number prefixes: ffmpeg-style muxers write two DECIMAL
     # digits, Microsoft's avifmt.h (ToHex) writes two HEX digits — the
-    # encodings agree for streams 0-9 and diverge from 10 up, so accept
-    # both spellings of this stream's number
-    want = {b"%02d" % vids_stream, b"%02X" % vids_stream}
+    # encodings agree for streams 0-9 and diverge from 10 up. Accept the
+    # decimal spelling always, and a hex spelling ONLY when no real
+    # stream could claim it decimally (video at 16 spells hex '10'; if
+    # the file also HAS a stream 10, '10dc' chunks are that stream's and
+    # must not be absorbed) — ambiguity resolves toward the decimal
+    # convention, never toward silently mixing streams.
+    want = {b"%02d" % vids_stream}
+    for spelling in (b"%02X" % vids_stream, b"%02x" % vids_stream):
+        if spelling in want:
+            continue
+        try:
+            as_decimal = int(spelling)
+        except ValueError:
+            as_decimal = None  # contains a-f: no decimal stream claims it
+        if as_decimal is None or as_decimal >= n_streams:
+            want.add(spelling)
     frames: list = []
 
     def walk_movi(pos: int, stop: int) -> None:

@@ -144,7 +144,7 @@ def take_ordered(
     rank_col: str | None = None,
     n_blocks: int = 32,
     materialize: str = "local",
-    merge_rows_budget: int = 8_388_608,
+    merge_rows_budget: int = 134_217_728,
 ) -> DataFrame:
     """Top-``n`` selection under ``order_by`` that never plans a
     single-task global sort OR an unbounded single-point merge, whatever
@@ -162,17 +162,25 @@ def take_ordered(
     single-point merge the planner does nothing about. This helper is the
     engine-wide chokepoint for top-n selection and guards BOTH cliffs.
     The boundary is PARTITION-AWARE: the fast path is taken iff ``n``
-    is below the configured threshold AND ``n × defaultParallelism ≤
-    merge_rows_budget`` (default 8Mi rows: at 32-way local parallelism
-    top-256K stays the cheap TakeOrdered; on a 1,000-core cluster the
-    same budget flips to blocked at n ≈ 8K, where a 1,000-partition
-    merge would otherwise be the bottleneck). Past the boundary:
+    is below the configured threshold AND ``n × input partitions ≤
+    merge_rows_budget``, where the partition count is read off the
+    compiled plan itself (floored by defaultParallelism — a wide parquet
+    scan's map side, not the core count, is what feeds the merge).
+    The budget prices a real TRADE, not a free lunch: the fast path's
+    worst case is ONE task heap-merging ``partitions × n`` pre-truncated
+    rows (O(R log n), ~10M rows/s), while the blocked path shuffles and
+    materializes the ENTIRE input — far more total work, but
+    distributed. The default 128Mi-row budget sits near the indifference
+    point (a low-minutes single merge task): top-100 over an
+    800K-partition 100 TB scan merges 80M rows in one ~10s task and
+    correctly stays fast (re-routing it through a 100 TB shuffle would
+    be absurd), while top-10M over 1,000 partitions busts the budget and
+    correctly goes blocked. Past the boundary:
     :func:`blocked_row_number` + a rank filter — fully distributed,
     identical row set whenever ``order_by`` is a total order (include a
-    unique tiebreak key, as every caller here does). NB the blocked path
-    range-shuffles and materializes the WHOLE input — it is the right
-    tool when n×partitions is genuinely unmergeable, not a free upgrade;
-    raise ``merge_rows_budget`` if the input is known-small.
+    unique tiebreak key, as every caller here does). Lower the budget if
+    single-task minutes are unacceptable; raise it for wide scans with
+    modest n.
 
     ``rank_col``: optionally annotate the 1-based selection rank —
     LongType on BOTH branches, so the output schema is stable across
@@ -190,7 +198,18 @@ def take_ordered(
     thr = int(
         spark.conf.get("spark.sql.execution.topKSortFallbackThreshold")
     )
-    est_partitions = max(1, spark.sparkContext.defaultParallelism)
+    # the merge width is the INPUT's partition count (each map partition
+    # contributes a top-n prefix): a wide parquet scan exceeds
+    # defaultParallelism by orders of magnitude, so price with the plan's
+    # actual partitioning (driver-side plan compile, no job) and fall
+    # back to defaultParallelism if the RDD conversion fails
+    try:
+        est_partitions = max(1, df.rdd.getNumPartitions())
+    except Exception:  # noqa: BLE001 (unconvertible plan — estimate)
+        est_partitions = 1
+    est_partitions = max(
+        est_partitions, spark.sparkContext.defaultParallelism, 1
+    )
     if n < thr and n * est_partitions <= merge_rows_budget:
         out = df.orderBy(*order_by).limit(n)
         if rank_col is not None:

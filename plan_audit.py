@@ -40,8 +40,10 @@ STRAGGLER_RATIO = 3.0
 STRAGGLER_FLOOR_MS = 2_000  # ignore ratios on sub-2s stages (noise)
 
 
-def _ui(app_id: str, path: str):
-    url = f"http://localhost:4040/api/v1/applications/{app_id}{path}"
+def _ui(base: str, app_id: str, path: str):
+    # base comes from sparkContext.uiWebUrl — never a hardcoded port:
+    # a second concurrent driver pushes this app's UI to 4041+
+    url = f"{base}/api/v1/applications/{app_id}{path}"
     with urllib.request.urlopen(url, timeout=15) as r:
         return json.load(r)
 
@@ -53,19 +55,25 @@ def audit(n_queries: int = 20) -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
     app = spark.sparkContext.applicationId
-    detail = json.loads(Path("BENCH_DETAIL.json").read_text())
+    base = spark.sparkContext.uiWebUrl
+    detail = json.loads(
+        (Path(__file__).resolve().parent / "BENCH_DETAIL.json").read_text()
+    )
     walls = dict(detail["queries"], **detail.get("long_tail", {}))
-    targets = [
-        k for k, _ in sorted(walls.items(), key=lambda kv: -kv[1])[:n_queries]
-    ]
     queries = all_queries()
+    # a stale BENCH_DETAIL may name renamed/retired queries — skip them
+    targets = [
+        k
+        for k, _ in sorted(walls.items(), key=lambda kv: -kv[1])
+        if k in queries
+    ][:n_queries]
     seen: set = set()
     n_flags = 0
     for name in targets:
         queries[name].fn(spark, SF_DIR).write.format("noop").mode(
             "overwrite"
         ).save()
-        for st in _ui(app, "/stages?status=complete"):
+        for st in _ui(base, app, "/stages?status=complete"):
             key = (st["stageId"], st["attemptId"])
             if key in seen:
                 continue
@@ -74,6 +82,7 @@ def audit(n_queries: int = 20) -> int:
                 continue
             try:
                 tasks = _ui(
+                    base,
                     app,
                     f"/stages/{st['stageId']}/{st['attemptId']}/taskList"
                     "?length=1000",
@@ -91,8 +100,20 @@ def audit(n_queries: int = 20) -> int:
                 for t in tasks
             )
             fat = [r for r in reads if r > FAT_READ_ROWS]
-            dup = [c for _, c in Counter(fat).items() if c >= 2]
-            if dup and sum(dup) >= 0.8 * len(fat) and len(fat) >= 8:
+            # double-scan signature: MANY distinct counts, each repeated
+            # exactly twice (partition sizes vary naturally, so pairs of
+            # equal counts across tasks = the same partition read per
+            # consumer). A single value repeated across ALL tasks is a
+            # legitimately uniform stage (round-robin repartition,
+            # generated data) — NOT a double scan.
+            groups = Counter(fat)
+            pairs = [c for c in groups.values() if c == 2]
+            if (
+                len(pairs) >= 4
+                and 2 * len(pairs) >= 0.8 * len(fat)
+                and len(fat) >= 8
+                and len(groups) >= 4
+            ):
                 print(
                     json.dumps(
                         {
@@ -100,13 +121,17 @@ def audit(n_queries: int = 20) -> int:
                             "stage": st["stageId"],
                             "flag": "duplicate_partition_reads",
                             "fat_reads": len(fat),
-                            "duplicated": sum(dup),
+                            "duplicated": 2 * len(pairs),
                         }
                     )
                 )
                 n_flags += 1
             mx, md = (times[-1], times[len(times) // 2]) if times else (0, 0)
-            if mx > STRAGGLER_FLOOR_MS and md and mx / md > STRAGGLER_RATIO:
+            # md == 0 is the EXTREME straggler (near-empty siblings), not
+            # a reason to skip
+            if mx > STRAGGLER_FLOOR_MS and (
+                md == 0 or mx / md > STRAGGLER_RATIO
+            ):
                 print(
                     json.dumps(
                         {

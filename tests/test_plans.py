@@ -606,7 +606,7 @@ def test_take_ordered_guard_boundary(spark):
     # engine's problem to bound, not the planner's
     assert int(spark.conf.get(key)) > 2_000_000_000
     par = max(1, spark.sparkContext.defaultParallelism)
-    big_n = 8_388_608 // par + 1
+    big_n = 134_217_728 // par + 1
     capped = take_ordered(df, order, big_n)
     plan_c = capped._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" not in plan_c

@@ -619,3 +619,52 @@ def test_avi_hex_stream_numbers_accepted():
     body = b"AVI " + hdrl + movi
     blob = b"RIFF" + struct.pack("<I", len(body)) + body
     assert mm.avi_mjpeg_frames(blob) == [frames[0]]
+
+
+def test_avi_hex_spelling_not_absorbed_when_decimal_stream_exists():
+    """Video at stream 16 spells hex '10' — but if the file ALSO has a
+    stream 10, '10dc' chunks belong to that stream decimally and must
+    not be mixed into the MJPEG frame list."""
+    import struct
+
+    from data_pipelines_cu_spark.operators import multimodal as mm
+
+    base = mm.encode_avi_mjpeg(_frames(1, 8, 8, 13))
+    frames = mm.avi_mjpeg_frames(base)
+
+    def chunk(fourcc, body):
+        return fourcc + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    def lst(ltype, body):
+        return chunk(b"LIST", ltype + body)
+
+    strh_a = b"auds" + b"\x00" * 48
+    audio_strl = lst(b"strl", chunk(b"strh", strh_a) + chunk(b"strf", b"\x00" * 16))
+    strh_v = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, 10, 0, 1, 99, 0, 0)
+        + struct.pack("<4H", 0, 0, 8, 8)
+    )
+    strf_v = struct.pack(
+        "<IiiHHIIiiII", 40, 8, 8, 1, 24,
+        struct.unpack("<I", b"MJPG")[0], 192, 0, 0, 0, 0,
+    )
+    avih = struct.pack("<14I", 100000, 0, 0, 0x10, 17, 0, 1, 99, 8, 8, 0, 0, 0, 0)
+    # 16 audio streams (0..15), video at stream 16
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + audio_strl * 16
+        + lst(b"strl", chunk(b"strh", strh_v) + chunk(b"strf", strf_v)),
+    )
+    movi = lst(
+        b"movi",
+        chunk(b"10dc", b"NOTJPEG!")  # stream 10's chunk, decimal spelling
+        + chunk(b"16dc", frames[0]),  # the video frame, decimal spelling
+    )
+    body = b"AVI " + hdrl + movi
+    blob = b"RIFF" + struct.pack("<I", len(body)) + body
+    # '10dc' must be ignored (its SOI check would otherwise raise)
+    assert mm.avi_mjpeg_frames(blob) == [frames[0]]
