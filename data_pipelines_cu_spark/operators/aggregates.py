@@ -663,6 +663,7 @@ def psi_value_drift(
     value_col: str = "value",
     id_col: str = "event_id",
     n_bins: int = 10,
+    materialize: str = "local",
 ) -> DataFrame:
     """(bin, n_ref, n_cur, p_ref, p_cur, psi_term, psi_total): the data
     splits at the midpoint date (half-open; first half = reference), bin
@@ -675,11 +676,21 @@ def psi_value_drift(
     ≤ n_bins−1 edge members (windows.blocked_row_number — no single-task
     sort of the reference half; the mergeable histogram sketch remains the
     approximate alternative), then a broadcast of the 1-row edge array and
-    one corpus-wide group-by-bin. The corpus never sorts globally."""
+    one corpus-wide group-by-bin. The corpus never sorts globally.
+
+    ``materialize`` ('local' | 'reliable') picks where the plan's two
+    lineage cuts live — the tagged corpus table here and the blocked
+    rank's ranged table (see windows.blocked_row_number): a 100 TB
+    caller under executor-loss risk passes 'reliable' (requires
+    ``setCheckpointDir`` on durable storage)."""
     from pyspark.sql import Window as W  # noqa: PLC0415
 
     from .windows import blocked_row_number  # noqa: PLC0415
 
+    if materialize not in ("local", "reliable"):
+        raise ValueError(
+            f"materialize must be 'local' or 'reliable', got {materialize!r}"
+        )
     spark = df.sparkSession
     ev = df.select(
         F.col(id_col).alias("_id"),
@@ -695,15 +706,21 @@ def psi_value_drift(
     # one corpus materialization feeds the ranking AND the binning — the
     # naive plan re-derives this subtree (and rescans the table) per
     # consumer; the checkpoint holds 3 narrow columns
+    tagged = ev.crossJoin(cut).select(
+        "_id", "_v", (F.col("_d") < F.col("_cut")).alias("_is_ref")
+    )
     tagged = (
-        ev.crossJoin(cut)
-        .select("_id", "_v", (F.col("_d") < F.col("_cut")).alias("_is_ref"))
-        .localCheckpoint(eager=True)
+        tagged.localCheckpoint(eager=True)
+        if materialize == "local"
+        else tagged.checkpoint(eager=True)
     )
     ref = tagged.filter("_is_ref")
     n_ref = F.broadcast(ref.agg(F.count(F.lit(1)).alias("_nr")))
     ranked = (
-        blocked_row_number(ref.select("_v", "_id"), ["_v", "_id"], "_r")
+        blocked_row_number(
+            ref.select("_v", "_id"), ["_v", "_id"], "_r",
+            materialize=materialize,
+        )
         .select("_v", "_r")
         .crossJoin(n_ref)
     )
@@ -1129,13 +1146,15 @@ def psi_reference_edges(
     value_col: str = "value",
     id_col: str = "event_id",
     n_bins: int = 10,
+    materialize: str = "local",
 ) -> DataFrame:
     """1-row (edges array) of the reference distribution's selection
     deciles — the FROZEN artifact a drift monitor computes once and bins
     every future window against (the streaming PSI job broadcasts it per
     micro-batch). Edge selection ranks through the two-level blocked rank
     (windows.blocked_row_number), so the reference corpus never
-    single-task sorts."""
+    single-task sorts; ``materialize`` ('local' | 'reliable') passes
+    through to that rank's lineage cut."""
     from .windows import blocked_row_number  # noqa: PLC0415
 
     spark = ref.sparkSession
@@ -1145,7 +1164,7 @@ def psi_reference_edges(
         F.col(id_col).alias("_id"),
     )
     ranked = (
-        blocked_row_number(vals, ["_v", "_id"], "_r")
+        blocked_row_number(vals, ["_v", "_id"], "_r", materialize=materialize)
         .select("_v", "_r")
         .crossJoin(n_ref)
     )
@@ -1277,6 +1296,7 @@ def gini_concentration(
     fact_key: str = "o_custkey",
     amount_col: str = "o_totalprice",
     n_deciles: int = 10,
+    materialize: str = "local",
 ) -> DataFrame:
     """(decile, n_entities, decile_amount, cum_share, gini): amounts are
     exact decimal sums per entity (zero-filled across the full entity
@@ -1286,6 +1306,8 @@ def gini_concentration(
     one TWO-LEVEL BLOCKED rank (windows.blocked_row_number: the entity
     base never single-task sorts; ranks are total-order exact, so the
     ROW_NUMBER oracle is byte-identical), one 10-row group.
+    ``materialize`` ('local' | 'reliable') passes through to that
+    rank's lineage cut.
     """
     from pyspark.sql import Window as W  # noqa: PLC0415
 
@@ -1304,9 +1326,9 @@ def gini_concentration(
         )
         .select("_k", F.coalesce("_x", F.lit(0.0)).alias("_x"))
     )
-    ranked = blocked_row_number(per, ["_x", "_k"], rank_col="_r").select(
-        "_x", "_r"
-    )
+    ranked = blocked_row_number(
+        per, ["_x", "_k"], rank_col="_r", materialize=materialize
+    ).select("_x", "_r")
     stats = F.broadcast(
         ranked.agg(
             F.count(F.lit(1)).alias("_n"),

@@ -281,6 +281,42 @@ def edit_distance_pairs(
     )
 
 
+def _interval_lane_points(
+    points: DataFrame,
+    any_long: DataFrame,
+    t_col: str,
+    bucket_us: int,
+    coarse_us: int,
+) -> DataFrame:
+    """Point side of the two-lane interval join: each point explodes to
+    its fine-lane (lane=false, bucket) key, plus its coarse-lane key
+    ONLY when the broadcast 1-row ``any_long`` flag is true — so a
+    workload with no long interval shuffles 1× point volume at runtime
+    while the plan stays lazy. Factored out so the runtime gating is
+    unit-testable (row count = n_points × lanes)."""
+    return (
+        points.crossJoin(any_long)
+        .select(
+            "*",
+            F.explode(
+                F.expr(
+                    f"if(_any_long,"
+                    f" array("
+                    f"  named_struct('_lg', false,"
+                    f"   '_bk', {t_col} div {bucket_us}),"
+                    f"  named_struct('_lg', true,"
+                    f"   '_bk', {t_col} div {coarse_us})),"
+                    f" array("
+                    f"  named_struct('_lg', false,"
+                    f"   '_bk', {t_col} div {bucket_us})))"
+                )
+            ).alias("_lane"),
+        )
+        .select("*", "_lane._lg", "_lane._bk")
+        .drop("_lane", "_any_long")
+    )
+
+
 def interval_point_join(
     points: DataFrame,
     intervals: DataFrame,
@@ -322,12 +358,22 @@ def interval_point_join(
 
     The coarse lane doubles point-side shuffle volume, which is wasted
     when NO interval is long (the common case). ``long_factor=None``
-    opts out explicitly (single fine lane, no point doubling); otherwise
-    a one-row probe aggregate over the interval side (column-pruned to
-    start/end) runs at plan-build time and skips the coarse lane when
-    the longest interval fits ``long_factor`` fine buckets — workloads
-    with no long interval pay one cheap interval-side scan instead of 2×
-    point shuffle. An empty interval table gates to the single lane.
+    opts out explicitly (single fine lane, no point doubling);
+    otherwise the lane decision is made INSIDE the plan: a 1-row
+    broadcast aggregate over the interval side (column-pruned to
+    start/end) computes "any interval long?", and the point side's
+    explode emits two (lane, bucket) keys only when that broadcast flag
+    is true — so the function stays LAZY (no job at plan-build time; a
+    caller composing plans without executing pays nothing) and a
+    workload with no long interval still pays 1× point shuffle at run
+    time. The flag subtree re-derives the interval plan once more than
+    the join build does, pruned to the two range columns; a caller
+    whose interval subtree is expensive should localCheckpoint it
+    before calling (the lane flag and the bucket explode must also
+    observe the SAME interval rows, so a nondeterministically-derived
+    interval table needs that checkpoint for correctness, exactly as it
+    would anywhere else). An empty interval table yields a NULL flag,
+    which gates to the single fine lane.
 
     Inverted intervals (start > end) can match no point under the
     containment predicate, so they are dropped up front — without the
@@ -335,23 +381,6 @@ def interval_point_join(
     explode a hugely-inverted row into |span| bogus bucket rows before
     the filter discards every candidate."""
     intervals = intervals.filter(F.col(start_col) <= F.col(end_col))
-    if long_factor is not None:
-        # the probe is COLUMN-PRUNED to (start, end): it re-derives the
-        # interval-side plan once more than the join build does, but only
-        # the two range columns flow through it, and nothing is
-        # checkpointed or pinned — a caller whose interval subtree is
-        # expensive enough to matter can localCheckpoint it before
-        # calling (or pass long_factor=None to skip the probe entirely)
-        span_buckets = F.expr(
-            f"{end_col} div {bucket_us} - {start_col} div {bucket_us} + 1"
-        )
-        row = (
-            intervals.select(start_col, end_col)
-            .agg(F.max(span_buckets > F.lit(long_factor)).alias("_any_long"))
-            .first()
-        )
-        if not row[0]:
-            long_factor = None
     if long_factor is None:
         pts = points.withColumn("_bk", F.expr(f"{t_col} div {bucket_us}"))
         ivs = intervals.select(
@@ -370,15 +399,25 @@ def interval_point_join(
             f"({end_col} div {bucket_us} - {start_col} div {bucket_us} + 1)"
             f" > {long_factor}"
         )
-        pts = points.select(
-            "*",
-            F.expr(
-                f"explode(array("
-                f" named_struct('_lg', false, '_bk', {t_col} div {bucket_us}),"
-                f" named_struct('_lg', true,  '_bk', {t_col} div {coarse_us})"
-                f"))"
-            ).alias("_lane"),
-        ).select("*", "_lane._lg", "_lane._bk").drop("_lane")
+        any_long = F.broadcast(
+            intervals.select(start_col, end_col).agg(
+                F.coalesce(F.max(F.expr(is_long)), F.lit(False)).alias(
+                    "_any_long"
+                )
+            )
+        )
+        # the coarse key is emitted ONLY when some interval is long
+        # (broadcast scalar, same for every row) — otherwise each point
+        # carries exactly one fine-lane key and the join shuffles 1×
+        # point volume, same as the single-lane plan. The 1-row flag
+        # attaches via a broadcast crossJoin (a constant-key equi-join
+        # would constant-fold right back into the same nested loop);
+        # plan-hygiene checks must allow exactly this one benign 1-row
+        # BroadcastNestedLoopJoin and keep forbidding it for the range
+        # join itself
+        pts = _interval_lane_points(
+            points, any_long, t_col, bucket_us, coarse_us
+        )
         ivs = intervals.select(
             "*",
             F.expr(is_long).alias("_lg"),

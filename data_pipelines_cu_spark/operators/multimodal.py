@@ -113,11 +113,13 @@ def decode_pixels(payload: bytes):
     RGB/RGBA/greyscale/palette, sequential or Adam7-interlaced, stdlib
     zlib inflate + scanline unfilter), JPEG (baseline AND progressive
     DCT, restart markers, fill bytes), GIF (LZW, interlace, local
-    color tables, transparency, first frame), or MJPEG AVI (RIFF
-    container walk + the JPEG kernel, first frame) blob to an (H, W, 3)
-    uint8 RGB numpy array — no codec library. Raises ValueError on
-    anything else (the plug point where PIL/libvips/ffmpeg widens format
-    support: WebP and inter-frame video codecs)."""
+    color tables, transparency, first frame), MJPEG AVI (RIFF
+    container walk + the JPEG kernel, first frame), or lossless WebP
+    (VP8L: prefix codes, color cache, LZ77, all four transforms) blob
+    to an (H, W, 3) uint8 RGB numpy array — no codec library. Raises
+    ValueError on anything else (the plug point where PIL/libvips/
+    ffmpeg widens format support: lossy VP8 WebP and inter-frame video
+    codecs)."""
     import struct
 
     import numpy as np
@@ -174,6 +176,8 @@ def decode_pixels(payload: bytes):
             raise ValueError(f"corrupt GIF stream: {exc}") from exc
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
         return _decode_jpeg(avi_mjpeg_frames(payload)[0])
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return _decode_webp(payload)
     raise ValueError(f"unrecognized image magic {payload[:2]!r}")
 
 
@@ -1616,8 +1620,17 @@ def avi_mjpeg_frames(payload: bytes) -> list:
     # stream could claim it decimally (video at 16 spells hex '10'; if
     # the file also HAS a stream 10, '10dc' chunks are that stream's and
     # must not be absorbed) — ambiguity resolves toward the decimal
-    # convention, never toward silently mixing streams.
-    want = {b"%02d" % vids_stream}
+    # convention, never toward silently mixing streams. Streams 100-255
+    # have NO two-char decimal spelling (b'%02d' would emit three bytes
+    # that can never match a chunk prefix), so their hex spelling is
+    # accepted unconditionally; the 2-char prefix hex-caps ids at 0xFF —
+    # reject higher rather than silently matching nothing.
+    if vids_stream > 0xFF:
+        raise ValueError(
+            f"unsupported AVI video stream index {vids_stream}"
+            " (two-char chunk prefixes cap stream ids at 0xFF)"
+        )
+    want = {b"%02d" % vids_stream} if vids_stream <= 99 else set()
     for spelling in (b"%02X" % vids_stream, b"%02x" % vids_stream):
         if spelling in want:
             continue
@@ -1625,7 +1638,11 @@ def avi_mjpeg_frames(payload: bytes) -> list:
             as_decimal = int(spelling)
         except ValueError:
             as_decimal = None  # contains a-f: no decimal stream claims it
-        if as_decimal is None or as_decimal >= n_streams:
+        if (
+            vids_stream > 99  # no decimal spelling exists — hex is IT
+            or as_decimal is None
+            or as_decimal >= n_streams
+        ):
             want.add(spelling)
     frames: list = []
 
@@ -2396,3 +2413,915 @@ def encode_jpeg_progressive(arr, al: int = 1) -> bytes:
         out += stream
     out += b"\xff\xd9"
     return bytes(out)
+
+
+# --- WebP lossless (VP8L) -------------------------------------------------------
+# First-frame decode of a lossless WebP (RIFF 'WEBP' + 'VP8L' chunk) per
+# the public WebP Lossless Bitstream Specification (RFC 9649 / Google
+# "webp-lossless-bitstream-spec"): LSB-first bitstream, canonical prefix
+# codes (RFC 1951 ordering), optional color cache, LZ77 backward
+# references with the 120-entry two-dimensional distance map, meta
+# prefix-code tiling, and the four transforms (predictor with all 14
+# modes, cross-color, subtract-green, color indexing with sub-byte pixel
+# bundling), inverted in reverse bitstream order. Own encoder (real
+# canonical-Huffman writer, every transform, cache and LZ77 emission) so
+# the codec is property-testable without libwebp, like the PNG/JPEG/GIF
+# surface. Closes the declared decode_pixels plug point for WebP; VP8
+# (lossy) WebP remains out of scope — it is a full inter-prediction DCT
+# codec, and the reference's payloads are lossless-style rasters.
+
+_VP8L_CL_ORDER = (
+    17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,
+)
+
+# Encoder-side plane lut (8 rows × 16 cols, row = yoffset, col = 8 -
+# xoffset; 255 = unmapped): value v at index i means near-distance
+# (xoffset, yoffset) codes as plane code v+1. Verified structurally:
+# each of 0..119 appears exactly once. Decoder inverts it.
+_VP8L_PLANE_LUT = (
+     96,  73,  55,  39,  23,  13,   5,  1, 255, 255, 255, 255, 255, 255, 255, 255,
+    101,  78,  58,  42,  26,  16,   8,  2,   0,   3,   9,  17,  27,  43,  59,  79,
+    102,  86,  62,  46,  32,  20,  10,  6,   4,   7,  11,  21,  33,  47,  63,  87,
+    105,  90,  70,  52,  37,  28,  18, 14,  12,  15,  19,  29,  38,  53,  71,  91,
+    110,  99,  82,  66,  48,  35,  30, 24,  22,  25,  31,  36,  49,  67,  83, 100,
+    115, 108,  94,  76,  64,  50,  44, 40,  34,  41,  45,  51,  65,  77,  95, 109,
+    118, 113, 103,  92,  80,  68,  60, 56,  54,  57,  61,  69,  81,  93, 104, 114,
+    119, 116, 111, 106,  97,  88,  84, 74,  72,  75,  85,  89,  98, 107, 112, 117,
+)
+_VP8L_CODE_TO_PLANE = [0] * 120
+for _i, _v in enumerate(_VP8L_PLANE_LUT):
+    if _v != 255:
+        _VP8L_CODE_TO_PLANE[_v] = _i
+assert sorted(_v for _v in _VP8L_PLANE_LUT if _v != 255) == list(range(120))
+
+
+class _Vp8lBitReader:
+    """LSB-first bit reader (VP8L convention, same as DEFLATE fields)."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0  # bit position
+
+    def bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        byte_i = self.pos >> 3
+        chunk = int.from_bytes(
+            self.data[byte_i : byte_i + ((n + 14) >> 3) + 1], "little"
+        )
+        out = (chunk >> (self.pos & 7)) & ((1 << n) - 1)
+        self.pos += n
+        if (self.pos - 1) >> 3 >= len(self.data):
+            raise ValueError("truncated VP8L bitstream")
+        return out
+
+    def bit(self) -> int:
+        return self.bits(1)
+
+
+class _Vp8lCode:
+    """Canonical prefix code (RFC 1951 ordering): decode walks bit by
+    bit, appending each new LSB-first stream bit as the code's next
+    LOWER bit (codes are packed MSB first, like DEFLATE's Huffman
+    codes). A single-symbol code reads zero bits."""
+
+    def __init__(self, lengths) -> None:
+        live = [(ln, sym) for sym, ln in enumerate(lengths) if ln > 0]
+        if not live:
+            raise ValueError("empty prefix code")
+        self.single = live[0][1] if len(live) == 1 else None
+        live.sort()
+        self.max_len = live[-1][0]
+        # per length: first canonical code, first index into syms
+        self.syms = [s for _, s in live]
+        self.first_code = {}
+        self.first_idx = {}
+        self.count = {}
+        code = 0
+        prev_len = 0
+        for idx, (ln, _) in enumerate(live):
+            code <<= ln - prev_len
+            prev_len = ln
+            if ln not in self.first_code:
+                self.first_code[ln] = code
+                self.first_idx[ln] = idx
+                self.count[ln] = 0
+            self.count[ln] += 1
+            code += 1
+
+    def read(self, br: _Vp8lBitReader) -> int:
+        if self.single is not None:
+            return self.single
+        code = 0
+        ln = 0
+        while True:
+            code = (code << 1) | br.bit()
+            ln += 1
+            if ln > self.max_len:
+                raise ValueError("invalid VP8L prefix code")
+            fc = self.first_code.get(ln)
+            if fc is not None and fc <= code < fc + self.count[ln]:
+                return self.syms[self.first_idx[ln] + code - fc]
+
+
+def _vp8l_read_code(br: _Vp8lBitReader, alphabet_size: int) -> _Vp8lCode:
+    """One prefix code: the 'simple' 1-2 symbol form or the RFC-1951-
+    style code-length-coded form (with repeats 16/17/18 and the optional
+    max_symbol cap)."""
+    if br.bit():  # simple
+        num_symbols = br.bit() + 1
+        first_len = 8 if br.bit() else 1
+        lengths = [0] * alphabet_size
+        s0 = br.bits(first_len)
+        lengths[s0] = 1
+        if num_symbols == 2:
+            lengths[br.bits(8)] = 1
+        return _Vp8lCode(lengths)
+    num_cl = 4 + br.bits(4)
+    cl_lengths = [0] * 19
+    for i in range(num_cl):
+        cl_lengths[_VP8L_CL_ORDER[i]] = br.bits(3)
+    cl_code = _Vp8lCode(cl_lengths)
+    if br.bit():  # length-limited read
+        nbits = 2 + 2 * br.bits(3)
+        max_symbol = 2 + br.bits(nbits)
+    else:
+        max_symbol = alphabet_size
+    lengths = [0] * alphabet_size
+    sym = 0
+    prev_len = 8
+    while sym < alphabet_size:
+        if max_symbol == 0:
+            break
+        max_symbol -= 1
+        cl = cl_code.read(br)
+        if cl < 16:
+            lengths[sym] = cl
+            sym += 1
+            if cl:
+                prev_len = cl
+        elif cl == 16:
+            rep = 3 + br.bits(2)
+            for _ in range(min(rep, alphabet_size - sym)):
+                lengths[sym] = prev_len
+                sym += 1
+        elif cl == 17:
+            sym += 3 + br.bits(3)
+        else:
+            sym += 11 + br.bits(7)
+    return _Vp8lCode(lengths)
+
+
+def _vp8l_prefix_value(br: _Vp8lBitReader, code: int) -> int:
+    """LZ77 length/distance prefix decoding (shared scheme)."""
+    if code < 4:
+        return code + 1
+    eb = (code - 2) >> 1
+    return ((2 + (code & 1)) << eb) + br.bits(eb) + 1
+
+
+def _vp8l_subsample(size: int, bits: int) -> int:
+    return (size + (1 << bits) - 1) >> bits
+
+
+def _vp8l_decode_pixels(br, w, h, groups, meta, meta_bits, cache_bits):
+    """Scan-order pixel decode: literals, color-cache hits, LZ77 copies
+    (distance through the plane map). Returns packed-ARGB ints."""
+    n = w * h
+    pix = [0] * n
+    cache = [0] * (1 << cache_bits) if cache_bits else None
+    cache_shift = 32 - cache_bits if cache_bits else 0
+    pos = 0
+    while pos < n:
+        if meta is None:
+            g_code, r_code, b_code, a_code, d_code = groups[0]
+        else:
+            x = pos % w
+            y = pos // w
+            gi = meta[(y >> meta_bits) * _vp8l_subsample(w, meta_bits) + (x >> meta_bits)]
+            g_code, r_code, b_code, a_code, d_code = groups[gi]
+        s = g_code.read(br)
+        if s < 256:  # literal
+            r = r_code.read(br)
+            b = b_code.read(br)
+            a = a_code.read(br)
+            argb = (a << 24) | (r << 16) | (s << 8) | b
+            pix[pos] = argb
+            pos += 1
+            if cache is not None:
+                cache[((0x1E35A7BD * argb) & 0xFFFFFFFF) >> cache_shift] = argb
+        elif s < 256 + 24:  # backward reference
+            length = _vp8l_prefix_value(br, s - 256)
+            dist_code = _vp8l_prefix_value(br, d_code.read(br))
+            if dist_code > 120:
+                dist = dist_code - 120
+            else:
+                packed = _VP8L_CODE_TO_PLANE[dist_code - 1]
+                dist = (packed >> 4) * w + (8 - (packed & 0xF))
+                if dist < 1:
+                    dist = 1
+            if dist > pos or pos + length > n:
+                raise ValueError("VP8L backward reference out of range")
+            for _ in range(length):
+                argb = pix[pos - dist]
+                pix[pos] = argb
+                pos += 1
+                if cache is not None:
+                    cache[
+                        ((0x1E35A7BD * argb) & 0xFFFFFFFF) >> cache_shift
+                    ] = argb
+        else:  # color cache hit
+            if cache is None:
+                raise ValueError("VP8L cache symbol without a color cache")
+            pix[pos] = cache[s - 256 - 24]
+            pos += 1
+    return pix
+
+
+def _vp8l_decode_image_stream(br, w, h, level0):
+    """One VP8L image stream: [transforms (level 0 only)], color cache
+    bit, [meta prefix image (level 0 only)], prefix-code groups, pixel
+    decode, inverse transforms in reverse read order. Returns packed
+    ARGB ints, row-major."""
+    transforms = []
+    if level0:
+        seen = set()
+        while br.bit():
+            ttype = br.bits(2)
+            if ttype in seen:
+                raise ValueError("duplicate VP8L transform")
+            seen.add(ttype)
+            if ttype == 0 or ttype == 1:  # predictor / cross-color
+                size_bits = br.bits(3) + 2
+                tw = _vp8l_subsample(w, size_bits)
+                th = _vp8l_subsample(h, size_bits)
+                timg = _vp8l_decode_image_stream(br, tw, th, False)
+                transforms.append((ttype, size_bits, timg))
+            elif ttype == 2:  # subtract green
+                transforms.append((2, None, None))
+            else:  # color indexing
+                n_colors = br.bits(8) + 1
+                deltas = _vp8l_decode_image_stream(br, n_colors, 1, False)
+                palette = []
+                prev = 0
+                for d in deltas:
+                    # componentwise byte-add to the previous entry
+                    entry = (
+                        (((prev >> 24) + (d >> 24)) & 0xFF) << 24
+                        | (((prev >> 16) + (d >> 16)) & 0xFF) << 16
+                        | (((prev >> 8) + (d >> 8)) & 0xFF) << 8
+                        | ((prev + d) & 0xFF)
+                    )
+                    palette.append(entry)
+                    prev = entry
+                if n_colors <= 2:
+                    pack_bits = 3
+                elif n_colors <= 4:
+                    pack_bits = 2
+                elif n_colors <= 16:
+                    pack_bits = 1
+                else:
+                    pack_bits = 0
+                transforms.append((3, (pack_bits, w, palette), None))
+                if pack_bits:
+                    w = _vp8l_subsample(w, pack_bits)
+    cache_bits = 0
+    if br.bit():
+        cache_bits = br.bits(4)
+        if not 1 <= cache_bits <= 11:
+            raise ValueError(f"invalid VP8L color cache bits {cache_bits}")
+    meta = None
+    meta_bits = 0
+    n_groups = 1
+    if level0 and br.bit():
+        meta_bits = br.bits(3) + 2
+        mimg = _vp8l_decode_image_stream(
+            br, _vp8l_subsample(w, meta_bits), _vp8l_subsample(h, meta_bits),
+            False,
+        )
+        meta = [(p >> 8) & 0xFFFF for p in mimg]
+        n_groups = max(meta) + 1
+    green_size = 256 + 24 + ((1 << cache_bits) if cache_bits else 0)
+    groups = []
+    for _ in range(n_groups):
+        groups.append(
+            (
+                _vp8l_read_code(br, green_size),
+                _vp8l_read_code(br, 256),
+                _vp8l_read_code(br, 256),
+                _vp8l_read_code(br, 256),
+                _vp8l_read_code(br, 40),
+            )
+        )
+    pix = _vp8l_decode_pixels(br, w, h, groups, meta, meta_bits, cache_bits)
+    for ttype, arg, timg in reversed(transforms):
+        if ttype == 3:
+            pack_bits, full_w, palette = arg
+            if pack_bits:
+                packed_w = _vp8l_subsample(full_w, pack_bits)
+                per = 1 << pack_bits
+                mask = (1 << (8 >> pack_bits)) - 1
+                out = []
+                rows = h
+                for y in range(rows):
+                    row = []
+                    for xp in range(packed_w):
+                        g = (pix[y * packed_w + xp] >> 8) & 0xFF
+                        for k in range(per):
+                            idx = (g >> (k * (8 >> pack_bits))) & mask
+                            row.append(idx)
+                    out.extend(row[:full_w])
+                idx_stream = out
+                w = full_w
+            else:
+                idx_stream = [(p >> 8) & 0xFF for p in pix]
+            pix = [
+                palette[i] if i < len(palette) else 0 for i in idx_stream
+            ]
+        elif ttype == 2:  # add green back
+            pix = [
+                (p & 0xFF000000)
+                | ((((p >> 16) + (p >> 8)) & 0xFF) << 16)
+                | (p & 0xFF00)
+                | ((p + (p >> 8)) & 0xFF)
+                for p in pix
+            ]
+        elif ttype == 1:  # cross-color inverse
+            pix = _vp8l_inverse_color_transform(pix, w, h, arg, timg)
+        else:  # predictor inverse
+            pix = _vp8l_inverse_predictor(pix, w, h, arg, timg)
+    return pix
+
+
+def _ctd(t: int, c: int) -> int:
+    """ColorTransformDelta: signed-int8 product, arithmetic >> 5."""
+    ts = t - 256 if t >= 128 else t
+    cs = c - 256 if c >= 128 else c
+    return (ts * cs) >> 5
+
+
+def _vp8l_inverse_color_transform(pix, w, h, size_bits, timg):
+    tw = _vp8l_subsample(w, size_bits)
+    out = [0] * len(pix)
+    for pos, p in enumerate(pix):
+        x = pos % w
+        y = pos // w
+        cte = timg[(y >> size_bits) * tw + (x >> size_bits)]
+        g2r = cte & 0xFF
+        g2b = (cte >> 8) & 0xFF
+        r2b = (cte >> 16) & 0xFF
+        g = (p >> 8) & 0xFF
+        r = ((p >> 16) & 0xFF) + _ctd(g2r, g)
+        r &= 0xFF
+        b = (p & 0xFF) + _ctd(g2b, g) + _ctd(r2b, r)
+        out[pos] = (p & 0xFF00FF00) | (r << 16) | (b & 0xFF)
+    return out
+
+
+def _vp8l_avg2(a: int, b: int) -> int:
+    """Per-channel (a + b) / 2 on packed ARGB."""
+    return (((a ^ b) & 0xFEFEFEFE) >> 1) + (a & b)
+
+
+def _vp8l_clamp_add_sub_full(l, t, tl):  # noqa: E741
+    out = 0
+    for sh in (24, 16, 8, 0):
+        v = ((l >> sh) & 0xFF) + ((t >> sh) & 0xFF) - ((tl >> sh) & 0xFF)
+        out |= max(0, min(255, v)) << sh
+    return out
+
+
+def _vp8l_clamp_add_sub_half(avg, tl):
+    out = 0
+    for sh in (24, 16, 8, 0):
+        a = (avg >> sh) & 0xFF
+        b = (tl >> sh) & 0xFF
+        d = a - b
+        # C integer division truncates toward zero
+        half = d // 2 if d >= 0 else -((-d) // 2)
+        out |= max(0, min(255, a + half)) << sh
+    return out
+
+
+def _vp8l_select(l, t, tl):  # noqa: E741
+    pl = pt = 0
+    for sh in (24, 16, 8, 0):
+        lc = (l >> sh) & 0xFF
+        tc = (t >> sh) & 0xFF
+        tlc = (tl >> sh) & 0xFF
+        p = lc + tc - tlc
+        pl += abs(p - lc)
+        pt += abs(p - tc)
+    return l if pl < pt else t
+
+
+def _vp8l_predict(mode, l, t, tl, tr):  # noqa: E741
+    if mode == 0:
+        return 0xFF000000
+    if mode == 1:
+        return l
+    if mode == 2:
+        return t
+    if mode == 3:
+        return tr
+    if mode == 4:
+        return tl
+    if mode == 5:
+        return _vp8l_avg2(_vp8l_avg2(l, tr), t)
+    if mode == 6:
+        return _vp8l_avg2(l, tl)
+    if mode == 7:
+        return _vp8l_avg2(l, t)
+    if mode == 8:
+        return _vp8l_avg2(tl, t)
+    if mode == 9:
+        return _vp8l_avg2(t, tr)
+    if mode == 10:
+        return _vp8l_avg2(_vp8l_avg2(l, tl), _vp8l_avg2(t, tr))
+    if mode == 11:
+        return _vp8l_select(l, t, tl)
+    if mode == 12:
+        return _vp8l_clamp_add_sub_full(l, t, tl)
+    if mode == 13:
+        return _vp8l_clamp_add_sub_half(_vp8l_avg2(l, t), tl)
+    raise ValueError(f"invalid VP8L predictor mode {mode}")
+
+
+def _vp8l_inverse_predictor(pix, w, h, size_bits, timg):
+    tw = _vp8l_subsample(w, size_bits)
+    out = [0] * len(pix)
+    for pos, res in enumerate(pix):
+        x = pos % w
+        y = pos // w
+        if pos == 0:
+            pred = 0xFF000000
+        elif y == 0:
+            pred = out[pos - 1]  # L
+        elif x == 0:
+            pred = out[pos - w]  # T
+        else:
+            mode = (timg[(y >> size_bits) * tw + (x >> size_bits)] >> 8) & 0xFF
+            # top-right of the last column wraps to this row's first
+            # pixel (contiguous-buffer rule the spec codifies)
+            tr = out[pos - w + 1]
+            pred = _vp8l_predict(
+                mode, out[pos - 1], out[pos - w], out[pos - w - 1], tr
+            )
+        out[pos] = (
+            (((res >> 24) + (pred >> 24)) & 0xFF) << 24
+            | (((res >> 16) + (pred >> 16)) & 0xFF) << 16
+            | (((res >> 8) + (pred >> 8)) & 0xFF) << 8
+            | ((res + pred) & 0xFF)
+        )
+    return out
+
+
+def _decode_webp(payload: bytes):
+    """RIFF 'WEBP' container → first VP8L chunk → (H, W, 3) RGB uint8.
+    Lossy 'VP8 ' chunks raise ValueError (declared out of scope)."""
+    import struct as _struct
+
+    import numpy as np
+
+    (riff_size,) = _struct.unpack_from("<I", payload, 4)
+    end = min(len(payload), 8 + riff_size)
+    pos = 12
+    data = None
+    while pos + 8 <= end:
+        fourcc = payload[pos : pos + 4]
+        (size,) = _struct.unpack_from("<I", payload, pos + 4)
+        if fourcc == b"VP8L":
+            data = payload[pos + 8 : pos + 8 + size]
+            break
+        if fourcc in (b"VP8 ", b"VP8X"):
+            # VP8X may wrap a VP8L chunk further on — keep walking
+            if fourcc == b"VP8 ":
+                raise ValueError(
+                    "lossy (VP8) WebP unsupported — lossless (VP8L) only"
+                )
+        pos += 8 + size + (size & 1)
+    if data is None:
+        raise ValueError("WebP container has no VP8L chunk")
+    if not data or data[0] != 0x2F:
+        raise ValueError("bad VP8L signature byte")
+    br = _Vp8lBitReader(data[1:])
+    w = br.bits(14) + 1
+    h = br.bits(14) + 1
+    br.bit()  # alpha-is-used hint
+    if br.bits(3) != 0:
+        raise ValueError("unsupported VP8L version")
+    pix = _vp8l_decode_image_stream(br, w, h, True)
+    arr = np.array(pix, dtype=np.uint32).reshape(h, w)
+    rgb = np.empty((h, w, 3), dtype=np.uint8)
+    rgb[:, :, 0] = (arr >> 16) & 0xFF
+    rgb[:, :, 1] = (arr >> 8) & 0xFF
+    rgb[:, :, 2] = arr & 0xFF
+    return rgb
+
+
+class _Vp8lBitWriter:
+    """LSB-first bit packer (mirror of _Vp8lBitReader)."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def bits(self, value: int, n: int) -> None:
+        self.acc |= (value & ((1 << n) - 1)) << self.nbits
+        self.nbits += n
+        while self.nbits >= 8:
+            self.buf.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def code(self, code: int, length: int) -> None:
+        """Prefix-code bits are packed MSB first (DEFLATE convention)."""
+        for i in range(length - 1, -1, -1):
+            self.bits((code >> i) & 1, 1)
+
+    def bytes(self) -> bytes:
+        out = bytearray(self.buf)
+        if self.nbits:
+            out.append(self.acc & 0xFF)
+        return bytes(out)
+
+
+def _vp8l_huffman_lengths(freqs, cap: int = 15):
+    """Code lengths from symbol frequencies: plain Huffman (heapq),
+    asserted within the 15-bit cap (test-scale images never overflow
+    it; a production encoder would package-merge)."""
+    import heapq
+
+    live = [(f, s) for s, f in enumerate(freqs) if f > 0]
+    lengths = [0] * len(freqs)
+    if not live:
+        return lengths
+    if len(live) == 1:
+        lengths[live[0][1]] = 1
+        return lengths
+    heap = [(f, (s,)) for f, s in live]
+    heapq.heapify(heap)
+    while len(heap) > 1:
+        fa, sa = heapq.heappop(heap)
+        fb, sb = heapq.heappop(heap)
+        for s in sa + sb:
+            lengths[s] += 1
+        heapq.heappush(heap, (fa + fb, sa + sb))
+    assert max(lengths) <= cap, "Huffman length cap exceeded"
+    return lengths
+
+
+def _vp8l_canonical_codes(lengths):
+    """RFC 1951 canonical code assignment for the given lengths."""
+    live = sorted(
+        (ln, sym) for sym, ln in enumerate(lengths) if ln > 0
+    )
+    codes = {}
+    code = 0
+    prev_len = 0
+    for ln, sym in live:
+        code <<= ln - prev_len
+        prev_len = ln
+        codes[sym] = (code, ln)
+        code += 1
+    return codes
+
+
+def _vp8l_write_code(bw: _Vp8lBitWriter, lengths) -> dict:
+    """Write one prefix code (simple form when it fits, else the
+    code-length-coded form with NO repeat compression — every symbol's
+    length spelled out) and return the canonical code table."""
+    live = [s for s, ln in enumerate(lengths) if ln > 0]
+    if 1 <= len(live) <= 2 and all(s < 256 for s in live):
+        bw.bits(1, 1)  # simple
+        bw.bits(len(live) - 1, 1)
+        bw.bits(1, 1)  # first symbol in 8 bits
+        bw.bits(live[0], 8)
+        if len(live) == 2:
+            bw.bits(live[1], 8)
+        if len(live) == 1:
+            return {live[0]: (0, 0)}
+        return {live[0]: (0, 1), live[1]: (1, 1)}
+    bw.bits(0, 1)  # complex
+    cl_freq = [0] * 19
+    for ln in lengths:
+        cl_freq[ln] += 1
+    cl_lengths = _vp8l_huffman_lengths(cl_freq, 7)
+    # order-coded 3-bit lengths for all 19 code-length symbols
+    bw.bits(19 - 4, 4)
+    for sym in _VP8L_CL_ORDER:
+        bw.bits(cl_lengths[sym], 3)
+    cl_codes = _vp8l_canonical_codes(cl_lengths)
+    bw.bits(0, 1)  # no max_symbol cap: spell out every length
+    single = len(cl_codes) == 1
+    for ln in lengths:
+        if not single:
+            bw.code(*cl_codes[ln])
+    return _vp8l_canonical_codes(lengths)
+
+
+def _vp8l_prefix_encode(value: int):
+    """(prefix_code, extra_bits_value, extra_bits_count) for an LZ77
+    length/distance value — mirror of _vp8l_prefix_value."""
+    if value <= 4:
+        return value - 1, 0, 0
+    v = value - 1
+    eb = v.bit_length() - 2
+    offset = (2 + ((v >> eb) & 1)) << eb
+    return 2 * eb + ((v >> eb) & 1) + 2, v - offset, eb
+
+
+def _vp8l_dist_to_code(dist: int, w: int) -> int:
+    """Distance → dist_code, preferring the 2-D plane map (mirror of
+    the decoder's PlaneCodeToDistance)."""
+    y, x = divmod(dist, w)
+    if x <= 8 and y < 8:
+        v = _VP8L_PLANE_LUT[y * 16 + 8 - x]
+        if v != 255:
+            return v + 1
+    if x > w - 8 and y < 7:
+        v = _VP8L_PLANE_LUT[(y + 1) * 16 + 8 + (w - x)]
+        if v != 255:
+            return v + 1
+    return dist + 120
+
+
+def encode_webp_lossless(
+    pixels,
+    subtract_green: bool = False,
+    predictor: int | None = None,
+    color_transform=None,
+    palette: bool = False,
+    cache_bits: int = 0,
+    lz77: bool = False,
+) -> bytes:
+    """Encode an (H, W, 3) RGB or (H, W, 4) RGBA uint8 array as a
+    lossless WebP — the write side of the VP8L kernel, so every decoder
+    path (canonical prefix codes, color cache, LZ77 with the distance
+    plane map, all four transforms incl. all 14 predictor modes and
+    sub-byte palette bundling) is property-testable without libwebp.
+    Transforms apply in argument order (the decoder inverts them in
+    reverse bitstream order, so round-trips by construction);
+    ``palette`` is exclusive of the pixel-space transforms."""
+    import struct as _struct
+
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w = arr.shape[:2]
+    has_alpha = arr.shape[2] == 4
+    a = arr[:, :, 3].astype(np.uint32) if has_alpha else np.full(
+        (h, w), 255, np.uint32
+    )
+    argb = (
+        (a << 24)
+        | (arr[:, :, 0].astype(np.uint32) << 16)
+        | (arr[:, :, 1].astype(np.uint32) << 8)
+        | arr[:, :, 2].astype(np.uint32)
+    )
+    flat = [int(p) for p in argb.reshape(-1)]
+
+    bw = _Vp8lBitWriter()
+    bw.bits(w - 1, 14)
+    bw.bits(h - 1, 14)
+    bw.bits(1 if has_alpha else 0, 1)
+    bw.bits(0, 3)  # version
+
+    enc_w = w
+    if palette:
+        if subtract_green or predictor is not None or color_transform:
+            raise ValueError("palette is exclusive of other transforms")
+        order = []
+        seen = set()
+        for p in flat:
+            if p not in seen:
+                seen.add(p)
+                order.append(p)
+        if len(order) > 256:
+            raise ValueError("more than 256 colors — palette impossible")
+        lut = {p: i for i, p in enumerate(order)}
+        n_colors = len(order)
+        bw.bits(1, 1)
+        bw.bits(3, 2)  # COLOR_INDEXING
+        bw.bits(n_colors - 1, 8)
+        deltas = []
+        prev = 0
+        for p in order:
+            deltas.append(
+                (((p >> 24) - (prev >> 24)) & 0xFF) << 24
+                | (((p >> 16) - (prev >> 16)) & 0xFF) << 16
+                | (((p >> 8) - (prev >> 8)) & 0xFF) << 8
+                | ((p - prev) & 0xFF)
+            )
+            prev = p
+        _vp8l_write_stream(bw, deltas, n_colors, 1)
+        if n_colors <= 2:
+            pack_bits = 3
+        elif n_colors <= 4:
+            pack_bits = 2
+        elif n_colors <= 16:
+            pack_bits = 1
+        else:
+            pack_bits = 0
+        idx = [lut[p] for p in flat]
+        if pack_bits:
+            per = 1 << pack_bits
+            field = 8 >> pack_bits
+            enc_w = _vp8l_subsample(w, pack_bits)
+            packed = []
+            for y in range(h):
+                row = idx[y * w : (y + 1) * w]
+                for xp in range(enc_w):
+                    g = 0
+                    for k in range(per):
+                        xi = xp * per + k
+                        if xi < w:
+                            g |= row[xi] << (k * field)
+                    packed.append(0xFF000000 | (g << 8))
+            flat = packed
+        else:
+            flat = [0xFF000000 | (i << 8) for i in idx]
+    else:
+        for step in (
+            ("sg",) if subtract_green else ()
+        ) + (
+            (("pred", predictor),) if predictor is not None else ()
+        ) + (
+            (("cc", color_transform),) if color_transform else ()
+        ):
+            if step == "sg":
+                bw.bits(1, 1)
+                bw.bits(2, 2)  # SUBTRACT_GREEN
+                flat = [
+                    (p & 0xFF00FF00)
+                    | ((((p >> 16) - (p >> 8)) & 0xFF) << 16)
+                    | ((p - (p >> 8)) & 0xFF)
+                    for p in flat
+                ]
+            elif step[0] == "pred":
+                mode = step[1]
+                bw.bits(1, 1)
+                bw.bits(0, 2)  # PREDICTOR
+                size_bits = 9  # one 512-px block covers any test image
+                while (1 << size_bits) < max(w, h):
+                    size_bits += 1
+                wbits = min(size_bits, 9)
+                bw.bits(wbits - 2, 3)
+                tw = _vp8l_subsample(w, wbits)
+                th = _vp8l_subsample(h, wbits)
+                timg = [0xFF000000 | (mode << 8)] * (tw * th)
+                _vp8l_write_stream(bw, timg, tw, th)
+                res = [0] * len(flat)
+                for pos, p in enumerate(flat):
+                    x = pos % w
+                    y = pos // w
+                    if pos == 0:
+                        pred = 0xFF000000
+                    elif y == 0:
+                        pred = flat[pos - 1]
+                    elif x == 0:
+                        pred = flat[pos - w]
+                    else:
+                        pred = _vp8l_predict(
+                            mode,
+                            flat[pos - 1],
+                            flat[pos - w],
+                            flat[pos - w - 1],
+                            flat[pos - w + 1],
+                        )
+                    res[pos] = (
+                        (((p >> 24) - (pred >> 24)) & 0xFF) << 24
+                        | (((p >> 16) - (pred >> 16)) & 0xFF) << 16
+                        | (((p >> 8) - (pred >> 8)) & 0xFF) << 8
+                        | ((p - pred) & 0xFF)
+                    )
+                flat = res
+            else:
+                g2r, g2b, r2b = step[1]
+                bw.bits(1, 1)
+                bw.bits(1, 2)  # COLOR (cross-color)
+                wbits = 9
+                while (1 << wbits) < max(w, h):
+                    wbits += 1
+                wbits = min(wbits, 9)
+                bw.bits(wbits - 2, 3)
+                tw = _vp8l_subsample(w, wbits)
+                th = _vp8l_subsample(h, wbits)
+                cte = (
+                    0xFF000000
+                    | ((r2b & 0xFF) << 16)
+                    | ((g2b & 0xFF) << 8)
+                    | (g2r & 0xFF)
+                )
+                _vp8l_write_stream(bw, [cte] * (tw * th), tw, th)
+                out = [0] * len(flat)
+                for pos, p in enumerate(flat):
+                    g = (p >> 8) & 0xFF
+                    r = (p >> 16) & 0xFF
+                    b = p & 0xFF
+                    nr = (r - _ctd(g2r & 0xFF, g)) & 0xFF
+                    nb = (b - _ctd(g2b & 0xFF, g) - _ctd(r2b & 0xFF, r)) & 0xFF
+                    out[pos] = (p & 0xFF00FF00) | (nr << 16) | nb
+                flat = out
+    bw.bits(0, 1)  # end of the transform list
+    _vp8l_write_stream(
+        bw, flat, enc_w, h, cache_bits=cache_bits, lz77=lz77, level0=True
+    )
+    body = b"\x2f" + bw.bytes()
+    chunk = b"VP8L" + _struct.pack("<I", len(body)) + body
+    if len(body) & 1:
+        chunk += b"\x00"
+    riff = b"WEBP" + chunk
+    return b"RIFF" + _struct.pack("<I", len(riff)) + riff
+
+
+def _vp8l_write_stream(
+    bw, flat, w, h, cache_bits: int = 0, lz77=False, level0=False
+):
+    """Entropy-code one image stream: optional color cache + optional
+    dist-1 run LZ77 (through the plane map), single prefix-code group,
+    no meta tiling. Only the level-0 (ARGB) stream carries the
+    meta-prefix bit — sub-images (palette/transform) skip it, matching
+    the decoder."""
+    if cache_bits:
+        bw.bits(1, 1)
+        bw.bits(cache_bits, 4)
+    else:
+        bw.bits(0, 1)
+    if level0:
+        bw.bits(0, 1)  # no meta prefix codes
+    cache = [0] * (1 << cache_bits) if cache_bits else None
+    shift = 32 - cache_bits if cache_bits else 0
+    green_size = 256 + 24 + ((1 << cache_bits) if cache_bits else 0)
+    # tokenization pass (shared by the frequency count and the emit)
+    tokens = []
+    pos = 0
+    n = len(flat)
+    while pos < n:
+        if lz77 and pos > 0:
+            run = 0
+            while pos + run < n and flat[pos + run] == flat[pos - 1] and run < 4000:
+                run += 1
+            if run >= 3:
+                tokens.append(("ref", run, 1))
+                if cache is not None:
+                    v = flat[pos - 1]
+                    cache[((0x1E35A7BD * v) & 0xFFFFFFFF) >> shift] = v
+                pos += run
+                continue
+        p = flat[pos]
+        if cache is not None:
+            idx = ((0x1E35A7BD * p) & 0xFFFFFFFF) >> shift
+            if cache[idx] == p:
+                tokens.append(("hit", idx, None))
+                pos += 1
+                continue
+            cache[idx] = p
+        tokens.append(("lit", p, None))
+        pos += 1
+    gf = [0] * green_size
+    rf = [0] * 256
+    bf = [0] * 256
+    af = [0] * 256
+    df = [0] * 40
+    for kind, x, d in tokens:
+        if kind == "lit":
+            gf[(x >> 8) & 0xFF] += 1
+            rf[(x >> 16) & 0xFF] += 1
+            bf[x & 0xFF] += 1
+            af[(x >> 24) & 0xFF] += 1
+        elif kind == "hit":
+            gf[256 + 24 + x] += 1
+        else:
+            code, _, _ = _vp8l_prefix_encode(x)
+            gf[256 + code] += 1
+            dcode, _, _ = _vp8l_prefix_encode(_vp8l_dist_to_code(d, w))
+            df[dcode] += 1
+    for freq in (rf, bf, af, df):
+        if not any(freq):
+            freq[0] = 1  # unused tree: 1-symbol simple code
+    if not any(gf):
+        gf[0] = 1
+    g_c = _vp8l_write_code(bw, _vp8l_huffman_lengths(gf))
+    r_c = _vp8l_write_code(bw, _vp8l_huffman_lengths(rf))
+    b_c = _vp8l_write_code(bw, _vp8l_huffman_lengths(bf))
+    a_c = _vp8l_write_code(bw, _vp8l_huffman_lengths(af))
+    d_c = _vp8l_write_code(bw, _vp8l_huffman_lengths(df))
+    for kind, x, d in tokens:
+        if kind == "lit":
+            bw.code(*g_c[(x >> 8) & 0xFF])
+            bw.code(*r_c[(x >> 16) & 0xFF])
+            bw.code(*b_c[x & 0xFF])
+            bw.code(*a_c[(x >> 24) & 0xFF])
+        elif kind == "hit":
+            bw.code(*g_c[256 + 24 + x])
+        else:
+            code, extra, eb = _vp8l_prefix_encode(x)
+            bw.code(*g_c[256 + code])
+            bw.bits(extra, eb)
+            dcode, dextra, deb = _vp8l_prefix_encode(
+                _vp8l_dist_to_code(d, w)
+            )
+            bw.code(*d_c[dcode])
+            bw.bits(dextra, deb)

@@ -364,14 +364,23 @@ def importance_weighted_sample(
             ).alias("imp_weight"),
         )
     )
-    from .windows import take_ordered  # noqa: PLC0415 (cycle guard)
+    from .windows import post_shuffle_width, take_ordered  # noqa: PLC0415
 
     keep = df.select(id_col, *keep_cols)
     order = [F.col("imp_weight").desc(), F.col(id_col).asc()]
     # guarded top-n: TakeOrdered below topKSortFallbackThreshold, blocked
-    # rank past it — never the silent full-sort fallback
+    # rank past it — never the silent full-sort fallback. The input's
+    # root lineage passes the per-doc aggregation exchange (scored is
+    # doc-cardinality, so no planner would broadcast it around), so the
+    # merge width is conf-bounded — pass it and skip take_ordered's
+    # borderline-band plan compile (top_n=300 sits past the compile-free
+    # shortcut).
     picked = take_ordered(
-        scored.join(keep, id_col), order, top_n, rank_col=rank_col
+        scored.join(keep, id_col),
+        order,
+        top_n,
+        rank_col=rank_col,
+        plan_width=post_shuffle_width(df.sparkSession),
     )
     return picked.select(
         id_col, *keep_cols, "n_tokens", "imp_weight", rank_col

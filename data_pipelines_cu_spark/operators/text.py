@@ -1100,6 +1100,7 @@ def quality_quantile_calibrate(
     score_col: str = "quality",
     group_col: str = "source",
     id_col: str = "doc_id",
+    materialize: str = "local",
 ) -> DataFrame:
     """(id, group, score, src_rank, calibrated): each doc's within-source
     rank r (score, id order), mapped to the global sorted score at
@@ -1110,7 +1111,8 @@ def quality_quantile_calibrate(
     TWO-LEVEL BLOCKED global rank (windows.blocked_row_number: the corpus
     never single-task sorts; ranks are total-order exact over
     (score, id), so the ROW_NUMBER oracle twin is byte-identical) + a
-    rank-keyed join."""
+    rank-keyed join. ``materialize`` ('local' | 'reliable') passes
+    through to the blocked rank's lineage cut."""
     from pyspark.sql import Window as W  # noqa: PLC0415
 
     from .windows import blocked_row_number  # noqa: PLC0415
@@ -1134,6 +1136,7 @@ def quality_quantile_calibrate(
         ),
         ["_gscore", "_gid"],
         rank_col="_grank",
+        materialize=materialize,
     ).select("_gscore", "_grank")
     return (
         ranked.withColumn("_target", target)

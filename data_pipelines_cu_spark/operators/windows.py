@@ -44,11 +44,34 @@ def topk_per_group(
 # id-blocks to arbitrary sort keys via a range shuffle.
 
 
+def derived_block_count(df: DataFrame, floor: int = 32) -> int:
+    """Block count for the blocked-rank family when the caller does not
+    pin one: the compiled input plan's partition count, floored at
+    ``floor`` and at ``defaultParallelism``.
+
+    Each block is ranked by ONE task (``Window.partitionBy(block)``), so
+    a FIXED block count is a parallelism ceiling: at 100× the data,
+    corpus/32 per block is exactly the fat task the blocked rank exists
+    to forbid. Sizing blocks to the input's own partitioning keeps the
+    per-block local sort at roughly one input partition's rows
+    (~``spark.sql.files.maxPartitionBytes`` worth on a parquet scan) at
+    ANY scale. The partition count is read off the compiled plan
+    (driver-side plan compile, no job — same pricing `take_ordered`
+    uses for its merge width); an unconvertible plan falls back to
+    ``defaultParallelism``. Ranks are invariant to block count under a
+    total order, so the derivation can never change a result."""
+    try:
+        width = max(1, df.rdd.getNumPartitions())
+    except Exception:  # noqa: BLE001 (unconvertible plan — estimate)
+        width = 1
+    return max(floor, width, df.sparkSession.sparkContext.defaultParallelism)
+
+
 def blocked_row_number(
     df: DataFrame,
     order_by: Sequence,
     rank_col: str = "_r",
-    n_blocks: int = 32,
+    n_blocks: int | None = None,
     materialize: str = "local",
 ) -> DataFrame:
     """Exact global ROW_NUMBER over ``order_by`` with NO single-task global
@@ -69,8 +92,16 @@ def blocked_row_number(
     order is total, block-boundary placement (which range sampling does not
     fully determine) cannot change any rank — every ROW_NUMBER oracle twin
     stays byte-identical. The explicit partition count keeps AQE from
-    coalescing the range exchange. One more blocking level extends the same
-    plan to any scale.
+    coalescing the range exchange.
+
+    ``n_blocks=None`` (the default) derives the block count from the
+    input's own width via :func:`derived_block_count` — ``max(32, plan
+    partitions, defaultParallelism)`` — so per-block tasks stay at
+    roughly one input partition's rows no matter the corpus size; a
+    fixed block count would be a hidden parallelism ceiling (corpus/32
+    single-task local sorts at 100×). Pass an explicit int only when the
+    caller knows better (tests pinning plan shape, inputs whose plan
+    width wildly overstates the ranked row count).
 
     The ranged table is checkpointed: its two consumers (the ranking
     window and the block-count aggregate) would otherwise each recompute
@@ -104,6 +135,8 @@ def blocked_row_number(
         raise ValueError(
             f"materialize must be 'local' or 'reliable', got {materialize!r}"
         )
+    if n_blocks is None:
+        n_blocks = derived_block_count(df)
     ranged = df.repartitionByRange(n_blocks, *order_by).withColumn(
         "_brn_blk", F.spark_partition_id()
     )
@@ -137,14 +170,39 @@ def blocked_row_number(
     )
 
 
+# A plan wider than this is out of design range (≈ a 128 TB scan at
+# 128 MB splits): below it, n × width ≤ budget can sometimes be decided
+# WITHOUT compiling the plan — see take_ordered's pricing ladder.
+PLAN_WIDTH_CAP = 1 << 20
+
+
+def post_shuffle_width(spark) -> int:
+    """Width bound for a plan whose root lineage passes through a
+    shuffle exchange (aggregate, shuffle join, repartition): the
+    runtime partition count is at most ``spark.sql.shuffle.partitions``
+    (AQE only coalesces it down), not the underlying scan's split
+    count. Callers that KNOW their take_ordered input is post-shuffle
+    pass this as ``plan_width`` and skip the driver-side plan compile
+    entirely — measured at 1–2.4s per call on deep plans (iterative
+    PageRank, double self-joins), pure waste when the width is conf-
+    bounded. NOT valid for a scan/broadcast-join-only lineage, where
+    the file split count is the real width."""
+    return max(
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+        spark.sparkContext.defaultParallelism,
+        1,
+    )
+
+
 def take_ordered(
     df: DataFrame,
     order_by: Sequence,
     n: int,
     rank_col: str | None = None,
-    n_blocks: int = 32,
+    n_blocks: int | None = None,
     materialize: str = "local",
     merge_rows_budget: int = 134_217_728,
+    plan_width: int | None = None,
 ) -> DataFrame:
     """Top-``n`` selection under ``order_by`` that never plans a
     single-task global sort OR an unbounded single-point merge, whatever
@@ -163,9 +221,13 @@ def take_ordered(
     engine-wide chokepoint for top-n selection and guards BOTH cliffs.
     The boundary is PARTITION-AWARE: the fast path is taken iff ``n``
     is below the configured threshold AND ``n × input partitions ≤
-    merge_rows_budget``, where the partition count is read off the
-    compiled plan itself (floored by defaultParallelism — a wide parquet
-    scan's map side, not the core count, is what feeds the merge).
+    merge_rows_budget``, where the partition count comes from a pricing
+    ladder (see the inline comment): a caller-supplied ``plan_width``
+    (use :func:`post_shuffle_width` when the input's root lineage
+    passes a shuffle), a compile-free small-n/huge-n shortcut, and only
+    in the genuinely borderline band a driver-side plan compile
+    (floored by defaultParallelism — a wide parquet scan's map side,
+    not the core count, is what feeds the merge).
     The budget prices a real TRADE, not a free lunch: the fast path's
     worst case is ONE task heap-merging ``partitions × n`` pre-truncated
     rows (O(R log n), ~10M rows/s), while the blocked path shuffles and
@@ -190,7 +252,21 @@ def take_ordered(
     ``materialize`` passes through to the blocked path's lineage cut
     ('local' | 'reliable' — see :func:`blocked_row_number`; large
     selections over genuinely corpus-sized inputs should pick
-    'reliable').
+    'reliable'). ``n_blocks=None`` derives the blocked path's block
+    count from the input width (see :func:`derived_block_count`) —
+    the already-priced merge width is reused, so the plan compiles once.
+
+    Two contract notes. (1) BOUNDED-PLAN CARVE-OUT: when the child's
+    statically-known ``maxRows`` is ≤ ``n`` (e.g. ``spark.range``, local
+    relations — never a parquet scan), Catalyst's EliminateLimits drops
+    the fast path's Limit and plans a plain global Sort of the whole
+    input; that input is ≤ n ≤ budget/partitions rows by the very check
+    that chose the fast path, so the single-task sort is bounded and
+    harmless — but the plan will NOT show TakeOrderedAndProject. (2)
+    ORDERING: the fast path happens to return physically ordered output;
+    the blocked path returns the same ROW SET distributed and UNORDERED.
+    The contract is the row set plus ``rank_col`` — a consumer that
+    needs physical order must sort the ≤ n-row result itself.
     """
     spark = df.sparkSession
     # no fallback literal: the conf is registered, so the no-arg get
@@ -200,17 +276,38 @@ def take_ordered(
     )
     # the merge width is the INPUT's partition count (each map partition
     # contributes a top-n prefix): a wide parquet scan exceeds
-    # defaultParallelism by orders of magnitude, so price with the plan's
-    # actual partitioning (driver-side plan compile, no job) and fall
-    # back to defaultParallelism if the RDD conversion fails
-    try:
-        est_partitions = max(1, df.rdd.getNumPartitions())
-    except Exception:  # noqa: BLE001 (unconvertible plan — estimate)
-        est_partitions = 1
-    est_partitions = max(
-        est_partitions, spark.sparkContext.defaultParallelism, 1
-    )
-    if n < thr and n * est_partitions <= merge_rows_budget:
+    # defaultParallelism by orders of magnitude. Reading the width off
+    # the compiled plan is exact but NOT free — a driver-side plan
+    # compile, measured at 1–2.4s per call on deep plans — so price
+    # through a ladder that compiles only when the answer depends on it:
+    #   1. caller-supplied ``plan_width`` (post_shuffle_width for
+    #      post-shuffle lineages) — trusted, no compile;
+    #   2. n × PLAN_WIDTH_CAP ≤ budget — safe at ANY in-design width
+    #      (≤ 2^20 partitions ≈ 128 TB of 128 MB splits; a wider scan
+    #      degrades to a proportionally longer single merge task, never
+    #      an unbounded plan) — no compile;
+    #   3. n × defaultParallelism > budget — busts the budget at the
+    #      FLOOR width, no plan can rescue it — no compile;
+    #   4. otherwise the decision is genuinely borderline: compile the
+    #      plan and read its real width (fall back to the floor if the
+    #      RDD conversion fails).
+    floor_width = max(spark.sparkContext.defaultParallelism, 1)
+    est_partitions = None
+    if plan_width is not None:
+        est_partitions = max(plan_width, floor_width)
+        fast = n * est_partitions <= merge_rows_budget
+    elif n * PLAN_WIDTH_CAP <= merge_rows_budget:
+        fast = True
+    elif n * floor_width > merge_rows_budget:
+        fast = False
+    else:
+        try:
+            est_partitions = max(1, df.rdd.getNumPartitions())
+        except Exception:  # noqa: BLE001 (unconvertible plan — estimate)
+            est_partitions = 1
+        est_partitions = max(est_partitions, floor_width)
+        fast = n * est_partitions <= merge_rows_budget
+    if n < thr and fast:
         out = df.orderBy(*order_by).limit(n)
         if rank_col is not None:
             out = out.withColumn(
@@ -218,6 +315,13 @@ def take_ordered(
                 F.row_number().over(Window.orderBy(*order_by)).cast("long"),
             )
         return out
+    # reuse the merge pricing's width when it was read (est_partitions is
+    # max(width, defaultParallelism) = derived_block_count); when the
+    # ladder skipped the compile, let blocked_row_number derive it —
+    # the blocked path executes the whole subtree anyway, so one plan
+    # compile is amortized there
+    if n_blocks is None and est_partitions is not None:
+        n_blocks = max(32, est_partitions)
     ranked = blocked_row_number(
         df, order_by, "_tko_rn", n_blocks, materialize
     ).filter(F.col("_tko_rn") <= n)
@@ -231,7 +335,7 @@ def blocked_ntile(
     order_by: Sequence,
     n_tiles: int,
     out_col: str = "tile",
-    n_blocks: int = 32,
+    n_blocks: int | None = None,
     materialize: str = "local",
 ) -> DataFrame:
     """Exact SQL NTILE(n) over ``order_by`` without the single-task global

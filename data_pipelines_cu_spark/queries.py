@@ -5433,7 +5433,7 @@ def ann_lsh_recall_q(spark, sf_dir):
     FROM tiers
     """,
 )
-def customer_rfm_segments_q(spark, sf_dir):
+def customer_rfm_segments_q(spark, sf_dir, materialize="local"):
     """RFM customer segmentation (recency / frequency / monetary
     quartiles, tier 1 = best): the standard marketing-analytics cut, as
     one aggregate + three EXACT NTILE assignments with deterministic
@@ -5441,7 +5441,10 @@ def customer_rfm_segments_q(spark, sf_dir):
     rank (windows.blocked_ntile), so the customer base never single-task
     sorts and the NTILE oracle stays byte-identical. The monetary sum is
     an exact decimal fold (the decimal_avg discipline), so quartile
-    boundaries hash-gate."""
+    boundaries hash-gate. ``materialize`` ('local' | 'reliable') picks
+    the three chained blocked ranks' lineage-cut flavor — a 100 TB
+    caller under executor-loss risk passes 'reliable' (requires
+    ``setCheckpointDir`` on durable storage)."""
     o = _t(spark, sf_dir, "orders")
     base = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
@@ -5462,7 +5465,11 @@ def customer_rfm_segments_q(spark, sf_dir):
         ("total_spend", "m_tier"),
     ):
         tiers = win.blocked_ntile(
-            tiers, [F.col(metric).desc(), F.col("o_custkey")], 4, col
+            tiers,
+            [F.col(metric).desc(), F.col("o_custkey")],
+            4,
+            col,
+            materialize=materialize,
         )
     return tiers.select(
         "o_custkey",

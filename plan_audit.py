@@ -81,12 +81,20 @@ def audit(n_queries: int = 20) -> int:
             if st["numCompleteTasks"] < 4:
                 continue
             try:
-                tasks = _ui(
-                    base,
-                    app,
-                    f"/stages/{st['stageId']}/{st['attemptId']}/taskList"
-                    "?length=1000",
-                )
+                # page until exhausted: a wide stage (> page size tasks)
+                # sampled partially can hide a double scan pair or skew
+                # the fat-read fraction
+                tasks: list = []
+                while True:
+                    page = _ui(
+                        base,
+                        app,
+                        f"/stages/{st['stageId']}/{st['attemptId']}/taskList"
+                        f"?offset={len(tasks)}&length=1000",
+                    )
+                    tasks.extend(page)
+                    if len(page) < 1000:
+                        break
             except OSError:
                 continue
             reads = [
@@ -127,10 +135,14 @@ def audit(n_queries: int = 20) -> int:
                 )
                 n_flags += 1
             mx, md = (times[-1], times[len(times) // 2]) if times else (0, 0)
-            # md == 0 is the EXTREME straggler (near-empty siblings), not
-            # a reason to skip
+            # md == 0 (sub-ms median) CAN be the extreme straggler
+            # (near-empty siblings), but legitimately tiny-sibling
+            # stages also read md == 0 — so that branch additionally
+            # requires the max task to dominate the stage's total time
+            # (one task is most of the work), not just clear the floor
             if mx > STRAGGLER_FLOOR_MS and (
-                md == 0 or mx / md > STRAGGLER_RATIO
+                (md == 0 and mx > 0.5 * sum(times))
+                or (md > 0 and mx / md > STRAGGLER_RATIO)
             ):
                 print(
                     json.dumps(

@@ -471,12 +471,25 @@ def test_priority_sample_uses_take_ordered(spark, sf_dir):
 
 def test_interval_join_has_no_nested_loop(spark, sf_dir):
     """The range join must run as the bucketed equi-join, never the
-    nested-loop cross product Catalyst would pick for a raw BETWEEN."""
+    nested-loop cross product Catalyst would pick for a raw BETWEEN.
+    The lazy lane gate attaches a 1-ROW broadcast flag to the point
+    side (r9: replaced the eager build-time probe), which legitimately
+    plans as one BroadcastNestedLoopJoin — allow exactly that one, and
+    require the candidate join itself to hash-partition on the
+    (lane, bucket) equi-keys."""
+    import re
+
     plan = _formatted_plan(
         QUERIES["event_session_concurrency"].fn(spark, sf_dir)
     )
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    # formatted plans print each node twice (tree + detail) — count
+    # detail headers, i.e. distinct physical nodes
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 1
+    assert re.search(
+        r"\(\d+\) (BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", plan
+    )
+    assert "_bk" in plan  # the bucket equi-key carries the range join
 
 
 def test_blocked_rank_replaces_global_rank_windows(spark, sf_dir):

@@ -100,8 +100,10 @@ def _brute(pts, ivs):
 
 def test_interval_join_gates_out_coarse_lane(spark):
     """No interval spans more than long_factor fine buckets (the common
-    case): the build-time probe must gate to the single fine lane — no
-    lane flag in the plan, no doubled point rows — with identical pairs."""
+    case): the lane gate — a lazy broadcast flag since r9, not the old
+    eager build-time probe — must emit only the fine-lane key per point
+    AT RUNTIME (1× point shuffle volume, no doubled rows), with
+    identical pairs."""
     ivs = [(1, 0, 95), (2, 50, 149), (3, 200, 200)]
     pts = [(i, i * 7) for i in range(40)]
     iv_df = spark.createDataFrame(
@@ -109,10 +111,32 @@ def test_interval_join_gates_out_coarse_lane(spark):
     )
     pt_df = spark.createDataFrame(pts, "event_id long, t_us long")
     out = jn.interval_point_join(pt_df, iv_df, "t_us", bucket_us=10)
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "_lg" not in plan, "coarse lane not gated out"
     got = sorted((r["event_id"], r["session_id"]) for r in out.collect())
     assert got == _brute(pts, ivs)
+    # runtime gating: with no long interval the exploded point side is
+    # exactly n_points rows; with one it doubles
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    def lane_rows(iv_rows):
+        frame = spark.createDataFrame(
+            iv_rows, "session_id long, start_us long, end_us long"
+        )
+        flag = F.broadcast(
+            frame.agg(
+                F.coalesce(
+                    F.max(
+                        F.expr(
+                            "(end_us div 10 - start_us div 10 + 1) > 64"
+                        )
+                    ),
+                    F.lit(False),
+                ).alias("_any_long")
+            )
+        )
+        return jn._interval_lane_points(pt_df, flag, "t_us", 10, 640).count()
+
+    assert lane_rows(ivs) == len(pts)
+    assert lane_rows([(1, 0, 9999)]) == 2 * len(pts)
 
 
 def test_interval_join_long_factor_none_opt_out(spark):

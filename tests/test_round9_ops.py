@@ -1,0 +1,490 @@
+"""Round-9 regression tests: input-width-derived block counts for the
+blocked-rank family (the fixed n_blocks=32 parallelism ceiling is gone),
+take_ordered's compile-free pricing ladder + boundary probes (AT the
+threshold, AT the merge budget, n >= row count on the blocked path, the
+EliminateLimits bounded-plan carve-out), materialize='reliable' plumbed
+through the blocked-rank consumers, the now-LAZY interval-join lane
+gate (no job at plan-build time), AVI stream ids past 99 (hex spelling)
+and past 0xFF (explicit reject), and frame sampling with every_n above
+every container's frame count."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from data_pipelines_cu_spark.operators import aggregates as ag
+from data_pipelines_cu_spark.operators import joins as jn
+from data_pipelines_cu_spark.operators import text as tx
+from data_pipelines_cu_spark.operators.windows import (
+    blocked_row_number,
+    derived_block_count,
+    post_shuffle_width,
+    take_ordered,
+)
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _ids(df, col="id"):
+    return sorted(r[col] for r in df.collect())
+
+
+# --- derived block count ------------------------------------------------------
+
+
+def test_derived_block_count_scales_with_input(spark):
+    """n_blocks follows the input plan's width (floored at 32): a wider
+    input gets more blocks, so per-block local-sort tasks stay input-
+    partition-sized at any scale instead of corpus/32."""
+    narrow = spark.range(1000)
+    wide = spark.range(1000).repartition(64)
+    assert derived_block_count(narrow) == 32
+    assert derived_block_count(wide) == 64
+
+
+def test_blocked_rank_uses_derived_width_and_stays_exact(spark, monkeypatch):
+    """Default (n_blocks=None) routes through derived_block_count (the
+    input's own width — 64 here, not the old fixed 32; the lineage cut
+    hides the exchange from the final plan, so the wiring is observed
+    directly) — and ranks are invariant to the block count under a
+    total order, so the window-function oracle stays byte-identical."""
+    import data_pipelines_cu_spark.operators.windows as win
+
+    df = (
+        spark.range(2000)
+        .select("id", (F.col("id") % 131).alias("v"))
+        .repartition(64)
+    )
+    derived = []
+    real = win.derived_block_count
+
+    def recording(frame, floor=32):
+        derived.append(real(frame, floor))
+        return derived[-1]
+
+    monkeypatch.setattr(win, "derived_block_count", recording)
+    got = blocked_row_number(df, ["v", "id"], "r")
+    assert derived == [64]
+    exp = df.withColumn("e", F.row_number().over(W.orderBy("v", "id")))
+    assert (
+        got.join(exp.select("id", "e"), "id").filter("r <> e").count() == 0
+    )
+
+
+# --- take_ordered pricing ladder ---------------------------------------------
+
+
+def test_take_ordered_skips_plan_compile_outside_borderline_band(
+    spark, monkeypatch
+):
+    """The driver-side plan compile (measured 1-2.4s on deep plans) runs
+    ONLY in the genuinely borderline band: small n and plan_width-hinted
+    calls never touch df.rdd."""
+    df = spark.range(4000).select("id", (F.col("id") % 7).alias("v"))
+    cls = type(df)  # the concrete (classic) DataFrame, not the base
+    compiles = []
+    orig = cls.rdd
+
+    def counting(self):
+        compiles.append(1)
+        return orig.fget(self)
+
+    monkeypatch.setattr(cls, "rdd", property(counting))
+    order = [F.col("v").desc(), F.col("id")]
+    take_ordered(df, order, 50)  # n*2^20 <= budget — compile-free
+    assert not compiles
+    take_ordered(df, order, 300, plan_width=post_shuffle_width(spark))
+    assert not compiles  # hinted — compile-free
+    take_ordered(df, order, 300)  # borderline band — must price the plan
+    assert compiles
+
+
+def test_take_ordered_at_threshold_boundary(spark):
+    """Exactly AT topKSortFallbackThreshold the fast path is forbidden
+    (Catalyst's own fallback there is the single-task global sort);
+    one below it stays TakeOrderedAndProject. Both row sets exact."""
+    df = spark.createDataFrame(
+        [(i, i % 13) for i in range(400)], "id long, v long"
+    )
+    order = [F.col("v").desc(), F.col("id")]
+    exp9 = _ids(df.orderBy(*order).limit(9))
+    exp10 = _ids(df.orderBy(*order).limit(10))
+    key = "spark.sql.execution.topKSortFallbackThreshold"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "10")
+    try:
+        fast = take_ordered(df, order, 9)
+        assert "TakeOrderedAndProject" in _plan(fast)
+        assert _ids(fast) == exp9
+        at = take_ordered(df, order, 10)
+        assert "TakeOrderedAndProject" not in _plan(at)
+        assert _ids(at) == exp10
+    finally:
+        spark.conf.set(key, old)
+
+
+def test_take_ordered_at_merge_budget_boundary(spark):
+    """n × partitions == budget takes the fast path (<=); one less
+    budget goes blocked — and the blocked path over 64 derived blocks
+    with only 400 rows (many EMPTY blocks) still ranks exactly."""
+    df = (
+        spark.createDataFrame([(i, i % 13) for i in range(400)], "id long, v long")
+        .repartition(64)
+    )
+    order = [F.col("v").desc(), F.col("id")]
+    exp = _ids(df.orderBy(*order).limit(10))
+    fast = take_ordered(df, order, 10, merge_rows_budget=640)
+    assert "TakeOrderedAndProject" in _plan(fast)
+    assert _ids(fast) == exp
+    blocked = take_ordered(df, order, 10, merge_rows_budget=639)
+    assert "TakeOrderedAndProject" not in _plan(blocked)
+    assert _ids(blocked) == exp
+
+
+def test_take_ordered_n_past_row_count_on_blocked_path(spark):
+    """n >= the row count on the blocked path returns the WHOLE input
+    with exact ranks 1..N (the rank filter keeps everything)."""
+    df = spark.createDataFrame(
+        [(i, (i * 7) % 50) for i in range(50)], "id long, v long"
+    )
+    order = [F.col("v").desc(), F.col("id")]
+    got = take_ordered(df, order, 100, rank_col="rk", merge_rows_budget=1)
+    rows = {r.id: r.rk for r in got.collect()}
+    assert len(rows) == 50
+    exp = {
+        r.id: r.e
+        for r in df.withColumn(
+            "e", F.row_number().over(W.orderBy(*order))
+        ).collect()
+    }
+    assert rows == {k: int(v) for k, v in exp.items()}
+
+
+def test_take_ordered_bounded_plan_carveout_still_correct(spark):
+    """EliminateLimits drops the fast path's Limit when the child's
+    known maxRows <= n (bounded plans like range) and leaves a plain
+    Sort — the docstring's documented carve-out. The input is budget-
+    bounded by construction, and the RESULT must still be the whole
+    input with exact ranks."""
+    df = spark.range(100)
+    got = take_ordered(df, [F.col("id").desc()], 200, rank_col="rk")
+    rows = sorted((r.id, r.rk) for r in got.collect())
+    assert rows == [(i, 100 - i) for i in range(100)]
+
+
+# --- materialize plumbed through the blocked-rank consumers -------------------
+
+
+@pytest.fixture()
+def ckpt_dir(spark, tmp_path):
+    sc = spark.sparkContext
+    old = sc._jsc.sc().getCheckpointDir()
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    yield tmp_path / "ckpt"
+    if old.isDefined():
+        sc.setCheckpointDir(old.get())
+
+
+def test_psi_value_drift_reliable_materialize(spark, ckpt_dir):
+    rows = [
+        (i, f"2024-01-{1 + (i % 10):02d} 00:00:00", float((i * 13) % 97))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts string, value double")
+    local = sorted(map(tuple, ag.psi_value_drift(df).collect()))
+    rel = sorted(
+        map(tuple, ag.psi_value_drift(df, materialize="reliable").collect())
+    )
+    assert local == rel
+    assert list(ckpt_dir.rglob("*")), "reliable cut wrote nothing"
+
+
+def test_psi_value_drift_bad_materialize_rejected(spark):
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1.0)],
+        "event_id long, ts string, value double",
+    )
+    with pytest.raises(ValueError, match="materialize"):
+        ag.psi_value_drift(df, materialize="cached")
+
+
+def test_gini_and_calibrate_reliable_materialize(spark, ckpt_dir):
+    ents = spark.createDataFrame([(i,) for i in range(40)], "c_custkey long")
+    fact = spark.createDataFrame(
+        [(i % 25, float(10 + i)) for i in range(200)],
+        "o_custkey long, o_totalprice double",
+    )
+    g_loc = sorted(map(tuple, ag.gini_concentration(ents, fact).collect()))
+    g_rel = sorted(
+        map(
+            tuple,
+            ag.gini_concentration(ents, fact, materialize="reliable").collect(),
+        )
+    )
+    assert g_loc == g_rel
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}", float((i * 31) % 83)) for i in range(120)],
+        "doc_id long, source string, quality double",
+    )
+    c_loc = sorted(map(tuple, tx.quality_quantile_calibrate(docs).collect()))
+    c_rel = sorted(
+        map(
+            tuple,
+            tx.quality_quantile_calibrate(
+                docs, materialize="reliable"
+            ).collect(),
+        )
+    )
+    assert c_loc == c_rel
+    assert list(ckpt_dir.rglob("*"))
+
+
+def test_rfm_query_reliable_materialize(spark, sf_dir, ckpt_dir):
+    from data_pipelines_cu_spark.queries import all_queries
+
+    fn = all_queries()["customer_rfm_segments"].fn
+    loc = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    rel = sorted(map(tuple, fn(spark, sf_dir, materialize="reliable").collect()))
+    assert loc == rel
+
+
+# --- interval join: lazy lane gate -------------------------------------------
+
+
+def test_interval_point_join_is_lazy(spark):
+    """Building the plan runs NO job: an interval side that raises on
+    execution still builds (the old .first() probe would explode), and
+    only collecting raises."""
+    pts = spark.range(10).select((F.col("id") * 100).alias("t_us"))
+    # the poison lives INSIDE end_us (a free-standing column would be
+    # pruned): any evaluation of the interval side raises
+    ivs = spark.createDataFrame(
+        [(0, 500)], "start_us long, end_us long"
+    ).select(
+        "start_us",
+        F.when(
+            F.expr("assert_true(end_us < 0)").isNull(), F.col("end_us")
+        ).alias("end_us"),
+    )
+    j = jn.interval_point_join(pts, ivs, bucket_us=100, long_factor=4)
+    with pytest.raises(Exception):  # noqa: B017 (any execution error)
+        j.count()
+
+
+def test_interval_join_lane_parity_and_prefilter(spark):
+    """The broadcast-flag lane gate reproduces the cross-join reference
+    with and without long intervals; a table emptied BY the inverted-
+    interval prefilter yields zero matches, not a crash."""
+    pts = spark.range(100).select((F.col("id") * 10).alias("t_us"))
+    short = spark.createDataFrame(
+        [(50, 200), (900, 950)], "start_us long, end_us long"
+    )
+    mixed = spark.createDataFrame(
+        [(50, 200), (0, 990), (900, 950)], "start_us long, end_us long"
+    )
+    for ivs in (short, mixed):
+        exp = (
+            pts.crossJoin(ivs)
+            .filter("t_us >= start_us and t_us <= end_us")
+            .count()
+        )
+        got = jn.interval_point_join(
+            pts, ivs, bucket_us=100, long_factor=4
+        ).count()
+        assert got == exp and exp > 0
+    inverted = spark.createDataFrame(
+        [(200, 50), (950, 900)], "start_us long, end_us long"
+    )
+    assert (
+        jn.interval_point_join(
+            pts, inverted, bucket_us=100, long_factor=4
+        ).count()
+        == 0
+    )
+
+
+# --- AVI stream ids past two decimal digits ----------------------------------
+
+
+def _chunk(fourcc, body):
+    return (
+        fourcc
+        + struct.pack("<I", len(body))
+        + body
+        + (b"\x00" if len(body) & 1 else b"")
+    )
+
+
+def _list(ltype, body):
+    return _chunk(b"LIST", ltype + body)
+
+
+def _avi_with_stream_index(vids_idx, jpeg):
+    """Minimal AVI whose video stream sits at ``vids_idx`` after that
+    many audio streams; the frame chunk uses the only spelling that
+    FITS two chars (decimal <= 99, hex above)."""
+    strls = [
+        _list(b"strl", _chunk(b"strh", b"auds" + b"\x00" * 4))
+        for _ in range(vids_idx)
+    ]
+    strls.append(_list(b"strl", _chunk(b"strh", b"vids" + b"MJPG")))
+    hdrl = _list(b"hdrl", b"".join(strls))
+    prefix = (b"%02d" if vids_idx <= 99 else b"%02X") % vids_idx
+    movi = _list(b"movi", _chunk(prefix + b"dc", jpeg))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _one_jpeg():
+    import numpy as np
+
+    from data_pipelines_cu_spark.operators import multimodal as mm
+
+    frame = np.full((8, 8, 3), 128, dtype=np.uint8)
+    return mm.avi_mjpeg_frames(mm.encode_avi_mjpeg([frame]))[0]
+
+
+def test_avi_stream_index_over_99_matches_hex_spelling():
+    """Stream 100 has no two-char decimal spelling — its hex spelling
+    ('64') must be accepted unconditionally, even though a decimal
+    stream 64 could theoretically exist."""
+    from data_pipelines_cu_spark.operators import multimodal as mm
+
+    jpeg = _one_jpeg()
+    frames = mm.avi_mjpeg_frames(_avi_with_stream_index(100, jpeg))
+    assert frames == [jpeg]
+
+
+def test_avi_stream_index_past_0xff_rejected():
+    from data_pipelines_cu_spark.operators import multimodal as mm
+
+    with pytest.raises(ValueError, match="0xFF"):
+        mm.avi_mjpeg_frames(_avi_with_stream_index(256, _one_jpeg()))
+
+
+def test_avi_two_digit_stream_still_decimal():
+    """Streams <= 99 keep the decimal-first convention (regression for
+    the r8 disambiguation rule)."""
+    from data_pipelines_cu_spark.operators import multimodal as mm
+
+    jpeg = _one_jpeg()
+    frames = mm.avi_mjpeg_frames(_avi_with_stream_index(42, jpeg))
+    assert frames == [jpeg]
+
+
+# --- frame sampling: every_n past the frame count ----------------------------
+
+
+def test_sample_frames_every_n_past_frame_count(spark):
+    """every_n larger than every container's frame count still samples
+    frame 0 of each video (sequence(0, n-1, step) always yields 0)."""
+    import numpy as np
+
+    from data_pipelines_cu_spark.operators import multimodal as mm
+
+    mk = lambda seed: mm.encode_avi_mjpeg(  # noqa: E731
+        [
+            np.full((8, 8, 3), 60 + 10 * i + seed, dtype=np.uint8)
+            for i in range(3)
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, mk(0)), (2, mk(1))], "media_id long, payload binary"
+    )
+    out = mm.sample_frames_mjpeg(df, every_n=1000, out_w=4, out_h=4).collect()
+    assert sorted((r.media_id, r.frame_idx) for r in out) == [(1, 0), (2, 0)]
+
+
+# --- WebP lossless (VP8L) codec ----------------------------------------------
+
+
+def _rt_webp(img, **kw):
+    import numpy as np
+
+    from data_pipelines_cu_spark.operators import multimodal as mm
+
+    blob = mm.encode_webp_lossless(img, **kw)
+    out = mm.decode_pixels(blob)
+    assert np.array_equal(out, img[:, :, :3]), kw
+    return blob
+
+
+def test_webp_lossless_round_trip_every_path():
+    """Bit-exact round-trip through every decoder path the format has:
+    plain literals, color cache, LZ77 (incl. the 2-D distance plane
+    map), subtract-green, cross-color, all 14 predictor modes, stacked
+    transforms, and RGBA."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (13, 17, 3), np.uint8)
+    _rt_webp(img)
+    _rt_webp(img, subtract_green=True)
+    _rt_webp(img, cache_bits=6)
+    _rt_webp(img, lz77=True)
+    flat = np.tile(rng.randint(0, 256, (1, 1, 3), np.uint8), (9, 11, 1))
+    _rt_webp(flat, lz77=True, cache_bits=4)  # runs ride the plane map
+    for mode in range(14):
+        _rt_webp(img, predictor=mode)
+    _rt_webp(img, color_transform=(23, -17, 101))
+    _rt_webp(
+        img, subtract_green=True, predictor=7, color_transform=(5, 9, -3)
+    )
+    _rt_webp(rng.randint(0, 256, (8, 8, 4), np.uint8))
+
+
+def test_webp_palette_every_bundling_width():
+    """Color-indexing at every sub-byte pixel bundling: 2 colors (8 px/
+    byte), 3 (4 px), 12 (2 px), 40 (unbundled) — including a non-
+    multiple image width, where the bundled row overhangs."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    for n_colors, shape in ((2, (5, 9)), (3, (6, 9)), (12, (7, 10)), (40, (9, 13))):
+        pal = rng.randint(0, 256, (n_colors, 3), np.uint8)
+        idx = rng.randint(0, n_colors, shape)
+        # every color present so the palette is fully exercised
+        idx.flat[:n_colors] = np.arange(n_colors)
+        _rt_webp(pal[idx], palette=True)
+
+
+def test_webp_decode_rejections():
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from data_pipelines_cu_spark.operators import multimodal as mm
+
+    img = np.zeros((2, 2, 3), np.uint8)
+    good = bytearray(mm.encode_webp_lossless(img))
+    lossy = bytes(good).replace(b"VP8L", b"VP8 ")
+    with _pytest.raises(ValueError, match="lossy"):
+        mm.decode_pixels(lossy)
+    empty = b"RIFF" + struct.pack("<I", 4) + b"WEBP"
+    with _pytest.raises(ValueError, match="no VP8L"):
+        mm.decode_pixels(empty)
+    bad_sig = bytearray(good)
+    bad_sig[bytes(good).index(b"VP8L") + 8] = 0x2E
+    with _pytest.raises(ValueError, match="signature"):
+        mm.decode_pixels(bytes(bad_sig))
+
+
+def test_webp_rides_the_media_pipeline(spark):
+    """A WebP payload flows through the same Arrow decode plan as the
+    other formats (decode_pixels dispatch on the RIFF WEBP magic)."""
+    import numpy as np
+
+    from data_pipelines_cu_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (6, 5, 3), np.uint8)
+    blob = mm.encode_webp_lossless(img, subtract_green=True)
+    assert np.array_equal(mm.decode_pixels(blob), img)
