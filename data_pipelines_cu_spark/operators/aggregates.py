@@ -1326,8 +1326,16 @@ def gini_concentration(
         )
         .select("_k", F.coalesce("_x", F.lit(0.0)).alias("_x"))
     )
+    from .windows import post_shuffle_width  # noqa: PLC0415
+
+    # per's root lineage passes the fact aggregation exchange — its
+    # width is conf-bounded, so skip the derivation's plan compile
     ranked = blocked_row_number(
-        per, ["_x", "_k"], rank_col="_r", materialize=materialize
+        per,
+        ["_x", "_k"],
+        rank_col="_r",
+        materialize=materialize,
+        plan_width=post_shuffle_width(entities.sparkSession),
     ).select("_x", "_r")
     stats = F.broadcast(
         ranked.agg(

@@ -73,6 +73,7 @@ def blocked_row_number(
     rank_col: str = "_r",
     n_blocks: int | None = None,
     materialize: str = "local",
+    plan_width: int | None = None,
 ) -> DataFrame:
     """Exact global ROW_NUMBER over ``order_by`` with NO single-task global
     sort. Returns ``df`` plus ``rank_col`` (LongType, 1-based — NOT the
@@ -99,9 +100,13 @@ def blocked_row_number(
     partitions, defaultParallelism)`` — so per-block tasks stay at
     roughly one input partition's rows no matter the corpus size; a
     fixed block count would be a hidden parallelism ceiling (corpus/32
-    single-task local sorts at 100×). Pass an explicit int only when the
-    caller knows better (tests pinning plan shape, inputs whose plan
-    width wildly overstates the ranked row count).
+    single-task local sorts at 100×). The derivation is a driver-side
+    plan compile; a caller whose input lineage is provably post-shuffle
+    can pass ``plan_width`` (:func:`post_shuffle_width`) to skip it —
+    the shuffle-partition conf IS that plan's width bound. Pass an
+    explicit ``n_blocks`` int only when the caller knows better (tests
+    pinning plan shape, inputs whose plan width wildly overstates the
+    ranked row count).
 
     The ranged table is checkpointed: its two consumers (the ranking
     window and the block-count aggregate) would otherwise each recompute
@@ -136,7 +141,11 @@ def blocked_row_number(
             f"materialize must be 'local' or 'reliable', got {materialize!r}"
         )
     if n_blocks is None:
-        n_blocks = derived_block_count(df)
+        n_blocks = (
+            max(32, plan_width)
+            if plan_width is not None
+            else derived_block_count(df)
+        )
     ranged = df.repartitionByRange(n_blocks, *order_by).withColumn(
         "_brn_blk", F.spark_partition_id()
     )
@@ -337,6 +346,7 @@ def blocked_ntile(
     out_col: str = "tile",
     n_blocks: int | None = None,
     materialize: str = "local",
+    plan_width: int | None = None,
 ) -> DataFrame:
     """Exact SQL NTILE(n) over ``order_by`` without the single-task global
     sort: NTILE is pure integer arithmetic on the global row number — with
@@ -348,7 +358,9 @@ def blocked_ntile(
     than tiles: tile = rank) stays inside the IF's untaken arm, so ANSI
     mode never sees the div-by-zero. ``materialize`` passes through to
     :func:`blocked_row_number` (see its fault-tolerance note)."""
-    ranked = blocked_row_number(df, order_by, "_bnt_rn", n_blocks, materialize)
+    ranked = blocked_row_number(
+        df, order_by, "_bnt_rn", n_blocks, materialize, plan_width
+    )
     tot = F.broadcast(ranked.agg(F.count(F.lit(1)).alias("_bnt_n")))
     tile = F.expr(
         f"CAST(IF(_bnt_rn <= (_bnt_n % {n_tiles})"
