@@ -154,6 +154,17 @@ def blocked_row_number(
         if materialize == "local"
         else ranged.checkpoint(eager=True)
     )
+    # The ranking window requires ClusteredDistribution(_brn_blk); the
+    # checkpoint records RangePartitioning(order_by), which does NOT
+    # satisfy it, so Catalyst inserts a hash exchange — and an IMPLICIT
+    # exchange is spark.sql.shuffle.partitions wide, silently capping
+    # the rank stage at the conf width no matter how many blocks exist
+    # (measured: 256 blocks still ranked by 32 tasks, 8 blocks each —
+    # the exact corpus/conf fat task the helper exists to forbid). The
+    # EXPLICIT count pins the exchange at n_blocks width (and survives
+    # AQE coalescing); hash collisions pack an occasional 2-3 blocks
+    # into one task, bounded and far better than conf-width.
+    wide = part.repartition(n_blocks, "_brn_blk")
     w_loc = Window.partitionBy("_brn_blk").orderBy(*order_by)
     w_off = Window.orderBy("_brn_blk").rowsBetween(
         Window.unboundedPreceding, -1
@@ -169,7 +180,7 @@ def blocked_row_number(
         )
     )
     return (
-        part.withColumn("_brn_lr", F.row_number().over(w_loc))
+        wide.withColumn("_brn_lr", F.row_number().over(w_loc))
         .join(F.broadcast(off), "_brn_blk")
         .withColumn(
             rank_col,
