@@ -1328,8 +1328,14 @@ def gini_concentration(
     )
     from .windows import post_shuffle_width  # noqa: PLC0415
 
-    # per's root lineage passes the fact aggregation exchange — its
-    # width is conf-bounded, so skip the derivation's plan compile
+    # per's root is the entities⋈agg(fact) join. If it plans as a
+    # shuffle join, the width is conf-bounded outright. If the planner
+    # instead BROADCASTS a side, the width becomes the probe side's —
+    # but both sides are entity-cardinality (agg(fact) has at most one
+    # row per entity), so a broadcast decision implies the entity base
+    # is small enough that its scan is a handful of splits anyway; the
+    # conf bound holds in either plan, and the derivation's plan
+    # compile is skipped
     ranked = blocked_row_number(
         per,
         ["_x", "_k"],

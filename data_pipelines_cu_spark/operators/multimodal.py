@@ -2532,10 +2532,16 @@ def _vp8l_read_code(br: _Vp8lBitReader, alphabet_size: int) -> _Vp8lCode:
         num_symbols = br.bit() + 1
         first_len = 8 if br.bit() else 1
         lengths = [0] * alphabet_size
-        s0 = br.bits(first_len)
-        lengths[s0] = 1
+        syms = [br.bits(first_len)]
         if num_symbols == 2:
-            lengths[br.bits(8)] = 1
+            syms.append(br.bits(8))
+        for s in syms:
+            if s >= alphabet_size:  # 8-bit symbol vs a small alphabet
+                raise ValueError(
+                    f"VP8L simple-code symbol {s} outside alphabet"
+                    f" of {alphabet_size}"
+                )
+            lengths[s] = 1
         return _Vp8lCode(lengths)
     num_cl = 4 + br.bits(4)
     cl_lengths = [0] * 19
@@ -3070,6 +3076,16 @@ def encode_webp_lossless(
 
     arr = np.asarray(pixels, dtype=np.uint8)
     h, w = arr.shape[:2]
+    if w > 1 << 14 or h > 1 << 14:
+        # the 14-bit header fields would silently wrap the dimensions
+        # into a valid-looking but corrupt file
+        raise ValueError(
+            f"VP8L caps dimensions at 16384 (got {w}x{h})"
+        )
+    if not 0 <= cache_bits <= 11:
+        raise ValueError(
+            f"cache_bits must be 0 (off) or 1-11, got {cache_bits}"
+        )
     has_alpha = arr.shape[2] == 4
     a = arr[:, :, 3].astype(np.uint32) if has_alpha else np.full(
         (h, w), 255, np.uint32
@@ -3080,7 +3096,7 @@ def encode_webp_lossless(
         | (arr[:, :, 1].astype(np.uint32) << 8)
         | arr[:, :, 2].astype(np.uint32)
     )
-    flat = [int(p) for p in argb.reshape(-1)]
+    flat = argb.reshape(-1).tolist()
 
     bw = _Vp8lBitWriter()
     bw.bits(w - 1, 14)
@@ -3163,10 +3179,8 @@ def encode_webp_lossless(
                 mode = step[1]
                 bw.bits(1, 1)
                 bw.bits(0, 2)  # PREDICTOR
-                size_bits = 9  # one 512-px block covers any test image
-                while (1 << size_bits) < max(w, h):
-                    size_bits += 1
-                wbits = min(size_bits, 9)
+                wbits = 9  # max tile (512 px); the mode image is
+                # constant, so multi-tile images just repeat the entry
                 bw.bits(wbits - 2, 3)
                 tw = _vp8l_subsample(w, wbits)
                 th = _vp8l_subsample(h, wbits)
@@ -3201,10 +3215,7 @@ def encode_webp_lossless(
                 g2r, g2b, r2b = step[1]
                 bw.bits(1, 1)
                 bw.bits(1, 2)  # COLOR (cross-color)
-                wbits = 9
-                while (1 << wbits) < max(w, h):
-                    wbits += 1
-                wbits = min(wbits, 9)
+                wbits = 9  # max tile; constant cte repeats per tile
                 bw.bits(wbits - 2, 3)
                 tw = _vp8l_subsample(w, wbits)
                 th = _vp8l_subsample(h, wbits)

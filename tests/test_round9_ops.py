@@ -40,13 +40,15 @@ def _ids(df, col="id"):
 
 
 def test_derived_block_count_scales_with_input(spark):
-    """n_blocks follows the input plan's width (floored at 32): a wider
-    input gets more blocks, so per-block local-sort tasks stay input-
-    partition-sized at any scale instead of corpus/32."""
-    narrow = spark.range(1000)
+    """n_blocks follows the input plan's width (floored at 32 and at
+    defaultParallelism): a wider input gets more blocks, so per-block
+    local-sort tasks stay input-partition-sized at any scale instead of
+    corpus/32."""
+    dp = spark.sparkContext.defaultParallelism
+    narrow = spark.range(1000, numPartitions=2)
     wide = spark.range(1000).repartition(64)
-    assert derived_block_count(narrow) == 32
-    assert derived_block_count(wide) == 64
+    assert derived_block_count(narrow) == max(32, dp)
+    assert derived_block_count(wide) == max(32, 64, dp)
 
 
 def test_blocked_rank_uses_derived_width_and_stays_exact(spark, monkeypatch):
@@ -71,7 +73,7 @@ def test_blocked_rank_uses_derived_width_and_stays_exact(spark, monkeypatch):
 
     monkeypatch.setattr(win, "derived_block_count", recording)
     got = blocked_row_number(df, ["v", "id"], "r")
-    assert derived == [64]
+    assert derived == [max(32, 64, spark.sparkContext.defaultParallelism)]
     exp = df.withColumn("e", F.row_number().over(W.orderBy("v", "id")))
     assert (
         got.join(exp.select("id", "e"), "id").filter("r <> e").count() == 0
@@ -132,18 +134,21 @@ def test_take_ordered_at_threshold_boundary(spark):
 
 def test_take_ordered_at_merge_budget_boundary(spark):
     """n × partitions == budget takes the fast path (<=); one less
-    budget goes blocked — and the blocked path over 64 derived blocks
-    with only 400 rows (many EMPTY blocks) still ranks exactly."""
+    budget goes blocked — and the blocked path over 64+ derived blocks
+    with only 400 rows (many EMPTY blocks) still ranks exactly.
+    Expectations derive from defaultParallelism so an inherited
+    SPARK_GRAFT_CPUS doesn't skew the priced width."""
     df = (
         spark.createDataFrame([(i, i % 13) for i in range(400)], "id long, v long")
         .repartition(64)
     )
+    width = max(64, spark.sparkContext.defaultParallelism)
     order = [F.col("v").desc(), F.col("id")]
     exp = _ids(df.orderBy(*order).limit(10))
-    fast = take_ordered(df, order, 10, merge_rows_budget=640)
+    fast = take_ordered(df, order, 10, merge_rows_budget=10 * width)
     assert "TakeOrderedAndProject" in _plan(fast)
     assert _ids(fast) == exp
-    blocked = take_ordered(df, order, 10, merge_rows_budget=639)
+    blocked = take_ordered(df, order, 10, merge_rows_budget=10 * width - 1)
     assert "TakeOrderedAndProject" not in _plan(blocked)
     assert _ids(blocked) == exp
 
@@ -488,3 +493,56 @@ def test_webp_rides_the_media_pipeline(spark):
     img = rng.randint(0, 256, (6, 5, 3), np.uint8)
     blob = mm.encode_webp_lossless(img, subtract_green=True)
     assert np.array_equal(mm.decode_pixels(blob), img)
+
+
+def test_webp_encoder_validates_arguments():
+    """Dimensions past the 14-bit header cap and out-of-range
+    cache_bits must fail AT ENCODE, not produce a corrupt blob the
+    decoder rejects (or worse, silently mis-sizes)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from data_pipelines_cu_spark.operators import multimodal as mm
+
+    with _pytest.raises(ValueError, match="16384"):
+        mm.encode_webp_lossless(np.zeros((1, 16385, 3), np.uint8))
+    img = np.zeros((2, 2, 3), np.uint8)
+    for bad in (12, 16, -1):
+        with _pytest.raises(ValueError, match="cache_bits"):
+            mm.encode_webp_lossless(img, cache_bits=bad)
+    # a >512-px dimension spans multiple constant predictor tiles
+    wide = np.tile(
+        np.arange(600, dtype=np.uint8).reshape(1, 600, 1) % 251, (2, 1, 3)
+    )
+    _rt_webp(wide, predictor=7)
+
+
+def test_webp_corrupt_streams_raise_valueerror_only():
+    """Deterministic mutation + truncation fuzz: a corrupt VP8L stream
+    must surface the documented ValueError, never IndexError/KeyError
+    or a hang (10k-case sweep ran clean; this keeps a fast sample as a
+    regression gate)."""
+    import random
+
+    import numpy as np
+
+    from data_pipelines_cu_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, (9, 11, 3), np.uint8)
+    random.seed(42)
+    for kw in (dict(subtract_green=True, cache_bits=4, lz77=True), dict(predictor=11)):
+        base = mm.encode_webp_lossless(img, **kw)
+        for _ in range(400):
+            blob = bytearray(base)
+            for _ in range(random.randint(1, 4)):
+                blob[random.randrange(12, len(blob))] = random.randrange(256)
+            try:
+                mm.decode_pixels(bytes(blob))
+            except ValueError:
+                pass
+        for cut in range(13, len(base), 11):
+            try:
+                mm.decode_pixels(base[:cut])
+            except ValueError:
+                pass
