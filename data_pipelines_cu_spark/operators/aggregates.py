@@ -1326,22 +1326,26 @@ def gini_concentration(
         )
         .select("_k", F.coalesce("_x", F.lit(0.0)).alias("_x"))
     )
-    from .windows import post_shuffle_width  # noqa: PLC0415
+    from .windows import derived_block_count, post_shuffle_width  # noqa: PLC0415
 
-    # per's root is the entities⋈agg(fact) join. If it plans as a
-    # shuffle join, the width is conf-bounded outright. If the planner
-    # instead BROADCASTS a side, the width becomes the probe side's —
-    # but both sides are entity-cardinality (agg(fact) has at most one
-    # row per entity), so a broadcast decision implies the entity base
-    # is small enough that its scan is a handful of splits anyway; the
-    # conf bound holds in either plan, and the derivation's plan
-    # compile is skipped
+    # per's root is the entities⟕agg(fact) join. A shuffle join's width
+    # is conf-bounded; but the planner may BROADCAST agg(fact) — its
+    # byte size tracks the number of DISTINCT FACT KEYS, which can be
+    # tiny under a huge zero-filled entity base — and then per's width
+    # is the ENTITY SCAN's split count. Bound with both: the conf width
+    # and the entity projection's own width (a shallow plan compile on
+    # the raw dim, not the join) — correct in either plan shape, still
+    # skipping the compile of the joined plan itself.
+    width = max(
+        post_shuffle_width(entities.sparkSession),
+        derived_block_count(entities.select(entity_key)),
+    )
     ranked = blocked_row_number(
         per,
         ["_x", "_k"],
         rank_col="_r",
         materialize=materialize,
-        plan_width=post_shuffle_width(entities.sparkSession),
+        plan_width=width,
     ).select("_x", "_r")
     stats = F.broadcast(
         ranked.agg(

@@ -2535,6 +2535,10 @@ def _vp8l_read_code(br: _Vp8lBitReader, alphabet_size: int) -> _Vp8lCode:
         syms = [br.bits(first_len)]
         if num_symbols == 2:
             syms.append(br.bits(8))
+        if len(set(syms)) != num_symbols:
+            # duplicate symbols would collapse a 1-bit-per-read code
+            # into a 0-bit one and silently desync the whole stream
+            raise ValueError("VP8L simple code repeats a symbol")
         for s in syms:
             if s >= alphabet_size:  # 8-bit symbol vs a small alphabet
                 raise ValueError(
@@ -3061,6 +3065,7 @@ def encode_webp_lossless(
     palette: bool = False,
     cache_bits: int = 0,
     lz77: bool = False,
+    meta_tiling: bool = False,
 ) -> bytes:
     """Encode an (H, W, 3) RGB or (H, W, 4) RGBA uint8 array as a
     lossless WebP — the write side of the VP8L kernel, so every decoder
@@ -3076,11 +3081,12 @@ def encode_webp_lossless(
 
     arr = np.asarray(pixels, dtype=np.uint8)
     h, w = arr.shape[:2]
-    if w > 1 << 14 or h > 1 << 14:
-        # the 14-bit header fields would silently wrap the dimensions
-        # into a valid-looking but corrupt file
+    if not (1 <= w <= 1 << 14 and 1 <= h <= 1 << 14):
+        # the 14-bit w-1/h-1 header fields would silently wrap BOTH a
+        # zero (-1 -> 16383) and an oversized dimension into a
+        # valid-looking but corrupt file
         raise ValueError(
-            f"VP8L caps dimensions at 16384 (got {w}x{h})"
+            f"VP8L dimensions must be 1..16384 (got {w}x{h})"
         )
     if not 0 <= cache_bits <= 11:
         raise ValueError(
@@ -3237,7 +3243,8 @@ def encode_webp_lossless(
                 flat = out
     bw.bits(0, 1)  # end of the transform list
     _vp8l_write_stream(
-        bw, flat, enc_w, h, cache_bits=cache_bits, lz77=lz77, level0=True
+        bw, flat, enc_w, h, cache_bits=cache_bits, lz77=lz77, level0=True,
+        meta_tiling=meta_tiling,
     )
     body = b"\x2f" + bw.bytes()
     chunk = b"VP8L" + _struct.pack("<I", len(body)) + body
@@ -3248,20 +3255,32 @@ def encode_webp_lossless(
 
 
 def _vp8l_write_stream(
-    bw, flat, w, h, cache_bits: int = 0, lz77=False, level0=False
+    bw, flat, w, h, cache_bits: int = 0, lz77=False, level0=False,
+    meta_tiling=False,
 ):
-    """Entropy-code one image stream: optional color cache + optional
-    dist-1 run LZ77 (through the plane map), single prefix-code group,
-    no meta tiling. Only the level-0 (ARGB) stream carries the
-    meta-prefix bit — sub-images (palette/transform) skip it, matching
-    the decoder."""
+    """Entropy-code one image stream: optional color cache, optional
+    LZ77 over horizontal (dist 1) AND vertical (dist = width) runs —
+    both through the 2-D distance plane map — and optionally a real
+    meta prefix-code tiling (a 16-px-tile meta image selecting the one
+    group everywhere), so the decoder's meta recursion is covered by
+    round-trips, not just read in code. Only the level-0 (ARGB) stream
+    carries the meta-prefix bit — sub-images (palette/transform) skip
+    it, matching the decoder."""
     if cache_bits:
         bw.bits(1, 1)
         bw.bits(cache_bits, 4)
     else:
         bw.bits(0, 1)
     if level0:
-        bw.bits(0, 1)  # no meta prefix codes
+        if meta_tiling:
+            bw.bits(1, 1)
+            bw.bits(2, 3)  # huffman_bits = 4 -> 16-px tiles
+            tw = _vp8l_subsample(w, 4)
+            th = _vp8l_subsample(h, 4)
+            # every tile selects group 0: meta index = (r << 8) | g = 0
+            _vp8l_write_stream(bw, [0xFF000000] * (tw * th), tw, th)
+        else:
+            bw.bits(0, 1)  # no meta prefix codes
     cache = [0] * (1 << cache_bits) if cache_bits else None
     shift = 32 - cache_bits if cache_bits else 0
     green_size = 256 + 24 + ((1 << cache_bits) if cache_bits else 0)
@@ -3280,6 +3299,26 @@ def _vp8l_write_stream(
                     v = flat[pos - 1]
                     cache[((0x1E35A7BD * v) & 0xFFFFFFFF) >> shift] = v
                 pos += run
+                continue
+            # vertical run: each pixel repeats the one directly above
+            # (dist = width -> plane code 1, the map's hottest entry);
+            # copied pixels may differ from each other, so the cache
+            # must replay every one of them, exactly as the decoder does
+            vrun = 0
+            while (
+                pos + vrun < n
+                and pos + vrun >= w
+                and flat[pos + vrun] == flat[pos + vrun - w]
+                and vrun < 4000
+            ):
+                vrun += 1
+            if vrun >= 3:
+                tokens.append(("ref", vrun, w))
+                if cache is not None:
+                    for k in range(vrun):
+                        v = flat[pos + k]
+                        cache[((0x1E35A7BD * v) & 0xFFFFFFFF) >> shift] = v
+                pos += vrun
                 continue
         p = flat[pos]
         if cache is not None:

@@ -546,3 +546,66 @@ def test_webp_corrupt_streams_raise_valueerror_only():
                 mm.decode_pixels(base[:cut])
             except ValueError:
                 pass
+
+
+def test_webp_meta_tiling_and_vertical_lz77():
+    """The decoder's meta prefix-code recursion and the 2-D plane map's
+    vertical (dist = width) entry round-trip — the two decode paths a
+    literal-only encoder never reaches."""
+    import numpy as np
+
+    rng = np.random.RandomState(1)
+    img = rng.randint(0, 256, (20, 23, 3), np.uint8)
+    _rt_webp(img, meta_tiling=True)
+    _rt_webp(img, meta_tiling=True, cache_bits=5)
+    stripes = np.tile(rng.randint(0, 256, (1, 23, 3), np.uint8), (20, 1, 1))
+    _rt_webp(stripes, lz77=True)
+    _rt_webp(stripes, lz77=True, cache_bits=4)
+    mixed = img.copy()
+    mixed[7:15, :, :] = mixed[6:7, :, :]
+    _rt_webp(mixed, lz77=True, meta_tiling=True)
+
+
+def test_webp_rejects_zero_dimensions_and_dup_simple_symbols():
+    """Zero-size inputs fail at encode (the 14-bit w-1 field would wrap
+    0 to 16383); a corrupt 2-symbol simple code repeating one symbol
+    raises instead of silently desyncing into a 0-bit code."""
+    import numpy as np
+    import pytest as _pytest
+
+    from data_pipelines_cu_spark.operators import multimodal as mm
+
+    for shape in ((0, 4, 3), (4, 0, 3)):
+        with _pytest.raises(ValueError, match="1..16384"):
+            mm.encode_webp_lossless(np.zeros(shape, np.uint8))
+    # hand-build a stream whose first prefix code is simple, 2 symbols,
+    # both 0x41: header(32) + no-transform(1) + no-cache(1) +
+    # no-meta(1) + simple(1) + two-symbols(1) + 8-bit-first(1) +
+    # 0x41(8) + 0x41(8)
+    bw = mm._Vp8lBitWriter()
+    bw.bits(3, 14)  # w-1
+    bw.bits(3, 14)  # h-1
+    bw.bits(0, 1)
+    bw.bits(0, 3)
+    bw.bits(0, 1)  # end of transforms
+    bw.bits(0, 1)  # no cache
+    bw.bits(0, 1)  # no meta
+    bw.bits(1, 1)  # simple code
+    bw.bits(1, 1)  # 2 symbols
+    bw.bits(1, 1)  # first symbol in 8 bits
+    bw.bits(0x41, 8)
+    bw.bits(0x41, 8)
+    blob = b"RIFF\x00\x00\x00\x00WEBPVP8L\x00\x00\x00\x00" + b"\x2f" + bw.bytes()
+    import struct as _struct
+
+    body = blob[20:]
+    blob = (
+        b"RIFF"
+        + _struct.pack("<I", len(blob) - 8)
+        + b"WEBP"
+        + b"VP8L"
+        + _struct.pack("<I", len(body))
+        + body
+    )
+    with _pytest.raises(ValueError, match="repeats"):
+        mm.decode_pixels(blob)
