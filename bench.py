@@ -147,6 +147,34 @@ def _noop_write(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def cpu_probe(spark) -> float:
+    """Box-state yardstick: a fixed, data-free, code-independent CPU
+    burn (xxhash64 over a generated range, whole-stage codegen, no
+    shuffle, no disk). The skew-join diagnostics proved to under-
+    resolve whole-run box drift (r8-r9: ~4% diagnostic drift against a
+    26% headline swing on identical code) — a pure-CPU probe separates
+    'the machine is slower' from 'a query regressed' without touching
+    any operator code path. Median of 3 after one warm-up."""
+    import statistics  # noqa: PLC0415
+
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    def burn():
+        t0 = time.time()
+        (
+            spark.range(20_000_000_000)
+            # bit_xor: overflow-free under ANSI (a SUM of hashes trips
+            # ARITHMETIC_OVERFLOW); 20B rows ≈ 2s on the reference box
+            # — big enough that scheduling noise is <5%
+            .select(F.bit_xor(F.xxhash64("id")).alias("s"))
+            .collect()
+        )
+        return time.time() - t0
+
+    burn()  # codegen warm-up
+    return round(statistics.median(burn() for _ in range(3)), 3)
+
+
 def skew_demo(spark, sf_dir: str) -> dict[str, float]:
     """Salted vs unsalted sort-merge join on a deliberately skewed key:
     events amplified 50× with ~90% of rows on one hot key (the rest over
@@ -245,6 +273,7 @@ def main() -> None:
         gc.collect()
     # diagnostic entries (skew mitigation proof) — reported, not in the total
     extras = skew_demo(spark, sf_dir)
+    extras["cpu_probe"] = cpu_probe(spark)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "", 1).isdigit() else sf
     detail = {

@@ -609,3 +609,15 @@ def test_webp_rejects_zero_dimensions_and_dup_simple_symbols():
     )
     with _pytest.raises(ValueError, match="repeats"):
         mm.decode_pixels(blob)
+
+
+def test_webp_degenerate_shapes():
+    """1x1, single-column (vertical-run guard at w < 3), and
+    sub-tile-sized meta images all round-trip."""
+    import numpy as np
+
+    rng = np.random.RandomState(9)
+    _rt_webp(rng.randint(0, 256, (1, 1, 3), np.uint8))
+    col = np.tile(rng.randint(0, 256, (1, 2, 3), np.uint8), (12, 1, 1))
+    _rt_webp(col, lz77=True)  # w=2: vertical runs still legal
+    _rt_webp(rng.randint(0, 256, (3, 3, 3), np.uint8), meta_tiling=True)
