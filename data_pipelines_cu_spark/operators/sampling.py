@@ -1117,3 +1117,150 @@ def time_embargo_sql(
     FROM tagged CROSS JOIN overlap
     GROUP BY split, overlap_entities
     """
+
+
+# --- Sequence packing (context-window assembly) -------------------------------
+# The last step of a pretraining data pipeline: assemble tokenized
+# documents into fixed-size context windows ("sequences") with greedy
+# CONTIGUOUS packing — documents are taken in a deterministic order and
+# a window closes when the next document would overflow the token
+# budget. Contiguity (never reordering to fill holes) is the property
+# curriculum/dedup decisions upstream rely on; bin-packing variants
+# that reorder belong to the sampler, not the packer.
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    n_shards: int = 16,
+    salt: str = "shard",
+    order_salt: str = "ord",
+) -> DataFrame:
+    """(doc_id, shard, pos, seq, seq_pos, oversize): greedy contiguous
+    packing of documents into ``budget``-token context windows, in the
+    deterministic per-shard order of :func:`training_shard_order` (so
+    packing composes with the global-shuffle serving layout). ``seq``
+    is the within-shard window index (0-based), ``seq_pos`` the
+    document's position inside its window, ``oversize`` flags a
+    document longer than the whole budget (it occupies a window alone;
+    the trainer's truncation policy applies downstream — the packer
+    never drops data).
+
+    Distributed shape: packing is a sequential recurrence (each window
+    boundary depends on the previous one through the running remainder),
+    so the SHARD is the parallelism unit — one ``applyInPandas`` group
+    per shard, thousands of shards at corpus scale, with only
+    (id, tokens) columns flowing through Arrow. Within a shard the
+    greedy fold is O(rows); a shard at 100 TB holds corpus/n_shards
+    documents, so ``n_shards`` is the knob that keeps per-task state
+    bounded (the same sizing discipline as every blocked operator
+    here). An O(n log n) fully-parallel alternative exists (prefix sums
+    + pointer-doubled "next boundary" jumps) if single-shard streams
+    ever become the bottleneck; the per-shard fold is exact and simpler.
+
+    Exactness: integer arithmetic over a deterministic order — the
+    output is independent of partitioning and rerun-stable.
+    """
+    import pandas as pd  # noqa: PLC0415
+
+    ordered = training_shard_order(
+        df.select(id_col, token_col), id_col, n_shards, salt, order_salt
+    ).join(df.select(id_col, token_col), id_col)
+
+    out_schema = (
+        f"{id_col} {dict(ordered.dtypes)[id_col]}, shard int, pos long,"
+        f" seq long, seq_pos int, oversize boolean"
+    )
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("pos")
+        seqs, seq_positions, oversizes = [], [], []
+        seq = 0
+        acc = 0
+        seq_pos = 0
+        for tok in pdf[token_col].astype("int64"):
+            over = tok > budget
+            if acc > 0 and (acc + tok > budget or over):
+                seq += 1
+                acc = 0
+                seq_pos = 0
+            seqs.append(seq)
+            seq_positions.append(seq_pos)
+            oversizes.append(bool(over))
+            acc += int(tok)
+            seq_pos += 1
+            if over:  # oversize doc occupies its window alone
+                seq += 1
+                acc = 0
+                seq_pos = 0
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                "shard": pdf["shard"].astype("int32"),
+                "pos": pdf["pos"].astype("int64"),
+                "seq": pd.Series(seqs, index=pdf.index, dtype="int64"),
+                "seq_pos": pd.Series(
+                    seq_positions, index=pdf.index, dtype="int32"
+                ),
+                "oversize": pd.Series(
+                    oversizes, index=pdf.index, dtype="bool"
+                ),
+            }
+        )
+
+    return ordered.groupBy("shard").applyInPandas(pack, schema=out_schema)
+
+
+def pack_sequences_sql(
+    budget: int,
+    table: str = "documents",
+    token_expr: str = "n_chars",
+    id_col: str = "doc_id",
+    n_shards: int = 16,
+    salt: str = "shard",
+    order_salt: str = "ord",
+) -> str:
+    """DuckDB twin of :func:`pack_sequences` — the greedy fold as a
+    per-shard recursive CTE stepping one document at a time (depth =
+    max docs per shard; fine at oracle scale). Kept beside the operator
+    so a future gate row only needs registration."""
+    b = hash_bucket_sql(id_col, n_shards, salt)
+    return f"""
+    WITH RECURSIVE ordered AS (
+        SELECT {id_col},
+               CAST({token_expr} AS BIGINT) AS tok,
+               CAST({b} AS INT) AS shard,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY {b}
+                   ORDER BY md5(CONCAT('{order_salt}', CAST({id_col} AS VARCHAR))), {id_col}
+               ) AS BIGINT) AS pos
+        FROM {table}
+    ),
+    walk AS (
+        SELECT shard, pos, {id_col}, tok,
+               CAST(0 AS BIGINT) AS seq,
+               0 AS seq_pos,
+               tok > {budget} AS oversize,
+               CASE WHEN tok > {budget} THEN NULL ELSE tok END AS acc
+        FROM ordered WHERE pos = 1
+        UNION ALL
+        SELECT o.shard, o.pos, o.{id_col}, o.tok,
+               CASE WHEN w.acc IS NULL OR w.acc + o.tok > {budget}
+                         OR o.tok > {budget}
+                    THEN w.seq + 1 ELSE w.seq END AS seq,
+               CASE WHEN w.acc IS NULL OR w.acc + o.tok > {budget}
+                         OR o.tok > {budget}
+                    THEN 0 ELSE w.seq_pos + 1 END AS seq_pos,
+               o.tok > {budget} AS oversize,
+               CASE WHEN o.tok > {budget} THEN NULL
+                    WHEN w.acc IS NULL OR w.acc + o.tok > {budget}
+                    THEN o.tok ELSE w.acc + o.tok END AS acc
+        FROM walk w JOIN ordered o
+          ON o.shard = w.shard AND o.pos = w.pos + 1
+    )
+    SELECT {id_col}, CAST(shard AS INT) AS shard, pos, seq,
+           CAST(seq_pos AS INT) AS seq_pos, oversize
+    FROM walk
+    """

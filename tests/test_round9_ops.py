@@ -621,3 +621,80 @@ def test_webp_degenerate_shapes():
     col = np.tile(rng.randint(0, 256, (1, 2, 3), np.uint8), (12, 1, 1))
     _rt_webp(col, lz77=True)  # w=2: vertical runs still legal
     _rt_webp(rng.randint(0, 256, (3, 3, 3), np.uint8), meta_tiling=True)
+
+
+# --- sequence packing ----------------------------------------------------------
+
+
+def test_pack_sequences_matches_duckdb_twin(spark, sf_dir, duck):
+    """Greedy contiguous packing agrees with the recursive-CTE SQL twin
+    on the real documents table (bit-for-bit rows, both engines walking
+    the same deterministic shard order)."""
+    from data_pipelines_cu_spark.operators import sampling as smp
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = sorted(
+        map(
+            tuple,
+            smp.pack_sequences(
+                docs, budget=2000, token_col="n_chars", n_shards=4
+            )
+            .select("doc_id", "shard", "pos", "seq", "seq_pos", "oversize")
+            .collect(),
+        )
+    )
+    exp = sorted(
+        map(
+            tuple,
+            duck.sql(
+                smp.pack_sequences_sql(2000, n_shards=4)
+            ).fetchall(),
+        )
+    )
+    assert got == exp and len(got) > 0
+
+
+def test_pack_sequences_greedy_properties(spark):
+    """Window-level invariants: every non-oversize window fits the
+    budget; windows are GREEDY (the first doc of the next window would
+    have overflowed); contiguous order is preserved; oversize docs sit
+    alone in their window."""
+    from data_pipelines_cu_spark.operators import sampling as smp
+
+    rows = [(i, [120, 512, 1, 3000, 480, 2048, 7][i % 7] + i % 13)
+            for i in range(160)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = smp.pack_sequences(df, budget=1024, n_shards=3).join(
+        df, "doc_id"
+    )
+    by_window = {}
+    for r in out.collect():
+        by_window.setdefault((r.shard, r.seq), []).append(r)
+    for (shard, seq), members in sorted(by_window.items()):
+        members.sort(key=lambda r: r.seq_pos)
+        total = sum(r.n_tokens for r in members)
+        if any(r.oversize for r in members):
+            assert len(members) == 1  # oversize docs pack alone
+        else:
+            assert total <= 1024, (shard, seq, total)
+            nxt = by_window.get((shard, seq + 1))
+            if nxt:  # greedy: the next window's head would not have fit
+                head = min(nxt, key=lambda r: r.seq_pos)
+                assert total + head.n_tokens > 1024 or head.oversize
+        # contiguity: positions inside a window are consecutive in pos
+        poss = [r.pos for r in members]
+        assert poss == list(range(min(poss), min(poss) + len(poss)))
+
+
+def test_pack_sequences_degenerate_inputs(spark):
+    from data_pipelines_cu_spark.operators import sampling as smp
+
+    empty = spark.createDataFrame([], "doc_id long, n_tokens long")
+    assert smp.pack_sequences(empty, budget=100).count() == 0
+    all_over = spark.createDataFrame(
+        [(i, 500 + i) for i in range(9)], "doc_id long, n_tokens long"
+    )
+    out = smp.pack_sequences(all_over, budget=100, n_shards=2).collect()
+    assert len(out) == 9 and all(r.oversize and r.seq_pos == 0 for r in out)
+    # every window holds exactly one doc
+    assert len({(r.shard, r.seq) for r in out}) == 9
