@@ -894,3 +894,94 @@ def psi_report_from_batches(
     )
     ref = spark.read.parquet(ref_counts_path)
     return psi_from_counts(ref, cur, n_bins)
+
+
+# --- Streaming sequence packing ------------------------------------------------
+
+_PACK_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("shard", T.IntegerType(), False),
+        T.StructField("pos", T.LongType(), False),
+        T.StructField("seq", T.LongType(), False),
+        T.StructField("seq_pos", T.IntegerType(), False),
+        T.StructField("oversize", T.BooleanType(), False),
+    ]
+)
+_PACK_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("seq", T.LongType(), False),
+        T.StructField("acc", T.LongType(), False),
+        T.StructField("seq_pos", T.IntegerType(), False),
+    ]
+)
+
+
+def pack_stateful(
+    docs: DataFrame,
+    budget: int,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    pos_col: str = "pos",
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Streaming twin of ``sampling.pack_sequences``: greedy contiguous
+    context-window assembly over a document stream, keyed by shard, via
+    ``applyInPandasWithState``. State per shard is the OPEN window —
+    (next seq index, running token count, next in-window position),
+    three scalars — so state is bounded by shard cardinality, not
+    stream length. Rows are packed in ``pos`` order within each batch;
+    for a stream delivered in per-shard ``pos`` order (the serving
+    layout ``training_shard_order`` writes), the packed stream-so-far
+    equals the batch ``pack_sequences`` on the same prefix bit-for-bit
+    — the same prefix-parity contract as the streaming CUSUM twin.
+    Oversize documents occupy a window alone, exactly as in batch."""
+    import pandas as pd  # noqa: PLC0415 — executor-side import
+
+    def fn(key, pdfs, state):
+        (shard,) = key
+        seq, acc, seq_pos = (
+            state.get if state.exists else (0, 0, 0)
+        )
+        out_rows: list[tuple] = []
+        rows: list[tuple[int, int, int]] = []
+        for pdf in pdfs:
+            rows.extend(
+                zip(
+                    pdf[pos_col].astype("int64"),
+                    pdf[id_col].astype("int64"),
+                    pdf[token_col].astype("int64"),
+                )
+            )
+        rows.sort()
+        for pos, doc_id, tok in rows:
+            over = tok > budget
+            if acc > 0 and (acc + tok > budget or over):
+                seq += 1
+                acc = 0
+                seq_pos = 0
+            out_rows.append(
+                (int(doc_id), int(shard), int(pos), int(seq),
+                 int(seq_pos), bool(over))
+            )
+            acc += int(tok)
+            seq_pos += 1
+            if over:
+                seq += 1
+                acc = 0
+                seq_pos = 0
+        state.update((int(seq), int(acc), int(seq_pos)))
+        yield pd.DataFrame(
+            out_rows,
+            columns=["doc_id", "shard", "pos", "seq", "seq_pos", "oversize"],
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout  # noqa: PLC0415
+
+    return docs.groupBy(shard_col).applyInPandasWithState(
+        fn,
+        outputStructType=_PACK_OUT_SCHEMA,
+        stateStructType=_PACK_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -698,3 +698,79 @@ def test_pack_sequences_degenerate_inputs(spark):
     assert len(out) == 9 and all(r.oversize and r.seq_pos == 0 for r in out)
     # every window holds exactly one doc
     assert len({(r.shard, r.seq) for r in out}) == 9
+
+
+def test_streaming_pack_matches_batch(spark, tmp_path):
+    """Streaming packer parity: packed assignments over three in-order
+    micro-batches equal the batch pack_sequences on the union —
+    including windows that STRADDLE batch boundaries (the open-window
+    state is exactly what the batch fold carries)."""
+    import json as _json
+    import os
+
+    from data_pipelines_cu_spark.operators import sampling as smp
+    from data_pipelines_cu_spark.streaming.jobs import pack_stateful
+
+    docs = spark.createDataFrame(
+        [(i, [120, 512, 1, 3000, 480, 2048, 7][i % 7] + i % 13)
+         for i in range(90)],
+        "doc_id long, n_tokens long",
+    )
+    batch = {
+        r.doc_id: (r.shard, r.pos, r.seq, r.seq_pos, r.oversize)
+        for r in smp.pack_sequences(docs, budget=1024, n_shards=3).collect()
+    }
+    # serve the stream in per-shard pos order: split by GLOBAL pos rank
+    # thirds, so every file is a pos-prefix of every shard
+    ordered = smp.training_shard_order(docs, "doc_id", 3)
+    rows = sorted(
+        (
+            (r.pos, r.shard, r.doc_id)
+            for r in ordered.collect()
+        )
+    )
+    toks = {r.doc_id: r.n_tokens for r in docs.collect()}
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    third = (len(rows) + 2) // 3
+    for i in range(3):
+        with open(src / f"part-{i}.json", "w") as f:
+            for pos, shard, doc_id in rows[i * third : (i + 1) * third]:
+                f.write(
+                    _json.dumps(
+                        {
+                            "doc_id": doc_id,
+                            "shard": shard,
+                            "pos": pos,
+                            "n_tokens": toks[doc_id],
+                        }
+                    )
+                    + "\n"
+                )
+        os.utime(
+            src / f"part-{i}.json",
+            (1_700_000_000 + i * 60, 1_700_000_000 + i * 60),
+        )
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, shard int, pos long, n_tokens long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out_path = str(tmp_path / "packed")
+    q = (
+        pack_stateful(stream, budget=1024)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.doc_id: (r.shard, r.pos, r.seq, r.seq_pos, r.oversize)
+        for r in spark.read.parquet(out_path).collect()
+    }
+    assert got == batch and len(got) == 90
