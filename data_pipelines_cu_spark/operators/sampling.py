@@ -1140,13 +1140,20 @@ def pack_sequences(
 ) -> DataFrame:
     """(doc_id, shard, pos, seq, seq_pos, oversize): greedy contiguous
     packing of documents into ``budget``-token context windows, in the
-    deterministic per-shard order of :func:`training_shard_order` (so
-    packing composes with the global-shuffle serving layout). ``seq``
-    is the within-shard window index (0-based), ``seq_pos`` the
-    document's position inside its window, ``oversize`` flags a
-    document longer than the whole budget (it occupies a window alone;
-    the trainer's truncation policy applies downstream — the packer
-    never drops data).
+    deterministic per-shard order of :func:`training_shard_order` (the
+    same shard/pos expressions, computed inline so the token column
+    rides along — re-joining the corpus on id just to re-attach it
+    would double the operator's shuffle). ``seq`` is the within-shard
+    window index (0-based), ``seq_pos`` the document's position inside
+    its window, ``oversize`` flags a document longer than the whole
+    budget — it closes any open window and occupies one alone (the
+    trainer's truncation policy applies downstream; the packer never
+    drops data). A window closes when it is NON-EMPTY and the next
+    document would overflow it (``seq_pos > 0``, not a token-count
+    check: zero-token documents occupy slots too, and the SQL twin is
+    the reference for the tie). NULL token counts are rejected loudly
+    with the offending ids — a NaN would otherwise surface as an opaque
+    astype error deep in an executor.
 
     Distributed shape: packing is a sequential recurrence (each window
     boundary depends on the previous one through the running remainder),
@@ -1161,13 +1168,21 @@ def pack_sequences(
     ever become the bottleneck; the per-shard fold is exact and simpler.
 
     Exactness: integer arithmetic over a deterministic order — the
-    output is independent of partitioning and rerun-stable.
+    output is independent of partitioning and rerun-stable, and
+    bit-identical to :func:`pack_sequences_sql`.
     """
     import pandas as pd  # noqa: PLC0415
 
-    ordered = training_shard_order(
-        df.select(id_col, token_col), id_col, n_shards, salt, order_salt
-    ).join(df.select(id_col, token_col), id_col)
+    h = F.md5(F.concat(F.lit(order_salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy("shard").orderBy(h, F.col(id_col))
+    ordered = (
+        df.select(
+            id_col,
+            token_col,
+            hash_bucket(F.col(id_col), n_shards, salt).alias("shard"),
+        )
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+    )
 
     out_schema = (
         f"{id_col} {dict(ordered.dtypes)[id_col]}, shard int, pos long,"
@@ -1175,6 +1190,11 @@ def pack_sequences(
     )
 
     def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if pdf[token_col].isnull().any():
+            bad = pdf.loc[pdf[token_col].isnull(), id_col].head(5).tolist()
+            raise ValueError(
+                f"pack_sequences: NULL {token_col} for ids {bad}"
+            )
         pdf = pdf.sort_values("pos")
         seqs, seq_positions, oversizes = [], [], []
         seq = 0
@@ -1182,7 +1202,7 @@ def pack_sequences(
         seq_pos = 0
         for tok in pdf[token_col].astype("int64"):
             over = tok > budget
-            if acc > 0 and (acc + tok > budget or over):
+            if seq_pos > 0 and (acc + tok > budget or over):
                 seq += 1
                 acc = 0
                 seq_pos = 0
@@ -1226,17 +1246,12 @@ def pack_sequences_sql(
     per-shard recursive CTE stepping one document at a time (depth =
     max docs per shard; fine at oracle scale). Kept beside the operator
     so a future gate row only needs registration."""
-    b = hash_bucket_sql(id_col, n_shards, salt)
+    inner = shard_order_sql(table, id_col, n_shards, salt, order_salt)
     return f"""
     WITH RECURSIVE ordered AS (
-        SELECT {id_col},
-               CAST({token_expr} AS BIGINT) AS tok,
-               CAST({b} AS INT) AS shard,
-               CAST(ROW_NUMBER() OVER (
-                   PARTITION BY {b}
-                   ORDER BY md5(CONCAT('{order_salt}', CAST({id_col} AS VARCHAR))), {id_col}
-               ) AS BIGINT) AS pos
-        FROM {table}
+        SELECT s.{id_col}, CAST(s.shard AS INT) AS shard, s.pos,
+               CAST(t.{token_expr} AS BIGINT) AS tok
+        FROM ({inner}) s JOIN {table} t USING ({id_col})
     ),
     walk AS (
         SELECT shard, pos, {id_col}, tok,
@@ -1260,7 +1275,7 @@ def pack_sequences_sql(
         FROM walk w JOIN ordered o
           ON o.shard = w.shard AND o.pos = w.pos + 1
     )
-    SELECT {id_col}, CAST(shard AS INT) AS shard, pos, seq,
+    SELECT {id_col}, shard, pos, seq,
            CAST(seq_pos AS INT) AS seq_pos, oversize
     FROM walk
     """

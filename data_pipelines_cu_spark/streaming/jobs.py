@@ -898,16 +898,6 @@ def psi_report_from_batches(
 
 # --- Streaming sequence packing ------------------------------------------------
 
-_PACK_OUT_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_id", T.LongType(), False),
-        T.StructField("shard", T.IntegerType(), False),
-        T.StructField("pos", T.LongType(), False),
-        T.StructField("seq", T.LongType(), False),
-        T.StructField("seq_pos", T.IntegerType(), False),
-        T.StructField("oversize", T.BooleanType(), False),
-    ]
-)
 _PACK_STATE_SCHEMA = T.StructType(
     [
         T.StructField("seq", T.LongType(), False),
@@ -935,35 +925,46 @@ def pack_stateful(
     layout ``training_shard_order`` writes), the packed stream-so-far
     equals the batch ``pack_sequences`` on the same prefix bit-for-bit
     — the same prefix-parity contract as the streaming CUSUM twin.
-    Oversize documents occupy a window alone, exactly as in batch."""
+    A window closes when NON-EMPTY (``seq_pos > 0``) and the next
+    document would overflow; oversize documents close any open window
+    and occupy one alone, exactly as in batch. Output columns carry the
+    caller's names and the id column keeps its input type."""
     import pandas as pd  # noqa: PLC0415 — executor-side import
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, docs.schema[id_col].dataType, False),
+            T.StructField(shard_col, docs.schema[shard_col].dataType, False),
+            T.StructField(pos_col, T.LongType(), False),
+            T.StructField("seq", T.LongType(), False),
+            T.StructField("seq_pos", T.IntegerType(), False),
+            T.StructField("oversize", T.BooleanType(), False),
+        ]
+    )
 
     def fn(key, pdfs, state):
         (shard,) = key
-        seq, acc, seq_pos = (
-            state.get if state.exists else (0, 0, 0)
+        seq, acc, seq_pos = state.get if state.exists else (0, 0, 0)
+        parts = list(pdfs)
+        pdf = (
+            pd.concat(parts, ignore_index=True)
+            if len(parts) > 1
+            else parts[0]
         )
-        out_rows: list[tuple] = []
-        rows: list[tuple[int, int, int]] = []
-        for pdf in pdfs:
-            rows.extend(
-                zip(
-                    pdf[pos_col].astype("int64"),
-                    pdf[id_col].astype("int64"),
-                    pdf[token_col].astype("int64"),
-                )
-            )
-        rows.sort()
-        for pos, doc_id, tok in rows:
+        if pdf[token_col].isnull().any():
+            bad = pdf.loc[pdf[token_col].isnull(), id_col].head(5).tolist()
+            raise ValueError(f"pack_stateful: NULL {token_col} for ids {bad}")
+        pdf = pdf.sort_values(pos_col)
+        seqs, seq_positions, oversizes = [], [], []
+        for tok in pdf[token_col].astype("int64"):
             over = tok > budget
-            if acc > 0 and (acc + tok > budget or over):
+            if seq_pos > 0 and (acc + tok > budget or over):
                 seq += 1
                 acc = 0
                 seq_pos = 0
-            out_rows.append(
-                (int(doc_id), int(shard), int(pos), int(seq),
-                 int(seq_pos), bool(over))
-            )
+            seqs.append(int(seq))
+            seq_positions.append(int(seq_pos))
+            oversizes.append(bool(over))
             acc += int(tok)
             seq_pos += 1
             if over:
@@ -972,15 +973,25 @@ def pack_stateful(
                 seq_pos = 0
         state.update((int(seq), int(acc), int(seq_pos)))
         yield pd.DataFrame(
-            out_rows,
-            columns=["doc_id", "shard", "pos", "seq", "seq_pos", "oversize"],
+            {
+                id_col: pdf[id_col],
+                shard_col: pdf[shard_col],
+                pos_col: pdf[pos_col].astype("int64"),
+                "seq": pd.Series(seqs, index=pdf.index, dtype="int64"),
+                "seq_pos": pd.Series(
+                    seq_positions, index=pdf.index, dtype="int32"
+                ),
+                "oversize": pd.Series(
+                    oversizes, index=pdf.index, dtype="bool"
+                ),
+            }
         )
 
     from pyspark.sql.streaming.state import GroupStateTimeout  # noqa: PLC0415
 
     return docs.groupBy(shard_col).applyInPandasWithState(
         fn,
-        outputStructType=_PACK_OUT_SCHEMA,
+        outputStructType=out_schema,
         stateStructType=_PACK_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,

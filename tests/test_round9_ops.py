@@ -768,9 +768,67 @@ def test_streaming_pack_matches_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "streaming pack timed out"
     got = {
         r.doc_id: (r.shard, r.pos, r.seq, r.seq_pos, r.oversize)
         for r in spark.read.parquet(out_path).collect()
     }
     assert got == batch and len(got) == 90
+
+
+def test_pack_sequences_zero_token_and_null_handling(spark):
+    """Zero-token docs occupy window slots (the SQL twin's semantics:
+    an oversize doc arriving after only zero-token docs CLOSES that
+    window), and NULL token counts fail loudly with the offending ids."""
+    import pytest as _pytest
+
+    from data_pipelines_cu_spark.operators import sampling as smp
+
+    df = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 5000), (4, 10)], "doc_id long, n_tokens long"
+    )
+    out = {
+        r.doc_id: (r.seq, r.seq_pos, r.oversize)
+        for r in smp.pack_sequences(df, budget=1024, n_shards=1).collect()
+    }
+    over_seq, over_pos, _ = out[3]
+    assert over_pos == 0  # oversize doc opens (and owns) its window
+    assert sum(1 for s, _, _ in out.values() if s == over_seq) == 1
+    # bit-for-bit vs the SQL twin on the same frame via a temp table
+    import duckdb
+
+    con = duckdb.connect()
+    con.register(
+        "docs4",
+        spark.createDataFrame(
+            [(1, 0), (2, 0), (3, 5000), (4, 10)],
+            "doc_id long, n_chars long",
+        ).toPandas(),
+    )
+    exp = sorted(
+        map(
+            tuple,
+            con.sql(
+                smp.pack_sequences_sql(1024, table="docs4", n_shards=1)
+            ).fetchall(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            smp.pack_sequences(
+                df.withColumnRenamed("n_tokens", "n_chars"),
+                budget=1024,
+                token_col="n_chars",
+                n_shards=1,
+            )
+            .select("doc_id", "shard", "pos", "seq", "seq_pos", "oversize")
+            .collect(),
+        )
+    )
+    assert got == exp
+    nulls = spark.createDataFrame(
+        [(1, 10), (2, None)], "doc_id long, n_tokens long"
+    )
+    with _pytest.raises(Exception, match="NULL n_tokens"):
+        smp.pack_sequences(nulls, budget=100).collect()
