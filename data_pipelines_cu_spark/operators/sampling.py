@@ -1171,6 +1171,8 @@ def pack_sequences(
     output is independent of partitioning and rerun-stable, and
     bit-identical to :func:`pack_sequences_sql`.
     """
+    if budget < 1:
+        raise ValueError(f"pack_sequences: budget must be >= 1, got {budget}")
     import pandas as pd  # noqa: PLC0415
 
     h = F.md5(F.concat(F.lit(order_salt), F.col(id_col).cast("string")))

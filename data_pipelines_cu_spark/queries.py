@@ -4566,6 +4566,25 @@ def training_shard_order_q(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Greedy contiguous sequence packing (context-window assembly)
+# ---------------------------------------------------------------------------
+@register("greedy_pack_assignments", smp.pack_sequences_sql(2000))
+def greedy_pack_assignments_q(spark, sf_dir):
+    """Greedy contiguous packing of documents into 2000-token context
+    windows in the deterministic per-shard training order: each doc's
+    (shard, pos, seq, seq_pos, oversize) assignment. The shard is the
+    parallelism unit (one applyInPandas group per shard — thousands at
+    corpus scale), only (id, tokens) flows through Arrow, and the fold
+    is exact integer arithmetic, so the assignment is bit-identical to
+    the oracle's per-shard recursive walk. Complements
+    doc_packed_sequences (concat-and-split): this packer never splits a
+    document across windows."""
+    return smp.pack_sequences(
+        _t(spark, sf_dir, "documents"), budget=2000, token_col="n_chars"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Curriculum ordering: quality-quartile bins + content-addressed order
 # ---------------------------------------------------------------------------
 @register(

@@ -929,6 +929,8 @@ def pack_stateful(
     document would overflow; oversize documents close any open window
     and occupy one alone, exactly as in batch. Output columns carry the
     caller's names and the id column keeps its input type."""
+    if budget < 1:
+        raise ValueError(f"pack_stateful: budget must be >= 1, got {budget}")
     import pandas as pd  # noqa: PLC0415 — executor-side import
 
     out_schema = T.StructType(

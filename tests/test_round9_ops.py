@@ -832,3 +832,76 @@ def test_pack_sequences_zero_token_and_null_handling(spark):
     )
     with _pytest.raises(Exception, match="NULL n_tokens"):
         smp.pack_sequences(nulls, budget=100).collect()
+
+
+def test_pack_sequences_budget_validation():
+    """budget < 1 is rejected loudly at plan-build time on both the
+    batch packer and its streaming twin — a non-positive budget makes
+    every positive-token doc 'oversize', which is never what a caller
+    meant; fail before any executor work."""
+    import pytest as _pytest
+
+    from data_pipelines_cu_spark.operators import sampling as smp
+    from data_pipelines_cu_spark.streaming.jobs import pack_stateful
+
+    with _pytest.raises(ValueError, match="budget"):
+        smp.pack_sequences(None, budget=0)
+    with _pytest.raises(ValueError, match="budget"):
+        pack_stateful(None, budget=-5)
+
+
+def test_pack_sequences_exact_fit_boundary(spark):
+    """acc + tok == budget does NOT close the window (the overflow test
+    is strict >): with every doc exactly budget/2 tokens, every window
+    holds exactly TWO docs whatever the md5 order — a >= comparison
+    would put each doc alone."""
+    from data_pipelines_cu_spark.operators import sampling as smp
+
+    df = spark.createDataFrame(
+        [(i, 512) for i in range(8)], "doc_id long, n_tokens long"
+    )
+    out = smp.pack_sequences(df, budget=1024, n_shards=1).collect()
+    sizes = {}
+    for r in out:
+        sizes[r.seq] = sizes.get(r.seq, 0) + 1
+    assert sorted(sizes.values()) == [2, 2, 2, 2]
+    assert not any(r.oversize for r in out)
+
+
+def test_pack_sequences_reference_fold_parity(spark):
+    """Randomized parity against a pure-Python greedy fold driven ONLY
+    by the operator's own (shard, pos) output order: for each shard,
+    re-walk the pos-ordered token stream with the documented recurrence
+    and demand identical (seq, seq_pos, oversize) for all 400 docs."""
+    import random
+
+    from data_pipelines_cu_spark.operators import sampling as smp
+
+    rng = random.Random(90917)
+    rows = [(i, rng.choice([0, 1, 7, 120, 480, 512, 999, 1024, 1025, 3000]))
+            for i in range(400)]
+    toks = dict(rows)
+    budget = 1024
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = smp.pack_sequences(df, budget=budget, n_shards=5).collect()
+    by_shard: dict[int, list] = {}
+    for r in got:
+        by_shard.setdefault(r.shard, []).append(r)
+    n_checked = 0
+    for _shard, members in by_shard.items():
+        members.sort(key=lambda r: r.pos)
+        seq = acc = seq_pos = 0
+        for r in members:
+            tok = toks[r.doc_id]
+            over = tok > budget
+            if seq_pos > 0 and (acc + tok > budget or over):
+                seq, acc, seq_pos = seq + 1, 0, 0
+            assert (r.seq, r.seq_pos, r.oversize) == (seq, seq_pos, over), (
+                r.doc_id
+            )
+            acc += tok
+            seq_pos += 1
+            n_checked += 1
+            if over:
+                seq, acc, seq_pos = seq + 1, 0, 0
+    assert n_checked == 400
