@@ -274,6 +274,14 @@ def main() -> None:
     # diagnostic entries (skew mitigation proof) — reported, not in the total
     extras = skew_demo(spark, sf_dir)
     extras["cpu_probe"] = cpu_probe(spark)
+    # The reference reading of cpu_probe on the box that set the 78.06s
+    # headline record (BASELINE.md round 9). Embedded so every BENCH
+    # artifact carries its own normalization hint: headline totals are
+    # only comparable across rounds after dividing out the box-speed
+    # ratio cpu_probe / cpu_probe_reference (the machine behind this
+    # repo has been observed to change speed by >2x between rounds,
+    # including a mid-round reboot onto ~half the effective cores).
+    extras["cpu_probe_reference"] = 1.80
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "", 1).isdigit() else sf
     detail = {

@@ -1163,7 +1163,14 @@ def pack_sequences(
     greedy fold is O(rows); a shard at 100 TB holds corpus/n_shards
     documents, so ``n_shards`` is the knob that keeps per-task state
     bounded (the same sizing discipline as every blocked operator
-    here). An O(n log n) fully-parallel alternative exists (prefix sums
+    here). Unlike the blocked-rank family's ``n_blocks`` — an internal
+    parallelism knob the engine derives from input width because ranks
+    are invariant to it — ``n_shards`` is SEMANTIC: the assignment
+    (which docs share a window) depends on it, and it must equal the
+    training job's serving-shard count, so no automatic derivation
+    applies. A 100 TB caller sizes it to the dataloader's reader
+    parallelism (typically thousands), never leaves it at the
+    test-scale default. An O(n log n) fully-parallel alternative exists (prefix sums
     + pointer-doubled "next boundary" jumps) if single-shard streams
     ever become the bottleneck; the per-shard fold is exact and simpler.
 

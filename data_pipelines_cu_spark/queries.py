@@ -4568,7 +4568,13 @@ def training_shard_order_q(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # Greedy contiguous sequence packing (context-window assembly)
 # ---------------------------------------------------------------------------
-@register("greedy_pack_assignments", smp.pack_sequences_sql(2000))
+@register(
+    "greedy_pack_assignments",
+    smp.pack_sequences_sql(
+        2000,
+        table="(SELECT * FROM documents WHERE n_chars IS NOT NULL)",
+    ),
+)
 def greedy_pack_assignments_q(spark, sf_dir):
     """Greedy contiguous packing of documents into 2000-token context
     windows in the deterministic per-shard training order: each doc's
@@ -4576,11 +4582,15 @@ def greedy_pack_assignments_q(spark, sf_dir):
     parallelism unit (one applyInPandas group per shard — thousands at
     corpus scale), only (id, tokens) flows through Arrow, and the fold
     is exact integer arithmetic, so the assignment is bit-identical to
-    the oracle's per-shard recursive walk. Complements
-    doc_packed_sequences (concat-and-split): this packer never splits a
-    document across windows."""
+    the oracle's per-shard recursive walk. Docs with a NULL token count
+    are excluded on BOTH sides before packing (the operator itself
+    rejects them loudly — untokenized docs cannot be assigned a
+    window). Complements doc_packed_sequences (concat-and-split): this
+    packer never splits a document across windows."""
     return smp.pack_sequences(
-        _t(spark, sf_dir, "documents"), budget=2000, token_col="n_chars"
+        _t(spark, sf_dir, "documents").filter(F.col("n_chars").isNotNull()),
+        budget=2000,
+        token_col="n_chars",
     )
 
 

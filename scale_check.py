@@ -67,6 +67,9 @@ HEAVY = [
     "customer_rfm_segments",
     # round-7b: the ER composite (PassJoin blocking + CC + survivor)
     "part_entity_resolution",
+    # round-9: greedy contiguous sequence packing (applyInPandas per
+    # shard — the Arrow fan-out cost is what the row measures)
+    "greedy_pack_assignments",
 ]
 
 # Optional subset filter: SPARK_GRAFT_SCALE_ONLY="a,b" runs just those.
