@@ -1288,3 +1288,72 @@ def pack_sequences_sql(
            CAST(seq_pos AS INT) AS seq_pos, oversize
     FROM walk
     """
+
+
+def pack_manifest(
+    df: DataFrame,
+    budget: int,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    n_shards: int = 16,
+    salt: str = "shard",
+    order_salt: str = "ord",
+) -> DataFrame:
+    """Per-window packing manifest: (shard, seq, n_docs, window_tokens,
+    has_oversize, fill_rate) for every context window
+    :func:`pack_sequences` would emit — the padding-efficiency report a
+    training job reads before committing to a budget (wasted compute
+    per step = 1 − fill_rate for non-oversize windows; oversize windows
+    surface the truncation exposure instead).
+
+    Distributed shape: the packer's assignment (already shard-parallel)
+    joins back to the (id, tokens) projection on the id hash — both
+    sides corpus-sized, one shuffle each — then a (shard, seq) aggregate
+    whose key count is ~corpus_tokens/budget, map-side combinable.
+    ``fill_rate`` is a single IEEE division of an exact integer sum by
+    the constant budget, rounded to 6dp, so it is bit-stable across
+    partitionings and engines.
+    """
+    assignments = pack_sequences(
+        df, budget, token_col=token_col, id_col=id_col,
+        n_shards=n_shards, salt=salt, order_salt=order_salt,
+    )
+    toks = df.select(id_col, token_col)
+    return (
+        assignments.join(toks, id_col)
+        .groupBy("shard", "seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col(token_col)).cast("long").alias("window_tokens"),
+            F.max("oversize").alias("has_oversize"),
+            F.round(
+                F.sum(F.col(token_col)) / F.lit(float(budget)), 6
+            ).alias("fill_rate"),
+        )
+    )
+
+
+def pack_manifest_sql(
+    budget: int,
+    table: str = "documents",
+    token_expr: str = "n_chars",
+    id_col: str = "doc_id",
+    n_shards: int = 16,
+    salt: str = "shard",
+    order_salt: str = "ord",
+) -> str:
+    """DuckDB twin of :func:`pack_manifest`: the recursive packing walk
+    joined back to the table and aggregated per (shard, seq)."""
+    inner = pack_sequences_sql(
+        budget, table, token_expr, id_col, n_shards, salt, order_salt
+    )
+    return f"""
+    WITH assignments AS ({inner})
+    SELECT a.shard, a.seq,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(t.{token_expr}) AS BIGINT) AS window_tokens,
+           MAX(a.oversize) AS has_oversize,
+           ROUND(SUM(t.{token_expr}) / {float(budget)}, 6) AS fill_rate
+    FROM assignments a JOIN {table} t USING ({id_col})
+    GROUP BY a.shard, a.seq
+    """

@@ -4594,6 +4594,28 @@ def greedy_pack_assignments_q(spark, sf_dir):
     )
 
 
+@register(
+    "pack_window_manifest",
+    smp.pack_manifest_sql(
+        2000,
+        table="(SELECT * FROM documents WHERE n_chars IS NOT NULL)",
+    ),
+)
+def pack_window_manifest_q(spark, sf_dir):
+    """Per-window packing manifest at budget 2000: how many docs and
+    tokens each context window holds, whether it is an oversize
+    singleton, and its fill rate — the padding-efficiency report a
+    training job reads before committing to a budget. Same NULL-token
+    exclusion as greedy_pack_assignments; window count ~ corpus_tokens /
+    budget, so the aggregate key space grows linearly and map-side
+    combines."""
+    return smp.pack_manifest(
+        _t(spark, sf_dir, "documents").filter(F.col("n_chars").isNotNull()),
+        budget=2000,
+        token_col="n_chars",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Curriculum ordering: quality-quartile bins + content-addressed order
 # ---------------------------------------------------------------------------

@@ -905,3 +905,55 @@ def test_pack_sequences_reference_fold_parity(spark):
             if over:
                 seq, acc, seq_pos = seq + 1, 0, 0
     assert n_checked == 400
+
+
+def test_pack_manifest_matches_duckdb_twin(spark, sf_dir, duck):
+    """Per-window manifest agrees with the recursive-walk + join-back
+    SQL twin bit-for-bit on the real documents table."""
+    from data_pipelines_cu_spark.operators import sampling as smp
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = sorted(
+        map(
+            tuple,
+            smp.pack_manifest(docs, budget=2000, token_col="n_chars")
+            .select(
+                "shard", "seq", "n_docs", "window_tokens",
+                "has_oversize", "fill_rate",
+            )
+            .collect(),
+        )
+    )
+    exp = sorted(
+        map(
+            tuple,
+            duck.sql(
+                """SELECT shard, seq, n_docs, window_tokens,
+                          has_oversize, fill_rate FROM ("""
+                + smp.pack_manifest_sql(2000)
+                + ")"
+            ).fetchall(),
+        )
+    )
+    assert got == exp and len(got) > 0
+
+
+def test_pack_manifest_invariants(spark):
+    """Window-level invariants: non-oversize windows fit the budget
+    (fill_rate <= 1), oversize windows are singletons with fill_rate >
+    1, and every doc lands in exactly one window."""
+    from data_pipelines_cu_spark.operators import sampling as smp
+
+    rows = [(i, [120, 512, 1, 3000, 480, 2048, 7][i % 7] + i % 13)
+            for i in range(160)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    man = smp.pack_manifest(df, budget=1024, n_shards=3).collect()
+    assert sum(r.n_docs for r in man) == 160
+    for r in man:
+        if r.has_oversize:
+            assert r.n_docs == 1 and r.window_tokens > 1024
+        else:
+            assert r.window_tokens <= 1024
+            # 6dp HALF_UP (Spark) vs banker's (Python round) differ by up
+            # to one ulp at ties — compare against the unrounded value
+            assert abs(r.fill_rate - r.window_tokens / 1024.0) <= 5.1e-7
