@@ -68,8 +68,10 @@ HEAVY = [
     # round-7b: the ER composite (PassJoin blocking + CC + survivor)
     "part_entity_resolution",
     # round-9: greedy contiguous sequence packing (applyInPandas per
-    # shard — the Arrow fan-out cost is what the row measures)
+    # shard — the Arrow fan-out cost is what the row measures) and its
+    # per-window manifest (join-back + (shard, seq) aggregate)
     "greedy_pack_assignments",
+    "pack_window_manifest",
 ]
 
 # Optional subset filter: SPARK_GRAFT_SCALE_ONLY="a,b" runs just those.
