@@ -1137,6 +1137,7 @@ def pack_sequences(
     n_shards: int = 16,
     salt: str = "shard",
     order_salt: str = "ord",
+    keep_token_col: bool = False,
 ) -> DataFrame:
     """(doc_id, shard, pos, seq, seq_pos, oversize): greedy contiguous
     packing of documents into ``budget``-token context windows, in the
@@ -1174,6 +1175,13 @@ def pack_sequences(
     + pointer-doubled "next boundary" jumps) if single-shard streams
     ever become the bottleneck; the per-shard fold is exact and simpler.
 
+    ``keep_token_col=True`` appends the token column to the output
+    (same name and type as the input) — the tokens are already inside
+    the Arrow fold, so consumers that need them per assignment (the
+    window manifest) read them for free instead of re-joining the
+    corpus on id, which costs two corpus-sized hash shuffles. Default
+    False keeps the assignment schema minimal and stable.
+
     Exactness: integer arithmetic over a deterministic order — the
     output is independent of partitioning and rerun-stable, and
     bit-identical to :func:`pack_sequences_sql`.
@@ -1197,6 +1205,8 @@ def pack_sequences(
         f"{id_col} {dict(ordered.dtypes)[id_col]}, shard int, pos long,"
         f" seq long, seq_pos int, oversize boolean"
     )
+    if keep_token_col:
+        out_schema += f", {token_col} {dict(ordered.dtypes)[token_col]}"
 
     def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
         if pdf[token_col].isnull().any():
@@ -1224,20 +1234,21 @@ def pack_sequences(
                 seq += 1
                 acc = 0
                 seq_pos = 0
-        return pd.DataFrame(
-            {
-                id_col: pdf[id_col],
-                "shard": pdf["shard"].astype("int32"),
-                "pos": pdf["pos"].astype("int64"),
-                "seq": pd.Series(seqs, index=pdf.index, dtype="int64"),
-                "seq_pos": pd.Series(
-                    seq_positions, index=pdf.index, dtype="int32"
-                ),
-                "oversize": pd.Series(
-                    oversizes, index=pdf.index, dtype="bool"
-                ),
-            }
-        )
+        cols = {
+            id_col: pdf[id_col],
+            "shard": pdf["shard"].astype("int32"),
+            "pos": pdf["pos"].astype("int64"),
+            "seq": pd.Series(seqs, index=pdf.index, dtype="int64"),
+            "seq_pos": pd.Series(
+                seq_positions, index=pdf.index, dtype="int32"
+            ),
+            "oversize": pd.Series(
+                oversizes, index=pdf.index, dtype="bool"
+            ),
+        }
+        if keep_token_col:
+            cols[token_col] = pdf[token_col]
+        return pd.DataFrame(cols)
 
     return ordered.groupBy("shard").applyInPandas(pack, schema=out_schema)
 
@@ -1306,22 +1317,22 @@ def pack_manifest(
     per step = 1 − fill_rate for non-oversize windows; oversize windows
     surface the truncation exposure instead).
 
-    Distributed shape: the packer's assignment (already shard-parallel)
-    joins back to the (id, tokens) projection on the id hash — both
-    sides corpus-sized, one shuffle each — then a (shard, seq) aggregate
-    whose key count is ~corpus_tokens/budget, map-side combinable.
-    ``fill_rate`` is a single IEEE division of an exact integer sum by
-    the constant budget, rounded to 6dp, so it is bit-stable across
-    partitionings and engines.
+    Distributed shape: the packer carries the token column THROUGH the
+    Arrow fold (``keep_token_col=True`` — the tokens are already inside
+    it; re-joining the corpus on id would cost two corpus-sized hash
+    shuffles), so the manifest is one (shard, seq) aggregate over the
+    shard-partitioned assignment — key count ~corpus_tokens/budget,
+    map-side combinable. ``fill_rate`` is a single IEEE division of an
+    exact integer sum by the constant budget, rounded to 6dp, so it is
+    bit-stable across partitionings and engines.
     """
     assignments = pack_sequences(
         df, budget, token_col=token_col, id_col=id_col,
         n_shards=n_shards, salt=salt, order_salt=order_salt,
+        keep_token_col=True,
     )
-    toks = df.select(id_col, token_col)
     return (
-        assignments.join(toks, id_col)
-        .groupBy("shard", "seq")
+        assignments.groupBy("shard", "seq")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(F.col(token_col)).cast("long").alias("window_tokens"),
