@@ -957,3 +957,39 @@ def test_pack_manifest_invariants(spark):
             # 6dp HALF_UP (Spark) vs banker's (Python round) differ by up
             # to one ulp at ties — compare against the unrounded value
             assert abs(r.fill_rate - r.window_tokens / 1024.0) <= 5.1e-7
+
+
+def test_pack_manifest_plan_has_no_join(spark):
+    """The manifest must NOT re-join the corpus: tokens ride through
+    the Arrow fold (keep_token_col), so the physical plan contains no
+    join operator at all — locking out the two corpus-sized id-hash
+    shuffles the join-back shape paid (sf1.0*: wall 1.82->0.95s)."""
+    from data_pipelines_cu_spark.operators import sampling as smp
+
+    df = spark.createDataFrame(
+        [(i, 100 + i) for i in range(50)], "doc_id long, n_tokens long"
+    )
+    plan = _plan(smp.pack_manifest(df, budget=1024))
+    assert "Join" not in plan, plan
+
+
+def test_pack_sequences_keep_token_col_schema(spark):
+    """keep_token_col=True appends the token column with its input name
+    and type; default output schema is unchanged (the registered
+    assignment gate row depends on it)."""
+    from data_pipelines_cu_spark.operators import sampling as smp
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 2000)], "doc_id long, n_chars long"
+    )
+    base = smp.pack_sequences(df, budget=100, token_col="n_chars")
+    assert base.columns == [
+        "doc_id", "shard", "pos", "seq", "seq_pos", "oversize"
+    ]
+    kept = smp.pack_sequences(
+        df, budget=100, token_col="n_chars", keep_token_col=True
+    )
+    assert kept.columns == base.columns + ["n_chars"]
+    assert dict(kept.dtypes)["n_chars"] == "bigint"
+    got = {r.doc_id: r.n_chars for r in kept.collect()}
+    assert got == {1: 10, 2: 2000}
