@@ -1188,6 +1188,13 @@ def pack_sequences(
     """
     if budget < 1:
         raise ValueError(f"pack_sequences: budget must be >= 1, got {budget}")
+    reserved = {"shard", "pos", "seq", "seq_pos", "oversize"}
+    clash = reserved & {id_col, token_col}
+    if clash:
+        raise ValueError(
+            "pack_sequences: id_col/token_col collide with output "
+            f"columns {sorted(clash)} — rename the input column"
+        )
     import pandas as pd  # noqa: PLC0415
 
     h = F.md5(F.concat(F.lit(order_salt), F.col(id_col).cast("string")))

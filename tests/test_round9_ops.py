@@ -993,3 +993,17 @@ def test_pack_sequences_keep_token_col_schema(spark):
     assert dict(kept.dtypes)["n_chars"] == "bigint"
     got = {r.doc_id: r.n_chars for r in kept.collect()}
     assert got == {1: 10, 2: 2000}
+
+
+def test_pack_sequences_reserved_name_collision():
+    """An id/token column named like a packer output column fails
+    loudly at plan-build time instead of silently corrupting the
+    output schema."""
+    import pytest as _pytest
+
+    from data_pipelines_cu_spark.operators import sampling as smp
+
+    with _pytest.raises(ValueError, match="collide"):
+        smp.pack_sequences(None, budget=100, token_col="seq")
+    with _pytest.raises(ValueError, match="collide"):
+        smp.pack_sequences(None, budget=100, id_col="shard")
