@@ -69,7 +69,8 @@ HEAVY = [
     "part_entity_resolution",
     # round-9: greedy contiguous sequence packing (applyInPandas per
     # shard — the Arrow fan-out cost is what the row measures) and its
-    # per-window manifest (join-back + (shard, seq) aggregate)
+    # per-window manifest (a (shard, seq) aggregate over the token
+    # column carried through the Arrow fold — no corpus join-back)
     "greedy_pack_assignments",
     "pack_window_manifest",
 ]
