@@ -1195,6 +1195,15 @@ def pack_sequences(
             "pack_sequences: id_col/token_col collide with output "
             f"columns {sorted(clash)} — rename the input column"
         )
+    if id_col == token_col:
+        # one column can't be both: the select would duplicate the name
+        # and pdf[token_col] would return a 2-col frame inside the
+        # executor — the same opaque deep failure the reserved-name
+        # check exists to prevent
+        raise ValueError(
+            f"pack_sequences: id_col and token_col are both {id_col!r} — "
+            "they must be distinct columns"
+        )
     import pandas as pd  # noqa: PLC0415
 
     h = F.md5(F.concat(F.lit(order_salt), F.col(id_col).cast("string")))
@@ -1272,12 +1281,24 @@ def pack_sequences_sql(
     """DuckDB twin of :func:`pack_sequences` — the greedy fold as a
     per-shard recursive CTE stepping one document at a time (depth =
     max docs per shard; fine at oracle scale). Kept beside the operator
-    so a future gate row only needs registration."""
+    so a future gate row only needs registration.
+
+    NULL token values raise loudly (DuckDB ``error()``), matching the
+    Spark side's executor ValueError — without the guard ``tok >
+    budget`` evaluates to NULL and silently corrupts seq/oversize for
+    every later document in the shard, so a future registration that
+    forgets the NULL pre-filter would diverge quietly instead of
+    failing the gate."""
     inner = shard_order_sql(table, id_col, n_shards, salt, order_salt)
+    tok_guard = (
+        f"CASE WHEN t.{token_expr} IS NULL THEN "
+        f"CAST(error('pack_sequences_sql: NULL {token_expr}') AS BIGINT) "
+        f"ELSE CAST(t.{token_expr} AS BIGINT) END"
+    )
     return f"""
     WITH RECURSIVE ordered AS (
         SELECT s.{id_col}, CAST(s.shard AS INT) AS shard, s.pos,
-               CAST(t.{token_expr} AS BIGINT) AS tok
+               {tok_guard} AS tok
         FROM ({inner}) s JOIN {table} t USING ({id_col})
     ),
     walk AS (

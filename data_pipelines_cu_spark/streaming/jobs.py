@@ -931,6 +931,22 @@ def pack_stateful(
     caller's names and the id column keeps its input type."""
     if budget < 1:
         raise ValueError(f"pack_stateful: budget must be >= 1, got {budget}")
+    # mirror of the batch packer's reserved-name guard: a caller column
+    # named seq/seq_pos/oversize (or two caller columns sharing a name)
+    # would silently build a duplicate-field StructType
+    reserved = {"seq", "seq_pos", "oversize"}
+    caller = [id_col, pos_col, shard_col]
+    clash = reserved & set(caller)
+    if clash:
+        raise ValueError(
+            "pack_stateful: id_col/pos_col/shard_col collide with output "
+            f"columns {sorted(clash)} — rename the input column"
+        )
+    if len(set(caller)) != len(caller):
+        raise ValueError(
+            f"pack_stateful: id_col/pos_col/shard_col must be distinct, "
+            f"got {caller}"
+        )
     import pandas as pd  # noqa: PLC0415 — executor-side import
 
     out_schema = T.StructType(
