@@ -57,10 +57,14 @@ HEADLINE = [
     "regional_supplier_volume",
     "returned_item_losses",
     "customer_order_distribution",
-    "disjunctive_predicate_revenue",
+    # round-10: the Q6/Q14/Q17/Q19 scalars merged into one 4-row KPI
+    # suite (one gate entry; see queries.lineitem_revenue_kpis) — the
+    # single entry replaces the old disjunctive_predicate_revenue +
+    # discount_band_revenue headline rows and adds the Q14/Q17 work,
+    # so headline totals gain ~2 queries' wall vs rounds <= 9
+    "lineitem_revenue_kpis",
     "doc_repetition_ratio",
     "doc_token_rarity",
-    "discount_band_revenue",
     "sole_late_supplier_orders",
     "doc_tfidf_top_terms",
     "user_activity_streaks",
@@ -126,6 +130,9 @@ HEADLINE = [
     "source_token_tv_drift",
     "k_anonymity_audit",
     "doc_longest_dup_span",
+    # round-10: tokenize→pack composite (BPE token counts feeding the
+    # sequence packer + manifest — the real pretraining last mile)
+    "bpe_pack_pipeline",
 ]
 
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))

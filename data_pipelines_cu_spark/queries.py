@@ -2577,9 +2577,17 @@ def customer_order_distribution(spark, sf_dir):
     return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
 
 
-@register(
-    "promo_revenue_share",
-    """
+# --- lineitem revenue KPI quartet ------------------------------------------
+# Four single-row lineitem revenue scalars (TPC-H Q6/Q14/Q17/Q19 shapes),
+# registered as ONE gate entry (lineitem_revenue_kpis, below): each keeps
+# its own plan builder + oracle SQL so plan tests exercise the shapes
+# individually, while the registry spends one 4-row gate slot instead of
+# four 1-row ones. The merge is what holds the registry at exactly 200
+# entries = 4 rounds x 50 driver-gate slots, the largest size at which no
+# green row can ever age past the repo's "newest gate row >= N-3" freshness
+# standard (202 entries left two rows 4 rounds stale by round 9).
+
+_Q14_PROMO_SQL = """
     SELECT ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
                     THEN CAST(l.l_extendedprice * (1 - l.l_discount)
                               AS DECIMAL(18,6)) ELSE 0 END)::DOUBLE
@@ -2589,8 +2597,9 @@ def customer_order_distribution(spark, sf_dir):
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE l.l_shipdate >= DATE '1997-09-01'
       AND l.l_shipdate <  DATE '1997-10-01'
-    """,
-)
+    """
+
+
 def promo_revenue_share(spark, sf_dir):
     """TPC-H Q14 shape: promo share of one month's revenue — conditional
     aggregate ratio. Ship-date range pushes to the lineitem scan; part is
@@ -2622,9 +2631,7 @@ def promo_revenue_share(spark, sf_dir):
     )
 
 
-@register(
-    "small_quantity_revenue",
-    """
+_Q17_SMALL_QTY_SQL = """
     SELECT ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)))::DOUBLE / 7.0,
                  2) AS avg_yearly,
            COUNT(*) AS n_lines
@@ -2634,8 +2641,9 @@ def promo_revenue_share(spark, sf_dir):
           FROM lineitem GROUP BY l_partkey) t
       ON t.l_partkey = l.l_partkey
     WHERE p.p_brand = 'Brand#3' AND l.l_quantity < t.qty_threshold
-    """,
-)
+    """
+
+
 def small_quantity_revenue(spark, sf_dir):
     """TPC-H Q17 shape: revenue from below-average-quantity lines of one
     brand — the per-part correlated AVG subquery becomes a self-agg of
@@ -2710,9 +2718,7 @@ def large_volume_customers(spark, sf_dir):
     )
 
 
-@register(
-    "disjunctive_predicate_revenue",
-    """
+_Q19_DISJUNCTIVE_SQL = """
     SELECT ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
                           AS DECIMAL(18,6)))::DOUBLE, 2) AS revenue,
            COUNT(*) AS n_lines
@@ -2723,8 +2729,9 @@ def large_volume_customers(spark, sf_dir):
            AND l.l_quantity BETWEEN 10 AND 20)
        OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
            AND l.l_quantity BETWEEN 20 AND 30)
-    """,
-)
+    """
+
+
 def disjunctive_predicate_revenue(spark, sf_dir):
     """TPC-H Q19 shape: OR-of-ANDs across both join sides. Catalyst
     derives the single-side residuals (quantity <= 30 on lineitem, the
@@ -2938,17 +2945,16 @@ def embedding_quantization(spark, sf_dir):
     )
 
 
-@register(
-    "discount_band_revenue",
-    """
+_Q6_DISCOUNT_BAND_SQL = """
     SELECT ROUND(SUM(CAST(l_extendedprice * l_discount
                           AS DECIMAL(18,6)))::DOUBLE, 2) AS revenue,
            COUNT(*) AS n_lines
     FROM lineitem
     WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
       AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
-    """,
-)
+    """
+
+
 def discount_band_revenue(spark, sf_dir):
     """TPC-H Q6 shape: forecast-revenue-change — a pure scan-filter-agg
     with no join at all. All three predicates push to the parquet scan and
@@ -2975,6 +2981,51 @@ def discount_band_revenue(spark, sf_dir):
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@register(
+    "lineitem_revenue_kpis",
+    f"""
+    SELECT 'q6_discount_band_revenue' AS kpi, revenue AS value, n_lines
+    FROM ({_Q6_DISCOUNT_BAND_SQL})
+    UNION ALL
+    SELECT 'q14_promo_share_pct' AS kpi, promo_share_pct AS value, n_lines
+    FROM ({_Q14_PROMO_SQL})
+    UNION ALL
+    SELECT 'q17_small_qty_avg_yearly' AS kpi, avg_yearly AS value, n_lines
+    FROM ({_Q17_SMALL_QTY_SQL})
+    UNION ALL
+    SELECT 'q19_disjunctive_revenue' AS kpi, revenue AS value, n_lines
+    FROM ({_Q19_DISJUNCTIVE_SQL})
+    """,
+)
+def lineitem_revenue_kpis(spark, sf_dir):
+    """Revenue KPI suite: the four single-row lineitem revenue scalars
+    (TPC-H Q6 scan-filter-agg, Q14 conditional-aggregate ratio, Q17
+    correlated per-group AVG threshold, Q19 OR-of-ANDs cross-side
+    pushdown) as one 4-row (kpi, value, n_lines) report — the shape a
+    revenue dashboard actually materializes. Each branch keeps its own
+    standalone plan builder (promo_revenue_share & co., above) so the
+    plan-shape tests still pin each branch's pushdown individually; the
+    union evaluates all four in one job with no shared state, so branch
+    plans are exactly the standalone plans. One gate entry instead of
+    four keeps the registry at 200 = 4 rounds x 50 driver-gate slots
+    (see the quartet comment above)."""
+    branches = [
+        ("q6_discount_band_revenue", discount_band_revenue, "revenue"),
+        ("q14_promo_share_pct", promo_revenue_share, "promo_share_pct"),
+        ("q17_small_qty_avg_yearly", small_quantity_revenue, "avg_yearly"),
+        ("q19_disjunctive_revenue", disjunctive_predicate_revenue, "revenue"),
+    ]
+    out = None
+    for label, fn, col in branches:
+        d = fn(spark, sf_dir).select(
+            F.lit(label).alias("kpi"),
+            F.col(col).cast("double").alias("value"),
+            F.col("n_lines"),
+        )
+        out = d if out is None else out.unionByName(d)
+    return out
 
 
 @register(
@@ -4613,6 +4664,45 @@ def pack_window_manifest_q(spark, sf_dir):
         _t(spark, sf_dir, "documents").filter(F.col("n_chars").isNotNull()),
         budget=2000,
         token_col="n_chars",
+    )
+
+
+_BPE_PACK_BUDGET = 384  # fixture n_syms span 30-397: multi-doc windows
+# AND a tail of oversize singletons, so both packer paths are gated
+
+
+@register(
+    "bpe_pack_pipeline",
+    f"""
+    WITH enc AS (
+        SELECT doc_id, n_syms AS n_bpe_tokens
+        FROM ({tx.bpe_encode_oracle_sql()})
+    )
+    SELECT * FROM ({smp.pack_manifest_sql(
+        _BPE_PACK_BUDGET, table="enc", token_expr="n_bpe_tokens"
+    )}) m
+    """,
+)
+def bpe_pack_pipeline_q(spark, sf_dir):
+    """Tokenize→pack end-to-end: BPE-encode every document with the
+    corpus-trained merges (bpe_encode_stats — the REAL token counts,
+    not the n_chars proxy), then assemble the encoded docs into
+    384-token context windows and report the per-window manifest. This
+    is the actual shape of a pretraining data job's last mile — pack
+    what the tokenizer will emit, not a character-count stand-in — and
+    it exercises the packer's keep_token_col path under a joined
+    upstream (the token column arrives from the encode aggregate, not
+    a parquet scan). One lazy plan: the vocabulary-sized BPE lookup
+    broadcasts into the encode join, the per-doc token sums flow
+    straight into the shard fold, and the manifest aggregates
+    (shard, seq) keys — nothing corpus-sized ever converges on one
+    task. Oracle = the BPE encode CTE chained into the recursive
+    packing walk (the curation_pipeline_pack composition pattern)."""
+    enc = tx.bpe_encode_stats(_t(spark, sf_dir, "documents"))
+    return smp.pack_manifest(
+        enc.select("doc_id", F.col("n_syms").alias("n_bpe_tokens")),
+        budget=_BPE_PACK_BUDGET,
+        token_col="n_bpe_tokens",
     )
 
 

@@ -73,6 +73,10 @@ HEAVY = [
     # column carried through the Arrow fold — no corpus join-back)
     "greedy_pack_assignments",
     "pack_window_manifest",
+    # round-10: BPE-encode → pack composite (the encode's explode +
+    # vocabulary broadcast join feeding the shard fold — measures the
+    # full tokenize-then-pack pipeline, not the packer alone)
+    "bpe_pack_pipeline",
 ]
 
 # Optional subset filter: SPARK_GRAFT_SCALE_ONLY="a,b" runs just those.

@@ -94,9 +94,12 @@ def test_q5_shape_broadcasts_all_dims(spark, sf_dir):
 
 
 def test_q19_shape_pushes_cnf_residuals_to_both_scans(spark, sf_dir):
-    plan = _formatted_plan(
-        QUERIES["disjunctive_predicate_revenue"].fn(spark, sf_dir)
-    )
+    # the Q19 branch of the merged lineitem_revenue_kpis gate entry —
+    # the standalone builder stays importable exactly so this test can
+    # pin the branch's pushdown without the other branches' scans
+    from data_pipelines_cu_spark.queries import disjunctive_predicate_revenue
+
+    plan = _formatted_plan(disjunctive_predicate_revenue(spark, sf_dir))
     # Catalyst's CNF conversion must derive single-side residuals of the
     # OR-of-ANDs and push them below the join into BOTH parquet scans
     assert "LessThanOrEqual(l_quantity,11.0)" in plan  # lineitem-side residual

@@ -61,3 +61,47 @@ def test_pack_sql_twins_raise_on_null_tokens():
         )
     ).fetchall()
     assert len(clean) == 3
+
+
+# --- gate-rotation arithmetic -------------------------------------------------
+
+
+def test_registry_fits_gate_rotation_window():
+    """The driver gate verifies 50 queries per round and the repo's
+    freshness standard is 'newest gate row >= N-3', i.e. every query
+    re-verified within 4 rounds. That is only satisfiable when the
+    registry holds at most 4 x 50 = 200 entries — round 9 proved it:
+    202 entries left two rows 4 rounds stale. Growing past 200 requires
+    merging or retiring an existing entry first (the round-10
+    lineitem_revenue_kpis merge is the pattern)."""
+    from data_pipelines_cu_spark.queries import QUERIES
+
+    assert len(QUERIES) <= 200, (
+        f"{len(QUERIES)} registered queries > 200 gate slots (4 rounds x "
+        "50) — merge or retire an entry before adding another"
+    )
+
+
+def test_rotation_front_loads_stalest_gate_rows():
+    """all_queries() must order ungated entries first, then verified
+    entries by ascending gate round — so the driver's 50-slot window
+    always re-checks the stalest evidence. Guards the exact failure
+    round 9 surfaced: two r5-era rows aged out of the window for four
+    straight rounds."""
+    from data_pipelines_cu_spark.queries import QUERIES, _gate_verified, all_queries
+
+    verified = _gate_verified()
+    names = list(all_queries())
+    assert set(names) == set(QUERIES)
+    # every ungated entry precedes every gated one
+    gated_flags = [n in verified for n in names]
+    first_gated = gated_flags.index(True) if True in gated_flags else len(names)
+    assert all(gated_flags[first_gated:]), "ungated entry after a gated one"
+    # gated tail is sorted by verification age (stalest first)
+    rounds = [verified[n] for n in names[first_gated:]]
+    assert rounds == sorted(rounds), "verified tail not oldest-first"
+    # the two rows round 9 left stale must sit inside the next window
+    window = set(names[:50])
+    for stale in ("parts_co_ordered", "event_debounce_stats"):
+        if stale in QUERIES and verified.get(stale, 99) <= 5:
+            assert stale in window, f"{stale} still outside the gate window"
