@@ -243,6 +243,53 @@ def skew_demo(spark, sf_dir: str) -> dict[str, float]:
     return {"skew_join_unsalted": unsalted, "skew_join_salted": salted}
 
 
+def detect_regressions(
+    current: dict[str, float],
+    prior: dict | None,
+    cur_probe: float,
+    threshold: float = 1.5,
+    floor_sec: float = 0.5,
+) -> list[dict]:
+    """Mechanical per-query regression detection against the prior
+    recorded run, normalized by the cpu_probe box-speed ratio — the
+    comparison rounds 8-9 litigated by hand. A query flags when its
+    current median exceeds ``threshold`` x its box-normalized prior
+    (prior_wall x cur_probe/prior_probe) AND either side is at least
+    ``floor_sec`` (sub-half-second walls are scheduler noise at
+    median-of-1 long-tail resolution). Every flagged entry must be
+    triaged in BASELINE.md before the round closes: either a real
+    regression (fix it) or an in-run anomaly (re-measure isolated and
+    record the reading)."""
+    if not prior:
+        return []
+    prior_probe = (prior.get("diagnostics") or {}).get("cpu_probe")
+    if not prior_probe or not cur_probe:
+        return []
+    box_ratio = cur_probe / prior_probe
+    prior_walls = dict(prior.get("queries") or {})
+    prior_walls.update(prior.get("long_tail") or {})
+    flagged = []
+    for name, cur in sorted(current.items()):
+        pw = prior_walls.get(name)
+        if pw is None:
+            continue
+        expected = pw * box_ratio
+        if max(cur, expected) < floor_sec:
+            continue
+        if cur > threshold * expected:
+            flagged.append(
+                {
+                    "query": name,
+                    "prior_sec": pw,
+                    "expected_sec": round(expected, 3),
+                    "current_sec": cur,
+                    "normalized_ratio": round(cur / expected, 2),
+                }
+            )
+    flagged.sort(key=lambda r: -r["normalized_ratio"])
+    return flagged
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # No console progress bars: their \r-spam inflated the captured output
@@ -289,6 +336,22 @@ def main() -> None:
     # repo has been observed to change speed by >2x between rounds,
     # including a mid-round reboot onto ~half the effective cores).
     extras["cpu_probe_reference"] = 1.80
+    # Mechanical regression gate: compare every query (headline AND
+    # long-tail) to the prior committed BENCH_DETAIL.json, scaled by the
+    # box-speed ratio the two runs' cpu_probes measure. The prior detail
+    # is committed each round exactly so this comparison has a stable
+    # anchor; a missing file (first run on a fresh clone) degrades to an
+    # empty list, never an error.
+    prior = None
+    try:
+        prior = json.loads(
+            Path(__file__).resolve().parent.joinpath("BENCH_DETAIL.json").read_text()
+        )
+    except (OSError, ValueError):
+        pass
+    regressions = detect_regressions(
+        {**timings, **long_tail}, prior, extras["cpu_probe"]
+    )
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "", 1).isdigit() else sf
     detail = {
@@ -299,6 +362,7 @@ def main() -> None:
         "queries": timings,
         "long_tail": long_tail,
         "diagnostics": extras,
+        "regressions": regressions,
         "sf": sf_val,
     }
     # Per-query detail goes FIRST (and to BENCH_DETAIL.json): the driver only
@@ -326,6 +390,10 @@ def main() -> None:
                 "n_queries": len(timings),
                 "queries": {},
                 "diagnostics": extras,
+                # full entries live in BENCH_DETAIL.json; the totals line
+                # carries names only so it stays under the driver's tail
+                # window even on a bad-box run that flags broadly
+                "regressions": [r["query"] for r in regressions],
                 "sf": sf_val,
             },
             separators=(",", ":"),

@@ -63,6 +63,124 @@ def test_pack_sql_twins_raise_on_null_tokens():
     assert len(clean) == 3
 
 
+# --- blocked-rank width derivation: compile-tax closure ------------------------
+
+
+def _classic_df_class():
+    """The concrete DataFrame class local sessions instantiate — PySpark
+    4 routes classic (non-Connect) sessions through a subclass that
+    overrides .rdd, so patching the pyspark.sql.DataFrame base would
+    count nothing."""
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame as _DF
+    except ImportError:  # pragma: no cover — older pyspark layout
+        from pyspark.sql import DataFrame as _DF
+    return _DF
+
+
+def _counting_rdd_property(cls):
+    """Wrap cls.rdd in a counter so tests can assert how many
+    driver-side plan compiles a code path pays."""
+    original = cls.rdd
+    counter = {"n": 0}
+
+    def getter(self):
+        counter["n"] += 1
+        return original.fget(self)
+
+    return property(getter), original, counter
+
+
+def test_blocked_rank_with_hint_never_converts_to_rdd(spark):
+    """A consumer that passes plan_width (or n_blocks) must not pay the
+    driver-side df.rdd plan compile — the ~1s stall take_ordered shed in
+    round 9 must stay gone for every hinted call path."""
+    from data_pipelines_cu_spark.operators.windows import (
+        blocked_row_number,
+        post_shuffle_width,
+        take_ordered,
+    )
+
+    _DF = _classic_df_class()
+    df = spark.range(0, 1000).selectExpr("id", "id % 7 AS v")
+    prop, original, counter = _counting_rdd_property(_DF)
+    _DF.rdd = prop
+    try:
+        blocked_row_number(
+            df, ["v", "id"], "_r", plan_width=post_shuffle_width(spark)
+        ).count()
+        blocked_row_number(df, ["v", "id"], "_r", n_blocks=8).count()
+        take_ordered(df, ["v", "id"], 5, plan_width=8).count()
+    finally:
+        _DF.rdd = original
+    assert counter["n"] == 0, f"{counter['n']} hidden plan compiles"
+
+
+def test_derived_block_count_memoizes_per_plan(spark):
+    """Hint-less derivation compiles ONCE per analyzed plan per session:
+    the second rank over the same frame (chained ntiles, windowed
+    monitors) must hit the semantic-hash memo, not df.rdd again."""
+    from data_pipelines_cu_spark.operators import windows as win
+
+    _DF = _classic_df_class()
+    df = spark.range(0, 512).selectExpr("id", "id % 5 AS v")
+    win._WIDTH_CACHE.clear()
+    prop, original, counter = _counting_rdd_property(_DF)
+    _DF.rdd = prop
+    try:
+        first = win.derived_block_count(df)
+        second = win.derived_block_count(df)
+        # a semantically identical rebuild of the plan also hits the memo
+        third = win.derived_block_count(
+            spark.range(0, 512).selectExpr("id", "id % 5 AS v")
+        )
+    finally:
+        _DF.rdd = original
+    assert first == second == third
+    assert counter["n"] == 1, f"expected 1 compile, saw {counter['n']}"
+
+
+# --- bench regression detection -----------------------------------------------
+
+
+def test_detect_regressions_normalizes_by_cpu_probe():
+    """The mechanical replacement for rounds 8-9's hand-litigated drift
+    analysis: uniform box slowdown does NOT flag, a genuine per-query
+    blow-up does, sub-floor noise never does, and a missing/probe-less
+    prior degrades to an empty list."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", Path(__file__).resolve().parent.parent / "bench.py"
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    prior = {
+        "queries": {"a": 2.0, "b": 1.0},
+        "long_tail": {"c": 0.1, "d": 4.0},
+        "diagnostics": {"cpu_probe": 2.0},
+    }
+    # box 2x slower (probe 2.0 -> 4.0): uniformly-doubled walls are drift
+    assert bench.detect_regressions(
+        {"a": 4.0, "b": 2.0, "c": 0.2, "d": 8.0}, prior, 4.0
+    ) == []
+    # same box: query 'a' tripled -> flagged with the right ratio;
+    # 'c' tripled but under the 0.5s floor -> noise, not flagged
+    got = bench.detect_regressions(
+        {"a": 6.0, "b": 1.0, "c": 0.3, "d": 4.0}, prior, 2.0
+    )
+    assert [r["query"] for r in got] == ["a"]
+    assert got[0]["normalized_ratio"] == 3.0
+    # worst ratio sorts first
+    got = bench.detect_regressions({"a": 6.0, "d": 40.0}, prior, 2.0)
+    assert [r["query"] for r in got] == ["d", "a"]
+    # no prior / no probe -> empty, never an exception
+    assert bench.detect_regressions({"a": 6.0}, None, 2.0) == []
+    assert bench.detect_regressions({"a": 6.0}, {"queries": {"a": 1}}, 2.0) == []
+
+
 # --- gate-rotation arithmetic -------------------------------------------------
 
 
