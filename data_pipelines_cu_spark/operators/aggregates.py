@@ -664,6 +664,7 @@ def psi_value_drift(
     id_col: str = "event_id",
     n_bins: int = 10,
     materialize: str = "local",
+    plan_width: int | None = None,
 ) -> DataFrame:
     """(bin, n_ref, n_cur, p_ref, p_cur, psi_term, psi_total): the data
     splits at the midpoint date (half-open; first half = reference), bin
@@ -682,7 +683,11 @@ def psi_value_drift(
     lineage cuts live — the tagged corpus table here and the blocked
     rank's ranged table (see windows.blocked_row_number): a 100 TB
     caller under executor-loss risk passes 'reliable' (requires
-    ``setCheckpointDir`` on durable storage)."""
+    ``setCheckpointDir`` on durable storage). ``plan_width`` passes
+    through to the blocked rank, skipping its driver-side width
+    derivation when the caller knows a bound (post-shuffle lineage →
+    windows.post_shuffle_width); left None, the derivation is memoized
+    per analyzed plan, so repeated windows over one frame compile once."""
     from pyspark.sql import Window as W  # noqa: PLC0415
 
     from .windows import blocked_row_number  # noqa: PLC0415
@@ -719,7 +724,7 @@ def psi_value_drift(
     ranked = (
         blocked_row_number(
             ref.select("_v", "_id"), ["_v", "_id"], "_r",
-            materialize=materialize,
+            materialize=materialize, plan_width=plan_width,
         )
         .select("_v", "_r")
         .crossJoin(n_ref)
@@ -1147,14 +1152,16 @@ def psi_reference_edges(
     id_col: str = "event_id",
     n_bins: int = 10,
     materialize: str = "local",
+    plan_width: int | None = None,
 ) -> DataFrame:
     """1-row (edges array) of the reference distribution's selection
     deciles — the FROZEN artifact a drift monitor computes once and bins
     every future window against (the streaming PSI job broadcasts it per
     micro-batch). Edge selection ranks through the two-level blocked rank
     (windows.blocked_row_number), so the reference corpus never
-    single-task sorts; ``materialize`` ('local' | 'reliable') passes
-    through to that rank's lineage cut."""
+    single-task sorts; ``materialize`` ('local' | 'reliable') and
+    ``plan_width`` (skip the rank's driver-side width compile when the
+    lineage is known post-shuffle) pass through to that rank."""
     from .windows import blocked_row_number  # noqa: PLC0415
 
     spark = ref.sparkSession
@@ -1164,7 +1171,10 @@ def psi_reference_edges(
         F.col(id_col).alias("_id"),
     )
     ranked = (
-        blocked_row_number(vals, ["_v", "_id"], "_r", materialize=materialize)
+        blocked_row_number(
+            vals, ["_v", "_id"], "_r",
+            materialize=materialize, plan_width=plan_width,
+        )
         .select("_v", "_r")
         .crossJoin(n_ref)
     )

@@ -44,6 +44,18 @@ def topk_per_group(
 # id-blocks to arbitrary sort keys via a range shuffle.
 
 
+# Width memo for derived_block_count, keyed by (session, analyzed-plan
+# semantic hash): the derivation's ``df.rdd`` conversion compiles the
+# physical plan driver-side (~0.5-1s on deep lineage — the same tax
+# take_ordered's pricing ladder shed), and chained rank consumers (RFM's
+# three ntiles, repeated PSI windows) re-derive over the SAME frame.
+# Semantic-hash keying is safe because a stale width cannot change a
+# result (ranks are block-count invariant); at worst a path re-written
+# with a different file count mid-session keeps the old task sizing
+# until the session ends. Bounded: cleared wholesale past 256 entries.
+_WIDTH_CACHE: dict[tuple[int, int], int] = {}
+
+
 def derived_block_count(df: DataFrame, floor: int = 32) -> int:
     """Block count for the blocked-rank family when the caller does not
     pin one: the compiled input plan's partition count, floored at
@@ -57,13 +69,32 @@ def derived_block_count(df: DataFrame, floor: int = 32) -> int:
     (~``spark.sql.files.maxPartitionBytes`` worth on a parquet scan) at
     ANY scale. The partition count is read off the compiled plan
     (driver-side plan compile, no job — same pricing `take_ordered`
-    uses for its merge width); an unconvertible plan falls back to
-    ``defaultParallelism``. Ranks are invariant to block count under a
-    total order, so the derivation can never change a result."""
+    uses for its merge width), memoized per analyzed-plan semantic hash
+    so repeat derivations over the same frame (chained ntiles, windowed
+    monitors) compile once per session; an unconvertible plan falls
+    back to ``defaultParallelism``. Ranks are invariant to block count
+    under a total order, so the derivation can never change a result.
+    Callers that KNOW a conf-bounded width (post-shuffle lineage)
+    should still pass ``plan_width`` and skip even the first compile."""
+    key = None
     try:
-        width = max(1, df.rdd.getNumPartitions())
-    except Exception:  # noqa: BLE001 (unconvertible plan — estimate)
-        width = 1
+        key = (
+            id(df.sparkSession),
+            int(df._jdf.queryExecution().analyzed().semanticHash()),
+        )
+    except Exception:  # noqa: BLE001 (analysis failure — derive uncached)
+        pass
+    if key is not None and key in _WIDTH_CACHE:
+        width = _WIDTH_CACHE[key]
+    else:
+        try:
+            width = max(1, df.rdd.getNumPartitions())
+        except Exception:  # noqa: BLE001 (unconvertible plan — estimate)
+            width = 1
+        if key is not None:
+            if len(_WIDTH_CACHE) > 256:
+                _WIDTH_CACHE.clear()
+            _WIDTH_CACHE[key] = width
     return max(floor, width, df.sparkSession.sparkContext.defaultParallelism)
 
 
