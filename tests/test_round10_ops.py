@@ -140,6 +140,276 @@ def test_derived_block_count_memoizes_per_plan(spark):
     assert counter["n"] == 1, f"expected 1 compile, saw {counter['n']}"
 
 
+# --- degenerate probes for the round-9 surfaces --------------------------------
+
+
+def test_pack_all_oversize_matches_sql_twin(spark):
+    """Budget smaller than EVERY document: each window is an oversize
+    singleton — and the Spark fold stays bit-identical to the recursive
+    SQL walk in that regime (the r9 suite pinned the Spark-side
+    invariants; this pins cross-engine parity where the walk's acc
+    column is NULL on every step)."""
+    import duckdb
+
+    rows = [(i, 200 + i) for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    con = duckdb.connect()
+    con.sql(
+        "CREATE TABLE allover AS SELECT * FROM (VALUES "
+        + ",".join(f"({i},{t})" for i, t in rows)
+        + ") v(doc_id, n_chars)"
+    )
+    got = sorted(
+        map(
+            tuple,
+            smp.pack_sequences(
+                df, budget=100, token_col="n_chars", n_shards=2
+            )
+            .select("doc_id", "shard", "pos", "seq", "seq_pos", "oversize")
+            .collect(),
+        )
+    )
+    exp = sorted(
+        map(
+            tuple,
+            con.sql(
+                smp.pack_sequences_sql(100, table="allover", n_shards=2)
+            ).fetchall(),
+        )
+    )
+    assert got == exp
+    assert all(r[5] and r[4] == 0 for r in got)  # every doc alone
+    assert len({(r[1], r[3]) for r in got}) == len(rows)
+
+
+def test_pack_all_zero_token_shard_never_closes(spark):
+    """A shard whose docs are ALL zero-token: nothing ever overflows, so
+    the window never closes — every doc lands in (seq 0) with ascending
+    seq_pos. The defined semantics (a window closes only when NON-EMPTY
+    and the NEXT doc would overflow — the seq_pos>0 rule) and the SQL
+    twin agree; a trainer feeding empty docs sees one unbounded window,
+    not a crash or a per-doc window."""
+    import duckdb
+
+    rows = [(i, 0) for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    out = smp.pack_sequences(
+        df, budget=64, token_col="n_chars", n_shards=1
+    ).collect()
+    assert {r.seq for r in out} == {0}
+    assert sorted(r.seq_pos for r in out) == list(range(8))
+    con = duckdb.connect()
+    con.sql(
+        "CREATE TABLE zeros AS SELECT * FROM (VALUES "
+        + ",".join(f"({i},0)" for i, _ in rows)
+        + ") v(doc_id, n_chars)"
+    )
+    exp = sorted(
+        map(
+            tuple,
+            con.sql(
+                smp.pack_sequences_sql(64, table="zeros", n_shards=1)
+            ).fetchall(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            df.transform(
+                lambda d: smp.pack_sequences(
+                    d, budget=64, token_col="n_chars", n_shards=1
+                )
+            )
+            .select("doc_id", "shard", "pos", "seq", "seq_pos", "oversize")
+            .collect(),
+        )
+    )
+    assert got == exp
+
+
+def test_pack_manifest_exact_fill_rate_tie(spark):
+    """fill_rate at EXACTLY 1.0 — the 6dp round's tie case: windows
+    whose tokens sum precisely to the budget must hash-match the SQL
+    twin (both sides compute one IEEE division of an exact integer sum,
+    so the tie is bit-stable, but only a probe proves it)."""
+    import duckdb
+
+    # one shard; 60+40 fills budget 100 exactly, then an exact 100
+    rows = [(1, 60), (2, 40), (3, 100)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    got = {
+        (r.shard, r.seq): (r.n_docs, r.window_tokens, r.has_oversize, r.fill_rate)
+        for r in smp.pack_manifest(
+            df, budget=100, token_col="n_chars", n_shards=1
+        ).collect()
+    }
+    assert all(v[3] == 1.0 for v in got.values()), got
+    con = duckdb.connect()
+    con.sql(
+        "CREATE TABLE exact3 AS SELECT * FROM (VALUES "
+        "(1,60),(2,40),(3,100)) v(doc_id, n_chars)"
+    )
+    exp = {
+        (r[0], r[1]): tuple(r[2:])
+        for r in con.sql(
+            smp.pack_manifest_sql(100, table="exact3", n_shards=1)
+        ).fetchall()
+    }
+    assert got == exp
+
+
+def test_webp_color_cache_only_stream():
+    """A stream where every pixel after the first is a color-cache hit:
+    the literal red/blue/alpha prefix codes are built but never read
+    after pixel 0 (single-symbol simple codes — zero bits per symbol),
+    which is exactly the degenerate tree shape a decoder indexes wrong
+    if it assumes at least one literal per row. Both the minimum and
+    maximum cache sizes, and a cache seeded by two alternating colors."""
+    import numpy as np
+
+    from data_pipelines_cu_spark.operators import multimodal as mm
+
+    uniform = np.tile(
+        np.array([[[37, 201, 96]]], np.uint8), (11, 13, 1)
+    )
+    for bits in (1, 11):
+        blob = mm.encode_webp_lossless(uniform, cache_bits=bits)
+        assert np.array_equal(mm.decode_pixels(blob), uniform)
+    two = np.zeros((6, 8, 3), np.uint8)
+    two[:, 1::2] = (255, 10, 7)
+    blob = mm.encode_webp_lossless(two, cache_bits=2)
+    assert np.array_equal(mm.decode_pixels(blob), two)
+
+
+# --- streaming packer: checkpoint recovery -------------------------------------
+
+
+def test_streaming_pack_recovers_from_checkpoint(spark, tmp_path):
+    """Kill-and-restart recovery: the packer stream processes a prefix,
+    the query is STOPPED, a brand-new query resumes from the same
+    checkpoint over newly arrived files — and the union of outputs still
+    equals batch pack_sequences bit-for-bit, including windows that
+    straddle the restart (the open-window (seq, acc, seq_pos) state must
+    survive the state-store round-trip, not just micro-batch handoff).
+    This is exactly where a 100 TB streaming job breaks silently: a
+    state schema/restore bug packs post-restart docs into fresh windows
+    and nothing crashes."""
+    import json as _json
+    import os
+
+    from data_pipelines_cu_spark.streaming.jobs import pack_stateful
+
+    docs = spark.createDataFrame(
+        [(i, [120, 512, 1, 3000, 480, 2048, 7][i % 7] + i % 13)
+         for i in range(90)],
+        "doc_id long, n_tokens long",
+    )
+    batch = {
+        r.doc_id: (r.shard, r.pos, r.seq, r.seq_pos, r.oversize)
+        for r in smp.pack_sequences(docs, budget=1024, n_shards=3).collect()
+    }
+    ordered = smp.training_shard_order(docs, "doc_id", 3)
+    rows = sorted((r.pos, r.shard, r.doc_id) for r in ordered.collect())
+    toks = {r.doc_id: r.n_tokens for r in docs.collect()}
+    src = tmp_path / "docs_in"
+    src.mkdir()
+
+    def write_file(idx: int, chunk) -> None:
+        with open(src / f"part-{idx}.json", "w") as f:
+            for pos, shard, doc_id in chunk:
+                f.write(
+                    _json.dumps(
+                        {"doc_id": doc_id, "shard": shard, "pos": pos,
+                         "n_tokens": toks[doc_id]}
+                    )
+                    + "\n"
+                )
+        os.utime(
+            src / f"part-{idx}.json",
+            (1_700_000_000 + idx * 60, 1_700_000_000 + idx * 60),
+        )
+
+    out_path = str(tmp_path / "packed")
+    ck = str(tmp_path / "ck")
+
+    def run_until_drained() -> None:
+        stream = (
+            spark.readStream.schema(
+                "doc_id long, shard int, pos long, n_tokens long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        q = (
+            pack_stateful(stream, budget=1024)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_path)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120), "streaming pack timed out"
+
+    # first incarnation sees only a pos-prefix of every shard, then dies
+    third = (len(rows) + 2) // 3
+    write_file(0, rows[:third])
+    run_until_drained()
+    seen_first = spark.read.parquet(out_path).count()
+    assert 0 < seen_first < len(rows)
+    # the remaining files arrive while the job is DOWN; a new query
+    # resumes from the checkpointed state store
+    write_file(1, rows[third : 2 * third])
+    write_file(2, rows[2 * third :])
+    run_until_drained()
+    got = {
+        r.doc_id: (r.shard, r.pos, r.seq, r.seq_pos, r.oversize)
+        for r in spark.read.parquet(out_path).collect()
+    }
+    assert got == batch and len(got) == 90
+
+
+# --- take_ordered ordering contract ---------------------------------------------
+
+
+def test_take_ordered_rank_col_reorders_to_orderby_limit(spark):
+    """Consumer-side closure of the r8 ordering note: take_ordered's
+    blocked path returns the selection UNORDERED — the contract is the
+    row set plus rank_col — so a caller that sorts by rank_col must get
+    byte-identical output to the old orderBy().limit() path, on BOTH
+    branches of the pricing ladder."""
+    from pyspark.sql import functions as F
+
+    from data_pipelines_cu_spark.operators.windows import take_ordered
+
+    df = spark.range(0, 5000).selectExpr(
+        "id", "CAST(pmod(id * 2654435761, 9973) AS LONG) AS v"
+    )
+    order = [F.col("v").desc(), F.col("id")]
+    expected = [
+        (r.id, r.v)
+        for r in df.orderBy(*order).limit(40).collect()
+    ]
+    # fast path (n * width well under the default budget)
+    fast = take_ordered(df, order, 40, rank_col="rk")
+    got_fast = [
+        (r.id, r.v) for r in fast.orderBy("rk").collect()
+    ]
+    assert got_fast == expected
+    # blocked path (1-row budget forces it), same consumer recipe
+    blocked = take_ordered(
+        df, order, 40, rank_col="rk", merge_rows_budget=1, n_blocks=8
+    )
+    got_blocked = [
+        (r.id, r.v) for r in blocked.orderBy("rk").collect()
+    ]
+    assert got_blocked == expected
+    # and the rank column itself is the 1-based selection order
+    assert [r.rk for r in blocked.orderBy("rk").collect()] == list(
+        range(1, 41)
+    )
+
+
 # --- bench regression detection -----------------------------------------------
 
 
