@@ -249,6 +249,7 @@ def detect_regressions(
     cur_probe: float,
     threshold: float = 1.5,
     floor_sec: float = 0.5,
+    sf=None,
 ) -> list[dict]:
     """Mechanical per-query regression detection against the prior
     recorded run, normalized by the cpu_probe box-speed ratio — the
@@ -261,6 +262,11 @@ def detect_regressions(
     regression (fix it) or an in-run anomaly (re-measure isolated and
     record the reading)."""
     if not prior:
+        return []
+    if sf is not None and prior.get("sf") != sf:
+        # an anchor recorded at a different scale factor (e.g. a
+        # smoke-run detail at sf0.001) would flag everything; the
+        # cpu_probe ratio normalizes box speed, not data volume
         return []
     prior_probe = (prior.get("diagnostics") or {}).get("cpu_probe")
     if not prior_probe or not cur_probe:
@@ -349,11 +355,11 @@ def main() -> None:
         )
     except (OSError, ValueError):
         pass
-    regressions = detect_regressions(
-        {**timings, **long_tail}, prior, extras["cpu_probe"]
-    )
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "", 1).isdigit() else sf
+    regressions = detect_regressions(
+        {**timings, **long_tail}, prior, extras["cpu_probe"], sf=sf_val
+    )
     detail = {
         "metric": "headline_queries_total_wall",
         "value": total,

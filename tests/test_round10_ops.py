@@ -449,6 +449,17 @@ def test_detect_regressions_normalizes_by_cpu_probe():
     # no prior / no probe -> empty, never an exception
     assert bench.detect_regressions({"a": 6.0}, None, 2.0) == []
     assert bench.detect_regressions({"a": 6.0}, {"queries": {"a": 1}}, 2.0) == []
+    # an anchor from a DIFFERENT scale factor never compares: the probe
+    # ratio normalizes box speed, not data volume (a smoke-run detail at
+    # sf0.001 would otherwise flag the whole registry)
+    prior_sf = dict(prior, sf=0.001)
+    assert bench.detect_regressions({"a": 60.0}, prior_sf, 2.0, sf=0.1) == []
+    assert (
+        bench.detect_regressions(
+            {"a": 6.0}, dict(prior, sf=0.1), 2.0, sf=0.1
+        )[0]["query"]
+        == "a"
+    )
 
 
 # --- gate-rotation arithmetic -------------------------------------------------
