@@ -397,9 +397,12 @@ def main() -> None:
                 "queries": {},
                 "diagnostics": extras,
                 # full entries live in BENCH_DETAIL.json; the totals line
-                # carries names only so it stays under the driver's tail
-                # window even on a bad-box run that flags broadly
-                "regressions": [r["query"] for r in regressions],
+                # carries at most the 10 worst names plus the total count
+                # so even a catastrophically-degraded box that flags half
+                # the registry cannot push the line past the driver's
+                # ~2KB tail window and truncate the JSON head
+                "regressions": [r["query"] for r in regressions[:10]],
+                "n_regressions": len(regressions),
                 "sf": sf_val,
             },
             separators=(",", ":"),
