@@ -369,6 +369,77 @@ def test_streaming_pack_recovers_from_checkpoint(spark, tmp_path):
     assert got == batch and len(got) == 90
 
 
+def test_stateful_sessionization_recovers_from_checkpoint(spark, tmp_path):
+    """Same kill-and-restart pattern for the OTHER custom stateful
+    operator: the first incarnation drains only the real-event file, so
+    every session is still OPEN in the state store when the query stops;
+    the watermark-advancing sentinels arrive while the job is down, and
+    a new query resuming from the checkpoint must fire the event-time
+    timeouts and emit sessions identical to batch session_window. A
+    restore bug here silently re-opens sessions as singletons."""
+    import os
+
+    from data_pipelines_cu_spark.streaming import jobs
+    from tests.test_streaming import (
+        _batch_sessions,
+        _read_event_stream,
+        _write_event_files,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_event_files(spark, str(src))
+    # hold back the sentinel files: incarnation 1 sees only real events
+    held = []
+    for i in (1, 2):
+        p = src / f"part-{i}.json"
+        held.append((p, p.read_text(), os.stat(p).st_mtime))
+        p.unlink()
+    sink = str(tmp_path / "sessions")
+    ck = str(tmp_path / "ckpt")
+
+    def run_once() -> None:
+        q = (
+            jobs.sessionize_stateful(_read_event_stream(spark, str(src)))
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180), "sessionize stream timed out"
+
+    run_once()
+    import pyspark.sql.functions as F
+
+    expected = _batch_sessions(spark, src)
+    # the in-batch watermark (no-data batches) already closes most
+    # sessions, but the LAST sessions near max event time can only time
+    # out once the held-back sentinels advance the watermark — those are
+    # the ones whose open state must survive the restart
+    emitted_first = (
+        spark.read.parquet(sink).filter(F.col("user_id") >= 0).count()
+        if os.listdir(sink)
+        else 0
+    )
+    assert emitted_first < len(expected), (
+        "nothing left open in state — the recovery case needs sessions "
+        "that straddle the restart"
+    )
+    for p, text, mtime in held:
+        p.write_text(text)
+        os.utime(p, (mtime, mtime))
+    run_once()
+    got = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+        for r in spark.read.parquet(sink)
+        .filter(F.col("user_id") >= 0)
+        .collect()
+    }
+    assert got == expected and len(expected) > 0
+
+
 # --- take_ordered ordering contract ---------------------------------------------
 
 
@@ -463,6 +534,25 @@ def test_detect_regressions_normalizes_by_cpu_probe():
 
 
 # --- gate-rotation arithmetic -------------------------------------------------
+
+
+def test_bench_headline_names_are_registered():
+    """Every bench headline name must exist in the registry: a merged or
+    retired query left in HEADLINE would KeyError 30 queries into the
+    driver's bench run, losing the round's artifact."""
+    import importlib.util
+    from pathlib import Path
+
+    from data_pipelines_cu_spark.queries import QUERIES
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", Path(__file__).resolve().parent.parent / "bench.py"
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    missing = [n for n in bench.HEADLINE if n not in QUERIES]
+    assert not missing, f"headline names not in registry: {missing}"
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE), "duplicate headline"
 
 
 def test_registry_fits_gate_rotation_window():
