@@ -635,3 +635,31 @@ def test_take_ordered_guard_boundary(spark):
     assert "TakeOrderedAndProject" in (
         fast._jdf.queryExecution().executedPlan().toString()
     )
+
+
+def test_bpe_pack_composite_plan_shape(spark, sf_dir):
+    """The tokenize→pack composite must stay: ONE corpus scan (the BPE
+    word table is a localCheckpoint, not a re-scan), a broadcast-only
+    encode join (vocabulary side), exactly one Arrow fold (the shard
+    packer), and no manifest join-back. Formatted explain prints every
+    node twice (tree + details), so counts are per-node doubles."""
+    plan = _formatted_plan(QUERIES["bpe_pack_pipeline"].fn(spark, sf_dir))
+    assert plan.count("SortMergeJoin") == 0
+    assert plan.count("Scan parquet") == 2  # one documents scan
+    assert plan.count("BroadcastHashJoin") == 2  # one broadcast encode join
+    assert plan.count("FlatMapGroupsInPandas") == 2  # one shard fold
+
+
+def test_revenue_kpi_union_keeps_branch_plans(spark, sf_dir):
+    """The merged KPI suite evaluates four independent scalar branches:
+    all joins stay broadcast (4 = q14 + q17's two + q19), eight parquet
+    scans total (the union shares nothing — each branch's pushdown is
+    exactly its standalone plan), zero sort-merge joins."""
+    plan = _formatted_plan(QUERIES["lineitem_revenue_kpis"].fn(spark, sf_dir))
+    assert plan.count("SortMergeJoin") == 0
+    assert plan.count("BroadcastHashJoin") == 8  # 4 joins x 2 mentions
+    assert plan.count("Scan parquet") == 16  # 8 scans x 2 mentions
+    # every branch's distinctive pushed filter is present
+    assert "EqualTo(p_brand,Brand#3)" in plan  # q17
+    assert "GreaterThanOrEqual(l_shipdate,1997-09-01" in plan  # q14
+    assert "LessThan(l_quantity,24.0)" in plan  # q6
