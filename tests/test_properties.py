@@ -752,3 +752,54 @@ def test_interval_point_join_matches_brute_force(spark, ivs, pts, long_factor):
     )
     assert got == brute
     assert len(got) == len(set(got)), "duplicate pair across lanes"
+
+
+@given(
+    toks=st.lists(
+        st.integers(min_value=0, max_value=50), min_size=1, max_size=50
+    ),
+    budget=st.integers(min_value=1, max_value=40),
+    n_shards=st.integers(min_value=1, max_value=4),
+)
+@settings(**SETTINGS)
+def test_pack_sequences_matches_python_referee(spark, toks, budget, n_shards):
+    """Greedy contiguous packing vs an independent pure-Python referee
+    reimplementing the contract from its prose (deterministic md5
+    shard/order, close-on-overflow when non-empty, oversize singletons,
+    zero-token docs occupy slots) — generated inputs cover boundary mixes
+    (all-zero, all-oversize, exact fills) the fixed-seed probes don't."""
+    import hashlib
+
+    from data_pipelines_cu_spark.operators import sampling as smp
+
+    rows = [(i, t) for i, t in enumerate(toks)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = {
+        r.doc_id: (r.shard, r.pos, r.seq, r.seq_pos, r.oversize)
+        for r in smp.pack_sequences(
+            df, budget=budget, n_shards=n_shards
+        ).collect()
+    }
+
+    def md5hex(s: str) -> str:
+        return hashlib.md5(s.encode()).hexdigest()
+
+    expected = {}
+    for shard in range(n_shards):
+        members = sorted(
+            (
+                (md5hex(f"ord{i}"), i, t)
+                for i, t in rows
+                if int(md5hex(f"shard{i}")[:8], 16) % n_shards == shard
+            ),
+        )
+        seq = acc = seq_pos = 0
+        for pos, (_, i, t) in enumerate(members, start=1):
+            over = t > budget
+            if seq_pos > 0 and (acc + t > budget or over):
+                seq, acc, seq_pos = seq + 1, 0, 0
+            expected[i] = (shard, pos, seq, seq_pos, over)
+            acc, seq_pos = acc + t, seq_pos + 1
+            if over:
+                seq, acc, seq_pos = seq + 1, 0, 0
+    assert got == expected
