@@ -914,6 +914,7 @@ def pack_stateful(
     id_col: str = "doc_id",
     pos_col: str = "pos",
     shard_col: str = "shard",
+    keep_token_col: bool = False,
 ) -> DataFrame:
     """Streaming twin of ``sampling.pack_sequences``: greedy contiguous
     context-window assembly over a document stream, keyed by shard, via
@@ -928,7 +929,11 @@ def pack_stateful(
     A window closes when NON-EMPTY (``seq_pos > 0``) and the next
     document would overflow; oversize documents close any open window
     and occupy one alone, exactly as in batch. Output columns carry the
-    caller's names and the id column keeps its input type."""
+    caller's names and the id column keeps its input type.
+    ``keep_token_col=True`` appends the token column (same name/type) —
+    the streaming mirror of the batch packer's flag: the tokens already
+    ride through Arrow, so per-window consumers (the streaming manifest
+    monitor) read them for free instead of re-joining the stream."""
     if budget < 1:
         raise ValueError(f"pack_stateful: budget must be >= 1, got {budget}")
     # mirror of the batch packer's reserved-name guard: a caller column
@@ -936,6 +941,8 @@ def pack_stateful(
     # would silently build a duplicate-field StructType
     reserved = {"seq", "seq_pos", "oversize"}
     caller = [id_col, pos_col, shard_col]
+    if keep_token_col:
+        caller = [*caller, token_col]  # token_col joins the output schema
     clash = reserved & set(caller)
     if clash:
         raise ValueError(
@@ -949,16 +956,19 @@ def pack_stateful(
         )
     import pandas as pd  # noqa: PLC0415 — executor-side import
 
-    out_schema = T.StructType(
-        [
-            T.StructField(id_col, docs.schema[id_col].dataType, False),
-            T.StructField(shard_col, docs.schema[shard_col].dataType, False),
-            T.StructField(pos_col, T.LongType(), False),
-            T.StructField("seq", T.LongType(), False),
-            T.StructField("seq_pos", T.IntegerType(), False),
-            T.StructField("oversize", T.BooleanType(), False),
-        ]
-    )
+    out_fields = [
+        T.StructField(id_col, docs.schema[id_col].dataType, False),
+        T.StructField(shard_col, docs.schema[shard_col].dataType, False),
+        T.StructField(pos_col, T.LongType(), False),
+        T.StructField("seq", T.LongType(), False),
+        T.StructField("seq_pos", T.IntegerType(), False),
+        T.StructField("oversize", T.BooleanType(), False),
+    ]
+    if keep_token_col:
+        out_fields.append(
+            T.StructField(token_col, docs.schema[token_col].dataType, False)
+        )
+    out_schema = T.StructType(out_fields)
 
     def fn(key, pdfs, state):
         (shard,) = key
@@ -990,20 +1000,21 @@ def pack_stateful(
                 acc = 0
                 seq_pos = 0
         state.update((int(seq), int(acc), int(seq_pos)))
-        yield pd.DataFrame(
-            {
-                id_col: pdf[id_col],
-                shard_col: pdf[shard_col],
-                pos_col: pdf[pos_col].astype("int64"),
-                "seq": pd.Series(seqs, index=pdf.index, dtype="int64"),
-                "seq_pos": pd.Series(
-                    seq_positions, index=pdf.index, dtype="int32"
-                ),
-                "oversize": pd.Series(
-                    oversizes, index=pdf.index, dtype="bool"
-                ),
-            }
-        )
+        cols = {
+            id_col: pdf[id_col],
+            shard_col: pdf[shard_col],
+            pos_col: pdf[pos_col].astype("int64"),
+            "seq": pd.Series(seqs, index=pdf.index, dtype="int64"),
+            "seq_pos": pd.Series(
+                seq_positions, index=pdf.index, dtype="int32"
+            ),
+            "oversize": pd.Series(
+                oversizes, index=pdf.index, dtype="bool"
+            ),
+        }
+        if keep_token_col:
+            cols[token_col] = pdf[token_col]
+        yield pd.DataFrame(cols)
 
     from pyspark.sql.streaming.state import GroupStateTimeout  # noqa: PLC0415
 
@@ -1013,4 +1024,110 @@ def pack_stateful(
         stateStructType=_PACK_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def pack_manifest_counts_batch(
+    packed: DataFrame,
+    batch_id: int,
+    counts_path: str,
+    token_col: str = "n_tokens",
+    shard_col: str = "shard",
+) -> None:
+    """One replay-idempotent micro-batch of the streaming packing
+    manifest: aggregate the batch's packed assignments to per-window
+    partials (n_docs, window_tokens, has_oversize) and land them in the
+    batch_id partition (dynamic overwrite — replays replace, never
+    double). Partials MERGE by addition/boolean-max at read time, so a
+    window that straddles micro-batches sums to exactly its one-shot
+    row."""
+    from ..operators.upsert import upsert_partitions
+
+    if packed.isEmpty():
+        return
+    partial = (
+        packed.groupBy(shard_col, "seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col(token_col)).cast("long").alias("window_tokens"),
+            F.max("oversize").alias("has_oversize"),
+        )
+        .withColumn("batch_id", F.lit(batch_id))
+    )
+    upsert_partitions(partial, counts_path, ["batch_id"])
+
+
+def run_streaming_pack_manifest(
+    docs: DataFrame,
+    budget: int,
+    counts_path: str,
+    checkpoint: str,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    pos_col: str = "pos",
+    shard_col: str = "shard",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming twin of ``sampling.pack_manifest``: the live
+    padding-efficiency monitor a training-data service runs beside the
+    packer. The stateful packer carries the token column through Arrow
+    (``keep_token_col`` — never a stream join-back), each micro-batch
+    lands only its (shard, seq) partials, and the merged read
+    (:func:`pack_manifest_from_batches`) equals the one-shot batch
+    manifest bit-for-bit because count/sum/bool-max partials are
+    mergeable across the batch boundary an open window straddles. State
+    and storage per batch are window-count sized, never corpus sized."""
+    packed = pack_stateful(
+        docs,
+        budget,
+        token_col=token_col,
+        id_col=id_col,
+        pos_col=pos_col,
+        shard_col=shard_col,
+        keep_token_col=True,
+    )
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        pack_manifest_counts_batch(
+            batch, batch_id, counts_path, token_col, shard_col
+        )
+
+    writer = (
+        packed.writeStream.outputMode("append")
+        .foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def pack_manifest_from_batches(
+    spark,
+    counts_path: str,
+    budget: int,
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Merged read of the streaming packing manifest: per-batch partials
+    sum per (shard, seq), then fill_rate applies the SAME single IEEE
+    division as the batch operator — identical rows to
+    ``sampling.pack_manifest`` over the stream-so-far."""
+    return (
+        spark.read.parquet(counts_path)
+        .groupBy(shard_col, "seq")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("window_tokens").cast("long").alias("window_tokens"),
+            F.max("has_oversize").alias("has_oversize"),
+        )
+        .select(
+            shard_col,
+            "seq",
+            "n_docs",
+            "window_tokens",
+            "has_oversize",
+            F.round(
+                F.col("window_tokens") / F.lit(float(budget)), 6
+            ).alias("fill_rate"),
+        )
     )

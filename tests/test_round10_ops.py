@@ -440,6 +440,86 @@ def test_stateful_sessionization_recovers_from_checkpoint(spark, tmp_path):
     assert got == expected and len(expected) > 0
 
 
+def test_streaming_pack_manifest_matches_batch(spark, tmp_path):
+    """Streaming padding-efficiency monitor parity: per-micro-batch
+    (shard, seq) partials merged at read time equal the one-shot batch
+    pack_manifest bit-for-bit — including windows that STRADDLE a
+    micro-batch boundary (their n_docs/window_tokens arrive as partials
+    from two batches and must sum exactly; fill_rate is the same single
+    IEEE division on both sides)."""
+    import json as _json
+    import os
+
+    from data_pipelines_cu_spark.streaming.jobs import (
+        pack_manifest_from_batches,
+        run_streaming_pack_manifest,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, [120, 512, 1, 3000, 480, 2048, 7][i % 7] + i % 13)
+         for i in range(90)],
+        "doc_id long, n_tokens long",
+    )
+    batch = {
+        (r.shard, r.seq): (
+            r.n_docs, r.window_tokens, r.has_oversize, r.fill_rate
+        )
+        for r in smp.pack_manifest(docs, budget=1024, n_shards=3).collect()
+    }
+    ordered = smp.training_shard_order(docs, "doc_id", 3)
+    rows = sorted((r.pos, r.shard, r.doc_id) for r in ordered.collect())
+    toks = {r.doc_id: r.n_tokens for r in docs.collect()}
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    third = (len(rows) + 2) // 3
+    for i in range(3):
+        with open(src / f"part-{i}.json", "w") as f:
+            for pos, shard, doc_id in rows[i * third : (i + 1) * third]:
+                f.write(
+                    _json.dumps(
+                        {"doc_id": doc_id, "shard": shard, "pos": pos,
+                         "n_tokens": toks[doc_id]}
+                    )
+                    + "\n"
+                )
+        os.utime(
+            src / f"part-{i}.json",
+            (1_700_000_000 + i * 60, 1_700_000_000 + i * 60),
+        )
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, shard int, pos long, n_tokens long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    counts = str(tmp_path / "manifest_counts")
+    q = run_streaming_pack_manifest(
+        stream, budget=1024, counts_path=counts,
+        checkpoint=str(tmp_path / "ck"),
+    )
+    assert q.awaitTermination(120), "streaming manifest timed out"
+    # more than one batch contributed partials (straddling is exercised)
+    import pyspark.sql.functions as F
+
+    partials = spark.read.parquet(counts)
+    assert partials.select("batch_id").distinct().count() >= 2
+    straddle = (
+        partials.groupBy("shard", "seq")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert straddle >= 1, "no window straddled a micro-batch boundary"
+    got = {
+        (r.shard, r.seq): (
+            r.n_docs, r.window_tokens, r.has_oversize, r.fill_rate
+        )
+        for r in pack_manifest_from_batches(spark, counts, 1024).collect()
+    }
+    assert got == batch and len(got) > 0
+
+
 # --- take_ordered ordering contract ---------------------------------------------
 
 
