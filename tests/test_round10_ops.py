@@ -520,6 +520,86 @@ def test_streaming_pack_manifest_matches_batch(spark, tmp_path):
     assert got == batch and len(got) > 0
 
 
+def test_streaming_pack_manifest_recovers_from_checkpoint(spark, tmp_path):
+    """Monitor kill-and-restart: incarnation 1 drains a pos-prefix, the
+    remaining files arrive while the job is down, incarnation 2 resumes
+    from the checkpoint — the merged manifest still equals one-shot
+    batch. Exercises BOTH recovery surfaces at once: the packer's
+    open-window state restore AND foreachBatch partial idempotency
+    (a replayed batch_id must replace its partition, not double it)."""
+    import json as _json
+    import os
+
+    from data_pipelines_cu_spark.streaming.jobs import (
+        pack_manifest_from_batches,
+        run_streaming_pack_manifest,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, [120, 512, 1, 3000, 480, 2048, 7][i % 7] + i % 13)
+         for i in range(90)],
+        "doc_id long, n_tokens long",
+    )
+    batch = {
+        (r.shard, r.seq): (
+            r.n_docs, r.window_tokens, r.has_oversize, r.fill_rate
+        )
+        for r in smp.pack_manifest(docs, budget=1024, n_shards=3).collect()
+    }
+    ordered = smp.training_shard_order(docs, "doc_id", 3)
+    rows = sorted((r.pos, r.shard, r.doc_id) for r in ordered.collect())
+    toks = {r.doc_id: r.n_tokens for r in docs.collect()}
+    src = tmp_path / "docs_in"
+    src.mkdir()
+
+    def write_file(idx, chunk):
+        with open(src / f"part-{idx}.json", "w") as f:
+            for pos, shard, doc_id in chunk:
+                f.write(
+                    _json.dumps(
+                        {"doc_id": doc_id, "shard": shard, "pos": pos,
+                         "n_tokens": toks[doc_id]}
+                    )
+                    + "\n"
+                )
+        os.utime(
+            src / f"part-{idx}.json",
+            (1_700_000_000 + idx * 60, 1_700_000_000 + idx * 60),
+        )
+
+    counts = str(tmp_path / "manifest_counts")
+    ck = str(tmp_path / "ck")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(
+                "doc_id long, shard int, pos long, n_tokens long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        q = run_streaming_pack_manifest(
+            stream, budget=1024, counts_path=counts, checkpoint=ck
+        )
+        assert q.awaitTermination(120), "streaming manifest timed out"
+
+    third = (len(rows) + 2) // 3
+    write_file(0, rows[:third])
+    run_once()
+    partial_windows = pack_manifest_from_batches(spark, counts, 1024).count()
+    assert 0 < partial_windows < len(batch)
+    write_file(1, rows[third : 2 * third])
+    write_file(2, rows[2 * third :])
+    run_once()
+    got = {
+        (r.shard, r.seq): (
+            r.n_docs, r.window_tokens, r.has_oversize, r.fill_rate
+        )
+        for r in pack_manifest_from_batches(spark, counts, 1024).collect()
+    }
+    assert got == batch and len(got) > 0
+
+
 # --- take_ordered ordering contract ---------------------------------------------
 
 
