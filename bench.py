@@ -296,6 +296,41 @@ def detect_regressions(
     return flagged
 
 
+def load_anchor(repo_dir: Path) -> tuple[dict | None, str]:
+    """Resolve the regression-gate anchor. Preference order:
+
+    1. The newest committed ``BENCH_ANCHOR_r{N}.json`` — a per-round,
+       git-versioned snapshot of a clean isolated run (headline +
+       long-tail walls + the cpu_probe reading that normalizes them).
+       Versioning the anchor is the point: the mutable on-disk detail
+       gets overwritten by whoever ran last (round 10: the driver's
+       post-close run silently replaced the builder's anchor), and a
+       fresh clone had NO anchor at all, degrading the gate to
+       no-flags with zero indication.
+    2. ``BENCH_DETAIL.json`` (legacy fallback — last run on this disk).
+
+    Returns ``(anchor_or_None, source_label)``; the label lands in the
+    bench diagnostics so every BENCH artifact states which anchor it
+    was judged against — "MISSING (regression gate inert)" is printed
+    rather than silently flagging nothing."""
+    candidates = sorted(
+        repo_dir.glob("BENCH_ANCHOR_r*.json"),
+        key=lambda p: int("".join(filter(str.isdigit, p.stem)) or 0),
+        reverse=True,
+    )
+    candidates.append(repo_dir / "BENCH_DETAIL.json")
+    for path in candidates:
+        try:
+            anchor = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue  # absent or corrupt — fall through, report loudly below
+        if anchor.get("queries") and (anchor.get("diagnostics") or {}).get(
+            "cpu_probe"
+        ):
+            return anchor, path.name
+    return None, "MISSING (regression gate inert)"
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # No console progress bars: their \r-spam inflated the captured output
@@ -343,18 +378,13 @@ def main() -> None:
     # including a mid-round reboot onto ~half the effective cores).
     extras["cpu_probe_reference"] = 1.80
     # Mechanical regression gate: compare every query (headline AND
-    # long-tail) to the prior committed BENCH_DETAIL.json, scaled by the
-    # box-speed ratio the two runs' cpu_probes measure. The prior detail
-    # is committed each round exactly so this comparison has a stable
-    # anchor; a missing file (first run on a fresh clone) degrades to an
-    # empty list, never an error.
-    prior = None
-    try:
-        prior = json.loads(
-            Path(__file__).resolve().parent.joinpath("BENCH_DETAIL.json").read_text()
-        )
-    except (OSError, ValueError):
-        pass
+    # long-tail) to the committed anchor (newest BENCH_ANCHOR_r{N}.json,
+    # falling back to the on-disk BENCH_DETAIL.json), scaled by the
+    # box-speed ratio the two runs' cpu_probes measure. A missing/corrupt
+    # anchor degrades to an empty flag list but is REPORTED in the
+    # diagnostics (anchor_source) — never a silent no-op.
+    prior, anchor_source = load_anchor(Path(__file__).resolve().parent)
+    extras["anchor_source"] = anchor_source
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "", 1).isdigit() else sf
     regressions = detect_regressions(

@@ -964,6 +964,136 @@ def bpe_encode_stats(
     )
 
 
+def _bpe_fold_words(
+    docs: DataFrame,
+    ranked: list[tuple[str, str]],
+    text_col: str,
+    checkpoint_every: int = 32,
+) -> DataFrame:
+    """Word table of ``docs`` with a FROZEN merge list applied: (w, a)
+    where ``a`` is the symbol array after folding every merge in rank
+    order. New words (unseen at train time) fold from characters exactly
+    like unseen words at tokenizer inference. Plan depth is bounded: the
+    fold chain is cut every ``checkpoint_every`` merges so a
+    production-sized artifact (tens of thousands of merges) never builds
+    an unboundedly nested column expression."""
+    from .dedup import normalized_text  # noqa: PLC0415 (cycle guard)
+
+    wt = (
+        docs.select(
+            F.explode(F.split(normalized_text(text_col), " ")).alias("w")
+        )
+        .distinct()
+        .select("w", _sym_array(F.col("w")).alias("a"))
+        .localCheckpoint(eager=True)
+    )
+    for i, (left, right) in enumerate(ranked, 1):
+        wt = wt.withColumn("a", _apply_merge(F.col("a"), left, right))
+        if i % checkpoint_every == 0:
+            wt = wt.localCheckpoint(eager=True)
+    return wt
+
+
+def bpe_encode_with(
+    docs: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Encode documents with a FROZEN merge table — the train-once →
+    encode-many shape of a real tokenizer deployment (a tokenizer is
+    trained once and applied for months; ``bpe_encode_stats`` retrains
+    inside every run, which is the right shape for a self-contained gate
+    query and the wrong one for a production pipeline).
+
+    ``merges`` is the ``bpe_merges`` output (merge_rank, left_sym,
+    right_sym, ...), typically time-traveled out of a versioned table
+    (:func:`bpe_load_merges`). It is collected in rank order — bounded
+    by the tokenizer's merge budget (the artifact is vocabulary-sized by
+    construction, never corpus-sized) — then folded over the word table
+    of the docs BEING ENCODED, so unseen words decompose from characters
+    exactly as at train time and the encode itself stays one broadcast
+    lookup join, zero per-doc folding.
+
+    Output schema and values are bit-for-bit ``bpe_encode_stats`` when
+    ``merges`` came from the same corpus (pinned by test)."""
+    ranked = collect_ranked_merges(merges)
+    return bpe_encode_with_ranked(docs, ranked, text_col, id_col)
+
+
+def collect_ranked_merges(merges: DataFrame) -> list[tuple[str, str]]:
+    """Driver-side snapshot of a merge table in rank order — bounded by
+    the tokenizer's merge budget (artifact-sized, never corpus-sized).
+    Collected ONCE per job; the streaming encode twin reuses the frozen
+    list across every micro-batch instead of re-collecting per batch."""
+    return [
+        (r["left_sym"], r["right_sym"])
+        for r in merges.select("merge_rank", "left_sym", "right_sym")
+        .orderBy("merge_rank")
+        .collect()
+    ]
+
+
+def bpe_encode_with_ranked(
+    docs: DataFrame,
+    ranked: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """:func:`bpe_encode_with` after the artifact collect — the shared
+    core for batch encode and the per-micro-batch streaming encode."""
+    from .dedup import normalized_text  # noqa: PLC0415 (cycle guard)
+
+    wt = _bpe_fold_words(docs, ranked, text_col)
+    wstats = F.broadcast(
+        wt.select(
+            "w",
+            F.size(_sym_array(F.col("w"))).cast("long").alias("_nc"),
+            F.size("a").cast("long").alias("_ns"),
+        )
+    )
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(normalized_text(text_col), " ")).alias("w"),
+    )
+    return (
+        toks.join(wstats, "w")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_nc").alias("n_chars"),
+            F.sum("_ns").alias("n_syms"),
+        )
+        .select(
+            id_col,
+            "n_chars",
+            "n_syms",
+            F.round(
+                F.col("n_syms").cast("double") / F.col("n_chars"), 6
+            ).alias("compression_ratio"),
+        )
+    )
+
+
+def bpe_save_merges(merges: DataFrame, path: str, fs=None) -> int:
+    """Persist a trained merge table as the next version of a versioned
+    table (operators/table.py): snapshot-isolated publish, time travel
+    back to any committed tokenizer version — retraining NEVER mutates
+    the artifact a running encode job is reading. Returns the committed
+    version number."""
+    from .table import write_table_version  # noqa: PLC0415
+
+    return write_table_version(merges, path, fs=fs)
+
+
+def bpe_load_merges(spark, path: str, version: int | None = None, fs=None):
+    """Read a committed tokenizer artifact (default: newest committed
+    version; pass ``version`` for time travel — e.g. to re-encode a
+    corpus exactly as a months-old training run saw it)."""
+    from .table import read_table  # noqa: PLC0415
+
+    return read_table(spark, path, version=version, fs=fs)
+
+
 def bpe_encode_oracle_sql(
     table: str = "documents",
     text_expr: str = "text",
@@ -1022,14 +1152,27 @@ def source_tv_drift(df: DataFrame, text_col: str = "text") -> DataFrame:
     per-source totals broadcast back. Only the final ratio is a double.
     Overflow bound: c_st*N_c must fit int64 — beyond ~1e9-token corpora
     lift the two products to DECIMAL(38,0) (exactness is preserved; the
-    shape is unchanged)."""
+    shape is unchanged).
+
+    ``st`` is materialized once (localCheckpoint): it feeds FOUR
+    consumers (the self-join plus the ct/ns/nc re-aggregates), and
+    without the cut Catalyst compiled four independent scan+tokenize
+    subtrees (measured: 4 FileScans, 0 ReusedExchange — the corpus-wide
+    explode ran four times; the round-11 bench triage caught it as a
+    2x wall inflation). The checkpointed table is vocab x sources
+    sized — bounded by content, not corpus rows — so the cut is cheap
+    at any scale and the corpus text is read exactly once."""
     from .dedup import normalized_text  # noqa: PLC0415 (cycle guard)
 
     toks = df.select(
         F.col("source"),
         F.explode(F.split(normalized_text(text_col), " ")).alias("_w"),
     ).filter(F.col("_w") != "")
-    st = toks.groupBy("source", "_w").agg(F.count(F.lit(1)).alias("c_st"))
+    st = (
+        toks.groupBy("source", "_w")
+        .agg(F.count(F.lit(1)).alias("c_st"))
+        .localCheckpoint(eager=True)
+    )
     ct = st.groupBy("_w").agg(F.sum("c_st").alias("c_t"))
     ns = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
     nc = st.agg(F.sum("c_st").alias("n_c"))

@@ -44,16 +44,24 @@ def topk_per_group(
 # id-blocks to arbitrary sort keys via a range shuffle.
 
 
-# Width memo for derived_block_count, keyed by (session, analyzed-plan
-# semantic hash): the derivation's ``df.rdd`` conversion compiles the
+# Width memo for derived_block_count, keyed by (session token, analyzed-
+# plan semantic hash): the derivation's ``df.rdd`` conversion compiles the
 # physical plan driver-side (~0.5-1s on deep lineage — the same tax
 # take_ordered's pricing ladder shed), and chained rank consumers (RFM's
 # three ntiles, repeated PSI windows) re-derive over the SAME frame.
 # Semantic-hash keying is safe because a stale width cannot change a
 # result (ranks are block-count invariant); at worst a path re-written
 # with a different file count mid-session keeps the old task sizing
-# until the session ends. Bounded: cleared wholesale past 256 entries.
-_WIDTH_CACHE: dict[tuple[int, int], int] = {}
+# until the session ends. The session token is (applicationId, startTime)
+# — NOT id(sparkSession): CPython reuses a garbage-collected session's id,
+# which would let a fresh session silently read a dead session's widths.
+# Bounded: cleared wholesale past 256 entries.
+_WIDTH_CACHE: dict[tuple[tuple[str, int], int], int] = {}
+
+
+def _session_token(df: DataFrame) -> tuple[str, int]:
+    sc = df.sparkSession.sparkContext
+    return (sc.applicationId, sc.startTime)
 
 
 def derived_block_count(df: DataFrame, floor: int = 32) -> int:
@@ -79,7 +87,7 @@ def derived_block_count(df: DataFrame, floor: int = 32) -> int:
     key = None
     try:
         key = (
-            id(df.sparkSession),
+            _session_token(df),
             int(df._jdf.queryExecution().analyzed().semanticHash()),
         )
     except Exception:  # noqa: BLE001 (analysis failure — derive uncached)

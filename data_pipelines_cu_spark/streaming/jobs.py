@@ -943,16 +943,22 @@ def pack_stateful(
     caller = [id_col, pos_col, shard_col]
     if keep_token_col:
         caller = [*caller, token_col]  # token_col joins the output schema
+    # name the parameters actually checked: with keep_token_col the
+    # offending column can be token_col (e.g. token_col='seq'), and an
+    # error that names only id_col/pos_col/shard_col points the caller
+    # at the wrong knob
+    param_names = "id_col/pos_col/shard_col" + (
+        "/token_col" if keep_token_col else ""
+    )
     clash = reserved & set(caller)
     if clash:
         raise ValueError(
-            "pack_stateful: id_col/pos_col/shard_col collide with output "
+            f"pack_stateful: {param_names} collide with output "
             f"columns {sorted(clash)} — rename the input column"
         )
     if len(set(caller)) != len(caller):
         raise ValueError(
-            f"pack_stateful: id_col/pos_col/shard_col must be distinct, "
-            f"got {caller}"
+            f"pack_stateful: {param_names} must be distinct, got {caller}"
         )
     import pandas as pd  # noqa: PLC0415 — executor-side import
 
@@ -1040,11 +1046,15 @@ def pack_manifest_counts_batch(
     batch_id partition (dynamic overwrite — replays replace, never
     double). Partials MERGE by addition/boolean-max at read time, so a
     window that straddles micro-batches sums to exactly its one-shot
-    row."""
+    row.
+
+    Single action per micro-batch: an empty batch writes an empty frame
+    (dynamic overwrite touches no existing partitions), which costs one
+    no-op job instead of the ``isEmpty()`` probe that executed the
+    stateful Arrow fold and the upstream plan TWICE per batch — the
+    same eager-probe pattern the round-9 lane gate removed."""
     from ..operators.upsert import upsert_partitions
 
-    if packed.isEmpty():
-        return
     partial = (
         packed.groupBy(shard_col, "seq")
         .agg(
@@ -1102,18 +1112,91 @@ def run_streaming_pack_manifest(
     return writer.start()
 
 
+def run_streaming_bpe_encode(
+    docs: DataFrame,
+    merges: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming encode over a FROZEN tokenizer artifact — the serving
+    half of train-once → encode-many: documents arrive as a stream, the
+    merge table is a committed versioned-table snapshot
+    (text.bpe_load_merges), and every micro-batch encodes with exactly
+    those merges. The artifact is collected ONCE here (merge-budget
+    sized) and the frozen list rides the foreachBatch closure — never a
+    per-batch re-collect, never a retrain.
+
+    Encoding is document-local (merges never span word boundaries and
+    each doc's stats are sums over its own words), so micro-batch
+    boundaries cannot change any row — batch parity needs no state
+    store. Each batch lands in its batch_id partition via dynamic
+    overwrite (replays replace, never double — the same idempotency
+    contract as the packing-manifest monitor). The batch is read twice
+    by construction — once to build its word table, once for the encode
+    join — the same two-pass floor as the batch encoder; the merge fold
+    itself runs over the checkpointed word table, never the batch."""
+    from ..operators.text import (
+        bpe_encode_with_ranked,
+        collect_ranked_merges,
+    )
+    from ..operators.upsert import upsert_partitions
+
+    ranked = collect_ranked_merges(merges)
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        encoded = bpe_encode_with_ranked(
+            batch, ranked, text_col=text_col, id_col=id_col
+        ).withColumn("batch_id", F.lit(batch_id))
+        upsert_partitions(encoded, out_path, ["batch_id"])
+
+    writer = (
+        docs.writeStream.outputMode("append")
+        .foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def pack_manifest_from_batches(
     spark,
     counts_path: str,
     budget: int,
     shard_col: str = "shard",
+    shard_type: str = "long",
 ) -> DataFrame:
     """Merged read of the streaming packing manifest: per-batch partials
     sum per (shard, seq), then fill_rate applies the SAME single IEEE
     division as the batch operator — identical rows to
-    ``sampling.pack_manifest`` over the stream-so-far."""
+    ``sampling.pack_manifest`` over the stream-so-far.
+
+    A monitor whose every micro-batch was empty lands no partial FILES
+    (dynamic overwrite of an empty frame touches no partitions), and one
+    that never ran lands no PATH; both legitimately mean "zero windows
+    so far", so the read returns an EMPTY manifest with the declared
+    schema (``shard_type`` = the stream's shard column type) instead of
+    surfacing [PATH_NOT_FOUND] / [UNABLE_TO_INFER_SCHEMA] to a caller
+    that asked a well-defined question."""
+    try:
+        counts = spark.read.parquet(counts_path)
+    except Exception as exc:  # noqa: BLE001 — classify, re-raise the rest
+        msg = str(exc)
+        if "PATH_NOT_FOUND" in msg or "UNABLE_TO_INFER_SCHEMA" in msg:
+            return spark.createDataFrame(
+                [],
+                schema=(
+                    f"{shard_col} {shard_type}, seq long, n_docs long, "
+                    "window_tokens long, has_oversize boolean, "
+                    "fill_rate double"
+                ),
+            )
+        raise
     return (
-        spark.read.parquet(counts_path)
+        counts
         .groupBy(shard_col, "seq")
         .agg(
             F.sum("n_docs").cast("long").alias("n_docs"),
