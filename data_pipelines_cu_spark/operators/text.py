@@ -1162,17 +1162,34 @@ def source_tv_drift(df: DataFrame, text_col: str = "text") -> DataFrame:
     2x wall inflation). The checkpointed table is vocab x sources
     sized — bounded by content, not corpus rows — so the cut is cheap
     at any scale and the corpus text is read exactly once."""
+    st = source_token_counts(df, text_col).localCheckpoint(eager=True)
+    return tv_drift_from_counts(st)
+
+
+def source_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The (source, _w, c_st) token-count table source_tv_drift runs on
+    — exposed because the counts are MERGEABLE (plain integer sums), so
+    per-wave/per-micro-batch partials summed per (source, token) equal
+    the one-shot table exactly; the streaming TV monitor lands these."""
     from .dedup import normalized_text  # noqa: PLC0415 (cycle guard)
 
-    toks = df.select(
-        F.col("source"),
-        F.explode(F.split(normalized_text(text_col), " ")).alias("_w"),
-    ).filter(F.col("_w") != "")
-    st = (
-        toks.groupBy("source", "_w")
+    return (
+        df.select(
+            F.col("source"),
+            F.explode(F.split(normalized_text(text_col), " ")).alias("_w"),
+        )
+        .filter(F.col("_w") != "")
+        .groupBy("source", "_w")
         .agg(F.count(F.lit(1)).alias("c_st"))
-        .localCheckpoint(eager=True)
     )
+
+
+def tv_drift_from_counts(st: DataFrame) -> DataFrame:
+    """TV distance report from an ALREADY-MATERIALIZED (source, _w,
+    c_st) count table (the four-consumer tail of source_tv_drift —
+    callers must pass a checkpointed/summed table, or the upstream plan
+    compiles once per consumer; the batch operator and the streaming
+    monitor's merged read both do)."""
     ct = st.groupBy("_w").agg(F.sum("c_st").alias("c_t"))
     ns = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
     nc = st.agg(F.sum("c_st").alias("n_c"))

@@ -1112,6 +1112,68 @@ def run_streaming_pack_manifest(
     return writer.start()
 
 
+def run_streaming_tv_drift(
+    docs: DataFrame,
+    counts_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming twin of ``text.source_tv_drift``: the live mixture-drift
+    monitor a multi-source ingestion service runs. Each micro-batch
+    lands its (source, token) count PARTIALS in a replay-idempotent
+    batch_id partition — plain integer counts, mergeable by addition, so
+    the merged read (:func:`tv_drift_from_batches`) reproduces the
+    one-shot batch TV report bit-for-bit over the stream-so-far (the
+    numerator is an exact integer sum either way; the single IEEE
+    division happens once, at read time). State and storage are
+    vocab x sources sized per batch, never corpus sized — the same
+    mergeable-partial contract as the CUSUM/PSI/packing monitors."""
+    from ..operators.text import source_token_counts
+    from ..operators.upsert import upsert_partitions
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        partial = source_token_counts(batch, text_col).withColumn(
+            "batch_id", F.lit(batch_id)
+        )
+        upsert_partitions(partial, counts_path, ["batch_id"])
+
+    writer = (
+        docs.writeStream.outputMode("append")
+        .foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def tv_drift_from_batches(spark, counts_path: str) -> DataFrame:
+    """Merged read of the streaming TV monitor: per-batch partials sum
+    per (source, token) — exactly the one-shot count table — then the
+    SAME four-consumer tail as the batch operator runs over the summed
+    (and checkpointed: the tail compiles per consumer otherwise) table.
+    A monitor that never landed (no path, or every batch empty) reports
+    an empty drift table, mirroring pack_manifest_from_batches."""
+    from ..operators.text import tv_drift_from_counts
+
+    try:
+        counts = spark.read.parquet(counts_path)
+    except Exception as exc:  # noqa: BLE001 — classify, re-raise the rest
+        msg = str(exc)
+        if "PATH_NOT_FOUND" in msg or "UNABLE_TO_INFER_SCHEMA" in msg:
+            return spark.createDataFrame(
+                [], "source string, n_tokens long, tv_vs_corpus double"
+            )
+        raise
+    st = (
+        counts.groupBy("source", "_w")
+        .agg(F.sum("c_st").alias("c_st"))
+        .localCheckpoint(eager=True)
+    )
+    return tv_drift_from_counts(st)
+
+
 def run_streaming_bpe_encode(
     docs: DataFrame,
     merges: DataFrame,

@@ -15,6 +15,19 @@ until they explode at 100×:
 2. **Stragglers** — max task time > 3× the stage median. Distinguishes a
    hot key / fat group (data problem: salt or split) from uniform stage
    width (max ≈ median — add partitions, not salt).
+3. **Repeated file scans** — the SAME source relation appearing ≥3
+   times as a FileScan leaf in one query's physical plan: the signature
+   of one expensive subtree compiled per consumer (no exchange to reuse
+   — detector 1 is blind to it because the redundancy is file reads,
+   not shuffle fetches; a cached/checkpointed table re-read per
+   consumer is the FIX for this shape and scans as ExistingRDD, so it
+   never false-flags here). Caught retroactively in round 11:
+   source_tv_drift's (source, token) table fed four consumers as four
+   scan+tokenize subtrees — 0 flags from detectors 1-2, 2× wall, fixed
+   with one localCheckpoint. Threshold is 3 because a SECOND pass over
+   the input is the algorithmic floor for vocab-then-encode shapes
+   (BPE, TF-IDF); a third identical scan is a missed materialization
+   cut.
 
 Usage: python plan_audit.py [N]   (default 20; needs BENCH_DETAIL.json)
 Prints one line per flagged (query, stage); exits 1 if anything flagged,
@@ -24,6 +37,7 @@ so it slots into CI next to the oracle gate.
 from __future__ import annotations
 
 import json
+import re
 import sys
 import urllib.request
 from collections import Counter
@@ -48,6 +62,32 @@ def _ui(base: str, app_id: str, path: str):
         return json.load(r)
 
 
+def _scan_counts(df) -> Counter:
+    """Per-relation FileScan counts from the compiled physical plan
+    (driver-side compile, no job). Relation identity = the scan's
+    location paths; an unparseable leaf is counted under its first
+    line so a plan this can't read still shows up rather than
+    vanishing."""
+    counts: Counter = Counter()
+    try:
+        # string walk, not collectLeaves: under AQE the whole query is
+        # ONE AdaptiveSparkPlanExec leaf, which hides every real scan
+        text = df._jdf.queryExecution().executedPlan().toString()
+        for line in text.splitlines():
+            if "FileScan" not in line:
+                continue
+            m = re.search(r"Location: \w+(?:\(\d+ paths?\))?\[([^\]]*)", line)
+            rel = (
+                m.group(1)
+                if m
+                else re.sub(r"^[^A-Za-z]*", "", line)[:120]
+            )
+            counts[rel] += 1
+    except Exception:  # noqa: BLE001 — audit must never block the run
+        pass
+    return counts
+
+
 def audit(n_queries: int = 20) -> int:
     spark = get_spark(
         "plan-audit",
@@ -70,9 +110,25 @@ def audit(n_queries: int = 20) -> int:
     seen: set = set()
     n_flags = 0
     for name in targets:
-        queries[name].fn(spark, SF_DIR).write.format("noop").mode(
-            "overwrite"
-        ).save()
+        df = queries[name].fn(spark, SF_DIR)
+        # detector 3 (static): count FileScan leaves per source relation
+        # BEFORE executing — ≥3 scans of one relation is a subtree
+        # compiled per consumer (a localCheckpoint cut scans as
+        # ExistingRDD and is invisible here, by design)
+        for rel, cnt in _scan_counts(df).items():
+            if cnt >= 3:
+                print(
+                    json.dumps(
+                        {
+                            "query": name,
+                            "flag": "repeated_file_scan",
+                            "relation": rel,
+                            "n_scans": cnt,
+                        }
+                    )
+                )
+                n_flags += 1
+        df.write.format("noop").mode("overwrite").save()
         for st in _ui(base, app, "/stages?status=complete"):
             key = (st["stageId"], st["attemptId"])
             if key in seen:

@@ -156,6 +156,47 @@ def test_source_tv_drift_reads_corpus_once(spark):
     assert len(rows) == 1 and rows[0]["tv_vs_corpus"] == 0.0
 
 
+# --- plan_audit detector 3: repeated file scans ------------------------------
+
+
+def test_plan_audit_counts_repeated_file_scans(spark):
+    """The detector added after the TV-drift finding: plan_audit's
+    shuffle-read pairing (detector 1) is structurally blind to a subtree
+    compiled as independent SCAN stages — the redundancy is file reads,
+    not shuffle fetches. _scan_counts must read through AQE's
+    AdaptiveSparkPlan wrapper (whose collectLeaves hides every real
+    scan), count the same relation once per FileScan leaf, and see ZERO
+    scans through a localCheckpoint cut (the fix for the shape must not
+    itself be flagged)."""
+    import importlib.util
+
+    from pyspark.sql import functions as F
+
+    spec = importlib.util.spec_from_file_location(
+        "plan_audit", REPO / "plan_audit.py"
+    )
+    pa = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(pa)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = docs.groupBy("source").count()
+    b = docs.agg(F.count("*").alias("count")).select(
+        F.lit("x").alias("source"), "count"
+    )
+    multi = a.union(b).union(a).union(b)
+    counts = pa._scan_counts(multi)
+    assert list(counts.values()) == [4], counts
+
+    from data_pipelines_cu_spark.operators import text as tx
+
+    # the fixed TV-drift plan: the corpus scan happened at checkpoint
+    # build; the returned plan reads only the materialized table
+    assert dict(pa._scan_counts(tx.source_tv_drift(docs))) == {}
+    # the two-pass vocab-then-encode floor stays under the >=3 threshold
+    bpe = pa._scan_counts(tx.bpe_encode_stats(docs))
+    assert all(v < 3 for v in bpe.values())
+
+
 # --- streaming manifest monitor degenerate probes ----------------------------
 
 
@@ -387,6 +428,32 @@ def test_bpe_artifact_train_once_encode_many_bit_for_bit(spark, tmp_path):
     assert newest != pinned
 
 
+def test_bpe_encode_with_degenerate_probes(spark, tmp_path):
+    """Frozen-artifact encode at the edges: an EMPTY merge table (a
+    tokenizer trained on a corpus that never produced a pair) encodes
+    every word as characters (n_syms == n_chars, ratio 1.0); empty docs
+    encode to an empty frame; and an empty artifact round-trips the
+    versioned table (schema preserved at v1)."""
+    from data_pipelines_cu_spark.operators import text as tx
+
+    docs = _bpe_docs(spark, _CORPUS[:2])
+    no_merges = tx.bpe_merges(_bpe_docs(spark, [(1, "a b c")]))  # no pairs
+    assert no_merges.count() == 0
+
+    path = str(tmp_path / "empty_tok")
+    v = tx.bpe_save_merges(no_merges, path)
+    loaded = tx.bpe_load_merges(spark, path, version=v)
+    assert loaded.columns == no_merges.columns and loaded.count() == 0
+
+    rows = tx.bpe_encode_with(docs, loaded).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r.n_syms == r.n_chars and r.compression_ratio == 1.0
+
+    empty_docs = docs.filter("doc_id < 0")
+    assert tx.bpe_encode_with(empty_docs, loaded).count() == 0
+
+
 def test_bpe_encode_with_matches_composite_on_testdata(spark):
     """The same parity on the real documents table at sf0.001: the
     frozen-artifact encode path must reproduce the registered
@@ -455,6 +522,73 @@ def test_streaming_bpe_encode_over_frozen_artifact(spark, tmp_path):
         tuple(r) for r in landed.drop("batch_id").collect()
     )
     assert got == expected
+
+
+# --- streaming TV-drift monitor ----------------------------------------------
+
+
+def test_streaming_tv_drift_matches_batch(spark, tmp_path):
+    """Streaming mixture-drift monitor parity: per-micro-batch
+    (source, token) count partials merged at read time equal the
+    one-shot batch source_tv_drift bit-for-bit — counts are exact
+    integer sums on both sides and the single IEEE division runs once,
+    at read time, so micro-batch boundaries cannot move any value.
+    Also probes the zero-landed degenerate: a monitor that never ran
+    reports an empty typed drift table, not PATH_NOT_FOUND."""
+    import json as _json
+    import os
+
+    from data_pipelines_cu_spark.operators import text as tx
+    from data_pipelines_cu_spark.streaming.jobs import (
+        run_streaming_tv_drift,
+        tv_drift_from_batches,
+    )
+
+    rows = [
+        (i, ["wiki", "forum", "news"][i % 3],
+         ["the cat sat", "a dog ran fast", "the dog and the cat",
+          "rain in spain", "cats chase dogs", "the rain fell"][i % 6])
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    expected = sorted(tuple(r) for r in tx.source_tv_drift(docs).collect())
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    for i in range(3):
+        with open(src / f"part-{i}.json", "w") as f:
+            for doc_id, source, text in rows[i * 10 : (i + 1) * 10]:
+                f.write(
+                    _json.dumps(
+                        {"doc_id": doc_id, "source": source, "text": text}
+                    )
+                    + "\n"
+                )
+        os.utime(
+            src / f"part-{i}.json",
+            (1_700_000_000 + i * 60, 1_700_000_000 + i * 60),
+        )
+    stream = (
+        spark.readStream.schema("doc_id long, source string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    counts = str(tmp_path / "tv_counts")
+    q = run_streaming_tv_drift(
+        stream, counts_path=counts, checkpoint=str(tmp_path / "ck")
+    )
+    assert q.awaitTermination(120), "streaming TV monitor timed out"
+    partials = spark.read.parquet(counts)
+    assert partials.select("batch_id").distinct().count() >= 2
+    got = sorted(
+        tuple(r) for r in tv_drift_from_batches(spark, counts).collect()
+    )
+    assert got == expected and len(got) == 3
+
+    # zero-landed degenerate
+    empty = tv_drift_from_batches(spark, str(tmp_path / "never"))
+    assert empty.count() == 0
+    assert empty.columns == ["source", "n_tokens", "tv_vs_corpus"]
 
 
 # --- width-cache session token (ADVICE r10) ----------------------------------
