@@ -466,8 +466,24 @@ def nb_lang_predict(
     else:
         words = toks.withColumnRenamed("_t", "w")
         vocab_v = None
-    counts = words.groupBy(label_col, "w").agg(F.count(F.lit(1)).alias("c"))
-    ntot = words.groupBy(label_col).agg(F.count(F.lit(1)).alias("n"))
+    # ONE tokenize pass: the (doc, lang, feature, multiplicity) table is
+    # built first and materialized — (lang, feature) counts and per-lang
+    # token totals re-aggregate FROM it by exact integer sums (identical
+    # values to counting the raw token stream). Before the cut, words'
+    # three consumers (counts/ntot/dbc) each compiled their own
+    # scan+explode+hash subtree — the round-11 executed-plan audit
+    # measured the corpus tokenize running 3x per query. dbc is
+    # doc x distinct-feature sized (≤ n_buckets per doc) — strictly
+    # smaller than the token stream it replaces.
+    dbc = (
+        words.groupBy(id_col, label_col, "w")
+        .agg(F.count(F.lit(1)).alias("mult"))
+        .localCheckpoint(eager=True)
+    )
+    counts = dbc.groupBy(label_col, "w").agg(
+        F.sum("mult").cast("long").alias("c")
+    )
+    ntot = dbc.groupBy(label_col).agg(F.sum("mult").cast("long").alias("n"))
     ndocs = df.count()
     priors = df.groupBy(label_col).agg(
         (F.count(F.lit(1)).cast("double") / F.lit(float(ndocs))).alias("pr")
@@ -481,7 +497,7 @@ def nb_lang_predict(
             label_col, (F.col("n") + vocab_v).alias("nv")
         )
     else:
-        vocab = words.agg(F.count_distinct("w").alias("v"))
+        vocab = dbc.agg(F.count_distinct("w").alias("v"))
         tot = ntot.crossJoin(F.broadcast(vocab)).select(
             label_col, (F.col("n") + F.col("v")).alias("nv")
         )
@@ -489,15 +505,13 @@ def nb_lang_predict(
         tot.select(F.col(label_col).alias("cand"), "nv")
     )
     cand_pr = F.broadcast(priors.select(F.col(label_col).alias("cand"), "pr"))
-    # Compress the doc's token stream to (feature, multiplicity) BEFORE the
-    # ×n_langs candidate fan-out: the shuffled rows are docs × distinct
-    # features (≤ n_buckets each) instead of tokens × langs. The posterior
-    # stays bit-identical to the per-token fold — the per-token sort order
-    # was (feature asc, pw), i.e. each feature's n identical multiplies run
-    # consecutively, exactly what the inner sequence-fold replays.
-    dbc = words.groupBy(id_col, label_col, "w").agg(
-        F.count(F.lit(1)).alias("mult")
-    )
+    # The candidate fan-out runs over the SAME compressed (feature,
+    # multiplicity) table the model was counted from: shuffled rows are
+    # docs × distinct features (≤ n_buckets each) instead of
+    # tokens × langs. The posterior stays bit-identical to the per-token
+    # fold — the per-token sort order was (feature asc, pw), i.e. each
+    # feature's n identical multiplies run consecutively, exactly what
+    # the inner sequence-fold replays.
     pairs = (
         dbc.crossJoin(langs)
         .join(cand_counts, ["cand", "w"], "left")

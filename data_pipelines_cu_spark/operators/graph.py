@@ -46,9 +46,24 @@ def pagerank(
     (100*out(u))  +  (85*dangling_{t-1}) div (100*N), starting from
     r_0 = S div N. Every divide is a floor-divide of nonnegative integers,
     applied per edge term on BOTH sides, so the fixpoint trajectory is
-    engine-portable."""
-    outs = edges.groupBy("src").agg(F.sum("w").alias("outw"))
-    ew = edges.join(outs, "src")
+    engine-portable.
+
+    The edge-derived tables are materialized ONCE (localCheckpoint, the
+    CC-loop discipline): ``ew``/``outs`` are consumed by every iteration
+    (contrib join + dangling anti-join), and without the cut each
+    consumer recompiled the caller's WHOLE edge-derivation subtree —
+    round 11's executed-plan audit measured 14 file scans in one run of
+    the nation-trade query (the 4-table fact join compiled per
+    iteration per consumer), vs 5 after. Both tables are edge-sized —
+    the natural thing an iterative algorithm persists; the rank table
+    is checkpointed per round (node-sized) so plan depth stays flat in
+    n_iters instead of nesting the full prior-round plan."""
+    edges = edges.localCheckpoint(eager=True)
+    nodes = nodes.localCheckpoint(eager=True)  # consumed 1 + n_iters times
+    outs = edges.groupBy("src").agg(F.sum("w").alias("outw")).localCheckpoint(
+        eager=True
+    )
+    ew = edges.join(outs, "src").localCheckpoint(eager=True)
     nn = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
     r = nodes.crossJoin(F.broadcast(nn)).select(
         "v", F.expr(f"CAST({scale} AS BIGINT) div n_nodes").alias("r")
@@ -87,6 +102,9 @@ def pagerank(
                 .alias("pr_scaled"),
             )
             .withColumnRenamed("pr_scaled", "r")
+            # node-sized cut per round: keeps every iteration's plan the
+            # same shape instead of nesting the full prior-round subtree
+            .localCheckpoint(eager=True)
         )
     return r.select("v", F.col("r").alias("pr_scaled"))
 

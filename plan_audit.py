@@ -15,19 +15,30 @@ until they explode at 100×:
 2. **Stragglers** — max task time > 3× the stage median. Distinguishes a
    hot key / fat group (data problem: salt or split) from uniform stage
    width (max ≈ median — add partitions, not salt).
-3. **Repeated file scans** — the SAME source relation appearing ≥3
-   times as a FileScan leaf in one query's physical plan: the signature
-   of one expensive subtree compiled per consumer (no exchange to reuse
-   — detector 1 is blind to it because the redundancy is file reads,
-   not shuffle fetches; a cached/checkpointed table re-read per
-   consumer is the FIX for this shape and scans as ExistingRDD, so it
-   never false-flags here). Caught retroactively in round 11:
-   source_tv_drift's (source, token) table fed four consumers as four
-   scan+tokenize subtrees — 0 flags from detectors 1-2, 2× wall, fixed
-   with one localCheckpoint. Threshold is 3 because a SECOND pass over
-   the input is the algorithmic floor for vocab-then-encode shapes
-   (BPE, TF-IDF); a third identical scan is a missed materialization
-   cut.
+3. **Repeated file scans** — a query whose EXECUTED plan graphs (the
+   Spark UI /sql REST endpoint, i.e. AFTER AQE stage reuse) contain far
+   more Scan-parquet nodes than the query touches distinct relations:
+   the signature of one expensive subtree compiled per consumer or per
+   iteration. Built in round 11 after the bench gate caught
+   source_tv_drift at 4 static scans (detectors 1-2 were structurally
+   blind: the redundancy is file reads, not shuffle fetches). The
+   detector counts EXECUTED scan nodes, not static FileScan leaves,
+   because the static census over-counts ~2×: AQE reuses identical
+   subtrees at runtime (measured: a 4-branch duplicate union executed
+   2 scans), while genuinely distinct consumers recompute. The metric
+   is the MAX over the query's executions, not the sum — an eager
+   checkpoint chain legitimately runs many 1-scan builds, while the
+   pathology concentrates its redundancy in one job. The static
+   per-relation census is still computed and printed WITH each flag as
+   the attribution hint. Calibration on the full 200-query registry:
+   the legitimate floor is 2-5 executed scans per job (self-joins,
+   two-pass vocab/encode, multi-table stars); the flag threshold
+   (≥6 AND ≥2× distinct relations) caught nation_trade_pagerank at 14
+   (edge subtree compiled per iteration per consumer — fixed with
+   edge/rank checkpoints) and nb_lang_predict's triple tokenize (fixed
+   by deriving model counts from the compressed doc-feature table).
+   TRIAGED_SCANS lists queries whose high scan count is a documented
+   design choice; they print with "triaged" and don't fail the audit.
 
 Usage: python plan_audit.py [N]   (default 20; needs BENCH_DETAIL.json)
 Prints one line per flagged (query, stage); exits 1 if anything flagged,
@@ -52,6 +63,20 @@ SF_DIR = "/root/testdata/sf0.1"
 FAT_READ_ROWS = 100_000  # only fat reads can hide a meaningful double scan
 STRAGGLER_RATIO = 3.0
 STRAGGLER_FLOOR_MS = 2_000  # ignore ratios on sub-2s stages (noise)
+SCAN_FLOOR = 6  # executed-scan count below which no plan shape flags
+SCAN_RATIO = 2.0  # executed scans per distinct relation that flags
+
+# Queries whose executed-scan count exceeds the threshold as a DOCUMENTED
+# design choice — they print with "triaged": true and do not fail the
+# audit. Every entry needs the reason inline.
+TRIAGED_SCANS = {
+    # One gate entry evaluates the reference's Q6+Q14+Q17+Q19 scalar
+    # quartet (BASELINE.md round-10 headline-set change): each branch
+    # scans lineitem with its own DISJOINT pushed predicate, which at
+    # scale beats one full scan + 4 residual filters (row-group pruning
+    # does the work); 4 branches x (lineitem + part) = 8 scans by design.
+    "lineitem_revenue_kpis": "4 merged KPI branches with disjoint pushdown",
+}
 
 
 def _ui(base: str, app_id: str, path: str):
@@ -60,6 +85,40 @@ def _ui(base: str, app_id: str, path: str):
     url = f"{base}/api/v1/applications/{app_id}{path}"
     with urllib.request.urlopen(url, timeout=15) as r:
         return json.load(r)
+
+
+def _sql_executions(base: str, app_id: str) -> list:
+    """All /sql executions (paged)."""
+    out: list = []
+    while True:
+        page = _ui(base, app_id, f"/sql?offset={len(out)}&length=100")
+        out.extend(page)
+        if len(page) < 100:
+            break
+    return out
+
+
+def _scan_flag(
+    name: str, max_exec_scans: int, static_census: dict
+) -> dict | None:
+    """Detector-3 verdict for one query: None below threshold, a flag
+    dict above it ("triaged": True for allowlisted design choices, which
+    print but don't fail the audit). ``max_exec_scans`` = the most
+    Scan-parquet nodes any single execution ran; the per-relation ratio
+    uses the final frame's static census so a wide star join (many
+    relations, one scan each) never flags on the floor alone."""
+    n_rels = max(1, len(static_census))
+    if max_exec_scans < SCAN_FLOOR or max_exec_scans < SCAN_RATIO * n_rels:
+        return None
+    triaged = TRIAGED_SCANS.get(name)
+    return {
+        "query": name,
+        "flag": "repeated_file_scan",
+        "max_exec_scans": max_exec_scans,
+        "distinct_relations": n_rels,
+        "static_census": static_census,
+        **({"triaged": True, "reason": triaged} if triaged else {}),
+    }
 
 
 def _scan_counts(df) -> Counter:
@@ -108,27 +167,39 @@ def audit(n_queries: int = 20) -> int:
         if k in queries
     ][:n_queries]
     seen: set = set()
+    seen_execs: set = set()
+    for ex in _sql_executions(base, app):
+        seen_execs.add(ex["id"])
     n_flags = 0
     for name in targets:
         df = queries[name].fn(spark, SF_DIR)
-        # detector 3 (static): count FileScan leaves per source relation
-        # BEFORE executing — ≥3 scans of one relation is a subtree
-        # compiled per consumer (a localCheckpoint cut scans as
-        # ExistingRDD and is invisible here, by design)
-        for rel, cnt in _scan_counts(df).items():
-            if cnt >= 3:
-                print(
-                    json.dumps(
-                        {
-                            "query": name,
-                            "flag": "repeated_file_scan",
-                            "relation": rel,
-                            "n_scans": cnt,
-                        }
-                    )
-                )
-                n_flags += 1
+        static_census = dict(_scan_counts(df))
         df.write.format("noop").mode("overwrite").save()
+        # detector 3: executed Scan-parquet nodes per /sql execution
+        # (post-AQE-reuse truth). The metric is the MAX over this
+        # query's executions, not the sum: an eager checkpoint chain
+        # legitimately runs many 1-scan builds (semantic_dedup's six
+        # single-scan stages), while the pathology — a subtree compiled
+        # per consumer/iteration — concentrates its redundant scans in
+        # ONE execution (pre-fix nation_trade_pagerank: 14 in one job).
+        max_exec_scans = 0
+        for ex in _sql_executions(base, app):
+            if ex["id"] in seen_execs:
+                continue
+            seen_execs.add(ex["id"])
+            max_exec_scans = max(
+                max_exec_scans,
+                sum(
+                    1
+                    for node in ex.get("nodes", [])
+                    if node.get("nodeName", "").startswith("Scan parquet")
+                ),
+            )
+        scan_flag = _scan_flag(name, max_exec_scans, static_census)
+        if scan_flag is not None:
+            print(json.dumps(scan_flag))
+            if not scan_flag.get("triaged"):
+                n_flags += 1
         for st in _ui(base, app, "/stages?status=complete"):
             key = (st["stageId"], st["attemptId"])
             if key in seen:
