@@ -957,8 +957,13 @@ def bpe_encode_stats(
             id_col,
             "n_chars",
             "n_syms",
+            # try_divide: a doc whose text normalizes to EMPTY has
+            # n_chars = 0 — ANSI division throws where the DuckDB twin
+            # returns NULL; NULL-on-zero matches the oracle bit-for-bit
+            # (found by the round-11 artifact property test)
             F.round(
-                F.col("n_syms").cast("double") / F.col("n_chars"), 6
+                F.try_divide(F.col("n_syms").cast("double"), F.col("n_chars")),
+                6,
             ).alias("compression_ratio"),
         )
     )
@@ -1067,8 +1072,13 @@ def bpe_encode_with_ranked(
             id_col,
             "n_chars",
             "n_syms",
+            # try_divide: a doc whose text normalizes to EMPTY has
+            # n_chars = 0 — ANSI division throws where the DuckDB twin
+            # returns NULL; NULL-on-zero matches the oracle bit-for-bit
+            # (found by the round-11 artifact property test)
             F.round(
-                F.col("n_syms").cast("double") / F.col("n_chars"), 6
+                F.try_divide(F.col("n_syms").cast("double"), F.col("n_chars")),
+                6,
             ).alias("compression_ratio"),
         )
     )

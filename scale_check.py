@@ -77,6 +77,13 @@ HEAVY = [
     # vocabulary broadcast join feeding the shard fold — measures the
     # full tokenize-then-pack pipeline, not the packer alone)
     "bpe_pack_pipeline",
+    # round-11: iterative graph op after the edge/rank checkpoint fix
+    # (the row measures the one-shot edge derivation + 3 cached-table
+    # iterations — previously the 4-table join compiled per iteration)
+    "nation_trade_pagerank",
+    # round-11: the tokenize-once TV fix (single corpus scan into a
+    # vocab×sources checkpoint feeding the four-consumer tail)
+    "source_token_tv_drift",
 ]
 
 # Optional subset filter: SPARK_GRAFT_SCALE_ONLY="a,b" runs just those.
@@ -90,6 +97,7 @@ SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/scale_sf1")
 def build_sf1(spark, src="/root/testdata/sf0.1", out=SF1_DIR) -> None:
     if os.path.exists(f"{out}/_BUILT"):
         build_sf1_custorders(spark, src, out)  # round-7 add-on tables
+        build_sf1_dims(spark, src, out)  # round-11 add-on tables
         return
     docs = spark.read.parquet(f"{src}/documents.parquet")
     emb = spark.read.parquet(f"{src}/embeddings.parquet")
@@ -224,6 +232,25 @@ def build_sf1_custorders(spark, src="/root/testdata/sf0.1", out=SF1_DIR) -> None
             u = u.unionByName(p)
         u.repartition(32).write.mode("overwrite").parquet(f"{out}/{name}.parquet")
     Path(f"{out}/_BUILT_CUSTORD").write_text("ok\n")
+    build_sf1_dims(spark, src, out)
+
+
+def build_sf1_dims(spark, src="/root/testdata/sf0.1", out=SF1_DIR) -> None:
+    """supplier/nation VERBATIM copies (round 11, for the pagerank row):
+    dimension tables do not grow with corpus history — 10× facts over
+    the same 25-nation graph is the honest scale model (a 250-node
+    replica graph would measure a workload that never exists). Key
+    alignment: lineitem replicas keep l_suppkey unshifted, so every
+    replica's facts join the one supplier copy; c_nationkey/s_nationkey
+    stay 0-24 and the edge aggregate still lands on the 25×25 key
+    space with 10× weights."""
+    if os.path.exists(f"{out}/_BUILT_DIMS"):
+        return
+    for name in ("supplier", "nation"):
+        spark.read.parquet(f"{src}/{name}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{out}/{name}.parquet")
+    Path(f"{out}/_BUILT_DIMS").write_text("ok\n")
 
 
 def _ui_json(path: str):

@@ -538,6 +538,48 @@ def test_streaming_bpe_encode_over_frozen_artifact(spark, tmp_path):
     assert got == expected
 
 
+# --- BPE artifact property test ----------------------------------------------
+
+
+def test_bpe_artifact_property_random_corpora(spark):
+    """Hypothesis differential: for GENERATED corpora, train-then-freeze
+    (bpe_merges → bpe_encode_with) equals inline train-and-encode
+    (bpe_encode_stats) bit-for-bit — the artifact path can never drift
+    from the composite the gate verifies, whatever the merge history
+    (repeated symbols, words that exhaust pairs early, single-char
+    words, empty-after-normalization docs)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from data_pipelines_cu_spark.operators import text as tx
+
+    word = st.text(alphabet="abcz", min_size=1, max_size=6)
+    doc = st.lists(word, min_size=0, max_size=8).map(" ".join)
+    corpus = st.lists(doc, min_size=1, max_size=10)
+
+    @given(docs=corpus)
+    @settings(
+        max_examples=10,
+        deadline=None,
+        derandomize=True,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def check(docs):
+        df = spark.createDataFrame(
+            list(enumerate(docs)), "doc_id long, text string"
+        )
+        merges = tx.bpe_merges(df)
+        inline = sorted(
+            tuple(r) for r in tx.bpe_encode_stats(df).collect()
+        )
+        frozen = sorted(
+            tuple(r) for r in tx.bpe_encode_with(df, merges).collect()
+        )
+        assert frozen == inline
+
+    check()
+
+
 # --- pagerank iteration materialization --------------------------------------
 
 
