@@ -340,7 +340,12 @@ def cosine_topk_arrow(
         )
     q_ids = np.array([r[0] for r in q_rows])
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
-    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    # zero-norm guard (the numpy twin of the column-side try_divide): a
+    # zero vector's row normalizes to all-zeros instead of NaN, so its
+    # cosines are 0 and it can never rank into anyone's top-k with NaN
+    # ordering artifacts
+    qd = np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_norm = np.divide(q_mat, qd, out=np.zeros_like(q_mat), where=qd > 0)
 
     def score(batches):
         for pdf in batches:
@@ -348,7 +353,10 @@ def cosine_topk_arrow(
                 continue
             c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
             c_norm = np.linalg.norm(c_mat, axis=1, keepdims=True)
-            sims = (c_mat / c_norm) @ q_norm.T  # (batch, n_queries)
+            c_unit = np.divide(
+                c_mat, c_norm, out=np.zeros_like(c_mat), where=c_norm > 0
+            )
+            sims = c_unit @ q_norm.T  # (batch, n_queries)
             n = len(pdf)
             yield pd.DataFrame(
                 {
@@ -1295,7 +1303,14 @@ def semantic_dedup_pairs(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("eb"),
         F.col("_n").alias("nb"), "cluster",
     )
-    cos = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    # try_divide across the cosine family: a ZERO vector has norm 0 and
+    # ANSI division throws where the SQL twins' CASE WHEN den > 0 guard
+    # yields NULL — NULL cosines then fail every downstream threshold/
+    # rank comparison, which is the correct "undefined similarity"
+    # semantics (found by the round-11 degenerate-payload sweep)
+    cos = F.try_divide(
+        dot(F.col("ea"), F.col("eb")), F.col("na") * F.col("nb")
+    )
     return (
         a.join(b, "cluster")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -1496,8 +1511,12 @@ def cosine_topk_sq8(
         F.col("vn").alias("cvn"),
         F.col("rn").alias("crn"),
     )
-    cos_q = dot(F.col("qrv"), F.col("crv")) / (F.col("qrn") * F.col("crn"))
-    cos_x = dot(F.col("qv"), F.col("cv")) / (F.col("qvn") * F.col("cvn"))
+    cos_q = F.try_divide(
+        dot(F.col("qrv"), F.col("crv")), F.col("qrn") * F.col("crn")
+    )
+    cos_x = F.try_divide(
+        dot(F.col("qv"), F.col("cv")), F.col("qvn") * F.col("cvn")
+    )
     scored = (
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -1780,8 +1799,12 @@ def cosine_topk_pq(
         F.col("vn").alias("cvn"),
         F.col("rn").alias("crn"),
     )
-    cos_pq = dot(F.col("qv"), F.col("crv")) / (F.col("qvn") * F.col("crn"))
-    cos_x = dot(F.col("qv"), F.col("cv")) / (F.col("qvn") * F.col("cvn"))
+    cos_pq = F.try_divide(
+        dot(F.col("qv"), F.col("crv")), F.col("qvn") * F.col("crn")
+    )
+    cos_x = F.try_divide(
+        dot(F.col("qv"), F.col("cv")), F.col("qvn") * F.col("cvn")
+    )
     scored = (
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -1996,8 +2019,12 @@ def cosine_topk_ivfpq(
         vec_col="qv",
         n_best=n_probe,
     ).withColumn("qn", norm(F.col("qv")))
-    cos_a = dot(F.col("qv"), F.col("xh")) / (F.col("qn") * F.col("xn"))
-    cos_x = dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    cos_a = F.try_divide(
+        dot(F.col("qv"), F.col("xh")), F.col("qn") * F.col("xn")
+    )
+    cos_x = F.try_divide(
+        dot(F.col("qv"), F.col("cv")), F.col("qn") * F.col("cn")
+    )
     scored = (
         F.broadcast(probes)
         .join(xhat, "cell")

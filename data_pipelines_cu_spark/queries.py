@@ -2277,9 +2277,15 @@ def value_outliers_by_type(spark, sf_dir):
         .select(
             "s_type",
             "mu",
+            # try_divide: a 1-event group has n-1 = 0 — ANSI throws where
+            # the DuckDB twin yields NULL sigma (whose outlier predicate
+            # then excludes the group, the right call for a sample of 1)
             F.sqrt(
-                (F.col("ssq") - F.col("n").cast("double") * F.col("mu") * F.col("mu"))
-                / (F.col("n") - 1)
+                F.try_divide(
+                    F.col("ssq")
+                    - F.col("n").cast("double") * F.col("mu") * F.col("mu"),
+                    F.col("n") - 1,
+                )
             ).alias("sigma"),
         )
     )

@@ -73,3 +73,76 @@ def test_every_query_survives_all_null_payloads(spark, null_sf_dir):
         except Exception as ex:  # noqa: BLE001 — collecting the sweep
             failures.append(f"{name}: {type(ex).__name__}: {str(ex)[:160]}")
     assert not failures, "\n".join(failures)
+
+
+@pytest.fixture(scope="module")
+def degenerate_text_sf_dir(spark, sf_dir, tmp_path_factory):
+    """Present-but-degenerate payloads — the class the round-11
+    property test caught (a doc whose text normalizes to EMPTY made
+    every per-doc character count 0 and tripped ANSI DIVIDE_BY_ZERO
+    where the DuckDB twin returns NULL). NULL payloads (the sweep
+    above) vanish at explode/filter; EMPTY payloads survive into the
+    aggregate with zero-valued stats, which is a different failure
+    surface. documents get empty/whitespace/single-char/repeated-token
+    texts; embeddings get an all-zero vector (norm 0 — every cosine
+    denominator's worst case); events get a zero value."""
+    from pyspark.sql import functions as F
+
+    from data_pipelines_cu_spark.catalog import TABLES
+
+    out = tmp_path_factory.mktemp("degen_sf")
+    for name in TABLES:
+        raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if name == "documents":
+            base = raw.limit(4).collect()
+            texts = ["", "   \t  ", "x", "the the the the"]
+            rows = [
+                r.asDict() | {"text": texts[i], "n_chars": len(texts[i])}
+                for i, r in enumerate(base)
+            ]
+            spark.createDataFrame(rows, raw.schema).write.parquet(
+                str(out / f"{name}.parquet")
+            )
+        elif name == "embeddings":
+            dim = len(raw.limit(1).collect()[0]["embedding"])
+            two = raw.limit(2)
+            degen = two.select(
+                "vec_id",
+                F.when(
+                    F.col("vec_id") == two.collect()[0]["vec_id"],
+                    F.array(*[F.lit(0.0) for _ in range(dim)]).cast(
+                        dict(raw.dtypes)["embedding"]
+                    ),
+                ).otherwise(F.col("embedding")).alias("embedding"),
+                *[c for c in raw.columns if c not in ("vec_id", "embedding")],
+            )
+            degen.write.parquet(str(out / f"{name}.parquet"))
+        elif name == "events":
+            two = raw.limit(2)
+            first_id = two.collect()[0]["event_id"]
+            degen = two.select(
+                *[
+                    F.when(F.col("event_id") == first_id, F.lit(0.0))
+                    .otherwise(F.col(c))
+                    .cast(dict(raw.dtypes)[c])
+                    .alias(c)
+                    if c == "value"
+                    else F.col(c)
+                    for c in raw.columns
+                ]
+            )
+            degen.write.parquet(str(out / f"{name}.parquet"))
+        else:
+            raw.limit(2).write.parquet(str(out / f"{name}.parquet"))
+    return str(out)
+
+
+def test_every_query_survives_degenerate_payloads(spark, degenerate_text_sf_dir):
+    failures = []
+    for name, q in sorted(all_queries().items()):
+        try:
+            n = q.fn(spark, degenerate_text_sf_dir).count()
+            assert n >= 0
+        except Exception as ex:  # noqa: BLE001 — collecting the sweep
+            failures.append(f"{name}: {type(ex).__name__}: {str(ex)[:160]}")
+    assert not failures, "\n".join(failures)

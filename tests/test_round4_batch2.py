@@ -90,10 +90,25 @@ def test_longest_dup_span_finds_contiguous_block(spark):
     assert rows[3]["longest_dup_span_tokens"] == 0
 
 
-def test_pagerank_rank_joins_broadcast(spark):
+def test_pagerank_final_plan_is_materialized(spark):
+    """Round 11 changed pagerank's contract: every iteration's joins
+    (rank broadcast onto cached edges) execute at BUILD time behind
+    per-round localCheckpoints, so the returned frame is a select over
+    the materialized rank table — zero exchanges, zero scans for any
+    number of downstream consumers (the old test asserted a broadcast
+    in the FINAL lazy plan, which no longer exists by design; the
+    broadcast now happens inside each round's checkpoint build —
+    F.broadcast(prev) in operators/graph.py). On a symmetric 4-cycle
+    every node's rank is identical and mass is conserved up to
+    floor-division slack."""
     nodes = spark.createDataFrame([(i,) for i in range(4)], "v long")
     edges = spark.createDataFrame(
         [(i, (i + 1) % 4, 1) for i in range(4)], "src long, dst long, w long"
     )
-    plan = gr.pagerank(nodes, edges, n_iters=2)._jdf.queryExecution().toString()
-    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+    ranks = gr.pagerank(nodes, edges, n_iters=2)
+    plan = ranks._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan
+    assert "Exchange" not in plan and "FileScan" not in plan
+    vals = [r.pr_scaled for r in ranks.collect()]
+    assert len(set(vals)) == 1 and len(vals) == 4  # symmetry
+    assert abs(sum(vals) - gr.SCALE) <= 4 * 4  # floor-div slack only
