@@ -775,6 +775,7 @@ def build_ivf_index(
     lloyd_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> list[tuple[int, list[float]]]:
     """Materialize the IVF inverted file: corpus vectors written as parquet
     PARTITIONED BY their nearest-centroid cell, returning the (tiny)
@@ -788,18 +789,143 @@ def build_ivf_index(
     in its plan test). Same deterministic seeding + Lloyd refinement as
     `cosine_topk_ivf`, so a fresh index over the same corpus is
     reproducible bit-for-bit."""
-    seeds = corpus.filter(F.col(id_col) < n_centroids).select(id_col, vec_col)
-    seed_rows = [(r[0], [float(x) for x in r[1]]) for r in seeds.collect()]
-    cent_rows = (
-        lloyd_refine_rows(corpus, seed_rows, n_iters=lloyd_iters, vec_col=vec_col)
-        if lloyd_iters > 0
-        else sorted(seed_rows)
-    )
+    if centroids is not None:
+        # rebuild/compact under FROZEN centroids: cell assignment is a
+        # pure function of (vector, centroids), so the index layout is
+        # reproducible without re-running the training loop
+        cent_rows = sorted(centroids)
+    else:
+        seeds = corpus.filter(F.col(id_col) < n_centroids).select(
+            id_col, vec_col
+        )
+        seed_rows = [(r[0], [float(x) for x in r[1]]) for r in seeds.collect()]
+        cent_rows = (
+            lloyd_refine_rows(
+                corpus, seed_rows, n_iters=lloyd_iters, vec_col=vec_col
+            )
+            if lloyd_iters > 0
+            else sorted(seed_rows)
+        )
     indexed = ivf_assign_arrow(
         corpus.select(id_col, vec_col), cent_rows, vec_col=vec_col
+    ).withColumn("wave", F.lit(0))
+    # static overwrite pinned: a REBUILD over an existing path must drop
+    # every old (cell, wave) partition, not just the ones present in the
+    # new data (the session default is dynamic for the upsert paths)
+    (
+        indexed.write.partitionBy("cell", "wave")
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .parquet(path)
     )
-    indexed.write.partitionBy("cell").mode("overwrite").parquet(path)
     return cent_rows
+
+
+def upsert_ivf_index(
+    new_vectors: DataFrame,
+    path: str,
+    centroids: list[tuple[int, list[float]]],
+    wave: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental wave append to a persisted IVF index under FROZEN
+    centroids — the serving-side reality a one-shot build ignores: new
+    vectors arrive for months while the centroid artifact stays fixed
+    (retraining centroids would move every existing cell assignment).
+
+    Each wave lands in its (cell, wave) partitions via dynamic
+    partition overwrite, so a crashed-and-replayed ingest REPLACES its
+    partitions instead of doubling rows (the upsert_partitions
+    idempotency contract), and partition pruning on ``cell`` — the
+    outer partition level — is untouched: queries still list only
+    probed cells.
+
+    Re-ingested ids (same ``id_col``, new embedding): the query path
+    keeps the newest wave per id within the cells it probes, so a
+    same-cell update is visible immediately; an update that MOVES a
+    vector across cells leaves the stale copy in the old cell until
+    :func:`compact_ivf_index` reconciles (documented staleness — the
+    standard LSM/lakehouse trade: cheap upserts, periodic compaction).
+    """
+    if wave < 1:
+        raise ValueError(
+            f"upsert_ivf_index: wave must be >= 1 (wave 0 is the build), "
+            f"got {wave}"
+        )
+    from .upsert import upsert_partitions  # noqa: PLC0415
+
+    assigned = ivf_assign_arrow(
+        new_vectors.select(id_col, vec_col), sorted(centroids), vec_col=vec_col
+    ).withColumn("wave", F.lit(wave))
+    upsert_partitions(assigned, path, ["cell", "wave"])
+
+
+def compact_ivf_index(
+    spark,
+    path: str,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Compaction: collapse all waves to keep-last per id, REASSIGN every
+    survivor's cell from its (possibly updated) embedding, and rewrite
+    the index as a fresh wave 0 — after this, cross-cell staleness is
+    gone and the index equals a clean :func:`build_ivf_index` of the
+    survivor set under the same frozen centroids (pinned by test).
+    Keep-last is (wave DESC, then embedding-bytes for a deterministic
+    same-wave tiebreak); run it offline like the build — the rewrite is
+    a plain overwrite, not a snapshot-isolated publish."""
+    raw = spark.read.parquet(path)
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("wave").desc(), F.col(vec_col).cast("string")
+    )
+    latest = (
+        raw.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, vec_col)
+        # the source partitions are rewritten below — cut the lineage so
+        # the write doesn't read the files it is replacing
+        .localCheckpoint(eager=True)
+    )
+    indexed = ivf_assign_arrow(
+        latest, sorted(centroids), vec_col=vec_col
+    ).withColumn("wave", F.lit(0))
+    # static overwrite: compaction REPLACES the whole index — dynamic
+    # mode would leave the superseded wave partitions on disk
+    (
+        indexed.write.partitionBy("cell", "wave")
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .parquet(path)
+    )
+
+
+def ivf_index_report(spark, path: str, id_col: str = "vec_id") -> DataFrame:
+    """Index-health report per cell: (cell, n_rows, n_ids, n_waves,
+    latest_wave, dup_ids) — ``dup_ids`` (ids present in >1 row within
+    the cell) is the compaction debt a serving operator watches, and a
+    max/mean skew over ``n_rows`` across cells is the
+    rebuild-the-centroids signal (a drifting distribution concentrates
+    new vectors in few cells). One aggregate over the index; never
+    corpus-wide state on the driver."""
+    raw = spark.read.parquet(path)
+    per_id = raw.groupBy("cell", id_col).agg(
+        F.count(F.lit(1)).alias("_n"), F.max("wave").alias("_w")
+    )
+    return (
+        per_id.groupBy("cell")
+        .agg(
+            F.sum("_n").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_ids"),
+            F.count_distinct("_w").alias("n_waves"),
+            F.max("_w").alias("latest_wave"),
+            F.sum(F.when(F.col("_n") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("dup_ids"),
+        )
+        .orderBy("cell")
+    )
 
 
 def query_ivf_index(
@@ -825,6 +951,20 @@ def query_ivf_index(
     )
     probe_cells = sorted({r["cell"] for r in probes.select("cell").distinct().collect()})
     index = spark.read.parquet(path).filter(F.col("cell").isin(probe_cells))
+    if "wave" in index.columns:
+        # incremental index (build + upsert waves): keep the NEWEST wave
+        # per id within the probed cells — a re-ingested vector
+        # supersedes its older same-cell copies; the window runs over
+        # the probed subset only, so its cost is cell-bounded (see
+        # upsert_ivf_index for the cross-cell staleness contract)
+        wlast = Window.partitionBy(id_col).orderBy(
+            F.col("wave").desc(), F.col(vec_col).cast("string")
+        )
+        index = (
+            index.withColumn("_rn", F.row_number().over(wlast))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
     indexed = index.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "cell"
     )

@@ -580,6 +580,113 @@ def test_bpe_artifact_property_random_corpora(spark):
     check()
 
 
+# --- incremental IVF index (wave upsert + compaction) ------------------------
+
+
+def test_ivf_index_incremental_upsert_equals_full_build(spark, tmp_path):
+    """Serving-shape ANN index lifecycle: build on the first half of the
+    corpus, land the rest as two upsert waves under the FROZEN
+    centroids — queries over the incremental index must equal queries
+    over a one-shot build of the full corpus with the same centroids
+    (cell assignment is a pure function of vector x centroids). Replays
+    of a wave are partition-idempotent; the health report counts waves
+    and compaction debt; compaction collapses to a wave-0 layout that
+    equals the clean build exactly."""
+    from pyspark.sql import functions as F
+
+    from data_pipelines_cu_spark.operators import similarity as sim
+
+    em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    half = em.filter(F.col("vec_id") % 2 == 0)
+    w1 = em.filter((F.col("vec_id") % 2 == 1) & (F.col("vec_id") % 4 == 1))
+    w2 = em.filter((F.col("vec_id") % 2 == 1) & (F.col("vec_id") % 4 == 3))
+    queries = em.filter(F.col("vec_id") < 3)
+
+    inc_path = str(tmp_path / "ivf_inc")
+    full_path = str(tmp_path / "ivf_full")
+    cents = sim.build_ivf_index(half, inc_path, n_centroids=8, lloyd_iters=2)
+    sim.build_ivf_index(em, full_path, centroids=cents)
+
+    sim.upsert_ivf_index(w1, inc_path, cents, wave=1)
+    sim.upsert_ivf_index(w2, inc_path, cents, wave=2)
+
+    def q(path):
+        return sorted(
+            tuple(r)
+            for r in sim.query_ivf_index(
+                spark, path, cents, queries, k=5, n_probe=2
+            ).collect()
+        )
+
+    assert q(inc_path) == q(full_path) and len(q(inc_path)) > 0
+
+    # replay idempotency: re-landing wave 2 changes nothing
+    sim.upsert_ivf_index(w2, inc_path, cents, wave=2)
+    assert q(inc_path) == q(full_path)
+
+    report = {r.cell: r for r in sim.ivf_index_report(spark, inc_path).collect()}
+    assert sum(r.n_rows for r in report.values()) == em.count()
+    assert all(r.dup_ids == 0 for r in report.values())
+    assert max(r.latest_wave for r in report.values()) == 2
+
+    # wave 0 is the build's namespace — refused
+    with pytest.raises(ValueError, match="wave"):
+        sim.upsert_ivf_index(w1, inc_path, cents, wave=0)
+
+
+def test_ivf_index_reingest_and_compact(spark, tmp_path):
+    """Update semantics: a re-ingested id supersedes its older copy at
+    query time (keep-newest-wave within probed cells), the report counts
+    it as compaction debt, and compact_ivf_index reconciles the index to
+    exactly a clean build of the updated corpus — including reassigning
+    a vector whose NEW embedding belongs in a different cell."""
+    from pyspark.sql import functions as F
+
+    from data_pipelines_cu_spark.operators import similarity as sim
+
+    em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    cents = sim.build_ivf_index(em, path, n_centroids=8, lloyd_iters=2)
+
+    # re-ingest vec_id=5 with ANOTHER vector's embedding (vec 40's) —
+    # deterministic, and plausibly a different cell
+    donor = em.filter(F.col("vec_id") == 40).collect()[0]["embedding"]
+    updated = em.filter(F.col("vec_id") == 5).select(
+        "vec_id",
+        F.lit(donor).cast(dict(em.dtypes)["embedding"]).alias("embedding"),
+        *[c for c in em.columns if c not in ("vec_id", "embedding")],
+    )
+    sim.upsert_ivf_index(updated.select("vec_id", "embedding"), path, cents, wave=1)
+
+    report = sim.ivf_index_report(spark, path)
+    assert report.agg(F.sum("dup_ids")).collect()[0][0] >= 0  # debt tracked
+
+    sim.compact_ivf_index(spark, path, cents)
+    after = spark.read.parquet(path)
+    assert after.filter(F.col("vec_id") == 5).count() == 1
+    got5 = after.filter(F.col("vec_id") == 5).collect()[0]
+    assert [round(float(x), 6) for x in got5["embedding"]] == [
+        round(float(x), 6) for x in donor
+    ]
+    # compacted index == clean build of the updated corpus, row for row
+    fresh_path = str(tmp_path / "ivf_fresh")
+    fresh_corpus = em.filter(F.col("vec_id") != 5).select(
+        "vec_id", "embedding"
+    ).unionByName(updated.select("vec_id", "embedding"))
+    sim.build_ivf_index(fresh_corpus, fresh_path, centroids=cents)
+    rows_a = sorted(
+        (r.vec_id, r.cell, tuple(round(float(x), 6) for x in r.embedding))
+        for r in after.collect()
+    )
+    rows_b = sorted(
+        (r.vec_id, r.cell, tuple(round(float(x), 6) for x in r.embedding))
+        for r in spark.read.parquet(fresh_path).collect()
+    )
+    assert rows_a == rows_b
+    rep2 = {r.cell: r for r in sim.ivf_index_report(spark, path).collect()}
+    assert all(r.dup_ids == 0 and r.n_waves == 1 for r in rep2.values())
+
+
 # --- pagerank iteration materialization --------------------------------------
 
 
