@@ -1174,6 +1174,49 @@ def tv_drift_from_batches(spark, counts_path: str) -> DataFrame:
     return tv_drift_from_counts(st)
 
 
+def run_streaming_ivf_upsert(
+    vectors: DataFrame,
+    index_path: str,
+    centroids: list,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Live ingest half of the ANN index lifecycle: embedding vectors
+    arrive as a stream and land in the persisted IVF index as one
+    upsert wave per micro-batch, assigned under the FROZEN centroid
+    artifact (similarity.upsert_ivf_index). ``wave = batch_id + 1``
+    (wave 0 is the build's namespace), so a replayed micro-batch
+    rewrites exactly its own (cell, wave) partitions — the checkpoint
+    replay contract comes free from the wave design. Queries against
+    the index (query_ivf_index) see each wave as soon as its batch
+    commits; compaction (compact_ivf_index) runs offline on the
+    operator's cadence, exactly as in batch."""
+    from ..operators.similarity import upsert_ivf_index
+
+    cent_rows = sorted(centroids)
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        upsert_ivf_index(
+            batch.select(id_col, vec_col),
+            index_path,
+            cent_rows,
+            wave=batch_id + 1,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+
+    writer = (
+        vectors.writeStream.outputMode("append")
+        .foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def run_streaming_bpe_encode(
     docs: DataFrame,
     merges: DataFrame,

@@ -580,6 +580,63 @@ def test_bpe_artifact_property_random_corpora(spark):
     check()
 
 
+# --- unicode casing divergence, characterized ---------------------------------
+
+
+def test_unicode_casing_divergence_characterized(spark, duck):
+    """Round-11 unicode probe finding, pinned: Spark (Java/ICU) applies
+    UNICODE SPECIAL CASING in lower() — Turkish dotted capital İ
+    (U+0130) lowers to 'i' + COMBINING DOT ABOVE (two codepoints), and
+    a word-final Greek Σ lowers to final sigma ς — while DuckDB's
+    lower() does simple codepoint mapping ('i', 'σ'). Spark's behavior
+    is the linguistically correct one and the engine keeps it; the
+    DuckDB twins are verification scaffolding, so the harness corpus
+    stays within the (overwhelmingly large) agreeing subset. This test
+    characterizes the boundary so a future engine/duckdb upgrade that
+    MOVES it fails loudly instead of silently shifting hash gates:
+    German ß, CJK, precomposed accents, emoji, and plain ASCII must
+    agree; İ and final-Σ are the two known divergences."""
+    import pandas as pd
+
+    from data_pipelines_cu_spark.operators.dedup import normalized_text
+
+    agree = [
+        "Grüße STRASSE Straße",     # ß unchanged by lower() on both
+        "日本語 テスト 日本語",        # no case
+        "étude étude Étude",        # precomposed accents
+        "emoji 🎉🎉 mix 🎉 test! ?",  # astral plane
+        "PLAIN ascii Text 123",
+        "ırmak dotless i",          # Turkish LOWER dotless i: no casing
+    ]
+    diverge = [
+        "İstanbul",   # U+0130 -> 'i\\u0307' (Spark) vs 'i' (DuckDB)
+        "ΣΟΦΟΣ",      # final Σ -> 'ς' (Spark) vs 'σ' (DuckDB)
+    ]
+    texts = agree + diverge
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.n
+        for r in df.select(
+            "doc_id", normalized_text("text").alias("n")
+        ).collect()
+    }
+    duck.register("casing_probe", pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+    oracle = dict(
+        duck.execute(
+            "SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+            " FROM casing_probe"
+        ).fetchall()
+    )
+    for i in range(len(agree)):
+        assert got[i] == oracle[i], f"agreeing row {i} diverged: {texts[i]!r}"
+    # the two KNOWN divergences — exact forms pinned on both sides
+    assert got[len(agree)] == "i̇stanbul" and oracle[len(agree)] == "istanbul"
+    assert got[len(agree) + 1] == "σοφος" and got[len(agree) + 1].endswith("ς")
+    assert oracle[len(agree) + 1] == "σοφοσ"
+
+
 # --- incremental IVF index (wave upsert + compaction) ------------------------
 
 
@@ -685,6 +742,73 @@ def test_ivf_index_reingest_and_compact(spark, tmp_path):
     assert rows_a == rows_b
     rep2 = {r.cell: r for r in sim.ivf_index_report(spark, path).collect()}
     assert all(r.dup_ids == 0 and r.n_waves == 1 for r in rep2.values())
+
+
+def test_streaming_ivf_upsert_matches_full_build(spark, tmp_path):
+    """Streaming ingest parity for the ANN index: build on half the
+    corpus, stream the rest in ≥2 micro-batches (each a wave), and
+    queries over the streamed index equal a one-shot build of the full
+    corpus under the same frozen centroids — plus kill-free replay
+    safety by construction (wave = batch_id + 1 rewrites its own
+    partitions)."""
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_pipelines_cu_spark.operators import similarity as sim
+    from data_pipelines_cu_spark.streaming.jobs import (
+        run_streaming_ivf_upsert,
+    )
+
+    em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    half = em.filter(F.col("vec_id") % 2 == 0)
+    rest = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in em.filter(F.col("vec_id") % 2 == 1)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    queries = em.filter(F.col("vec_id") < 3)
+
+    inc_path = str(tmp_path / "ivf_stream")
+    full_path = str(tmp_path / "ivf_full")
+    cents = sim.build_ivf_index(half, inc_path, n_centroids=8, lloyd_iters=2)
+    sim.build_ivf_index(em, full_path, centroids=cents)
+
+    src = tmp_path / "vec_in"
+    src.mkdir()
+    mid = len(rest) // 2
+    for i, chunk in enumerate((rest[:mid], rest[mid:])):
+        with open(src / f"part-{i}.json", "w") as f:
+            for vid, vec in chunk:
+                f.write(_json.dumps({"vec_id": vid, "embedding": vec}) + "\n")
+        os.utime(
+            src / f"part-{i}.json",
+            (1_700_000_000 + i * 60, 1_700_000_000 + i * 60),
+        )
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = run_streaming_ivf_upsert(
+        stream, inc_path, cents, checkpoint=str(tmp_path / "ck")
+    )
+    assert q.awaitTermination(120), "streaming IVF ingest timed out"
+
+    landed = spark.read.parquet(inc_path)
+    assert landed.select("wave").distinct().count() >= 3  # build + 2 waves
+
+    def topk(path):
+        return sorted(
+            tuple(r)
+            for r in sim.query_ivf_index(
+                spark, path, cents, queries, k=5, n_probe=2
+            ).collect()
+        )
+
+    assert topk(inc_path) == topk(full_path) and len(topk(inc_path)) > 0
 
 
 # --- pagerank iteration materialization --------------------------------------
