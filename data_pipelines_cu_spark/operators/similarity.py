@@ -345,7 +345,11 @@ def cosine_topk_arrow(
     # cosines are 0 and it can never rank into anyone's top-k with NaN
     # ordering artifacts
     qd = np.linalg.norm(q_mat, axis=1, keepdims=True)
-    q_norm = np.divide(q_mat, qd, out=np.zeros_like(q_mat), where=qd > 0)
+    # dividing by where(norm>0, norm, 1) zeroes the zero rows (0/1 = 0)
+    # at the cost of one pass over the NORM VECTOR — the masked
+    # np.divide(out=zeros, where=...) form costs a full-matrix
+    # allocation + mask application per batch
+    q_norm = q_mat / np.where(qd > 0, qd, 1.0)
 
     def score(batches):
         for pdf in batches:
@@ -353,9 +357,7 @@ def cosine_topk_arrow(
                 continue
             c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
             c_norm = np.linalg.norm(c_mat, axis=1, keepdims=True)
-            c_unit = np.divide(
-                c_mat, c_norm, out=np.zeros_like(c_mat), where=c_norm > 0
-            )
+            c_unit = c_mat / np.where(c_norm > 0, c_norm, 1.0)
             sims = c_unit @ q_norm.T  # (batch, n_queries)
             n = len(pdf)
             yield pd.DataFrame(
