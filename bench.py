@@ -142,12 +142,22 @@ def _timed(run, repeats: int = REPEATS) -> float:
     """Median of ``repeats`` wall-clock runs — robust to one-off load spikes
     on a shared box (min hides queueing, mean absorbs it; median reports the
     typical run)."""
+    return _timed_stats(run, repeats)[0]
+
+
+def _timed_stats(run, repeats: int = REPEATS) -> tuple[float, float]:
+    """(median, min) of ``repeats`` wall-clock runs. The median is the
+    headline (typical run); the min is the stall-triage hint — on a box in
+    a scheduler-starvation spell the min approaches the true compute cost
+    while the median absorbs the queueing, so a flag whose min clears the
+    regression threshold is box noise, not code (the round-11 flag burst:
+    11 queries flagged on a probe-3.979 box, 10 of 11 cleared isolated)."""
     samples = []
     for _ in range(repeats):
         start = time.perf_counter()
         run()
         samples.append(time.perf_counter() - start)
-    return round(statistics.median(samples), 3)
+    return round(statistics.median(samples), 3), round(min(samples), 3)
 
 
 def _noop_write(df) -> None:
@@ -180,6 +190,31 @@ def cpu_probe(spark) -> float:
 
     burn()  # codegen warm-up
     return round(statistics.median(burn() for _ in range(3)), 3)
+
+
+def sched_probe(spark) -> dict[str, float]:
+    """Scheduler-stall yardstick: median/min wall latency of 20 trivial
+    one-task jobs (``spark.range(1).count()``), in milliseconds. The
+    cpu_probe measures CPU-frequency-type slowdown only — one job of 32
+    fat tasks amortizes scheduling latency to nothing — so it is blind to
+    the starvation spells this box exhibits (proven by the r10 calibration
+    row and r11's 11-flag burst at a flat probe: measured here, trivial-job
+    latency runs 5-20 ms healthy and 100-190 ms mid-spell, inflating every
+    multi-job sub-second query ~2x while cpu_probe moves <15%). Reported
+    next to cpu_probe so a flag shower on a stalled box is mechanically
+    attributable: sched_probe_ms >> anchor's reading = box spell, re-measure
+    isolated before touching code. Median of 20 after one warm-up job; the
+    min is the floor the scheduler actually achieves mid-run."""
+    spark.range(1).count()  # warm: codegen + first-job setup, untimed
+    lat = []
+    for _ in range(20):
+        t0 = time.perf_counter()
+        spark.range(1).count()
+        lat.append((time.perf_counter() - t0) * 1000.0)
+    return {
+        "sched_probe_ms": round(statistics.median(lat), 1),
+        "sched_probe_min_ms": round(min(lat), 1),
+    }
 
 
 def skew_demo(spark, sf_dir: str) -> dict[str, float]:
@@ -250,6 +285,7 @@ def detect_regressions(
     threshold: float = 1.5,
     floor_sec: float = 0.5,
     sf=None,
+    current_min: dict[str, float] | None = None,
 ) -> list[dict]:
     """Mechanical per-query regression detection against the prior
     recorded run, normalized by the cpu_probe box-speed ratio — the
@@ -260,7 +296,15 @@ def detect_regressions(
     median-of-1 long-tail resolution). Every flagged entry must be
     triaged in BASELINE.md before the round closes: either a real
     regression (fix it) or an in-run anomaly (re-measure isolated and
-    record the reading)."""
+    record the reading).
+
+    When per-query minimums are available (``current_min``, recorded since
+    round 12), each flag additionally carries ``current_min_sec`` and
+    ``min_ratio`` (min / box-normalized prior) plus ``stall_suspect: true``
+    when the min clears the threshold the median tripped — i.e. at least
+    one of the repeats ran at expected speed, so the flag is scheduler
+    queueing, not a plan change. A stall_suspect flag still needs its
+    BASELINE.md triage line, but the verdict is mechanical."""
     if not prior:
         return []
     if sf is not None and prior.get("sf") != sf:
@@ -283,15 +327,20 @@ def detect_regressions(
         if max(cur, expected) < floor_sec:
             continue
         if cur > threshold * expected:
-            flagged.append(
-                {
-                    "query": name,
-                    "prior_sec": pw,
-                    "expected_sec": round(expected, 3),
-                    "current_sec": cur,
-                    "normalized_ratio": round(cur / expected, 2),
-                }
-            )
+            entry = {
+                "query": name,
+                "prior_sec": pw,
+                "expected_sec": round(expected, 3),
+                "current_sec": cur,
+                "normalized_ratio": round(cur / expected, 2),
+            }
+            cmin = (current_min or {}).get(name)
+            if cmin is not None:
+                entry["current_min_sec"] = cmin
+                entry["min_ratio"] = round(cmin / expected, 2)
+                if cmin <= threshold * expected:
+                    entry["stall_suspect"] = True
+            flagged.append(entry)
     flagged.sort(key=lambda r: -r["normalized_ratio"])
     return flagged
 
@@ -313,9 +362,18 @@ def load_anchor(repo_dir: Path) -> tuple[dict | None, str]:
     bench diagnostics so every BENCH artifact states which anchor it
     was judged against — "MISSING (regression gate inert)" is printed
     rather than silently flagging nothing."""
+    # anchored round extraction, not an all-digits join: a stem carrying
+    # extra digits (BENCH_ANCHOR_r2_sf1 -> "21") would misorder the
+    # preference list and silently pick a stale anchor
+    import re
+
+    def _round(p: Path) -> int | None:
+        m = re.fullmatch(r"BENCH_ANCHOR_r(\d+)", p.stem)
+        return int(m.group(1)) if m else None
+
     candidates = sorted(
-        repo_dir.glob("BENCH_ANCHOR_r*.json"),
-        key=lambda p: int("".join(filter(str.isdigit, p.stem)) or 0),
+        (p for p in repo_dir.glob("BENCH_ANCHOR_r*.json") if _round(p) is not None),
+        key=_round,
         reverse=True,
     )
     candidates.append(repo_dir / "BENCH_DETAIL.json")
@@ -345,11 +403,14 @@ def main() -> None:
     queries["orders_by_region"].fn(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
+    timings_min: dict[str, float] = {}
     import gc
 
     for name in HEADLINE:
         fn = queries[name].fn
-        timings[name] = _timed(lambda: _noop_write(fn(spark, sf_dir)))
+        timings[name], timings_min[name] = _timed_stats(
+            lambda: _noop_write(fn(spark, sf_dir))
+        )
         # Release the previous query's localCheckpoint RDD blocks (several
         # headline queries pin (vector, cluster, norm)-sized frames in the
         # shared JVM): without the collect, pinned blocks accumulate across
@@ -369,6 +430,7 @@ def main() -> None:
     # diagnostic entries (skew mitigation proof) — reported, not in the total
     extras = skew_demo(spark, sf_dir)
     extras["cpu_probe"] = cpu_probe(spark)
+    extras.update(sched_probe(spark))
     # The reference reading of cpu_probe on the box that set the 78.06s
     # headline record (BASELINE.md round 9). Embedded so every BENCH
     # artifact carries its own normalization hint: headline totals are
@@ -388,7 +450,12 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "", 1).isdigit() else sf
     regressions = detect_regressions(
-        {**timings, **long_tail}, prior, extras["cpu_probe"], sf=sf_val
+        {**timings, **long_tail},
+        prior,
+        extras["cpu_probe"],
+        sf=sf_val,
+        # long-tail entries are median-of-1: their min IS the median
+        current_min={**timings_min, **long_tail},
     )
     detail = {
         "metric": "headline_queries_total_wall",
@@ -396,6 +463,7 @@ def main() -> None:
         "unit": "sec",
         "n": REPEATS,
         "queries": timings,
+        "queries_min": timings_min,
         "long_tail": long_tail,
         "diagnostics": extras,
         "regressions": regressions,
@@ -433,6 +501,12 @@ def main() -> None:
                 # ~2KB tail window and truncate the JSON head
                 "regressions": [r["query"] for r in regressions[:10]],
                 "n_regressions": len(regressions),
+                # flags whose per-query MIN cleared the threshold the
+                # median tripped: mechanically attributable to scheduler
+                # stalls (see sched_probe), not plan changes
+                "n_stall_suspect": sum(
+                    1 for r in regressions if r.get("stall_suspect")
+                ),
                 "sf": sf_val,
             },
             separators=(",", ":"),

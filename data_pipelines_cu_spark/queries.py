@@ -4165,22 +4165,32 @@ def doc_bigram_likelihood(spark, sf_dir):
 def corpus_datacard(spark, sf_dir):
     """One-row dataset summary (the 'data card' a corpus release ships):
     doc/lang/source counts, token totals, exact-dup ratio, mean doc
-    length. Each stat is one aggregate; the 1-row frames cross-join at
-    the end — nothing corpus-sized moves twice."""
+    length. The corpus normalize runs ONCE into a localCheckpoint (the
+    tv_drift pattern, text.py:1175): its three consumers (token stats,
+    doc/lang/source counts, dup-hash groups) previously each compiled
+    their own scan+normalize subtree — the exact redundancy plan_audit
+    detector 3 exists to kill, sitting below its 6-scan threshold (the
+    round-11 verdict's finding 2; BENCH_r11 flagged this query 5.95x).
+    The checkpoint pins normalized text in executor storage for the
+    query's lifetime — the same trade tv_drift makes, and strictly
+    cheaper than three full normalize passes at any scale."""
     from .operators.dedup import normalized_text
 
     d = _t(spark, sf_dir, "documents")
-    words = d.select(F.explode(F.split(normalized_text("text"), " ")).alias("w"))
+    proj = d.select(
+        "lang", "source", normalized_text("text").alias("nt")
+    ).localCheckpoint(eager=True)
+    words = proj.select(F.explode(F.split("nt", " ")).alias("w"))
     tok = words.agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.count_distinct("w").alias("n_distinct_tokens"),
     )
-    base = d.agg(
+    base = proj.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.count_distinct("lang").alias("n_langs"),
         F.count_distinct("source").alias("n_sources"),
     )
-    hc = d.select(F.md5(normalized_text("text")).alias("hh")).groupBy("hh").agg(
+    hc = proj.select(F.md5(F.col("nt")).alias("hh")).groupBy("hh").agg(
         F.count(F.lit(1)).alias("n")
     )
     dup = hc.agg(
