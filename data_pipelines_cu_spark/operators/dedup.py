@@ -1143,9 +1143,13 @@ def source_dup_stats(
     per-source aggregate. The join is digest-to-digest (both sides shrink to
     32 bytes + source), never text-to-text; at 100 TB only hashes move.
     """
+    # digest rows materialize ONCE (plan_audit detector 4: the corpus
+    # normalize+md5 otherwise compiles twice — corpus_counts and the join
+    # side each rebuilt it); the checkpoint is (source, 32-byte digest)
+    # rows, the cheapest possible corpus-grain table
     hashes = df.select(
         F.col(source_col), F.md5(normalized_text(text_col)).alias("h")
-    )
+    ).localCheckpoint(eager=True)
     corpus_counts = hashes.groupBy("h").agg(F.count(F.lit(1)).alias("n"))
     joined = hashes.join(corpus_counts, "h")
     dup_docs = F.sum(F.when(F.col("n") > 1, 1).otherwise(0))
@@ -1429,7 +1433,11 @@ def passage_dup_stats(
                 " ", F.slice("_ws", F.col("_pi") * passage_len + 1, passage_len)
             )
         ).alias("_ph"),
-    )
+    ).localCheckpoint(eager=True)
+    # (id, digest) rows materialize once: counts and the join-back each
+    # consumed their own compile of the tokenize+slice+hash chain before
+    # the cut (plan_audit detector 4); the table is ~n_tokens/passage_len
+    # 32-byte rows per doc — far below the text it derives from
     counts = passages.groupBy("_ph").agg(F.count(F.lit(1)).alias("_n"))
     dup = F.sum(F.when(F.col("_n") > 1, 1).otherwise(0))
     return (
@@ -1803,8 +1811,16 @@ def longest_dup_span(
         .filter(F.col(f"_p{n - 1}").isNotNull())
         .select(
             F.col(id_col), F.col("pos"),
-            F.concat_ws(" ", *[F.col(f"_p{j}") for j in range(n)]).alias("gram"),
+            # gram identity only ever feeds a count and a join — it
+            # travels as a 32-byte digest, never the n-word string
+            F.md5(
+                F.concat_ws(" ", *[F.col(f"_p{j}") for j in range(n)])
+            ).alias("gram"),
         )
+        # materialize ONCE: dup-counts and the runs join each compiled
+        # their own posexplode+lead-window chain before the cut (plan_audit
+        # detector 4) — two per-doc window sorts for one logical pass
+        .localCheckpoint(eager=True)
     )
     dup = (
         grams.groupBy("gram")

@@ -332,9 +332,21 @@ def importance_weighted_sample(
     ).select(
         id_col, "_is_t", hash_bucket(F.col("_w"), n_buckets, salt).alias("_b")
     )
-    counts = toks.groupBy("_b").agg(
-        F.count(F.lit(1)).alias("_cc"),
-        F.sum(F.when(F.col("_is_t"), 1).otherwise(0)).alias("_ct"),
+    # compress the token stream to (doc, is_target, bucket, count) ONCE
+    # and checkpoint it: the raw stream fed three compiled consumers
+    # (bucket counts via totals, bucket counts via weights, the per-doc
+    # score join), i.e. three corpus tokenizes per execution (plan_audit
+    # detector 4 — the nb_lang_predict fix shape). The compressed table
+    # is at most docs x n_buckets rows of four ints; every downstream
+    # stat is an exact linear derivation from it.
+    dbc = (
+        toks.groupBy(id_col, "_is_t", "_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint(eager=True)
+    )
+    counts = dbc.groupBy("_b").agg(
+        F.sum("_c").alias("_cc"),
+        F.sum(F.when(F.col("_is_t"), F.col("_c")).otherwise(0)).alias("_ct"),
     )
     totals = counts.agg(
         F.sum("_cc").alias("_nc"), F.sum("_ct").alias("_nt")
@@ -355,12 +367,17 @@ def importance_weighted_sample(
         )
     )
     scored = (
-        toks.join(weights, "_b")
+        dbc.join(weights, "_b")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
+            # sum of per-occurrence decimals == sum(count x decimal):
+            # decimal arithmetic is exact, so the compressed form is
+            # bit-identical to the old exploded-row aggregate
+            F.sum("_c").alias("n_tokens"),
             F.round(
-                F.sum("_ratio").cast("double") / F.count(F.lit(1)), 6
+                F.sum(F.col("_ratio") * F.col("_c")).cast("double")
+                / F.sum("_c"),
+                6,
             ).alias("imp_weight"),
         )
     )

@@ -320,9 +320,25 @@ def bloom_decontamination_stats(
     on the prefiltered set and n_false_pos = bloom - exact."""
     from .dedup import gram_rows
 
-    bench_grams = gram_rows(benchmark, text_col, id_col, n).select("gram").distinct()
+    # both gram tables materialize ONCE (plan_audit detector 4): the
+    # benchmark grams feed the bitmap AND the exact membership join, the
+    # corpus grams feed the bloom-position chain AND the per-doc totals —
+    # uncut, each consumer compiled its own tokenize (the same trade
+    # ngram_containment_pairs pins; the benchmark side is eval-suite
+    # sized, and in production a persisted artifact)
+    bench_grams = (
+        gram_rows(benchmark, text_col, id_col, n)
+        .select("gram")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     bitmap = bloom_bitmap(bench_grams)
-    doc_grams = gram_rows(corpus, text_col, id_col, n).select(id_col, "gram").distinct()
+    doc_grams = (
+        gram_rows(corpus, text_col, id_col, n)
+        .select(id_col, "gram")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     pos = doc_grams.select(
         id_col,
         "gram",

@@ -324,7 +324,10 @@ def pack_sequences(
         F.col(id_col),
         F.size(F.split(normalized_text(text_col), " ")).cast("long").alias("n_tokens"),
         (F.col(id_col) / bucket_size).cast("long").alias("_bkt"),
-    )
+    ).localCheckpoint(eager=True)
+    # three-long rows, one per doc — materialized once so the local cumsum
+    # and the bucket-offset aggregate don't each compile their own corpus
+    # tokenize (plan_audit detector 4)
     w_local = (
         Window.partitionBy("_bkt")
         .orderBy(id_col)
@@ -584,7 +587,16 @@ def oov_rate(
     words = df.select(
         F.col(id_col), F.explode(F.split(normalized_text(text_col), " ")).alias("_w")
     )
-    freq = words.groupBy("_w").agg(F.count(F.lit(1)).alias("_cnt"))
+    # compress to (doc, token, count) ONCE and checkpoint: the vocab pass
+    # and the scoring join each compiled their own corpus tokenize before
+    # the cut (plan_audit detector 4 — the nb_lang/tfidf fix shape); both
+    # are exact linear derivations of the tf table
+    tf = (
+        words.groupBy(id_col, "_w")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint(eager=True)
+    )
+    freq = tf.groupBy("_w").agg(F.sum("_c").alias("_cnt"))
     from .windows import take_ordered  # noqa: PLC0415 (cycle guard)
 
     # guarded top-k selection, not ranking: TakeOrderedAndProject below
@@ -595,14 +607,14 @@ def oov_rate(
             freq, [F.col("_cnt").desc(), F.col("_w").asc()], vocab_size
         ).select("_w", F.lit(True).alias("_in_v"))
     )
-    oov = F.sum(F.when(F.col("_in_v").isNull(), 1).otherwise(0))
+    oov = F.sum(F.when(F.col("_in_v").isNull(), F.col("_c")).otherwise(0))
     return (
-        words.join(vocab, "_w", "left")
+        tf.join(vocab, "_w", "left")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("_c").alias("n_tokens"),
             oov.alias("n_oov"),
-            F.round(oov.cast("double") / F.count(F.lit(1)), 6).alias("oov_rate"),
+            F.round(oov.cast("double") / F.sum("_c"), 6).alias("oov_rate"),
         )
     )
 

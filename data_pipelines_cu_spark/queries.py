@@ -2367,14 +2367,26 @@ def doc_token_rarity(spark, sf_dir):
     words = d.select(
         "doc_id", F.explode(F.split(normalized_text("text"), " ")).alias("w")
     )
-    freq = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    # ONE tokenize: the (doc, token, count) table materializes once; the
+    # corpus frequency and the per-doc stats both derive from it
+    # (plan_audit detector 4). percentile's frequency argument makes the
+    # weighted median over the compressed rows exactly the interpolated
+    # median over the old exploded occurrences.
+    tf = (
+        words.groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    freq = tf.groupBy("w").agg(F.sum("c").alias("cnt"))
     return (
-        words.join(F.broadcast(freq), "w")
+        tf.join(F.broadcast(freq), "w")
         .groupBy("doc_id")
         .agg(
-            F.percentile("cnt", F.lit(0.5)).alias("median_token_freq"),
+            F.percentile("cnt", F.lit(0.5), F.col("c")).alias(
+                "median_token_freq"
+            ),
             F.min("cnt").alias("rarest_token_freq"),
-            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("c").alias("n_tokens"),
         )
     )
 
@@ -3211,14 +3223,24 @@ def doc_tfidf_top_terms(spark, sf_dir):
     words = d.select(
         "doc_id", F.explode(F.split(normalized_text("text"), " ")).alias("w")
     )
-    doc_len = words.groupBy(F.col("doc_id").alias("dl_doc")).agg(
-        F.count(F.lit(1)).alias("n")
+    # ONE tokenize: the (doc, term, count) table materializes once and
+    # every other stat derives from it linearly (plan_audit detector 4 —
+    # the nb_lang fix shape; doc_len/df/n_docs each compiled their own
+    # corpus tokenize before). n_docs == countDistinct(doc_id) here
+    # because split("", " ") yields [""], so every doc emits >= 1 token
+    # row — the empty doc keeps its "" token on both engines.
+    tf = (
+        words.groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
     )
-    tf = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
-    df_tbl = words.groupBy(F.col("w").alias("df_w")).agg(
-        F.countDistinct("doc_id").alias("df")
+    doc_len = tf.groupBy(F.col("doc_id").alias("dl_doc")).agg(
+        F.sum("c").alias("n")
     )
-    nd = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    df_tbl = tf.groupBy(F.col("w").alias("df_w")).agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    nd = doc_len.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.join(doc_len, F.col("doc_id") == F.col("dl_doc"))
         .join(F.broadcast(df_tbl), F.col("w") == F.col("df_w"))
@@ -4110,8 +4132,17 @@ def doc_bigram_likelihood(spark, sf_dir):
             )
         ).alias("_b"),
     ).select("doc_id", F.col("_b.l").alias("l"), F.col("_b.r").alias("r"))
-    c2 = bi.groupBy("l", "r").agg(F.count(F.lit(1)).alias("n2"))
-    c1 = bi.groupBy("l").agg(F.count(F.lit(1)).alias("n1"))
+    # ONE bigram pass: compress to (doc, l, r, count) and checkpoint —
+    # c2/c1/the score join each compiled their own corpus tokenize before
+    # (plan_audit detector 4). Decimal sums over the compressed form are
+    # exact, so sum(p * c) == the old per-occurrence sum(p) bit-for-bit.
+    bic = (
+        bi.groupBy("doc_id", "l", "r")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    c2 = bic.groupBy("l", "r").agg(F.sum("c").alias("n2"))
+    c1 = bic.groupBy("l").agg(F.sum("c").alias("n1"))
     probs = F.broadcast(
         c2.join(c1, "l").select(
             "l",
@@ -4122,12 +4153,12 @@ def doc_bigram_likelihood(spark, sf_dir):
         )
     )
     return (
-        bi.join(probs, ["l", "r"])
+        bic.join(probs, ["l", "r"])
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("c").alias("n_bigrams"),
             F.round(
-                F.sum("p").cast("double") / F.count(F.lit(1)), 6
+                F.sum(F.col("p") * F.col("c")).cast("double") / F.sum("c"), 6
             ).alias("avg_bigram_prob"),
         )
     )
@@ -4451,7 +4482,14 @@ def doc_feature_topk(spark, sf_dir):
     corpora that ship without embeddings. Zero-norm vectors excluded on
     both sides (their cosine is undefined)."""
     d = _t(spark, sf_dir, "documents")
-    feats = tx.hash_doc_features(d).filter(F.col("nrm2") > 0)
+    # (doc, 64-dim vector, norm) rows materialize once: the query side and
+    # the candidate side each compiled their own feature-hash tokenize
+    # before the cut (plan_audit detector 4)
+    feats = (
+        tx.hash_doc_features(d)
+        .filter(F.col("nrm2") > 0)
+        .localCheckpoint(eager=True)
+    )
     q = F.broadcast(
         feats.filter(F.col("doc_id") < 5).select(
             F.col("doc_id").alias("query_id"), F.col("fv").alias("qv")
@@ -4546,10 +4584,15 @@ def curation_v2_shards(spark, sf_dir):
     shard + epoch-order assignment of the survivors. Cheap row-local gate
     first; every stage's shuffle is digest/bucket/shard-keyed."""
     d = _t(spark, sf_dir, "documents")
+    # the CDC gate's survivor ids materialize once (doc_id-only rows):
+    # s1 feeds BOTH the DSIR scoring pass and the s2 survivor join, and
+    # uncut each compiled its own copy of the whole CDC tokenize subtree
+    # (plan_audit detector 4)
     cdc_pass = (
         dd.cdc_chunk_stats(d)
         .filter(F.col("dup_fraction") <= 0.25)
         .select("doc_id")
+        .localCheckpoint(eager=True)
     )
     s1 = d.join(cdc_pass, "doc_id")
     picked = smp.importance_weighted_sample(

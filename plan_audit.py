@@ -40,6 +40,21 @@ until they explode at 100×:
    TRIAGED_SCANS lists queries whose high scan count is a documented
    design choice; they print with "triaged" and don't fail the audit.
 
+4. **Repeated corpus tokenization** — detector 3's floor (≥6 executed
+   scans) is calibrated for scan COUNT, but the expensive redundancy in
+   this engine is the normalize+split+explode subtree over the documents
+   table: tv_drift had 4 scans, nb_lang 3, corpus_datacard 3 — all real
+   multi-compiles of the corpus tokenize, all under the detector-3
+   floor. Detector 4 counts, per /sql execution, FileScan lines over the
+   documents relation in the FINAL executed plan (planDescription — post
+   AQE, ReusedExchange prints as a one-line ref so reused subtrees don't
+   double-count) when that plan bears tokenize markers (regexp_replace +
+   split/explode), and flags the query when any single execution ran ≥2.
+   TRIAGED_TOKENIZE allowlists the legitimate two-pass shapes (a vocab/
+   model pass + an encode/score pass over a checkpointed or broadcast
+   small table) with the reason inline; entries print with "triaged" and
+   don't fail the audit.
+
 Usage: python plan_audit.py [N]   (default 20; needs BENCH_DETAIL.json)
 Prints one line per flagged (query, stage); exits 1 if anything flagged,
 so it slots into CI next to the oracle gate.
@@ -66,6 +81,37 @@ STRAGGLER_FLOOR_MS = 2_000  # ignore ratios on sub-2s stages (noise)
 SCAN_FLOOR = 6  # executed-scan count below which no plan shape flags
 SCAN_RATIO = 2.0  # executed scans per distinct relation that flags
 
+# Detector 4: executions of the documents relation that bear tokenize
+# markers and scan it ≥ TOKENIZE_FLOOR times flag as a repeated corpus
+# tokenization (the normalize+split+explode subtree compiled per consumer).
+TOKENIZE_FLOOR = 2
+
+# Queries whose multi-scan tokenize is a DOCUMENTED two-pass design —
+# two genuinely DIFFERENT linear passes, each compiled once. The
+# pathology detector 4 hunts is N compiles of the SAME pass (fixed in
+# round 12 across 12 operators via compressed-intermediate checkpoints);
+# these four are the honest minimum for their shapes. Entries print with
+# "triaged": true and don't fail the audit.
+TRIAGED_TOKENIZE: dict[str, str] = {
+    "minhash_lsh_pairs": (
+        "LSH candidate pass + exact-Jaccard verify pass — two different "
+        "linear tokenizes; materializing the corpus shingle-set table to "
+        "save the second costs more than the pass it saves"
+    ),
+    "fuzzy_decontamination": (
+        "rides minhash_lsh_pairs: same candidate + verify pass pair"
+    ),
+    "doc_decontamination": (
+        "benchmark grams + corpus grams are two different datasets that "
+        "share one physical table only at the gate fixture"
+    ),
+    "incremental_dedup_new_docs": (
+        "incoming batch + historical index both derive from documents "
+        "only at the gate; the production index is a persisted digest "
+        "table that is never re-tokenized (see incremental_dedup doc)"
+    ),
+}
+
 # Queries whose executed-scan count exceeds the threshold as a DOCUMENTED
 # design choice — they print with "triaged": true and do not fail the
 # audit. Every entry needs the reason inline.
@@ -87,11 +133,15 @@ def _ui(base: str, app_id: str, path: str):
         return json.load(r)
 
 
-def _sql_executions(base: str, app_id: str) -> list:
-    """All /sql executions (paged)."""
+def _sql_executions(base: str, app_id: str, offset: int = 0) -> list:
+    """/sql executions from ``offset`` (paged). Execution ids are assigned
+    monotonically and the endpoint lists them in order, so callers track
+    their next offset and fetch incrementally — re-fetching the whole list
+    from 0 after every query made the REST traffic quadratic over a
+    200-query run (eager-checkpoint queries add many executions each)."""
     out: list = []
     while True:
-        page = _ui(base, app_id, f"/sql?offset={len(out)}&length=100")
+        page = _ui(base, app_id, f"/sql?offset={offset + len(out)}&length=100")
         out.extend(page)
         if len(page) < 100:
             break
@@ -117,6 +167,81 @@ def _scan_flag(
         "max_exec_scans": max_exec_scans,
         "distinct_relations": n_rels,
         "static_census": static_census,
+        **({"triaged": True, "reason": triaged} if triaged else {}),
+    }
+
+
+_SCAN_TREE_RE = re.compile(r"Scan parquet\s*\((\d+)\)")
+_SCAN_FOOTER_RE = re.compile(r"^\((\d+)\) Scan parquet\s*$")
+_ATTR_RE = re.compile(r"(\w+#\d+)")
+
+
+def _doc_tokenize_scans(plan_desc: str) -> int:
+    """Detector-4 metric for ONE execution: how many times the FINAL
+    executed plan compiled the corpus tokenize — Scan-parquet nodes over
+    the documents relation whose own output attributes feed a
+    regexp_replace (the normalize+split subtree), counted in the final
+    plan tree. planDescription is the formatted post-AQE plan: the tree
+    section prints ``Scan parquet  (N)`` per occurrence (a ReusedExchange
+    prints as a one-line reference, so runtime-reused subtrees don't
+    double-count) and the footer maps node id N to its Location and
+    Output attribute ids (``text#15``). A scan counts only when some
+    regexp_replace-bearing footer line references one of ITS attributes —
+    a plain doc-count or quality scan sharing the plan with a tokenize
+    does not count, because the expensive redundancy is the tokenize
+    compile, not the scan itself. Only the ``== Final Plan ==``
+    subsection is counted: the Initial Plan repeats every node and would
+    double the census."""
+    if "regexp_replace" not in plan_desc:
+        return 0
+    # footer pass 1: documents-relation scan node ids and their outputs
+    doc_scan_attrs: dict[str, set[str]] = {}
+    cur_id: str | None = None
+    cur_attrs: set[str] = set()
+    cur_is_doc = False
+    for line in plan_desc.splitlines():
+        m = _SCAN_FOOTER_RE.match(line.rstrip())
+        if m:
+            cur_id, cur_attrs, cur_is_doc = m.group(1), set(), False
+            continue
+        if cur_id is None:
+            continue
+        if not line.strip():
+            if cur_is_doc:
+                doc_scan_attrs[cur_id] = cur_attrs
+            cur_id = None
+        elif line.startswith("Output"):
+            cur_attrs.update(_ATTR_RE.findall(line))
+        elif line.startswith("Location:") and "documents" in line:
+            cur_is_doc = True
+    if cur_id is not None and cur_is_doc:  # footer ends without blank line
+        doc_scan_attrs[cur_id] = cur_attrs
+    # footer pass 2: which of those scans feed a regexp_replace
+    tokenize_ids = set()
+    for line in plan_desc.splitlines():
+        if "regexp_replace" not in line:
+            continue
+        refs = set(_ATTR_RE.findall(line))
+        for sid, attrs in doc_scan_attrs.items():
+            if attrs & refs:
+                tokenize_ids.add(sid)
+    # tree pass: occurrences of tokenize-scan ids in the final plan only
+    tree = plan_desc.split("== Initial Plan ==")[0]
+    return sum(
+        1 for m in _SCAN_TREE_RE.finditer(tree) if m.group(1) in tokenize_ids
+    )
+
+
+def _tokenize_flag(name: str, max_doc_scans: int) -> dict | None:
+    """Detector-4 verdict for one query: None below the floor, a flag
+    dict at/above it ("triaged": True for allowlisted two-pass shapes)."""
+    if max_doc_scans < TOKENIZE_FLOOR:
+        return None
+    triaged = TRIAGED_TOKENIZE.get(name)
+    return {
+        "query": name,
+        "flag": "repeated_corpus_tokenize",
+        "max_doc_tokenize_scans": max_doc_scans,
         **({"triaged": True, "reason": triaged} if triaged else {}),
     }
 
@@ -167,9 +292,10 @@ def audit(n_queries: int = 20) -> int:
         if k in queries
     ][:n_queries]
     seen: set = set()
-    seen_execs: set = set()
-    for ex in _sql_executions(base, app):
-        seen_execs.add(ex["id"])
+    # skip executions predating the audit (warm-up etc.) and page
+    # incrementally from here — ids are monotonic, so each query's
+    # executions are exactly the ones past the last fetched offset
+    next_offset = len(_sql_executions(base, app))
     n_flags = 0
     for name in targets:
         df = queries[name].fn(spark, SF_DIR)
@@ -183,10 +309,12 @@ def audit(n_queries: int = 20) -> int:
         # per consumer/iteration — concentrates its redundant scans in
         # ONE execution (pre-fix nation_trade_pagerank: 14 in one job).
         max_exec_scans = 0
-        for ex in _sql_executions(base, app):
-            if ex["id"] in seen_execs:
-                continue
-            seen_execs.add(ex["id"])
+        # detector 4: documents-relation scans inside tokenize-bearing
+        # final plans, per execution (see _doc_tokenize_scans)
+        max_doc_scans = 0
+        new_execs = _sql_executions(base, app, next_offset)
+        next_offset += len(new_execs)
+        for ex in new_execs:
             max_exec_scans = max(
                 max_exec_scans,
                 sum(
@@ -195,10 +323,19 @@ def audit(n_queries: int = 20) -> int:
                     if node.get("nodeName", "").startswith("Scan parquet")
                 ),
             )
+            max_doc_scans = max(
+                max_doc_scans,
+                _doc_tokenize_scans(ex.get("planDescription", "")),
+            )
         scan_flag = _scan_flag(name, max_exec_scans, static_census)
         if scan_flag is not None:
             print(json.dumps(scan_flag))
             if not scan_flag.get("triaged"):
+                n_flags += 1
+        tok_flag = _tokenize_flag(name, max_doc_scans)
+        if tok_flag is not None:
+            print(json.dumps(tok_flag))
+            if not tok_flag.get("triaged"):
                 n_flags += 1
         for st in _ui(base, app, "/stages?status=complete"):
             key = (st["stageId"], st["attemptId"])
