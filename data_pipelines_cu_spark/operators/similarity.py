@@ -877,8 +877,13 @@ def compact_ivf_index(
     survivor set under the same frozen centroids (pinned by test).
     Keep-last is (wave DESC, then embedding-bytes for a deterministic
     same-wave tiebreak); run it offline like the build — the rewrite is
-    a plain overwrite, not a snapshot-isolated publish."""
+    a plain overwrite, not a snapshot-isolated publish. A legacy index
+    written before the wave partition level (cell-only layout) defaults
+    to wave 0 — it is by definition all build rows, and compacting it
+    migrates it to the current layout."""
     raw = spark.read.parquet(path)
+    if "wave" not in raw.columns:  # pre-round-11 layout: all build rows
+        raw = raw.withColumn("wave", F.lit(0))
     w = Window.partitionBy(id_col).orderBy(
         F.col("wave").desc(), F.col(vec_col).cast("string")
     )
@@ -910,8 +915,12 @@ def ivf_index_report(spark, path: str, id_col: str = "vec_id") -> DataFrame:
     max/mean skew over ``n_rows`` across cells is the
     rebuild-the-centroids signal (a drifting distribution concentrates
     new vectors in few cells). One aggregate over the index; never
-    corpus-wide state on the driver."""
+    corpus-wide state on the driver. A legacy cell-only index reports as
+    all wave 0 (the build namespace) instead of failing on an
+    unresolved column."""
     raw = spark.read.parquet(path)
+    if "wave" not in raw.columns:  # pre-round-11 layout: all build rows
+        raw = raw.withColumn("wave", F.lit(0))
     per_id = raw.groupBy("cell", id_col).agg(
         F.count(F.lit(1)).alias("_n"), F.max("wave").alias("_w")
     )

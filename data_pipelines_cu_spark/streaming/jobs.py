@@ -27,6 +27,19 @@ from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.aggregates import decimal_avg
 
+
+def _never_landed(exc: AnalysisException) -> bool:
+    """True when the read failure means 'no data has ever landed here':
+    the path does not exist (monitor never ran) or exists with no data
+    files (every micro-batch was empty — dynamic overwrite of an empty
+    frame creates the directory but no partitions). Classified by the
+    exception's error condition, not message substrings — the condition
+    names are the stable error-class contract, the message text is
+    Spark-version-specific prose."""
+    getter = getattr(exc, "getCondition", None) or exc.getErrorClass
+    return getter() in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
+
+
 TICK_SCHEMA = T.StructType(
     [
         T.StructField("fetch_time", T.TimestampType(), True),
@@ -334,8 +347,10 @@ def run_cascade(
     agg = hourly_window_agg(ticks)
 
     def process(batch: DataFrame, batch_id: int) -> None:
-        if batch.isEmpty():
-            return
+        # genuinely two-action body (hourly land + affected-date collect):
+        # persist around it so the micro-batch plan executes ONCE — the
+        # old isEmpty() probe was a third execution of the upstream plan
+        batch = batch.localCheckpoint(eager=True)
         spark = batch.sparkSession
         # Hour-granularity partitions: each closed window overwrites only
         # its own (date, hour) directory. Partitioning by date alone would
@@ -343,6 +358,8 @@ def run_cascade(
         # batch's windows, deleting hours closed in earlier batches.
         upsert_partitions(batch, hourly_path, ["date", "hour"])
         affected = [r.date for r in batch.select("date").distinct().collect()]
+        if not affected:  # empty micro-batch: nothing to roll up
+            return
         hourly_all = spark.read.parquet(hourly_path).filter(
             F.col("date").isin(affected)
         )
@@ -367,8 +384,12 @@ def near_dup_batch(
     from ..operators.dedup import incremental_near_dup
     from ..operators.upsert import upsert_partitions
 
-    if batch.isEmpty():
-        return
+    # multi-consumer body (the near-dup fold reads the batch, the
+    # survivor join reads it again): persist around it so the micro-batch
+    # plan executes ONCE — the old isEmpty() probe added yet another
+    # upstream execution. An empty batch flows through as empty frames
+    # and lands nothing (dynamic overwrite of an empty frame is a no-op).
+    batch = batch.localCheckpoint(eager=True)
     spark = batch.sparkSession
     try:
         index = spark.read.parquet(index_path).filter(
@@ -452,6 +473,11 @@ def run_to_versioned_table(
     from ..operators.table import commit_batch
 
     def process(batch: DataFrame, batch_id: int) -> None:
+        # the empty-batch skip is SEMANTIC here (an empty micro-batch must
+        # not mint a table version), so the probe stays — but on a
+        # persisted frame, so the upstream plan executes once instead of
+        # once for the probe and again for the commit write
+        batch = batch.localCheckpoint(eager=True)
         if batch.isEmpty():
             return
         commit_batch(batch, table_path, batch_id)
@@ -481,8 +507,9 @@ def hist_sketch_batch(
     from ..operators.sketches import hist_counts
     from ..operators.upsert import upsert_partitions
 
-    if batch.isEmpty():
-        return
+    # single action per micro-batch: an empty batch writes an empty frame
+    # (dynamic overwrite touches no partitions) instead of paying an
+    # isEmpty() probe that executed the upstream plan a second time
     counts = hist_counts(batch, lo, hi, n_bins=n_bins).withColumn(
         "batch_id", F.lit(batch_id)
     )
@@ -539,8 +566,8 @@ def kmv_sketch_batch(
     from ..operators.sketches import kmv_sketch
     from ..operators.upsert import upsert_partitions
 
-    if batch.isEmpty():
-        return
+    # single action per micro-batch (empty frame + dynamic overwrite =
+    # no-op; the isEmpty() probe was a second upstream execution)
     sk = kmv_sketch(batch, group_cols, value_col, k=k).withColumn(
         "batch_id", F.lit(batch_id)
     )
@@ -586,8 +613,8 @@ def daily_count_batch(
     replayed batch replaces exactly its own contribution."""
     from ..operators.upsert import upsert_partitions
 
-    if batch.isEmpty():
-        return
+    # single action per micro-batch (empty frame + dynamic overwrite =
+    # no-op; the isEmpty() probe was a second upstream execution)
     daily = batch.groupBy(
         F.date_format(F.col(ts_col), "yyyy-MM-dd").alias("event_date")
     ).agg(F.count(F.lit(1)).alias("n"))
@@ -754,8 +781,8 @@ def priority_sample_batch(
     from ..operators.upsert import upsert_partitions
     from ..operators.windows import take_ordered
 
-    if batch.isEmpty():
-        return
+    # single action per micro-batch (empty frame + dynamic overwrite =
+    # no-op; the isEmpty() probe was a second upstream execution)
     top = take_ordered(
         priority_rows(batch, weight_col, id_col, salt),
         [F.col("_q").desc(), id_col],
@@ -834,8 +861,9 @@ def psi_counts_batch(
     from ..operators.aggregates import psi_bin_counts
     from ..operators.upsert import upsert_partitions
 
-    if batch.isEmpty():
-        return
+    # single action per micro-batch (empty frame + dynamic overwrite =
+    # no-op; the isEmpty() probe was a second upstream execution — and
+    # the frozen edges read is metadata-sized, not worth gating)
     edges = batch.sparkSession.read.parquet(edges_path)
     counts = psi_bin_counts(batch, edges, value_col, n_bins).withColumn(
         "batch_id", F.lit(batch_id)
@@ -1159,9 +1187,8 @@ def tv_drift_from_batches(spark, counts_path: str) -> DataFrame:
 
     try:
         counts = spark.read.parquet(counts_path)
-    except Exception as exc:  # noqa: BLE001 — classify, re-raise the rest
-        msg = str(exc)
-        if "PATH_NOT_FOUND" in msg or "UNABLE_TO_INFER_SCHEMA" in msg:
+    except AnalysisException as exc:
+        if _never_landed(exc):
             return spark.createDataFrame(
                 [], "source string, n_tokens long, tv_vs_corpus double"
             )
@@ -1192,17 +1219,55 @@ def run_streaming_ivf_upsert(
     replay contract comes free from the wave design. Queries against
     the index (query_ivf_index) see each wave as soon as its batch
     commits; compaction (compact_ivf_index) runs offline on the
-    operator's cadence, exactly as in batch."""
+    operator's cadence, exactly as in batch.
+
+    Wave numbering is ``base_wave + batch_id + 1`` where ``base_wave``
+    is pinned ONCE per checkpoint lifetime: on first start it is read
+    from the index (max existing wave, one cheap aggregate) and
+    persisted as a sidecar in the checkpoint directory, so (a) replays
+    within a checkpoint reuse their original wave — the idempotency
+    contract — and (b) restarting with a FRESH checkpoint against an
+    existing index starts past every landed wave instead of silently
+    dynamic-overwriting earlier waves' (cell, wave) partitions (batch
+    ids restart at 0 with a new checkpoint; before this pin that
+    deleted prior ingests in the touched cells with no error). A
+    pre-round-11 index written without the wave partition level cannot
+    take wave upserts at all (mixed partition layouts in one path are
+    unreadable) and is rejected loudly."""
+    import json as _json
+    from pathlib import Path
+
     from ..operators.similarity import upsert_ivf_index
 
     cent_rows = sorted(centroids)
+    spark = vectors.sparkSession
+    base_file = Path(checkpoint) / "ivf_wave_base.json"
+    if base_file.exists():
+        base_wave = int(_json.loads(base_file.read_text())["base_wave"])
+    else:
+        try:
+            idx = spark.read.parquet(index_path)
+        except AnalysisException:  # no index yet: build namespace is wave 0
+            base_wave = 0
+        else:
+            if "wave" not in idx.columns:
+                raise ValueError(
+                    f"run_streaming_ivf_upsert: index at {index_path} has "
+                    "no wave partition level (pre-round-11 layout); "
+                    "rebuild it with build_ivf_index before streaming "
+                    "upserts — mixing partition layouts in one path is "
+                    "unreadable"
+                )
+            base_wave = int(idx.agg(F.max("wave")).first()[0] or 0)
+        base_file.parent.mkdir(parents=True, exist_ok=True)
+        base_file.write_text(_json.dumps({"base_wave": base_wave}))
 
     def process(batch: DataFrame, batch_id: int) -> None:
         upsert_ivf_index(
             batch.select(id_col, vec_col),
             index_path,
             cent_rows,
-            wave=batch_id + 1,
+            wave=base_wave + batch_id + 1,
             id_col=id_col,
             vec_col=vec_col,
         )
@@ -1288,9 +1353,8 @@ def pack_manifest_from_batches(
     that asked a well-defined question."""
     try:
         counts = spark.read.parquet(counts_path)
-    except Exception as exc:  # noqa: BLE001 — classify, re-raise the rest
-        msg = str(exc)
-        if "PATH_NOT_FOUND" in msg or "UNABLE_TO_INFER_SCHEMA" in msg:
+    except AnalysisException as exc:
+        if _never_landed(exc):
             return spark.createDataFrame(
                 [],
                 schema=(
