@@ -511,34 +511,34 @@ def union_sources_summary(spark, sf_dir):
 # §2.7 — intersect / except (Spark built-ins the reference lacks)
 # ---------------------------------------------------------------------------
 @register(
-    "clickers_who_purchased",
+    "clicker_purchase_split",
     """
-    SELECT user_id FROM events WHERE event_type = 'click'
-    INTERSECT
-    SELECT user_id FROM events WHERE event_type = 'purchase'
+    SELECT user_id, TRUE AS purchased FROM (
+        SELECT user_id FROM events WHERE event_type = 'click'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'purchase')
+    UNION ALL
+    SELECT user_id, FALSE AS purchased FROM (
+        SELECT user_id FROM events WHERE event_type = 'click'
+        EXCEPT
+        SELECT user_id FROM events WHERE event_type = 'purchase')
     """,
 )
-def clickers_who_purchased(spark, sf_dir):
+def clicker_purchase_split(spark, sf_dir):
+    """INTERSECT and EXCEPT in one gate entry: every clicker tagged with
+    whether they ever purchased — the true half is the old
+    clickers_who_purchased (intersect), the false half the old
+    clickers_never_purchased (except); both merged round 12 under the
+    200-entry registry rule to free a slot for the IVF-lifecycle entry
+    (the round-10 revenue-KPI merge pattern). Both set ops still execute
+    as Spark set operators, not a join rewrite."""
     ev = _t(spark, sf_dir, "events")
     clicks = ev.filter(F.col("event_type") == "click").select("user_id")
     buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
-    return clicks.intersect(buys)
-
-
-@register(
-    "clickers_never_purchased",
-    """
-    SELECT user_id FROM events WHERE event_type = 'click'
-    EXCEPT
-    SELECT user_id FROM events WHERE event_type = 'purchase'
-    """,
-)
-def clickers_never_purchased(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
-    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
-    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    both = clicks.intersect(buys).withColumn("purchased", F.lit(True))
     # subtract = SQL EXCEPT (set semantics): any purchase removes the user
-    return clicks.subtract(buys)
+    never = clicks.subtract(buys).withColumn("purchased", F.lit(False))
+    return both.unionByName(never)
 
 
 # ---------------------------------------------------------------------------
@@ -862,6 +862,54 @@ def ann_ivf_topk(spark, sf_dir):
     em = _t(spark, sf_dir, "embeddings")
     queries = em.filter(F.col("vec_id") < 5)
     return sim.cosine_topk_ivf(em, queries, k=5, n_centroids=8, n_probe=2)
+
+
+@register(
+    "ivf_lifecycle_survivors",
+    """
+    SELECT vec_id,
+           CAST(1 AS BIGINT) AS n_copies,
+           ROUND(sqrt(list_sum(
+               [CAST(embedding[i] AS DOUBLE)
+                    * (CASE WHEN vec_id % 3 = 0 THEN 2 ELSE 1 END)
+                    * CAST(embedding[i] AS DOUBLE)
+                    * (CASE WHEN vec_id % 3 = 0 THEN 2 ELSE 1 END)
+                for i in range(1, len(embedding) + 1)])), 6) AS vec_norm
+    FROM embeddings
+    """,
+)
+def ivf_lifecycle_survivors(spark, sf_dir):
+    """The persisted IVF index LIFECYCLE as a driver-gate row (round-12
+    verdict item 8 — the serving-critical surface was pytest-only):
+    build the index over the full embeddings table, land an upsert wave
+    that RE-INGESTS every vec_id % 3 == 0 with a doubled vector (the
+    update-in-place case, exact in float: x2 is an exponent bump), then
+    compact, and report the survivor set — one copy per id (keep-last
+    collapsed every duplicate) with the norm of the vector the index
+    actually kept. The oracle is pure SQL over the source table: the
+    kept vector is the doubled one exactly for the re-ingested ids, and
+    norm(2x) == 2*norm(x) bit-for-bit (power-of-two scaling commutes
+    with IEEE rounding), so a single stale or duplicated row anywhere in
+    the index breaks the hash. The index lives in a per-call temp dir —
+    the gate drives build/upsert/compact/read end-to-end every run."""
+    import tempfile
+
+    em = _t(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="ivf_gate_")
+    cents = sim.build_ivf_index(em, path, n_centroids=8, lloyd_iters=2)
+    upd = em.filter(F.col("vec_id") % 3 == 0).select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: (x * F.lit(2.0)).cast("float")
+        ).alias("embedding"),
+    )
+    sim.upsert_ivf_index(upd, path, cents, wave=1)
+    sim.compact_ivf_index(spark, path, cents)
+    idx = spark.read.parquet(path)
+    return idx.groupBy("vec_id").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.round(F.max(sim.norm(F.col("embedding"))), 6).alias("vec_norm"),
+    )
 
 
 @register(
