@@ -320,12 +320,15 @@ def bloom_decontamination_stats(
     on the prefiltered set and n_false_pos = bloom - exact."""
     from .dedup import gram_rows
 
-    # both gram tables materialize ONCE (plan_audit detector 4): the
-    # benchmark grams feed the bitmap AND the exact membership join, the
-    # corpus grams feed the bloom-position chain AND the per-doc totals —
-    # uncut, each consumer compiled its own tokenize (the same trade
-    # ngram_containment_pairs pins; the benchmark side is eval-suite
-    # sized, and in production a persisted artifact)
+    # the BENCHMARK gram table materializes once (plan_audit detector 4):
+    # it feeds the bitmap AND the exact membership join, and it is
+    # eval-suite sized — in production a persisted artifact. The CORPUS
+    # gram table is deliberately NOT checkpointed although two consumers
+    # (the bloom-position chain and the per-doc totals) each compile the
+    # tokenize: the rows carry n-word gram STRINGS, several times the
+    # corpus text in bytes, so materializing them costs more than the
+    # second linear pass it saves — at sf0.1 (measured +0.9s) and worse
+    # at 100 TB. Allowlisted in plan_audit.TRIAGED_TOKENIZE.
     bench_grams = (
         gram_rows(benchmark, text_col, id_col, n)
         .select("gram")
@@ -333,12 +336,7 @@ def bloom_decontamination_stats(
         .localCheckpoint(eager=True)
     )
     bitmap = bloom_bitmap(bench_grams)
-    doc_grams = (
-        gram_rows(corpus, text_col, id_col, n)
-        .select(id_col, "gram")
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    doc_grams = gram_rows(corpus, text_col, id_col, n).select(id_col, "gram").distinct()
     pos = doc_grams.select(
         id_col,
         "gram",

@@ -110,6 +110,13 @@ TRIAGED_TOKENIZE: dict[str, str] = {
         "only at the gate; the production index is a persisted digest "
         "table that is never re-tokenized (see incremental_dedup doc)"
     ),
+    "bloom_decontamination_stats": (
+        "corpus gram rows feed the bloom-position chain and the per-doc "
+        "totals; the shared intermediate carries n-word gram STRINGS "
+        "(several times the corpus bytes), so the second linear tokenize "
+        "is cheaper than materializing it — measured at sf0.1, worse at "
+        "scale (benchmark side IS checkpointed)"
+    ),
 }
 
 # Queries whose executed-scan count exceeds the threshold as a DOCUMENTED
