@@ -363,8 +363,15 @@ def bloom_decontamination_stats(
         .groupBy(id_col, "gram")
         .agg((F.sum("bit_set") == BLOOM_K).cast("int").alias("bloom_hit"))
     )
+    # explicit broadcast: a localCheckpoint erases the source's size
+    # statistics (the RDD-backed plan reports the default huge estimate),
+    # so the auto-broadcast that picked this join up pre-checkpoint
+    # silently degraded to a sort-merge join (caught by the
+    # never-cartesian plan test)
     exact = checked.filter(F.col("bloom_hit") == 1).join(
-        bench_grams.withColumn("_in_bench", F.lit(1)), "gram", "left"
+        F.broadcast(bench_grams.withColumn("_in_bench", F.lit(1))),
+        "gram",
+        "left",
     ).groupBy(id_col).agg(
         F.sum(F.coalesce(F.col("_in_bench"), F.lit(0))).cast("bigint").alias(
             "n_exact_hits"
@@ -374,8 +381,14 @@ def bloom_decontamination_stats(
     totals = doc_grams.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_grams")
     )
+    # shuffle_hash, not sort-merge: the checkpointed benchmark side's
+    # erased statistics propagate a huge estimate up through `exact`,
+    # flipping this doc-grain join to SMJ (two corpus-side sorts for
+    # nothing). A shuffled hash join builds on the bloom-hit side —
+    # decontamination hits are sparse by nature — and needs no sort at
+    # any scale; broadcast would be wrong here (doc-cardinality side).
     return (
-        totals.join(exact, id_col, "left")
+        totals.join(exact.hint("shuffle_hash"), id_col, "left")
         .select(
             id_col,
             "n_grams",

@@ -894,7 +894,15 @@ def ivf_lifecycle_survivors(spark, sf_dir):
     the gate drives build/upsert/compact/read end-to-end every run."""
     import tempfile
 
-    em = _t(spark, sf_dir, "embeddings")
+    em = _t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    # degenerate corpora (empty table, all-NULL payloads) have no seed
+    # vectors to build an index from: the lifecycle is vacuously empty,
+    # reported as a schema-stable 0-row survivor table instead of an
+    # unreadable empty index directory (the empty-corpus sweep contract)
+    if em.filter(F.col("vec_id") < 8).limit(1).count() == 0:
+        return spark.createDataFrame(
+            [], "vec_id long, n_copies long, vec_norm double"
+        )
     path = tempfile.mkdtemp(prefix="ivf_gate_")
     cents = sim.build_ivf_index(em, path, n_centroids=8, lloyd_iters=2)
     upd = em.filter(F.col("vec_id") % 3 == 0).select(

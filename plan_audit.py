@@ -155,6 +155,47 @@ def _sql_executions(base: str, app_id: str, offset: int = 0) -> list:
     return out
 
 
+class ExecCursor:
+    """Incremental, EVICTION-SAFE reader of new /sql executions.
+
+    Offsets alone are not a stable cursor: once the UI's
+    ``spark.sql.ui.retainedExecutions`` cap is reached, every new
+    execution evicts the oldest and the whole list SHIFTS LEFT, so a
+    remembered offset silently skips (or misses entirely) the new tail —
+    detector 3/4 would go blind exactly on long audits, where eager-
+    checkpoint queries push past the cap. Execution ids are consecutive
+    integers, so the cursor verifies continuity (first new id ==
+    last_id + 1) on the fast offset path and permanently degrades to
+    fetch-all-filter-by-id — bounded by the retention cap, not by run
+    length — the first time the check fails."""
+
+    def __init__(self, base: str, app_id: str) -> None:
+        self.base, self.app_id = base, app_id
+        full = _sql_executions(base, app_id)
+        self.offset = len(full)
+        self.last_id = max((e["id"] for e in full), default=-1)
+        self.evicting = False
+
+    def new_executions(self) -> list:
+        if not self.evicting:
+            new = _sql_executions(self.base, self.app_id, self.offset)
+            if new and new[0]["id"] == self.last_id + 1:
+                self.offset += len(new)
+                self.last_id = new[-1]["id"]
+                return new
+            # empty or discontinuous right after running a query ⇒ the
+            # retained window shifted under us — switch modes for good
+            self.evicting = True
+        fresh = [
+            e
+            for e in _sql_executions(self.base, self.app_id)
+            if e["id"] > self.last_id
+        ]
+        if fresh:
+            self.last_id = max(e["id"] for e in fresh)
+        return fresh
+
+
 def _scan_flag(
     name: str, max_exec_scans: int, static_census: dict
 ) -> dict | None:
@@ -282,7 +323,15 @@ def _scan_counts(df) -> Counter:
 def audit(n_queries: int = 20) -> int:
     spark = get_spark(
         "plan-audit",
-        **{"spark.ui.enabled": "true", "spark.ui.showConsoleProgress": "false"},
+        **{
+            "spark.ui.enabled": "true",
+            "spark.ui.showConsoleProgress": "false",
+            # a 200-query audit with eager-checkpoint chains exceeds the
+            # default 1000 retained executions; the ExecCursor survives
+            # eviction, but a roomier window keeps it on the cheap
+            # incremental path (static conf — set before session start)
+            "spark.sql.ui.retainedExecutions": "5000",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     app = spark.sparkContext.applicationId
@@ -299,10 +348,9 @@ def audit(n_queries: int = 20) -> int:
         if k in queries
     ][:n_queries]
     seen: set = set()
-    # skip executions predating the audit (warm-up etc.) and page
-    # incrementally from here — ids are monotonic, so each query's
-    # executions are exactly the ones past the last fetched offset
-    next_offset = len(_sql_executions(base, app))
+    # skip executions predating the audit (warm-up etc.) and read
+    # incrementally from here (eviction-safe: see ExecCursor)
+    cursor = ExecCursor(base, app)
     n_flags = 0
     for name in targets:
         df = queries[name].fn(spark, SF_DIR)
@@ -319,9 +367,7 @@ def audit(n_queries: int = 20) -> int:
         # detector 4: documents-relation scans inside tokenize-bearing
         # final plans, per execution (see _doc_tokenize_scans)
         max_doc_scans = 0
-        new_execs = _sql_executions(base, app, next_offset)
-        next_offset += len(new_execs)
-        for ex in new_execs:
+        for ex in cursor.new_executions():
             max_exec_scans = max(
                 max_exec_scans,
                 sum(

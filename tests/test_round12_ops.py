@@ -168,15 +168,20 @@ def test_fixed_queries_tokenize_corpus_once(spark):
     if not base:
         pytest.skip("Spark UI disabled in this session")
     app = spark.sparkContext.applicationId
+    # ExecCursor, not raw offsets: in the long-lived test session the UI's
+    # retainedExecutions cap evicts old entries and the list shifts left —
+    # a remembered offset misses every new execution (the failure the
+    # full-suite run exposed; the cursor detects the shift via id
+    # continuity and falls back to filter-by-id)
+    cursor = pa.ExecCursor(base, app)
 
     def max_tok(run):
-        offset = len(pa._sql_executions(base, app))
+        cursor.new_executions()  # drain anything pending
         run()
-        new = pa._sql_executions(base, app, offset)
         return max(
             (
                 pa._doc_tokenize_scans(e.get("planDescription", ""))
-                for e in new
+                for e in cursor.new_executions()
             ),
             default=0,
         )
