@@ -1717,9 +1717,14 @@ def source_overlap_matrix(
     density x sources, never |sources|^2 x |corpus|. Per-source distinct
     totals broadcast back onto the tiny pair table.
     """
+    # (source, 32-byte digest) rows materialize ONCE: totals and both
+    # self-join sides otherwise each compile their own corpus
+    # normalize+md5 (plan_audit detector 4 caught 2 executed compiles at
+    # sf0.1 — exchange reuse is size-dependent and not a contract; the
+    # source_dup_stats trade, cheapest possible corpus-grain table)
     h = df.select(
         F.col(source_col).alias("_src"), F.md5(normalized_text(text_col)).alias("_h")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
     totals = h.groupBy("_src").agg(F.count(F.lit(1)).alias("_tot"))
     a = h.select(F.col("_h"), F.col("_src").alias("source_a"))
     b = h.select(F.col("_h"), F.col("_src").alias("source_b"))

@@ -84,6 +84,11 @@ HEAVY = [
     # round-11: the tokenize-once TV fix (single corpus scan into a
     # vocab×sources checkpoint feeding the four-consumer tail)
     "source_token_tv_drift",
+    # round-12: the IVF lifecycle gate entry (build → upsert wave →
+    # compact → survivor read, a fresh index per run — the row measures
+    # the full serving-maintenance cycle, dominated by the three
+    # assign/compact passes over the vector table)
+    "ivf_lifecycle_survivors",
 ]
 
 # Optional subset filter: SPARK_GRAFT_SCALE_ONLY="a,b" runs just those.
