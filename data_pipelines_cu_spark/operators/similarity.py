@@ -880,7 +880,19 @@ def compact_ivf_index(
     a plain overwrite, not a snapshot-isolated publish. A legacy index
     written before the wave partition level (cell-only layout) defaults
     to wave 0 — it is by definition all build rows, and compacting it
-    migrates it to the current layout."""
+    migrates it to the current layout.
+
+    COMPACTION MUST QUIESCE THE INGEST, including its replay window: a
+    streaming wave REPLAYED after a compaction re-lands its original
+    wave k > 0, which outranks the compacted wave-0 rows — if a LATER
+    wave had updated one of its ids and compaction kept that newer
+    vector, the replay resurrects the stale one as the keep-last winner
+    (characterized in tests/test_round12_ops.py). The safe protocol:
+    stop the stream, compact, then restart with a FRESH checkpoint —
+    the wave-base sidecar re-pins from the compacted index (max wave 0
+    → new waves start at 1) and nothing older can replay. Resuming the
+    OLD checkpoint after a compaction is the one sequence that corrupts
+    silently."""
     raw = spark.read.parquet(path)
     if "wave" not in raw.columns:  # pre-round-11 layout: all build rows
         raw = raw.withColumn("wave", F.lit(0))

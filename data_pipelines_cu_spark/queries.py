@@ -1171,7 +1171,15 @@ def embedding_near_dup_pairs(spark, sf_dir):
     random-hyperplane LSH bucket, kept when cosine >= 0.3 — the vector twin
     of minhash_lsh_pairs."""
     em = _t(spark, sf_dir, "embeddings")
-    b = sim.with_hyperplane_buckets(em.select("vec_id", "embedding"))
+    # the bucketed table materializes ONCE: the self-join's two sides
+    # otherwise each run their own Arrow hyperplane kernel over the full
+    # vector table (the round-12 Arrow-repetition sweep read 2 executed
+    # kernels/job; the simhash pair query pins the same trade) — the
+    # kernel's Python round-trip is the expensive half, the checkpoint
+    # bytes are the input plus one int
+    b = sim.with_hyperplane_buckets(
+        em.select("vec_id", "embedding")
+    ).localCheckpoint(eager=True)
     a = b.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"), "bucket"
     )

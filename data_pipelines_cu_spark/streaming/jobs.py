@@ -1282,6 +1282,67 @@ def run_streaming_ivf_upsert(
     return writer.start()
 
 
+def run_streaming_ann_query(
+    queries: DataFrame,
+    index_path: str,
+    centroids: list,
+    results_path: str,
+    checkpoint: str,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "query_id",
+    vec_col: str = "embedding",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Online ANN serving — the READ side of the index lifecycle: query
+    vectors arrive as a stream and each micro-batch is answered against
+    the persisted IVF index (similarity.query_ivf_index: probe-cell
+    partition pruning, newest-wave-per-id within probed cells), landing
+    its top-k results in the batch_id partition via dynamic overwrite.
+    Replays are idempotent twice over: the partition replaces itself,
+    and the results are content-addressed (pure function of query
+    vectors x index state — a replayed batch against an unchanged index
+    writes byte-identical rows). Each batch reads the index AS OF its
+    start, so results reflect every ingest wave committed before it —
+    the serving consistency a grow-while-serving index offers (see
+    upsert_ivf_index for the cross-cell staleness contract, and
+    compact_ivf_index for the quiesce-before-compact rule).
+
+    The batch is persisted once up front: the probe-cell collect and
+    the scoring join are genuinely two consumers of the query set (the
+    single-action discipline — the upstream plan never compiles
+    twice)."""
+    from ..operators.similarity import query_ivf_index
+    from ..operators.upsert import upsert_partitions
+
+    cent_rows = sorted(centroids)
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.localCheckpoint(eager=True)
+        res = query_ivf_index(
+            batch.sparkSession,
+            index_path,
+            cent_rows,
+            batch.select(F.col(id_col).alias("vec_id"), vec_col),
+            k=k,
+            n_probe=n_probe,
+        )
+        upsert_partitions(
+            res.withColumn("batch_id", F.lit(batch_id)),
+            results_path,
+            ["batch_id"],
+        )
+
+    writer = (
+        queries.writeStream.outputMode("append")
+        .foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def run_streaming_bpe_encode(
     docs: DataFrame,
     merges: DataFrame,

@@ -55,6 +55,18 @@ until they explode at 100×:
    small table) with the reason inline; entries print with "triaged" and
    don't fail the audit.
 
+5. **Repeated Arrow kernels** — executed Python/Arrow eval nodes
+   (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas /
+   BatchEvalPython) per /sql execution. The Python round-trip is the
+   single most expensive node class in this engine (everything else is
+   whole-stage codegen), so TWO kernels in one job is either two
+   genuinely different inputs (ann_ivf_topk: corpus assign + query
+   assign — allowlisted) or the same kernel compiled per consumer
+   (embedding_near_dup_pairs' self-join ran the hyperplane kernel twice
+   over the full vector table until round 12 cut it). Calibration over
+   all 200: every query runs 0-1 kernels per job except the allowlisted
+   shape; the floor is ≥2.
+
 Usage: python plan_audit.py [N]   (default 20; needs BENCH_DETAIL.json)
 Prints one line per flagged (query, stage); exits 1 if anything flagged,
 so it slots into CI next to the oracle gate.
@@ -116,6 +128,24 @@ TRIAGED_TOKENIZE: dict[str, str] = {
         "(several times the corpus bytes), so the second linear tokenize "
         "is cheaper than materializing it — measured at sf0.1, worse at "
         "scale (benchmark side IS checkpointed)"
+    ),
+}
+
+# Detector 5: executed Arrow/Python kernel nodes per execution that flag
+ARROW_FLOOR = 2
+ARROW_MARKERS = (
+    "ArrowEvalPython",
+    "MapInPandas",
+    "FlatMapGroupsInPandas",
+    "AggregateInPandas",
+    "BatchEvalPython",
+)
+
+# Queries whose ≥2 kernels per job are genuinely different inputs.
+TRIAGED_ARROW = {
+    "ann_ivf_topk": (
+        "corpus cell-assign + query probe-assign — two different inputs "
+        "through the same kernel, each once"
     ),
 }
 
@@ -280,6 +310,30 @@ def _doc_tokenize_scans(plan_desc: str) -> int:
     )
 
 
+def _arrow_kernels(ex: dict) -> int:
+    """Detector-5 metric for one execution: executed Arrow/Python eval
+    nodes (post-AQE node list, not the static plan)."""
+    return sum(
+        1
+        for node in ex.get("nodes", [])
+        if any(node.get("nodeName", "").startswith(m) for m in ARROW_MARKERS)
+    )
+
+
+def _arrow_flag(name: str, max_kernels: int) -> dict | None:
+    """Detector-5 verdict: None below the floor, a flag dict at/above it
+    ("triaged": True for allowlisted different-input shapes)."""
+    if max_kernels < ARROW_FLOOR:
+        return None
+    triaged = TRIAGED_ARROW.get(name)
+    return {
+        "query": name,
+        "flag": "repeated_arrow_kernel",
+        "max_exec_arrow_kernels": max_kernels,
+        **({"triaged": True, "reason": triaged} if triaged else {}),
+    }
+
+
 def _tokenize_flag(name: str, max_doc_scans: int) -> dict | None:
     """Detector-4 verdict for one query: None below the floor, a flag
     dict at/above it ("triaged": True for allowlisted two-pass shapes)."""
@@ -367,6 +421,8 @@ def audit(n_queries: int = 20) -> int:
         # detector 4: documents-relation scans inside tokenize-bearing
         # final plans, per execution (see _doc_tokenize_scans)
         max_doc_scans = 0
+        # detector 5: Arrow/Python kernel nodes per execution
+        max_kernels = 0
         for ex in cursor.new_executions():
             max_exec_scans = max(
                 max_exec_scans,
@@ -380,16 +436,16 @@ def audit(n_queries: int = 20) -> int:
                 max_doc_scans,
                 _doc_tokenize_scans(ex.get("planDescription", "")),
             )
-        scan_flag = _scan_flag(name, max_exec_scans, static_census)
-        if scan_flag is not None:
-            print(json.dumps(scan_flag))
-            if not scan_flag.get("triaged"):
-                n_flags += 1
-        tok_flag = _tokenize_flag(name, max_doc_scans)
-        if tok_flag is not None:
-            print(json.dumps(tok_flag))
-            if not tok_flag.get("triaged"):
-                n_flags += 1
+            max_kernels = max(max_kernels, _arrow_kernels(ex))
+        for flag in (
+            _scan_flag(name, max_exec_scans, static_census),
+            _tokenize_flag(name, max_doc_scans),
+            _arrow_flag(name, max_kernels),
+        ):
+            if flag is not None:
+                print(json.dumps(flag))
+                if not flag.get("triaged"):
+                    n_flags += 1
         for st in _ui(base, app, "/stages?status=complete"):
             key = (st["stageId"], st["attemptId"])
             if key in seen:

@@ -148,6 +148,21 @@ def test_doc_tokenize_scans_counts_compiled_tokenizes_only():
     assert tri is not None and tri["triaged"] and "verify" in tri["reason"]
     # every allowlist entry carries an inline reason
     assert all(isinstance(v, str) and v for v in pa.TRIAGED_TOKENIZE.values())
+    # detector 5: executed Arrow/Python kernels per execution
+    ex = {
+        "nodes": [
+            {"nodeName": "ArrowEvalPython"},
+            {"nodeName": "Scan parquet "},
+            {"nodeName": "MapInPandas"},
+        ]
+    }
+    assert pa._arrow_kernels(ex) == 2
+    assert pa._arrow_flag("q", 1) is None
+    bad5 = pa._arrow_flag("q", 2)
+    assert bad5 is not None and not bad5.get("triaged")
+    tri5 = pa._arrow_flag("ann_ivf_topk", 2)
+    assert tri5 is not None and tri5["triaged"] and "different inputs" in tri5["reason"]
+    assert all(isinstance(v, str) and v for v in pa.TRIAGED_ARROW.values())
 
 
 def test_fixed_queries_tokenize_corpus_once(spark):
@@ -609,6 +624,122 @@ def test_compact_empty_index_path_raises_descriptively(spark, tmp_path):
 
     with pytest.raises(AnalysisException):
         sim.compact_ivf_index(spark, str(tmp_path / "nope"), [(0, [0.0, 0.0])])
+
+
+def test_replayed_wave_after_compaction_resurrects_stale_vector(
+    spark, tmp_path
+):
+    """CHARACTERIZATION of the documented compaction/replay race
+    (compact_ivf_index docstring): a wave replayed AFTER a compaction
+    re-lands its original wave number, which outranks the compacted
+    wave-0 rows — if a later wave had updated one of its ids, the
+    replay resurrects the stale vector as the keep-last winner. This is
+    why compaction must quiesce the ingest INCLUDING its replay window
+    (stop stream → compact → restart with a FRESH checkpoint, which
+    re-pins the wave base from the compacted index)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from data_pipelines_cu_spark.operators import similarity as sim
+
+    cents = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])]
+    base = spark.createDataFrame(
+        [(10, [1.0, 0.1, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    v1 = spark.createDataFrame(
+        [(20, [0.9, 0.2, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    v2 = spark.createDataFrame(
+        [(20, [0.0, 0.9, 0.3, 0.0])], "vec_id long, embedding array<float>"
+    )
+    path = str(tmp_path / "ivf")
+    sim.build_ivf_index(base, path, centroids=cents)
+    sim.upsert_ivf_index(v1, path, cents, wave=1)  # first ingest of id 20
+    sim.upsert_ivf_index(v2, path, cents, wave=2)  # the update
+    sim.compact_ivf_index(spark, path, cents)
+
+    def kept_vector():
+        w = Window.partitionBy("vec_id").orderBy(F.col("wave").desc())
+        rows = (
+            spark.read.parquet(path)
+            .filter(F.col("vec_id") == 20)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter("_rn = 1")
+            .select("embedding")
+            .collect()
+        )
+        return [round(float(x), 3) for x in rows[0][0]]
+
+    assert kept_vector() == [0.0, 0.9, 0.3, 0.0]  # compaction kept v2
+
+    # the race: wave 1 replays after the compaction (old checkpoint
+    # resumed) — its wave number outranks the compacted wave-0 rows
+    sim.upsert_ivf_index(v1, path, cents, wave=1)
+    assert kept_vector() == [0.9, 0.2, 0.0, 0.0], (
+        "expected the characterized corruption: the replayed stale wave "
+        "outranks the compacted rows"
+    )
+    # and a further compaction CEMENTS the stale winner — the data loss
+    # is permanent, which is why the ingest must be quiesced, not raced
+    sim.compact_ivf_index(spark, path, cents)
+    assert kept_vector() == [0.9, 0.2, 0.0, 0.0]
+
+
+def test_streaming_ann_query_matches_batch(spark, tmp_path):
+    """The READ side of the index lifecycle: query vectors streamed in
+    two micro-batches against a persisted IVF index land per-batch top-k
+    partitions whose union equals the one-shot batch query over the same
+    query set — exactly (per-query top-k is independent across queries,
+    so micro-batch boundaries cannot change any row). An empty batch
+    lands nothing."""
+    from pyspark.sql import functions as F
+
+    from data_pipelines_cu_spark.operators import similarity as sim
+    from data_pipelines_cu_spark.streaming.jobs import run_streaming_ann_query
+
+    em = _embeddings(spark)
+    idx_path = str(tmp_path / "ivf")
+    cents = sim.build_ivf_index(em, idx_path, n_centroids=8, lloyd_iters=2)
+
+    qrows = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in em.filter(F.col("vec_id") < 6)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    src = tmp_path / "qin"
+    _stream_vectors(spark, src, qrows[:3])
+    stream = _stream_vectors(spark, src, qrows[3:]).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    res_path = str(tmp_path / "res")
+    q = run_streaming_ann_query(
+        stream,
+        idx_path,
+        cents,
+        res_path,
+        checkpoint=str(tmp_path / "ck"),
+        k=5,
+        n_probe=2,
+    )
+    assert q.awaitTermination(120), "streaming ANN query timed out"
+
+    streamed = spark.read.parquet(res_path)
+    assert streamed.select("batch_id").distinct().count() == 2
+    got = sorted(
+        (r.query_id, r.neighbor_id, r.cos_sim, r.rank)
+        for r in streamed.collect()
+    )
+    batch_q = spark.createDataFrame(
+        qrows, "vec_id long, embedding array<float>"
+    )
+    want = sorted(
+        tuple(r)
+        for r in sim.query_ivf_index(
+            spark, idx_path, cents, batch_q, k=5, n_probe=2
+        ).collect()
+    )
+    assert got == want and len(got) > 0
 
 
 # --- round-11 surface degenerate probes ---------------------------------------
