@@ -876,6 +876,12 @@ def ann_ivf_topk(spark, sf_dir):
                     * (CASE WHEN vec_id % 3 = 0 THEN 2 ELSE 1 END)
                 for i in range(1, len(embedding) + 1)])), 6) AS vec_norm
     FROM embeddings
+    -- mirror the index's admission rule exactly: NULL vectors are never
+    -- ingested, and with no usable seed (vec_id < 8, the build's seed
+    -- rule) there is no index at all, so the survivor set is empty
+    WHERE embedding IS NOT NULL
+      AND (SELECT COUNT(*) FROM embeddings
+           WHERE vec_id < 8 AND embedding IS NOT NULL) > 0
     """,
 )
 def ivf_lifecycle_survivors(spark, sf_dir):
@@ -890,20 +896,32 @@ def ivf_lifecycle_survivors(spark, sf_dir):
     kept vector is the doubled one exactly for the re-ingested ids, and
     norm(2x) == 2*norm(x) bit-for-bit (power-of-two scaling commutes
     with IEEE rounding), so a single stale or duplicated row anywhere in
-    the index breaks the hash. The index lives in a per-call temp dir —
-    the gate drives build/upsert/compact/read end-to-end every run."""
+    the index breaks the hash. The index lives in ONE deterministic
+    temp dir per (session, sf_dir) — the build's static overwrite
+    replaces it wholesale each run, so repeated gate/bench/audit calls
+    drive the full lifecycle without accumulating directories (a
+    per-call mkdtemp leaked an index copy per invocation)."""
+    import os
+    import re as _re
     import tempfile
 
     em = _t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
     # degenerate corpora (empty table, all-NULL payloads) have no seed
     # vectors to build an index from: the lifecycle is vacuously empty,
     # reported as a schema-stable 0-row survivor table instead of an
-    # unreadable empty index directory (the empty-corpus sweep contract)
+    # unreadable empty index directory (the empty-corpus sweep contract;
+    # the oracle carries the same admission rule)
     if em.filter(F.col("vec_id") < 8).limit(1).count() == 0:
         return spark.createDataFrame(
             [], "vec_id long, n_copies long, vec_norm double"
         )
-    path = tempfile.mkdtemp(prefix="ivf_gate_")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "ivf_gate_{}_{}".format(
+            spark.sparkContext.applicationId,
+            _re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir),
+        ),
+    )
     cents = sim.build_ivf_index(em, path, n_centroids=8, lloyd_iters=2)
     upd = em.filter(F.col("vec_id") % 3 == 0).select(
         "vec_id",
@@ -3288,11 +3306,13 @@ def doc_tfidf_top_terms(spark, sf_dir):
         "doc_id", F.explode(F.split(normalized_text("text"), " ")).alias("w")
     )
     # ONE tokenize: the (doc, term, count) table materializes once and
-    # every other stat derives from it linearly (plan_audit detector 4 —
-    # the nb_lang fix shape; doc_len/df/n_docs each compiled their own
-    # corpus tokenize before). n_docs == countDistinct(doc_id) here
-    # because split("", " ") yields [""], so every doc emits >= 1 token
-    # row — the empty doc keeps its "" token on both engines.
+    # the per-doc lengths and document frequencies derive from it
+    # linearly (plan_audit detector 4 — the nb_lang fix shape; doc_len
+    # and df each compiled their own corpus tokenize before). n_docs
+    # stays a direct COUNT(*) over documents — its oracle counts every
+    # row including NULL-text docs, which emit no token rows and so
+    # would vanish from a tf-derived count; the extra scan carries no
+    # tokenize, so detector 4 does not count it.
     tf = (
         words.groupBy("doc_id", "w")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -3304,7 +3324,7 @@ def doc_tfidf_top_terms(spark, sf_dir):
     df_tbl = tf.groupBy(F.col("w").alias("df_w")).agg(
         F.count(F.lit(1)).alias("df")
     )
-    nd = doc_len.agg(F.count(F.lit(1)).alias("n_docs"))
+    nd = d.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.join(doc_len, F.col("doc_id") == F.col("dl_doc"))
         .join(F.broadcast(df_tbl), F.col("w") == F.col("df_w"))

@@ -348,22 +348,31 @@ def run_cascade(
 
     def process(batch: DataFrame, batch_id: int) -> None:
         # genuinely two-action body (hourly land + affected-date collect):
-        # persist around it so the micro-batch plan executes ONCE — the
-        # old isEmpty() probe was a third execution of the upstream plan
-        batch = batch.localCheckpoint(eager=True)
-        spark = batch.sparkSession
-        # Hour-granularity partitions: each closed window overwrites only
-        # its own (date, hour) directory. Partitioning by date alone would
-        # make every micro-batch replace the whole day with just that
-        # batch's windows, deleting hours closed in earlier batches.
-        upsert_partitions(batch, hourly_path, ["date", "hour"])
-        affected = [r.date for r in batch.select("date").distinct().collect()]
-        if not affected:  # empty micro-batch: nothing to roll up
-            return
-        hourly_all = spark.read.parquet(hourly_path).filter(
-            F.col("date").isin(affected)
-        )
-        upsert_partitions(daily_rollup(hourly_all), daily_path, ["date"])
+        # cache around it so the micro-batch plan executes ONCE — the old
+        # isEmpty() probe was a third execution of the upstream plan.
+        # persist/unpersist, not localCheckpoint: a continuous stream
+        # must release its blocks deterministically per batch, not when
+        # GC happens to collect the checkpoint reference.
+        batch = batch.persist()
+        try:
+            spark = batch.sparkSession
+            # Hour-granularity partitions: each closed window overwrites
+            # only its own (date, hour) directory. Partitioning by date
+            # alone would make every micro-batch replace the whole day
+            # with just that batch's windows, deleting hours closed in
+            # earlier batches.
+            upsert_partitions(batch, hourly_path, ["date", "hour"])
+            affected = [
+                r.date for r in batch.select("date").distinct().collect()
+            ]
+            if not affected:  # empty micro-batch: nothing to roll up
+                return
+            hourly_all = spark.read.parquet(hourly_path).filter(
+                F.col("date").isin(affected)
+            )
+            upsert_partitions(daily_rollup(hourly_all), daily_path, ["date"])
+        finally:
+            batch.unpersist()
 
     writer = (
         agg.writeStream.outputMode("append")
@@ -385,32 +394,43 @@ def near_dup_batch(
     from ..operators.upsert import upsert_partitions
 
     # multi-consumer body (the near-dup fold reads the batch, the
-    # survivor join reads it again): persist around it so the micro-batch
+    # survivor join reads it again): cache around it so the micro-batch
     # plan executes ONCE — the old isEmpty() probe added yet another
-    # upstream execution. An empty batch flows through as empty frames
-    # and lands nothing (dynamic overwrite of an empty frame is a no-op).
-    batch = batch.localCheckpoint(eager=True)
-    spark = batch.sparkSession
+    # upstream execution. persist/unpersist for the BATCH (deterministic
+    # release on a continuous stream); surviving_bands keeps its
+    # localCheckpoint because that cut is about lineage, not caching —
+    # its write below replaces the very index partitions its plan reads.
+    # An empty batch flows through as empty frames and lands nothing
+    # (dynamic overwrite of an empty frame is a no-op).
+    batch = batch.persist()
     try:
-        index = spark.read.parquet(index_path).filter(
-            F.col("batch_id") != batch_id
+        spark = batch.sparkSession
+        try:
+            index = spark.read.parquet(index_path).filter(
+                F.col("batch_id") != batch_id
+            )
+        except AnalysisException:  # first batch: no index path yet
+            index = spark.createDataFrame(
+                [], "doc_id long, band int, bhash string"
+            )
+        surviving_bands = incremental_near_dup(batch, index).localCheckpoint(
+            eager=True
         )
-    except AnalysisException:  # first batch: no index path yet
-        index = spark.createDataFrame([], "doc_id long, band int, bhash string")
-    surviving_bands = incremental_near_dup(batch, index).localCheckpoint(
-        eager=True
-    )
-    survivors = surviving_bands.select("doc_id").distinct()
-    upsert_partitions(
-        batch.join(survivors, "doc_id").withColumn("batch_id", F.lit(batch_id)),
-        survivors_path,
-        ["batch_id"],
-    )
-    upsert_partitions(
-        surviving_bands.withColumn("batch_id", F.lit(batch_id)),
-        index_path,
-        ["batch_id"],
-    )
+        survivors = surviving_bands.select("doc_id").distinct()
+        upsert_partitions(
+            batch.join(survivors, "doc_id").withColumn(
+                "batch_id", F.lit(batch_id)
+            ),
+            survivors_path,
+            ["batch_id"],
+        )
+        upsert_partitions(
+            surviving_bands.withColumn("batch_id", F.lit(batch_id)),
+            index_path,
+            ["batch_id"],
+        )
+    finally:
+        batch.unpersist()
 
 
 def run_streaming_near_dup(
@@ -474,13 +494,17 @@ def run_to_versioned_table(
 
     def process(batch: DataFrame, batch_id: int) -> None:
         # the empty-batch skip is SEMANTIC here (an empty micro-batch must
-        # not mint a table version), so the probe stays — but on a
-        # persisted frame, so the upstream plan executes once instead of
-        # once for the probe and again for the commit write
-        batch = batch.localCheckpoint(eager=True)
-        if batch.isEmpty():
-            return
-        commit_batch(batch, table_path, batch_id)
+        # not mint a table version), so the probe stays — but on a cached
+        # frame, so the upstream plan executes once instead of once for
+        # the probe and again for the commit write (persist/unpersist:
+        # deterministic block release on a continuous stream)
+        batch = batch.persist()
+        try:
+            if batch.isEmpty():
+                return
+            commit_batch(batch, table_path, batch_id)
+        finally:
+            batch.unpersist()
 
     writer = (
         events.writeStream.outputMode("append")
@@ -864,7 +888,16 @@ def psi_counts_batch(
     # single action per micro-batch (empty frame + dynamic overwrite =
     # no-op; the isEmpty() probe was a second upstream execution — and
     # the frozen edges read is metadata-sized, not worth gating)
-    edges = batch.sparkSession.read.parquet(edges_path)
+    try:
+        edges = batch.sparkSession.read.parquet(edges_path)
+    except AnalysisException as exc:
+        # startup ordering: the stream can fire an EMPTY first trigger
+        # before the reference edges land — that must stay a no-op (the
+        # old isEmpty guard's one legitimate job). A NON-empty batch with
+        # no edges is a real configuration error and still raises.
+        if _never_landed(exc) and batch.isEmpty():
+            return
+        raise
     counts = psi_bin_counts(batch, edges, value_col, n_bins).withColumn(
         "batch_id", F.lit(batch_id)
     )
@@ -1236,12 +1269,29 @@ def run_streaming_ivf_upsert(
     unreadable) and is rejected loudly."""
     import json as _json
     from pathlib import Path
+    from urllib.parse import urlparse
 
     from ..operators.similarity import upsert_ivf_index
 
     cent_rows = sorted(centroids)
     spark = vectors.sparkSession
-    base_file = Path(checkpoint) / "ivf_wave_base.json"
+    # the sidecar must share the CHECKPOINT's lifetime exactly: resolve
+    # file:-URI checkpoints to their local path, and reject non-local
+    # schemes loudly — Path("hdfs://...")/"..." would silently become a
+    # cwd-relative local file that a restarted driver never finds, and a
+    # missing sidecar re-pins base_wave from the live index, which is
+    # the wave-clobber corruption the sidecar exists to prevent
+    parsed = urlparse(checkpoint)
+    if parsed.scheme not in ("", "file"):
+        raise ValueError(
+            f"run_streaming_ivf_upsert: checkpoint {checkpoint!r} is not "
+            "a local filesystem location; the wave-base sidecar must live "
+            "inside the checkpoint directory (same lifetime), so pass a "
+            "local path / file: URI or extend the sidecar to the remote "
+            "filesystem before using this scheme"
+        )
+    ckpt_dir = Path(parsed.path if parsed.scheme else checkpoint)
+    base_file = ckpt_dir / "ivf_wave_base.json"
     if base_file.exists():
         base_wave = int(_json.loads(base_file.read_text())["base_wave"])
     else:
@@ -1318,20 +1368,26 @@ def run_streaming_ann_query(
     cent_rows = sorted(centroids)
 
     def process(batch: DataFrame, batch_id: int) -> None:
-        batch = batch.localCheckpoint(eager=True)
-        res = query_ivf_index(
-            batch.sparkSession,
-            index_path,
-            cent_rows,
-            batch.select(F.col(id_col).alias("vec_id"), vec_col),
-            k=k,
-            n_probe=n_probe,
-        )
-        upsert_partitions(
-            res.withColumn("batch_id", F.lit(batch_id)),
-            results_path,
-            ["batch_id"],
-        )
+        # cache, not localCheckpoint: the probe collect and the scoring
+        # join both read the batch (execute-once), and unpersist releases
+        # the blocks deterministically per batch on a continuous stream
+        batch = batch.persist()
+        try:
+            res = query_ivf_index(
+                batch.sparkSession,
+                index_path,
+                cent_rows,
+                batch.select(F.col(id_col).alias("vec_id"), vec_col),
+                k=k,
+                n_probe=n_probe,
+            )
+            upsert_partitions(
+                res.withColumn("batch_id", F.lit(batch_id)),
+                results_path,
+                ["batch_id"],
+            )
+        finally:
+            batch.unpersist()
 
     writer = (
         queries.writeStream.outputMode("append")

@@ -213,15 +213,22 @@ class ExecCursor:
                 self.offset += len(new)
                 self.last_id = new[-1]["id"]
                 return new
-            # empty or discontinuous right after running a query ⇒ the
-            # retained window shifted under us — switch modes for good
-            self.evicting = True
+            # a NON-EMPTY discontinuous page proves the retained window
+            # shifted — degrade for good. An EMPTY page is ambiguous
+            # (nothing new vs everything shifted past the offset): one
+            # full fetch disambiguates, and only a fresh item found that
+            # way proves eviction — flipping on empty alone would punish
+            # every no-new-executions call with full fetches forever.
+            if new:
+                self.evicting = True
         fresh = [
             e
             for e in _sql_executions(self.base, self.app_id)
             if e["id"] > self.last_id
         ]
         if fresh:
+            if not self.evicting:
+                self.evicting = True  # offset missed them: window shifted
             self.last_id = max(e["id"] for e in fresh)
         return fresh
 
