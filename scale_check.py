@@ -89,6 +89,13 @@ HEAVY = [
     # the full serving-maintenance cycle, dominated by the three
     # assign/compact passes over the vector table)
     "ivf_lifecycle_survivors",
+    # round-12: the detector-4 tf-checkpoint family — one corpus
+    # tokenize into a compressed (doc, term, count) / digest table that
+    # every downstream stat rereads (the rows evidence the
+    # materialize-vs-recompute doctrine at 10x)
+    "doc_tfidf_top_terms",
+    "doc_bigram_likelihood",
+    "doc_longest_dup_span",
 ]
 
 # Optional subset filter: SPARK_GRAFT_SCALE_ONLY="a,b" runs just those.
