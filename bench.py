@@ -345,6 +345,37 @@ def detect_regressions(
     return flagged
 
 
+def attach_forensics(spark, queries, sf_dir: str, regressions: list, cap: int = 8):
+    """Flag-time forensics (round-12 verdict item 2): a post-close flag used
+    to arrive with zero plan evidence — by the time the next round opened,
+    the executed plan, scan census, and task times AT FLAG TIME were gone,
+    and the builder re-measured on a different box state. Now every flag
+    carries its own executed-plan summary, captured in-run on the SAME box
+    state that produced the flag: one extra warm execution per flagged
+    query (bounded at ``cap``), summarized via the plan_audit REST
+    machinery (per-relation scan census, exchange count, join strategies,
+    max task ms). Mutates the flag entries in place; any capture failure
+    lands as ``{"error": ...}`` rather than blocking the bench."""
+    if not regressions:
+        return regressions
+    import gc  # noqa: PLC0415
+
+    from plan_audit import capture_forensics  # noqa: PLC0415
+
+    for entry in regressions[:cap]:
+        try:
+            # lookup inside the guard: a stale anchor can flag a renamed
+            # or retired query — that lands as an error note, not a crash
+            fn = queries[entry["query"]].fn
+            entry["forensics"] = capture_forensics(
+                spark, lambda fn=fn: _noop_write(fn(spark, sf_dir))
+            )
+        except Exception as exc:  # noqa: BLE001 — never block the bench
+            entry["forensics"] = {"error": str(exc)[:200]}
+        gc.collect()
+    return regressions
+
+
 def load_anchor(repo_dir: Path) -> tuple[dict | None, str]:
     """Resolve the regression-gate anchor. Preference order:
 
@@ -457,6 +488,20 @@ def main() -> None:
         # long-tail entries are median-of-1: their min IS the median
         current_min={**timings_min, **long_tail},
     )
+    attach_forensics(spark, queries, sf_dir, regressions)
+    # Self-test of the forensics capture on a fixed cheap star join, recorded
+    # in every BENCH artifact: proves IN the artifact that flag-time capture
+    # works on this box (a zero-flag run would otherwise never exercise it,
+    # and the first real flag is exactly when a silent breakage would hurt).
+    try:
+        from plan_audit import capture_forensics  # noqa: PLC0415
+
+        _st_fn = queries["orders_by_region"].fn
+        extras["forensics_selftest"] = capture_forensics(
+            spark, lambda: _noop_write(_st_fn(spark, sf_dir))
+        )
+    except Exception as exc:  # noqa: BLE001
+        extras["forensics_selftest"] = {"error": str(exc)[:200]}
     detail = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -493,7 +538,17 @@ def main() -> None:
                 "n": REPEATS,
                 "n_queries": len(timings),
                 "queries": {},
-                "diagnostics": extras,
+                # the full selftest census lives in the detail artifact; the
+                # totals line carries a one-word status so the forensics
+                # layer can't push the line past the driver's tail window
+                "diagnostics": {
+                    **extras,
+                    "forensics_selftest": (
+                        "error"
+                        if "error" in (extras.get("forensics_selftest") or {})
+                        else "ok"
+                    ),
+                },
                 # full entries live in BENCH_DETAIL.json; the totals line
                 # carries at most the 10 worst names plus the total count
                 # so even a catastrophically-degraded box that flags half

@@ -830,6 +830,7 @@ def upsert_ivf_index(
     wave: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    check_layout: bool = True,
 ) -> None:
     """Incremental wave append to a persisted IVF index under FROZEN
     centroids — the serving-side reality a one-shot build ignores: new
@@ -849,12 +850,39 @@ def upsert_ivf_index(
     vector across cells leaves the stale copy in the old cell until
     :func:`compact_ivf_index` reconciles (documented staleness — the
     standard LSM/lakehouse trade: cheap upserts, periodic compaction).
+
+    A pre-round-11 index written without the wave partition level is
+    rejected loudly — writing (cell, wave) partitions into a cell-only
+    tree would create a mixed layout no reader can open (the streaming
+    wrapper and compaction already guard this; the batch write path
+    must too, or a direct call corrupts the index silently until some
+    later read fails). A missing path is fine: the first wave creates
+    the index and wave 0 stays an empty build namespace. The check reads
+    the index schema (one file listing + footer); a caller that has
+    already verified the layout for the index's lifetime — the streaming
+    wrapper checks once at wave-base pin time, then writes a wave per
+    micro-batch — passes ``check_layout=False`` to skip the per-call
+    listing.
     """
     if wave < 1:
         raise ValueError(
             f"upsert_ivf_index: wave must be >= 1 (wave 0 is the build), "
             f"got {wave}"
         )
+    if check_layout:
+        from pyspark.errors import AnalysisException  # noqa: PLC0415
+
+        try:
+            existing_cols = new_vectors.sparkSession.read.parquet(path).columns
+        except AnalysisException:
+            existing_cols = None  # no index yet — this wave creates it
+        if existing_cols is not None and "wave" not in existing_cols:
+            raise ValueError(
+                f"upsert_ivf_index: index at {path} has no wave partition "
+                "level (pre-round-11 layout); rebuild it with "
+                "build_ivf_index before wave upserts — mixing partition "
+                "layouts in one path is unreadable"
+            )
     from .upsert import upsert_partitions  # noqa: PLC0415
 
     assigned = ivf_assign_arrow(

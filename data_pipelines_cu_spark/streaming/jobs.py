@@ -1266,7 +1266,16 @@ def run_streaming_ivf_upsert(
     deleted prior ingests in the touched cells with no error). A
     pre-round-11 index written without the wave partition level cannot
     take wave upserts at all (mixed partition layouts in one path are
-    unreadable) and is rejected loudly."""
+    unreadable) and is rejected loudly.
+
+    SINGLE WRITER per index, enforced by protocol not by lock: two
+    streams started with fresh checkpoints against the same index read
+    the same max(wave), pin the same base_wave, and dynamic-overwrite
+    each other's (cell, wave) partitions — same class of corruption as
+    compacting under a live ingest. Run one ingest stream per index
+    path; scale ingest by widening the stream's partitions, not by
+    adding streams (the quiesce protocol in compact_ivf_index applies
+    to writers too: stop, compact, fresh checkpoint)."""
     import json as _json
     from pathlib import Path
     from urllib.parse import urlparse
@@ -1293,7 +1302,21 @@ def run_streaming_ivf_upsert(
     ckpt_dir = Path(parsed.path if parsed.scheme else checkpoint)
     base_file = ckpt_dir / "ivf_wave_base.json"
     if base_file.exists():
-        base_wave = int(_json.loads(base_file.read_text())["base_wave"])
+        try:
+            base_wave = int(_json.loads(base_file.read_text())["base_wave"])
+        except (ValueError, KeyError) as exc:
+            # the sidecar is written atomically (tmp + os.replace below),
+            # so a corrupt file is not a crash artifact — it is foreign
+            # damage. Re-pinning from the live index here would be the
+            # wave-clobber corruption the sidecar prevents; die loudly
+            # and let the operator decide (restore the value, or start a
+            # FRESH checkpoint after quiescing, which re-pins safely).
+            raise ValueError(
+                f"run_streaming_ivf_upsert: wave-base sidecar {base_file} "
+                "is unreadable; refusing to guess base_wave (a wrong pin "
+                "silently overwrites earlier waves). Restore it or start "
+                "a fresh checkpoint."
+            ) from exc
     else:
         try:
             idx = spark.read.parquet(index_path)
@@ -1310,7 +1333,16 @@ def run_streaming_ivf_upsert(
                 )
             base_wave = int(idx.agg(F.max("wave")).first()[0] or 0)
         base_file.parent.mkdir(parents=True, exist_ok=True)
-        base_file.write_text(_json.dumps({"base_wave": base_wave}))
+        # atomic publish: a crash between open and write must not leave a
+        # truncated sidecar (the restart would die on it — see the guard
+        # above — rather than resume). tmp-in-same-dir + os.replace is
+        # atomic on POSIX; the checkpoint dir is local by the scheme
+        # guard, so replace semantics hold.
+        import os as _os  # noqa: PLC0415
+
+        tmp = base_file.with_suffix(".json.tmp")
+        tmp.write_text(_json.dumps({"base_wave": base_wave}))
+        _os.replace(tmp, base_file)
 
     def process(batch: DataFrame, batch_id: int) -> None:
         upsert_ivf_index(
@@ -1320,6 +1352,10 @@ def run_streaming_ivf_upsert(
             wave=base_wave + batch_id + 1,
             id_col=id_col,
             vec_col=vec_col,
+            # layout verified once at wave-base pin time (above) for the
+            # checkpoint's lifetime — per-batch re-listing would pay a
+            # file listing per micro-batch for a check that cannot change
+            check_layout=False,
         )
 
     writer = (
@@ -1361,9 +1397,25 @@ def run_streaming_ann_query(
     The batch is persisted once up front: the probe-cell collect and
     the scoring join are genuinely two consumers of the query set (the
     single-action discipline — the upstream plan never compiles
-    twice)."""
+    twice).
+
+    Fails FAST at start when the index path is missing/empty: without
+    the check the first micro-batch dies inside foreachBatch and the
+    error surfaces as an opaque StreamingQueryException after the
+    stream has already committed a checkpoint dir. A legacy cell-only
+    index serves fine (query_ivf_index treats it as all build rows) —
+    only WRITES are barred from the pre-wave layout."""
     from ..operators.similarity import query_ivf_index
     from ..operators.upsert import upsert_partitions
+
+    try:
+        queries.sparkSession.read.parquet(index_path).schema
+    except AnalysisException as exc:
+        raise ValueError(
+            f"run_streaming_ann_query: no readable IVF index at "
+            f"{index_path}; build it (similarity.build_ivf_index) before "
+            "starting the serving stream"
+        ) from exc
 
     cent_rows = sorted(centroids)
 

@@ -1,0 +1,445 @@
+"""Round-13 surfaces: flag-time bench forensics (executed-plan census +
+max task ms attached to every regression flag — round-12 verdict item 2),
+the ExecCursor gap/empty-page hardening (ADVICE), the batch-path legacy
+IVF layout guard (ADVICE medium), the atomic wave-base sidecar (ADVICE),
+and degenerate/recovery probes for the round-12 serving surfaces
+(streaming ANN query vs missing/legacy index and across kill-restart,
+corrupt sidecar, gate re-entry on a dirty index dir)."""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+
+def _load(name: str):
+    spec = importlib.util.spec_from_file_location(name, REPO / f"{name}.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+# --- flag-time forensics -------------------------------------------------------
+
+_CANNED_PLAN = """\
+AdaptiveSparkPlan (9)
++- == Final Plan ==
+   HashAggregate (8)
+   +- Exchange (7)
+      +- BroadcastHashJoin Inner BuildRight (6)
+         :- Scan parquet  (1)
+         +- BroadcastExchange (5)
+            +- SortMergeJoin Inner (4)
+               :- Scan parquet  (2)
+               +- Scan parquet  (1)
++- == Initial Plan ==
+   HashAggregate (18)
+   +- Exchange (17)
+      +- Exchange (16)
+         +- Scan parquet  (1)
+         +- Scan parquet  (2)
+
+(1) Scan parquet
+Output [2]: [o_orderkey#1L, o_totalprice#2]
+Location: InMemoryFileIndex [file:/data/sf0.1/orders.parquet]
+
+(2) Scan parquet
+Output [1]: [c_custkey#9L]
+Location: InMemoryFileIndex [file:/data/sf0.1/customer.parquet]
+"""
+
+
+def test_exec_plan_census_counts_final_plan_only():
+    """The census reads the FINAL executed plan: per-relation scan counts
+    from the footer's Location mapping (node (1) appears twice in the
+    tree), exchange and join-strategy counts — and the Initial Plan
+    section (which repeats every node) is excluded entirely."""
+    pa = _load("plan_audit")
+    census = pa.exec_plan_census(_CANNED_PLAN)
+    assert census["scans"] == {"orders.parquet": 2, "customer.parquet": 1}
+    assert census["n_scans"] == 3
+    # Exchange (7) + BroadcastExchange (5); the Initial Plan's 16/17 excluded
+    assert census["n_exchanges"] == 2
+    assert census["broadcast_hash_joins"] == 1
+    assert census["sort_merge_joins"] == 1
+    assert census["shuffled_hash_joins"] == 0
+
+
+def test_capture_forensics_live_query(spark):
+    """End-to-end on the live /sql REST endpoint: one star-join execution
+    yields a census over its real relations plus a max task duration —
+    the evidence package every bench flag now ships with."""
+    pa = _load("plan_audit")
+    if not spark.sparkContext.uiWebUrl:
+        pytest.skip("Spark UI disabled in this session")
+    from data_pipelines_cu_spark.queries import all_queries
+
+    fn = all_queries()["orders_by_region"].fn
+    sf = "/root/testdata/sf0.001"
+    fn(spark, sf).count()  # warm so the capture run is flag-representative
+    out = pa.capture_forensics(
+        spark,
+        lambda: fn(spark, sf).write.format("noop").mode("overwrite").save(),
+    )
+    assert out["n_executions"] >= 1
+    plan = out["plan"]
+    assert plan is not None and plan["n_scans"] >= 4  # 4-table star join
+    rels = set(plan["scans"])
+    assert any("orders" in r for r in rels)
+    assert any("region" in r for r in rels)
+    assert out["max_task_ms"] is None or out["max_task_ms"] > 0
+
+
+def test_attach_forensics_decorates_flags_and_survives_stale_names(spark):
+    """bench.attach_forensics mutates each flag entry in place with the
+    captured evidence; a flag naming a retired/renamed query (a stale
+    anchor can do this) lands an error note instead of crashing the
+    bench."""
+    bench = _load("bench")
+    if not spark.sparkContext.uiWebUrl:
+        pytest.skip("Spark UI disabled in this session")
+    from data_pipelines_cu_spark.queries import all_queries
+
+    queries = all_queries()
+    flags = [
+        {"query": "orders_by_region", "normalized_ratio": 9.9},
+        {"query": "retired_query_name", "normalized_ratio": 5.0},
+    ]
+    bench.attach_forensics(spark, queries, "/root/testdata/sf0.001", flags)
+    assert flags[0]["forensics"]["plan"]["n_scans"] >= 4
+    assert "error" in flags[1]["forensics"]
+    # empty flag list is a no-op, not a crash
+    assert bench.attach_forensics(spark, queries, "x", []) == []
+
+
+# --- ExecCursor gap / empty-page hardening --------------------------------------
+
+
+class _FakeSql:
+    """Scripted stand-in for plan_audit._sql_executions: serves slices of
+    a mutable listing and counts full fetches (offset=0) separately."""
+
+    def __init__(self, listing):
+        self.listing = listing
+        self.full_fetches = 0
+
+    def __call__(self, base, app_id, offset: int = 0):
+        if offset == 0:
+            self.full_fetches += 1
+        return self.listing[offset:]
+
+
+def _cursor_with(pa, fake):
+    pa._sql_executions = fake
+    return pa.ExecCursor("http://x", "app")
+
+
+def test_exec_cursor_transient_gap_keeps_fast_path():
+    """A natural id gap (an execution not yet surfaced when the page was
+    read) must NOT permanently degrade the cursor: the full listing shows
+    the oldest retained id unchanged, so the cursor resyncs its offset
+    and stays on the cheap incremental path."""
+    pa = _load("plan_audit")
+    fake = _FakeSql([{"id": 0}, {"id": 1}])
+    cur = _cursor_with(pa, fake)
+    # id 2 in flight, id 3 already listed: discontinuous page, no eviction
+    fake.listing = [{"id": 0}, {"id": 1}, {"id": 3}]
+    got = cur.new_executions()
+    assert [e["id"] for e in got] == [3]
+    assert cur.evicting is False
+    # subsequent call rides the fast path (offset resynced to 3)
+    fake.listing = [{"id": 0}, {"id": 1}, {"id": 3}, {"id": 4}]
+    before = fake.full_fetches
+    got = cur.new_executions()
+    assert [e["id"] for e in got] == [4]
+    assert cur.evicting is False
+    assert fake.full_fetches == before  # no full fetch on the fast path
+
+
+def test_exec_cursor_confirmed_eviction_degrades():
+    """Eviction is proven by the oldest RETAINED id moving past last_id+1
+    (the window shifted left); only then does the cursor degrade to
+    fetch-all-filter-by-id for good."""
+    pa = _load("plan_audit")
+    fake = _FakeSql([{"id": 0}, {"id": 1}])
+    cur = _cursor_with(pa, fake)
+    fake.listing = [{"id": 3}, {"id": 4}, {"id": 5}]  # 0-2 evicted
+    got = cur.new_executions()
+    assert [e["id"] for e in got] == [3, 4, 5]
+    assert cur.evicting is True
+
+
+def test_exec_cursor_empty_page_disambiguation_is_cached():
+    """An empty incremental page is ambiguous (nothing new vs window
+    shifted past the offset): ONE full fetch disambiguates, and the
+    negative result is cached briefly so an idle polling loop doesn't
+    pay a full fetch per call."""
+    pa = _load("plan_audit")
+    fake = _FakeSql([{"id": 0}, {"id": 1}])
+    cur = _cursor_with(pa, fake)
+    assert fake.full_fetches == 1  # __init__ baseline
+    assert cur.new_executions() == []  # disambiguates: full fetch #2
+    assert fake.full_fetches == 2
+    assert cur.new_executions() == []  # cached: NO third full fetch
+    assert cur.new_executions() == []
+    assert fake.full_fetches == 2
+    assert cur.evicting is False
+    # new work clears the cache via the fast path immediately
+    fake.listing = [{"id": 0}, {"id": 1}, {"id": 2}]
+    got = cur.new_executions()
+    assert [e["id"] for e in got] == [2]
+    assert fake.full_fetches == 2
+    # cache expires: after the TTL a fresh empty call disambiguates again
+    assert cur.new_executions() == []
+    assert fake.full_fetches == 3
+    cur._empty_confirmed_at -= pa.ExecCursor.EMPTY_CACHE_SEC + 1
+    assert cur.new_executions() == []
+    assert fake.full_fetches == 4
+
+
+# --- IVF lifecycle guards + degenerate/recovery probes ---------------------------
+
+
+def _embeddings(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def _stream_vectors(spark, src_dir, rows, start_mtime=1_700_000_000):
+    src_dir.mkdir(exist_ok=True)
+    existing = len(list(src_dir.glob("part-*.json")))
+    with open(src_dir / f"part-{existing}.json", "w") as f:
+        for vid, vec in rows:
+            f.write(json.dumps({"vec_id": vid, "embedding": vec}) + "\n")
+    os.utime(
+        src_dir / f"part-{existing}.json",
+        (start_mtime + existing * 60, start_mtime + existing * 60),
+    )
+    return (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src_dir))
+    )
+
+
+def test_upsert_ivf_batch_path_rejects_legacy_index(spark, tmp_path):
+    """THE ADVICE medium, closed: the batch write path itself now guards
+    the pre-wave layout — calling upsert_ivf_index directly on a
+    cell-only index raises instead of silently writing (cell, wave)
+    partitions into a cell-only tree (a mixed layout no reader can
+    open). A missing path stays fine (first wave creates the index)."""
+    from pyspark.sql import functions as F
+
+    from data_pipelines_cu_spark.operators import similarity as sim
+
+    em = _embeddings(spark)
+    legacy = str(tmp_path / "legacy")
+    cents = sim.build_ivf_index(em, str(tmp_path / "tmpbuild"), n_centroids=8)
+    # forge the pre-round-11 layout: cell partitions, no wave level
+    sim.ivf_assign_arrow(
+        em.select("vec_id", "embedding"), sorted(cents)
+    ).write.partitionBy("cell").mode("overwrite").parquet(legacy)
+
+    upd = em.limit(3).select(
+        "vec_id",
+        F.transform("embedding", lambda x: (x * F.lit(2.0)).cast("float")).alias(
+            "embedding"
+        ),
+    )
+    with pytest.raises(ValueError, match="no wave partition level"):
+        sim.upsert_ivf_index(upd, legacy, cents, wave=1)
+    # the guarded write never touched the tree: still legacy, still readable
+    assert "wave" not in spark.read.parquet(legacy).columns
+
+    # missing path: the first wave creates the index (wave-layout tree)
+    fresh = str(tmp_path / "fresh")
+    sim.upsert_ivf_index(upd, fresh, cents, wave=1)
+    landed = spark.read.parquet(fresh)
+    assert set(landed.select("wave").distinct().toPandas()["wave"]) == {1}
+
+
+def test_wave_base_sidecar_atomic_write_and_corrupt_rejected(spark, tmp_path):
+    """ADVICE: the sidecar publishes via tmp + os.replace (no truncated
+    file can exist after a crash), and an unreadable sidecar is rejected
+    loudly instead of re-pinning from the live index — a wrong re-pin IS
+    the wave-clobber corruption the sidecar prevents."""
+    from data_pipelines_cu_spark.operators import similarity as sim
+    from data_pipelines_cu_spark.streaming.jobs import run_streaming_ivf_upsert
+
+    em = _embeddings(spark)
+    rows = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in em.limit(6).select("vec_id", "embedding").collect()
+    ]
+    idx = str(tmp_path / "ivf")
+    cents = sim.build_ivf_index(em, idx, n_centroids=8, lloyd_iters=1)
+
+    ck = tmp_path / "ck"
+    s = _stream_vectors(spark, tmp_path / "in", rows[:3])
+    assert run_streaming_ivf_upsert(
+        s, idx, cents, checkpoint=str(ck)
+    ).awaitTermination(120)
+    assert (ck / "ivf_wave_base.json").exists()
+    assert not (ck / "ivf_wave_base.json.tmp").exists()  # replaced, not left
+
+    # corrupt sidecar (foreign damage — atomic write rules out crashes):
+    # restart refuses with an actionable error rather than guessing
+    (ck / "ivf_wave_base.json").write_text('{"base_wave": ')
+    s2 = _stream_vectors(spark, tmp_path / "in", rows[3:])
+    with pytest.raises(ValueError, match="sidecar .* is unreadable"):
+        run_streaming_ivf_upsert(s2, idx, cents, checkpoint=str(ck))
+
+
+def test_streaming_ann_query_missing_index_fails_fast(spark, tmp_path):
+    """Serving against a nonexistent index dies at START with an
+    actionable ValueError — not inside the first micro-batch as an
+    opaque StreamingQueryException after a checkpoint dir was minted."""
+    from data_pipelines_cu_spark.streaming.jobs import run_streaming_ann_query
+
+    em = _embeddings(spark)
+    rows = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in em.limit(2).select("vec_id", "embedding").collect()
+    ]
+    qs = _stream_vectors(spark, tmp_path / "q", rows)
+    with pytest.raises(ValueError, match="no readable IVF index"):
+        run_streaming_ann_query(
+            qs,
+            str(tmp_path / "nonexistent_index"),
+            [(0, [1.0, 0.0])],
+            str(tmp_path / "res"),
+            str(tmp_path / "ck"),
+        )
+
+
+def test_streaming_ann_query_serves_legacy_index(spark, tmp_path):
+    """A legacy cell-only index SERVES fine (reads treat it as all build
+    rows; only writes are barred) — the read path stays available while
+    the operator schedules the rebuild."""
+    from data_pipelines_cu_spark.operators import similarity as sim
+    from data_pipelines_cu_spark.streaming.jobs import run_streaming_ann_query
+
+    em = _embeddings(spark)
+    legacy = str(tmp_path / "legacy")
+    cents = sim.build_ivf_index(em, str(tmp_path / "tmpbuild"), n_centroids=8)
+    sim.ivf_assign_arrow(
+        em.select("vec_id", "embedding"), sorted(cents)
+    ).write.partitionBy("cell").mode("overwrite").parquet(legacy)
+
+    rows = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in em.filter("vec_id < 3").select("vec_id", "embedding").collect()
+    ]
+    qs = _stream_vectors(spark, tmp_path / "q", rows)
+    res_path = str(tmp_path / "res")
+    assert run_streaming_ann_query(
+        qs, legacy, cents, res_path, str(tmp_path / "ck"), k=5, n_probe=2, id_col="vec_id"
+    ).awaitTermination(120)
+
+    got = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in spark.read.parquet(res_path).collect()
+    )
+    want = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in sim.query_ivf_index(
+            spark,
+            legacy,
+            cents,
+            em.filter("vec_id < 3").select("vec_id", "embedding"),
+            k=5,
+            n_probe=2,
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_streaming_ann_query_kill_restart_no_duplicate_results(
+    spark, tmp_path
+):
+    """Kill-and-restart of the serving stream on the SAME checkpoint:
+    replayed batches land in their original batch_id partitions via
+    dynamic overwrite, so the result set equals the one-shot batch
+    answer with no duplicated (query, neighbor) rows."""
+    from pyspark.sql import functions as F
+
+    from data_pipelines_cu_spark.operators import similarity as sim
+    from data_pipelines_cu_spark.streaming.jobs import run_streaming_ann_query
+
+    em = _embeddings(spark)
+    idx = str(tmp_path / "ivf")
+    cents = sim.build_ivf_index(em, idx, n_centroids=8, lloyd_iters=1)
+    rows = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in em.filter("vec_id < 6").select("vec_id", "embedding").collect()
+    ]
+    ck = str(tmp_path / "ck")
+    res_path = str(tmp_path / "res")
+    src = tmp_path / "q"
+
+    s1 = _stream_vectors(spark, src, rows[:3])
+    assert run_streaming_ann_query(
+        s1, idx, cents, res_path, ck, k=3, n_probe=2, id_col="vec_id"
+    ).awaitTermination(120)
+    # "kill": the availableNow run ended; more queries arrive; restart
+    s2 = _stream_vectors(spark, src, rows[3:])
+    assert run_streaming_ann_query(
+        s2, idx, cents, res_path, ck, k=3, n_probe=2, id_col="vec_id"
+    ).awaitTermination(120)
+
+    landed = spark.read.parquet(res_path)
+    assert (
+        landed.groupBy("query_id", "neighbor_id")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+        == 0
+    ), "a replayed batch duplicated its partition"
+    want = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in sim.query_ivf_index(
+            spark,
+            idx,
+            cents,
+            em.filter("vec_id < 6").select("vec_id", "embedding"),
+            k=3,
+            n_probe=2,
+        ).collect()
+    )
+    got = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"]) for r in landed.collect()
+    )
+    assert got == want
+
+
+def test_ivf_gate_reentry_on_dirty_index_dir(spark, tmp_path, monkeypatch):
+    """Gate re-entry contract: the lifecycle query's build is a STATIC
+    overwrite, so a dirty deterministic temp dir — stale waves from a
+    prior crashed run, even a foreign legacy layout — is replaced
+    wholesale and the survivor set is identical to a clean run."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_pipelines_cu_spark.queries import all_queries
+
+    monkeypatch.setattr(tempfile, "tempdir", str(tmp_path))
+    fn = all_queries()["ivf_lifecycle_survivors"].fn
+    sf = "/root/testdata/sf0.001"
+    clean = sorted(tuple(r) for r in fn(spark, sf).collect())
+    # dirty the deterministic dir with a foreign cell-only layout
+    gate_dirs = list(Path(str(tmp_path)).glob("ivf_gate_*"))
+    assert gate_dirs, "gate dir not created under the patched tempdir"
+    foreign = _embeddings(spark).limit(4).withColumn("cell", F.lit(0))
+    foreign.write.partitionBy("cell").mode("overwrite").parquet(
+        str(gate_dirs[0])
+    )
+    again = sorted(tuple(r) for r in fn(spark, sf).collect())
+    assert again == clean and len(again) > 0
