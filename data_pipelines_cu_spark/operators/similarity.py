@@ -979,6 +979,175 @@ def ivf_index_report(spark, path: str, id_col: str = "vec_id") -> DataFrame:
     )
 
 
+def ivf_drift_report(
+    spark,
+    path: str,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One-row centroid-drift report for a persisted IVF index — the
+    input to :func:`should_rebuild_centroids`, closing the last
+    un-automated step of the index lifecycle (ivf_index_report surfaces
+    compaction debt; this measures how far the DATA has drifted from the
+    FROZEN centroid artifact):
+
+    - ``occupancy_skew``: max/mean latest-vector count across cells. A
+      drifting distribution concentrates new vectors in few cells,
+      eroding partition pruning (one fat cell = scanning most of the
+      index per probe).
+    - ``mean_distortion`` / ``max_distortion``: 1 - cosine(vector, its
+      cell's frozen centroid) over the latest vector per id. Growth vs
+      the build-time reading means vectors sit far from every centroid —
+      true neighbors scatter across cell boundaries and recall@k decays
+      at fixed n_probe (measured in tests/test_round13_ops.py).
+    - ``upsert_frac``: fraction of surviving ids whose kept wave > 0 —
+      how much of the index arrived under frozen centroids since the
+      last build/compact.
+
+    One linear pass over the index + a broadcast join against the
+    k-row centroid table; the output is a single row, never corpus-sized
+    driver state. Baseline discipline: collect this right after
+    build/retrain and persist it next to the centroid artifact; the
+    decision compares current vs baseline."""
+    raw = spark.read.parquet(path)
+    if "wave" not in raw.columns:  # pre-round-11 layout: all build rows
+        raw = raw.withColumn("wave", F.lit(0))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("wave").desc(), F.col(vec_col).cast("string")
+    )
+    latest = (
+        raw.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("cell", "wave", vec_col)
+    )
+    cent_df = F.broadcast(
+        spark.createDataFrame(
+            [(c, [float(x) for x in v]) for c, v in sorted(centroids)],
+            "cell int, _centroid array<double>",
+        )
+    )
+    per_vec = latest.join(cent_df, "cell").select(
+        "cell",
+        "wave",
+        (1.0 - cosine(F.col(vec_col), F.col("_centroid"))).alias("_dist"),
+    )
+    per_cell = per_vec.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_dist").alias("_d"),
+        F.max("_dist").alias("_dmax"),
+        F.sum(F.when(F.col("wave") > 0, 1).otherwise(0)).alias("_up"),
+    )
+    return per_cell.agg(
+        F.sum("_n").cast("long").alias("n_vectors"),
+        F.count(F.lit(1)).alias("n_occupied_cells"),
+        F.round(
+            F.max("_n").cast("double")
+            / (F.sum("_n").cast("double") / F.count(F.lit(1))),
+            6,
+        ).alias("occupancy_skew"),
+        F.round(F.sum("_d") / F.sum("_n"), 6).alias("mean_distortion"),
+        F.round(F.max("_dmax"), 6).alias("max_distortion"),
+        F.round(F.sum("_up").cast("double") / F.sum("_n"), 6).alias(
+            "upsert_frac"
+        ),
+    )
+
+
+def should_rebuild_centroids(
+    report: dict,
+    baseline: dict | None = None,
+    skew_limit: float = 4.0,
+    distortion_growth: float = 1.5,
+    upsert_frac_limit: float = 0.5,
+) -> dict:
+    """The rebuild decision, as a pure function over one-row
+    :func:`ivf_drift_report` readings (current, and optionally the
+    build-time baseline): rebuild when occupancy skew blows past
+    ``skew_limit`` (pruning eroded), when mean distortion grew more than
+    ``distortion_growth``x the baseline (recall decay — the absolute
+    reading is corpus-dependent, growth is not), or when more than
+    ``upsert_frac_limit`` of the index arrived under frozen centroids
+    (the artifact no longer describes the data that elected it).
+    Returns ``{"rebuild": bool, "reasons": [...]}`` — driver-side over
+    two 1-row dicts, never data-sized. Wire it into the quiesce
+    protocol: stop ingest -> if rebuild: retrain_ivf_centroids ->
+    restart with a FRESH checkpoint and the NEW centroid artifact."""
+    reasons = []
+    if report["occupancy_skew"] > skew_limit:
+        reasons.append(
+            f"occupancy_skew {report['occupancy_skew']} > {skew_limit}"
+        )
+    if (
+        baseline is not None
+        and baseline["mean_distortion"] > 0
+        and report["mean_distortion"]
+        > distortion_growth * baseline["mean_distortion"]
+    ):
+        reasons.append(
+            f"mean_distortion {report['mean_distortion']} > "
+            f"{distortion_growth}x baseline {baseline['mean_distortion']}"
+        )
+    if report["upsert_frac"] > upsert_frac_limit:
+        reasons.append(
+            f"upsert_frac {report['upsert_frac']} > {upsert_frac_limit}"
+        )
+    return {"rebuild": bool(reasons), "reasons": reasons}
+
+
+def retrain_ivf_centroids(
+    spark,
+    path: str,
+    n_centroids: int = 8,
+    lloyd_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """The rebuild-the-centroids action :func:`should_rebuild_centroids`
+    gates — compact-and-retrain in one pass: collapse the index to its
+    keep-last survivors, re-seed (the ``n_centroids`` lowest surviving
+    ids — same deterministic rule as the build) and re-run Lloyd over
+    the CURRENT survivor set, then rewrite the index under the NEW
+    centroids as a fresh wave 0. Returns the new centroid artifact; the
+    caller persists it in place of the old one — every subsequent
+    upsert/query/serve call must use it (cells are renumbered).
+
+    QUIESCE REQUIRED, exactly as for compaction: stop the ingest
+    stream, retrain, restart with a FRESH checkpoint (the wave-base
+    sidecar re-pins from the rewritten index) and the new artifact.
+    Resuming an old checkpoint replays waves assigned under the OLD
+    centroids into the new layout — same corruption class as
+    compact-under-live-ingest."""
+    raw = spark.read.parquet(path)
+    if "wave" not in raw.columns:  # pre-round-11 layout: all build rows
+        raw = raw.withColumn("wave", F.lit(0))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("wave").desc(), F.col(vec_col).cast("string")
+    )
+    latest = (
+        raw.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, vec_col)
+        # survivor set feeds seeding, Lloyd, and the rewrite of the very
+        # files it came from: cut the lineage once (id+vector rows — the
+        # compressed-intermediate doctrine, ARCHITECTURE §3)
+        .localCheckpoint(eager=True)
+    )
+    seeds = (
+        latest.orderBy(id_col).limit(n_centroids).select(id_col, vec_col)
+    )
+    seed_rows = [(r[0], [float(x) for x in r[1]]) for r in seeds.collect()]
+    new_cents = (
+        lloyd_refine_rows(latest, seed_rows, n_iters=lloyd_iters, vec_col=vec_col)
+        if lloyd_iters > 0
+        else sorted(seed_rows)
+    )
+    build_ivf_index(
+        latest, path, centroids=new_cents, id_col=id_col, vec_col=vec_col
+    )
+    return new_cents
+
+
 def query_ivf_index(
     spark,
     path: str,
@@ -2472,21 +2641,11 @@ def hard_negative_oracle_sql(
 # grades them). Integer hit counts, one rounded division — hash-gates.
 
 
-def ann_recall_report(
-    corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
-    n_bits: int = 8,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
+def _grade_recall(truth: DataFrame, approx: DataFrame) -> DataFrame:
     """(query_id, n_true, n_hits, recall): per query, how many of the
-    brute-force top-k the LSH top-k recovered. n_true < k happens when
-    the corpus is small; recall divides by the true count."""
-    truth = cosine_topk(corpus, queries, k=k, id_col=id_col, vec_col=vec_col)
-    approx = cosine_topk_lsh(
-        corpus, queries, k=k, n_bits=n_bits, id_col=id_col, vec_col=vec_col
-    )
+    brute-force top-k the approximate top-k recovered. Both inputs carry
+    (query_id, neighbor_id); n_true < k happens when the corpus is
+    small; recall divides by the true count."""
     hits = truth.join(
         approx.select("query_id", "neighbor_id").withColumn("_hit", F.lit(1)),
         ["query_id", "neighbor_id"],
@@ -2501,6 +2660,59 @@ def ann_recall_report(
             6,
         ).alias("recall"),
     )
+
+
+def ann_recall_report(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of the LSH path against brute-force ground truth (see
+    :func:`_grade_recall` for the output contract)."""
+    truth = cosine_topk(corpus, queries, k=k, id_col=id_col, vec_col=vec_col)
+    approx = cosine_topk_lsh(
+        corpus, queries, k=k, n_bits=n_bits, id_col=id_col, vec_col=vec_col
+    )
+    return _grade_recall(truth, approx)
+
+
+def ivf_recall_report(
+    spark,
+    path: str,
+    centroids: list[tuple[int, list[float]]],
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of a PERSISTED IVF index — the lifecycle-aware twin of
+    :func:`ann_recall_report`, which measures the LSH path only (the
+    round-12 verdict's open quality question): the approximate side is
+    :func:`query_ivf_index` over the index AS IT IS ON DISK (build +
+    upsert waves, pre- or post-compaction, under whatever centroid
+    staleness it has accrued), the truth side is brute force over
+    ``corpus`` — the CURRENT live vector set the index is supposed to
+    represent. Run it after upsert waves to measure what centroid
+    staleness actually costs at fixed n_probe; the drift trigger
+    (:func:`should_rebuild_centroids`) decides when that cost warrants
+    a retrain."""
+    truth = cosine_topk(corpus, queries, k=k, id_col=id_col, vec_col=vec_col)
+    approx = query_ivf_index(
+        spark,
+        path,
+        centroids,
+        queries,
+        k=k,
+        n_probe=n_probe,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    return _grade_recall(truth, approx)
 
 
 def ann_recall_oracle_sql(

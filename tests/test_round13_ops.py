@@ -443,3 +443,196 @@ def test_ivf_gate_reentry_on_dirty_index_dir(spark, tmp_path, monkeypatch):
     )
     again = sorted(tuple(r) for r in fn(spark, sf).collect())
     assert again == clean and len(again) > 0
+
+
+# --- incremental-index recall audit + centroid-drift retrain trigger -------------
+
+
+def test_ivf_recall_report_incremental_lifecycle(spark, tmp_path):
+    """Round-12 verdict item 4 (the open quality question on the serving
+    path): measure recall@k of the INCREMENTAL index — build + an upsert
+    wave that MOVES vectors across cells (v -> -v flips the cosine, so
+    the new copy lands in a different cell and the stale one stays
+    behind) — against brute-force ground truth over the CURRENT live
+    vector set. Pre-compaction, stale cross-cell copies serve as false
+    positives to queries probing their old cells; compaction reconciles
+    and recall must not be below the pre-compact reading, with an
+    absolute floor on the compacted index."""
+    from pyspark.sql import functions as F
+
+    from data_pipelines_cu_spark.operators import similarity as sim
+
+    em = (
+        _embeddings(spark)
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id", "embedding")
+    )
+    idx = str(tmp_path / "ivf")
+    cents = sim.build_ivf_index(em, idx, n_centroids=8, lloyd_iters=2)
+
+    # wave 1: every vec_id % 5 == 0 re-ingested NEGATED (cross-cell move)
+    moved = em.filter(F.col("vec_id") % 5 == 0).select(
+        "vec_id",
+        F.transform("embedding", lambda x: (-x).cast("float")).alias(
+            "embedding"
+        ),
+    )
+    sim.upsert_ivf_index(moved, idx, cents, wave=1)
+    # wave 2: every vec_id % 7 == 0 re-ingested DOUBLED (same-cell update,
+    # exact in float; for ids in both waves the newer wave must win)
+    scaled = em.filter(F.col("vec_id") % 7 == 0).select(
+        "vec_id",
+        F.transform("embedding", lambda x: (x * F.lit(2.0)).cast("float")).alias(
+            "embedding"
+        ),
+    )
+    sim.upsert_ivf_index(scaled, idx, cents, wave=2)
+
+    # the CURRENT live set the index is supposed to represent
+    live = (
+        em.filter((F.col("vec_id") % 5 != 0) & (F.col("vec_id") % 7 != 0))
+        .unionByName(moved.filter(F.col("vec_id") % 7 != 0))
+        .unionByName(scaled)
+    )
+    queries = live.filter(F.col("vec_id") < 25)
+
+    def mean_recall():
+        rep = sim.ivf_recall_report(
+            spark, idx, cents, live, queries, k=5, n_probe=2
+        )
+        row = rep.agg(F.avg("recall").alias("r")).first()
+        # 6dp: per-query recalls are exact 6dp values, but the driver-side
+        # mean is summation-order-sensitive in the last ulp
+        return round(float(row["r"]), 6)
+
+    pre = mean_recall()
+    # the staleness debt is ON RECORD before compaction: upsert waves
+    # present (the drift/debt signal ivf_index_report surfaces)
+    report = sim.ivf_index_report(spark, idx)
+    assert report.agg(F.max("latest_wave")).first()[0] == 2
+
+    sim.compact_ivf_index(spark, idx, cents)
+    post = mean_recall()
+    assert report.sparkSession.read.parquet(idx).filter(
+        F.col("wave") > 0
+    ).count() == 0  # debt reconciled
+
+    # ground truth for the floor: a CLEAN build of the live set under the
+    # same frozen centroids — the compacted incremental index must match
+    # its recall EXACTLY (it is row-identical by the compaction contract),
+    # so any gap is incremental-lifecycle damage, not IVF approximation
+    clean = str(tmp_path / "clean")
+    sim.build_ivf_index(live, clean, centroids=cents)
+    rep_clean = sim.ivf_recall_report(
+        spark, clean, cents, live, queries, k=5, n_probe=2
+    )
+    rep_post = sim.ivf_recall_report(
+        spark, idx, cents, live, queries, k=5, n_probe=2
+    )
+    rows_post = sorted(tuple(r) for r in rep_post.collect())
+    rows_clean = sorted(tuple(r) for r in rep_clean.collect())
+    assert rows_post == rows_clean  # per-query identical, not just on average
+    clean_recall = float(rep_clean.agg(F.avg("recall")).first()[0])
+    # compaction must never LOWER recall; absolute readings are recorded
+    # in BASELINE.md round-13 (intrinsic n_probe=2-of-8 recall on this
+    # corpus, NOT a lifecycle artifact — the clean-rebuild equality above
+    # is the lifecycle assertion)
+    assert post >= pre
+    assert post >= 0.5, f"compacted-index recall {post}"
+    print(f"IVF lifecycle recall: pre-compact {pre:.4f}, "
+          f"post-compact {post:.4f}, clean rebuild {clean_recall:.4f}")
+
+
+def _drift_fixture(spark):
+    """Deterministic 8-dim corpus: cluster A along e1 (ids 0,10..18),
+    cluster B along e2 (ids 1,20..28), so the build's lowest-id seeds
+    (0, 1) start one centroid per cluster. The DRIFTED family (ids
+    2..9, 30..51) sits on the A/B boundary (e1+e2) with two independent
+    structures: a LEAN (even ids toward A, odd toward B — this alone
+    decides the frozen-artifact cell, splitting the family across both
+    cells) and an IDENTITY signature in dims 5-6, which are ZERO in
+    both clusters and hence in both frozen centroids — orthogonal to
+    the assignment, but dominant for in-family cosine ranking. A
+    query's true top-k is its same-signature group, which straddles
+    both cells, so n_probe=1 recall collapses toward the same-cell
+    fraction until a retrain gives the family its own cell."""
+
+    def base_vec(d, i):
+        v = [0.0] * 8
+        v[d] = 1.0
+        v[3] = 0.02 * (i % 7)
+        v[4] = 0.02 * (i % 5)
+        return v
+
+    def drift_vec(i):
+        lean = 0.05 if i % 2 == 0 else -0.05
+        g = (i // 2) % 5
+        v = [0.0] * 8
+        v[0] = 1.0 + lean
+        v[1] = 1.0 - lean
+        v[5] = 0.3 * g
+        v[6] = 0.2 * ((i // 2) % 3)
+        return v
+
+    a = [(i, base_vec(0, i)) for i in [0, *range(10, 19)]]
+    b = [(i, base_vec(1, i)) for i in [1, *range(20, 29)]]
+    drifted = [(i, drift_vec(i)) for i in [*range(2, 10), *range(30, 52)]]
+    schema = "vec_id long, embedding array<float>"
+    return (
+        spark.createDataFrame(a + b, schema),
+        spark.createDataFrame(drifted[:15], schema),
+        spark.createDataFrame(drifted[15:], schema),
+    )
+
+
+def test_centroid_drift_trigger_degrade_and_recover(spark, tmp_path):
+    """Round-12 verdict item 7, the last un-automated lifecycle step:
+    a drifted ingest degrades fixed-artifact recall; ivf_drift_report +
+    should_rebuild_centroids DETECT it mechanically (distortion growth
+    vs the build-time baseline + upsert mass); retrain_ivf_centroids
+    recovers the recall. Without the trigger the operator flies blind —
+    with it, the decision is a pure function of two 1-row reports."""
+    from pyspark.sql import functions as F
+
+    from data_pipelines_cu_spark.operators import similarity as sim
+
+    original, wave1, wave2 = _drift_fixture(spark)
+    idx = str(tmp_path / "ivf")
+    cents = sim.build_ivf_index(original, idx, n_centroids=2, lloyd_iters=2)
+    baseline = sim.ivf_drift_report(spark, idx, cents).first().asDict()
+    assert not sim.should_rebuild_centroids(baseline, baseline)["rebuild"]
+
+    # two drifted waves land under the frozen artifact (quiesced batch
+    # twin of the streaming ingest — same write path)
+    sim.upsert_ivf_index(wave1, idx, cents, wave=1)
+    sim.upsert_ivf_index(wave2, idx, cents, wave=2)
+
+    live = original.unionByName(wave1).unionByName(wave2)
+    queries = wave1.filter(F.col("vec_id") < 8)
+
+    def mean_recall(c):
+        rep = sim.ivf_recall_report(
+            spark, idx, c, live, queries, k=5, n_probe=1
+        )
+        return float(rep.agg(F.avg("recall")).first()[0])
+
+    degraded = mean_recall(cents)
+    assert degraded <= 0.75, f"drift did not degrade recall: {degraded}"
+
+    # the trigger fires on the drifted state...
+    report = sim.ivf_drift_report(spark, idx, cents).first().asDict()
+    decision = sim.should_rebuild_centroids(report, baseline)
+    assert decision["rebuild"], (report, baseline)
+    assert any("distortion" in r for r in decision["reasons"])
+    assert any("upsert_frac" in r for r in decision["reasons"])
+
+    # ...and the gated action recovers: quiesce -> retrain -> fresh serve
+    new_cents = sim.retrain_ivf_centroids(spark, idx, n_centroids=3)
+    recovered = mean_recall(new_cents)
+    assert recovered >= 0.9, f"retrain did not recover recall: {recovered}"
+    assert recovered > degraded
+
+    # the retrained index reads as its own healthy baseline again
+    fresh = sim.ivf_drift_report(spark, idx, new_cents).first().asDict()
+    assert not sim.should_rebuild_centroids(fresh, fresh)["rebuild"]
+    assert fresh["upsert_frac"] == 0.0
