@@ -636,3 +636,167 @@ def test_centroid_drift_trigger_degrade_and_recover(spark, tmp_path):
     fresh = sim.ivf_drift_report(spark, idx, new_cents).first().asDict()
     assert not sim.should_rebuild_centroids(fresh, fresh)["rebuild"]
     assert fresh["upsert_frac"] == 0.0
+
+
+# --- plan-string format characterization -----------------------------------------
+
+
+def test_sql_rest_plan_format_markers_stable(spark):
+    """Detectors 3-5 and the forensics census parse the /sql REST
+    planDescription STRING — a format owned by Spark, version-coupled,
+    and changeable without notice in a minor upgrade. This test pins
+    every marker the parsers rely on against a live execution, so a
+    format drift fails HERE with a named marker instead of silently
+    blinding the whole audit layer (detectors would report 0 scans
+    everywhere — indistinguishable from a clean audit):
+
+    - an ``== Final Plan ==`` / ``== Initial Plan ==`` sectioned AQE plan
+    - tree scan nodes printed as ``Scan parquet ... (N)``
+    - footer blocks opened by ``(N) Scan parquet`` lines
+    - footer ``Output [..]: [attr#id, ...]`` attribute lines
+    - footer ``Location: ...[path]`` lines
+    - ``Exchange (N)`` tree nodes
+    """
+    import re
+    import urllib.request  # noqa: F401 — documents the REST dependency
+
+    pa = _load("plan_audit")
+    if not spark.sparkContext.uiWebUrl:
+        pytest.skip("Spark UI disabled in this session")
+    from data_pipelines_cu_spark.queries import all_queries
+
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    cursor = pa.ExecCursor(base, app)
+    fn = all_queries()["orders_by_region"].fn
+    fn(spark, "/root/testdata/sf0.001").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    descs = [
+        ex.get("planDescription", "") or "" for ex in cursor.new_executions()
+    ]
+    desc = max(descs, key=len, default="")
+    assert "== Final Plan ==" in desc, "AQE final-plan section header moved"
+    assert "== Initial Plan ==" in desc, "AQE initial-plan section header moved"
+    tree = desc.split("== Initial Plan ==")[0]
+    assert pa._SCAN_TREE_RE.search(tree), "tree 'Scan parquet (N)' form moved"
+    assert re.search(
+        r"Exchange\s*\(\d+\)", tree
+    ), "tree 'Exchange (N)' form moved"
+    footer_ids = [
+        m.group(1)
+        for line in desc.splitlines()
+        if (m := pa._SCAN_FOOTER_RE.match(line.rstrip()))
+    ]
+    assert footer_ids, "footer '(N) Scan parquet' block header moved"
+    assert any(
+        line.startswith("Output") and pa._ATTR_RE.search(line)
+        for line in desc.splitlines()
+    ), "footer 'Output [..]: [attr#id]' line moved"
+    assert any(
+        line.startswith("Location:") and pa._LOCATION_RE.search(line)
+        for line in desc.splitlines()
+    ), "footer 'Location: ...[path]' line moved"
+    # the census agrees with ground truth on this known 4-relation star:
+    # the end-to-end proof that the markers still COMPOSE into the right
+    # answer, not just that each exists somewhere
+    census = pa.exec_plan_census(desc)
+    assert set(census["scans"]) >= {
+        "orders.parquet",
+        "customer.parquet",
+        "nation.parquet",
+        "region.parquet",
+    }
+    # the /sql node list detector 5 reads still names its node kinds
+    ex_nodes = None
+    fn(spark, "/root/testdata/sf0.001").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    for ex in cursor.new_executions():
+        ex_nodes = [n.get("nodeName", "") for n in ex.get("nodes", [])]
+    assert ex_nodes and any(
+        n.startswith("Scan parquet") for n in ex_nodes
+    ), "/sql nodes[].nodeName 'Scan parquet' prefix moved"
+
+
+def test_streaming_drift_quiesce_retrain_lifecycle(spark, tmp_path):
+    """The full operational story, end-to-end on the STREAMING paths:
+    a drifted ingest stream degrades fixed-artifact recall; the drift
+    trigger fires; the quiesce protocol runs (stop ingest -> retrain ->
+    FRESH checkpoint + NEW artifact); ingest resumes past the rewritten
+    index without clobbering it; and the serving stream answers with
+    recovered recall over everything ingested before AND after the
+    retrain."""
+    from pyspark.sql import functions as F
+
+    from data_pipelines_cu_spark.operators import similarity as sim
+    from data_pipelines_cu_spark.streaming.jobs import (
+        run_streaming_ann_query,
+        run_streaming_ivf_upsert,
+    )
+
+    original, wave1, wave2 = _drift_fixture(spark)
+    idx = str(tmp_path / "ivf")
+    cents = sim.build_ivf_index(original, idx, n_centroids=2, lloyd_iters=2)
+    baseline = sim.ivf_drift_report(spark, idx, cents).first().asDict()
+
+    # drifted STREAM lands under the frozen artifact (2 micro-batches)
+    rows1 = [(r["vec_id"], [float(x) for x in r["embedding"]])
+             for r in wave1.collect()]
+    rows2 = [(r["vec_id"], [float(x) for x in r["embedding"]])
+             for r in wave2.filter(F.col("vec_id") < 46).collect()]
+    post_rows = [(r["vec_id"], [float(x) for x in r["embedding"]])
+                 for r in wave2.filter(F.col("vec_id") >= 46).collect()]
+    src = tmp_path / "in"
+    s = _stream_vectors(spark, src, rows1)
+    assert run_streaming_ivf_upsert(
+        s, idx, cents, checkpoint=str(tmp_path / "ckA")
+    ).awaitTermination(120)
+    s = _stream_vectors(spark, src, rows2)
+    assert run_streaming_ivf_upsert(
+        s, idx, cents, checkpoint=str(tmp_path / "ckA")
+    ).awaitTermination(120)
+
+    live = original.unionByName(wave1).unionByName(
+        wave2.filter(F.col("vec_id") < 46)
+    )
+    queries = wave1.filter(F.col("vec_id") < 8)
+
+    def serve_recall(c, ck, res):
+        """recall via the SERVING stream (not the batch query path)."""
+        q_rows = [(r["vec_id"], [float(x) for x in r["embedding"]])
+                  for r in queries.collect()]
+        qs = _stream_vectors(spark, tmp_path / f"q{res}", q_rows)
+        assert run_streaming_ann_query(
+            qs, idx, c, str(tmp_path / res), str(tmp_path / ck),
+            k=5, n_probe=1, id_col="vec_id",
+        ).awaitTermination(120)
+        approx = (
+            spark.read.parquet(str(tmp_path / res))
+            .select("query_id", "neighbor_id")
+        )
+        truth = sim.cosine_topk(live, queries, k=5)
+        graded = sim._grade_recall(truth, approx)
+        return round(float(graded.agg(F.avg("recall")).first()[0]), 6)
+
+    degraded = serve_recall(cents, "ckQ1", "res1")
+    assert degraded <= 0.75, f"drifted stream did not degrade: {degraded}"
+
+    # trigger fires; QUIESCE: the availableNow ingest has stopped
+    report = sim.ivf_drift_report(spark, idx, cents).first().asDict()
+    assert sim.should_rebuild_centroids(report, baseline)["rebuild"]
+    new_cents = sim.retrain_ivf_centroids(spark, idx, n_centroids=3)
+
+    # resume ingest: FRESH checkpoint re-pins base from the rewritten
+    # index (max wave 0), so the post-retrain wave lands as wave 1
+    s = _stream_vectors(spark, tmp_path / "in2", post_rows)
+    assert run_streaming_ivf_upsert(
+        s, idx, new_cents, checkpoint=str(tmp_path / "ckB")
+    ).awaitTermination(120)
+    live = live.unionByName(wave2.filter(F.col("vec_id") >= 46))
+    landed = spark.read.parquet(idx)
+    assert landed.count() == live.count(), "retrain/resume lost or duped rows"
+
+    recovered = serve_recall(new_cents, "ckQ2", "res2")
+    assert recovered > degraded
+    assert recovered >= 0.9, f"retrain did not recover serving recall: {recovered}"
