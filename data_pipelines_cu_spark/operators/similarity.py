@@ -1073,6 +1073,10 @@ def should_rebuild_centroids(
     two 1-row dicts, never data-sized. Wire it into the quiesce
     protocol: stop ingest -> if rebuild: retrain_ivf_centroids ->
     restart with a FRESH checkpoint and the NEW centroid artifact."""
+    if not report.get("n_vectors"):
+        # empty index: the report row is all NULLs (aggregates over zero
+        # rows) — there is nothing to retrain FROM, so never trigger
+        return {"rebuild": False, "reasons": []}
     reasons = []
     if report["occupancy_skew"] > skew_limit:
         reasons.append(

@@ -800,3 +800,25 @@ def test_streaming_drift_quiesce_retrain_lifecycle(spark, tmp_path):
     recovered = serve_recall(new_cents, "ckQ2", "res2")
     assert recovered > degraded
     assert recovered >= 0.9, f"retrain did not recover serving recall: {recovered}"
+
+
+def test_should_rebuild_on_empty_index_report_is_false():
+    """Self-review probe: an empty index yields an all-NULL drift report
+    row (aggregates over zero rows); the decision function must return
+    a calm no-rebuild instead of TypeError-ing on None comparisons —
+    there is nothing to retrain FROM."""
+    from data_pipelines_cu_spark.operators import similarity as sim
+
+    empty_report = {
+        "n_vectors": None,
+        "n_occupied_cells": None,
+        "occupancy_skew": None,
+        "mean_distortion": None,
+        "max_distortion": None,
+        "upsert_frac": None,
+    }
+    out = sim.should_rebuild_centroids(empty_report, None)
+    assert out == {"rebuild": False, "reasons": []}
+    # zero-vector report (a count of 0, not NULL) takes the same path
+    out = sim.should_rebuild_centroids({**empty_report, "n_vectors": 0})
+    assert out == {"rebuild": False, "reasons": []}
