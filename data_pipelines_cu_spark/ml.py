@@ -23,6 +23,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from .operators.materialize import lineage_cut
 
 
 def train_classifier(
@@ -478,7 +479,7 @@ def nb_lang_predict(
     dbc = (
         words.groupBy(id_col, label_col, "w")
         .agg(F.count(F.lit(1)).alias("mult"))
-        .localCheckpoint(eager=True)
+        .transform(lineage_cut)
     )
     counts = dbc.groupBy(label_col, "w").agg(
         F.sum("mult").cast("long").alias("c")
@@ -696,7 +697,7 @@ def pca_top_component(
         F.expr(
             f"transform(slice({vec_col}, 1, {dim}), x -> CAST(x AS DOUBLE))"
         ).alias("_v"),
-    ).localCheckpoint(eager=True)  # one materialization, reused per round
+    ).transform(lineage_cut)  # one materialization, reused per round
     seed = 1.0 / math.sqrt(dim)  # unit-norm seed: the round-1 Rayleigh
     # estimate ||C w0|| is only an eigenvalue estimate if ||w0|| = 1
     w_arr = spark.range(1).select(

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from .materialize import lineage_cut
 
 
 def decimal_avg(val: Column, count_of: Column | None = None) -> Column:
@@ -715,7 +716,7 @@ def psi_value_drift(
         "_id", "_v", (F.col("_d") < F.col("_cut")).alias("_is_ref")
     )
     tagged = (
-        tagged.localCheckpoint(eager=True)
+        tagged.transform(lineage_cut)
         if materialize == "local"
         else tagged.checkpoint(eager=True)
     )

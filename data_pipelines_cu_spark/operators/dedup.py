@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from .materialize import lineage_cut
 
 N_MINHASH = 16  # signature length
 N_BANDS = 8  # LSH bands of 2 rows each
@@ -320,13 +321,13 @@ def dedup_clusters(
         # plan (for semantic/minhash pairs that is the expensive part —
         # measured 3x the total wall at sf0.1). The edge list is the
         # (id, id) pair table a production run would persist anyway.
-        .localCheckpoint(eager=True)
+        .transform(lineage_cut)
     )
     labels = (
         edges.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
+        .transform(lineage_cut)
     )
     # Identity edges (node, node) folded into the adjacency let each round
     # compute min(self ∪ neighbors) with ONE join+aggregate — the separate
@@ -334,7 +335,7 @@ def dedup_clusters(
     # full label-table shuffle per round that the union makes redundant.
     adj = edges.unionByName(
         labels.select(F.col("node").alias("a"), F.col("node").alias("b"))
-    ).localCheckpoint(eager=True)
+    ).transform(lineage_cut)
 
     # Fixpoint probe: labels only ever DECREASE (least of self and
     # neighbors), so the exact sum of labels is strictly monotone until
@@ -374,7 +375,7 @@ def dedup_clusters(
         # next round read the materialized labels. Checkpointing after the
         # count re-executed the whole round plan a second time (and the
         # doubling self-join a third) — measured 3x the round wall.
-        new_labels = new_labels.localCheckpoint(eager=True)
+        new_labels = new_labels.transform(lineage_cut)
         new_sum = _label_sum(new_labels)
         labels = new_labels
         if new_sum == prev_sum:
@@ -694,9 +695,7 @@ def minhash_estimate_error(
     the (small) candidate set only. Estimates are k/16 (exact binary
     fractions), so the error column is bit-stable across engines.
     """
-    sigs = minhash_signatures(df, text_col, id_col, n).localCheckpoint(
-        eager=True
-    )
+    sigs = minhash_signatures(df, text_col, id_col, n).transform(lineage_cut)
     band_cols = [
         F.md5(
             F.concat_ws(
@@ -1039,7 +1038,7 @@ def simhash_near_dup_pairs(
     # simhash aggregate per side (measured 2x the query wall). 16 bytes/doc
     # — at corpus scale this is the fingerprint table you'd persist anyway
     # (dedup_clusters uses the same lineage-cut idiom).
-    h = h.localCheckpoint(eager=True)
+    h = h.transform(lineage_cut)
     mask = F.lit((1 << 16) - 1)
     bands = h.select(
         F.col(id_col),
@@ -1149,7 +1148,7 @@ def source_dup_stats(
     # rows, the cheapest possible corpus-grain table
     hashes = df.select(
         F.col(source_col), F.md5(normalized_text(text_col)).alias("h")
-    ).localCheckpoint(eager=True)
+    ).transform(lineage_cut)
     corpus_counts = hashes.groupBy("h").agg(F.count(F.lit(1)).alias("n"))
     joined = hashes.join(corpus_counts, "h")
     dup_docs = F.sum(F.when(F.col("n") > 1, 1).otherwise(0))
@@ -1219,7 +1218,7 @@ def ngram_containment_pairs(
         .select(F.col(id_col), "gram")
         .distinct()
         .join(df.select(id_col, block_col), id_col)
-        .localCheckpoint(eager=True)
+        .transform(lineage_cut)
     )
     sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
     a = grams.select(
@@ -1374,7 +1373,7 @@ def incremental_near_dup(
     bands = minhash_band_rows(incoming, text_col, id_col, n)
     # both the index probe and the bucket-min read these rows; materialize
     # once (same lineage-cut idiom as the band self-join in pair dedup)
-    bands = bands.localCheckpoint(eager=True)
+    bands = bands.transform(lineage_cut)
     idx_hit = (
         bands.join(band_index.select("band", "bhash"), ["band", "bhash"], "leftsemi")
         .select(id_col)
@@ -1433,7 +1432,7 @@ def passage_dup_stats(
                 " ", F.slice("_ws", F.col("_pi") * passage_len + 1, passage_len)
             )
         ).alias("_ph"),
-    ).localCheckpoint(eager=True)
+    ).transform(lineage_cut)
     # (id, digest) rows materialize once: counts and the join-back each
     # consumed their own compile of the tokenize+slice+hash chain before
     # the cut (plan_audit detector 4); the table is ~n_tokens/passage_len
@@ -1724,7 +1723,7 @@ def source_overlap_matrix(
     # source_dup_stats trade, cheapest possible corpus-grain table)
     h = df.select(
         F.col(source_col).alias("_src"), F.md5(normalized_text(text_col)).alias("_h")
-    ).distinct().localCheckpoint(eager=True)
+    ).distinct().transform(lineage_cut)
     totals = h.groupBy("_src").agg(F.count(F.lit(1)).alias("_tot"))
     a = h.select(F.col("_h"), F.col("_src").alias("source_a"))
     b = h.select(F.col("_h"), F.col("_src").alias("source_b"))
@@ -1825,7 +1824,7 @@ def longest_dup_span(
         # materialize ONCE: dup-counts and the runs join each compiled
         # their own posexplode+lead-window chain before the cut (plan_audit
         # detector 4) — two per-doc window sorts for one logical pass
-        .localCheckpoint(eager=True)
+        .transform(lineage_cut)
     )
     dup = (
         grams.groupBy("gram")
@@ -2012,9 +2011,7 @@ def lsh_band_sweep(
     blocking discipline (candidates restrict to same-block pairs, as the
     production pair-gen does). The signature table materializes once and
     feeds every config; candidate sets never carry text."""
-    sigs = minhash_signatures(df, text_col, id_col, n).localCheckpoint(
-        eager=True
-    )
+    sigs = minhash_signatures(df, text_col, id_col, n).transform(lineage_cut)
     blocks = df.select(F.col(id_col), F.col(block_col).alias("_blk"))
     truth = (
         ngram_jaccard_pairs(
@@ -2022,7 +2019,7 @@ def lsh_band_sweep(
             threshold=threshold,
         )
         .select("id_a", "id_b")
-        .localCheckpoint(eager=True)
+        .transform(lineage_cut)
     )
     n_truth = F.broadcast(truth.agg(F.count(F.lit(1)).alias("n_truth")))
     spark = df.sparkSession
@@ -2065,7 +2062,7 @@ def lsh_band_sweep(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("config", "id_a", "id_b")
         .distinct()
-        .localCheckpoint(eager=True)  # feeds both the count and the hit join
+        .transform(lineage_cut)  # feeds both the count and the hit join
     )
     per_cfg = cands.groupBy("config").agg(
         F.count(F.lit(1)).alias("n_candidates")

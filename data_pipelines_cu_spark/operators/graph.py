@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from .materialize import lineage_cut
 
 SCALE = 10**12
 DAMP_NUM, DAMP_DEN = 85, 100  # damping 0.85 as an exact integer ratio
@@ -58,12 +59,10 @@ def pagerank(
     the natural thing an iterative algorithm persists; the rank table
     is checkpointed per round (node-sized) so plan depth stays flat in
     n_iters instead of nesting the full prior-round plan."""
-    edges = edges.localCheckpoint(eager=True)
-    nodes = nodes.localCheckpoint(eager=True)  # consumed 1 + n_iters times
-    outs = edges.groupBy("src").agg(F.sum("w").alias("outw")).localCheckpoint(
-        eager=True
-    )
-    ew = edges.join(outs, "src").localCheckpoint(eager=True)
+    edges = edges.transform(lineage_cut)
+    nodes = nodes.transform(lineage_cut)  # consumed 1 + n_iters times
+    outs = edges.groupBy("src").agg(F.sum("w").alias("outw")).transform(lineage_cut)
+    ew = edges.join(outs, "src").transform(lineage_cut)
     nn = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
     r = nodes.crossJoin(F.broadcast(nn)).select(
         "v", F.expr(f"CAST({scale} AS BIGINT) div n_nodes").alias("r")
@@ -104,7 +103,7 @@ def pagerank(
             .withColumnRenamed("pr_scaled", "r")
             # node-sized cut per round: keeps every iteration's plan the
             # same shape instead of nesting the full prior-round subtree
-            .localCheckpoint(eager=True)
+            .transform(lineage_cut)
         )
     return r.select("v", F.col("r").alias("pr_scaled"))
 
@@ -303,7 +302,7 @@ def cooccurrence_triangles(
         .agg(F.count(F.lit(1)).alias("_c"))
         .filter(F.col("_c") >= min_count)
         .select("_ia", "_ib")
-        .localCheckpoint(eager=True)  # feeds three join roles
+        .transform(lineage_cut)  # feeds three join roles
     )
     tri = (
         pairs.select(F.col("_ia").alias("a"), F.col("_ib").alias("b"))

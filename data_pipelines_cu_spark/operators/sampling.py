@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from .materialize import lineage_cut
 
 
 def hash_bucket(key: Column, n_buckets: int = 100, salt: str = "") -> Column:
@@ -342,7 +343,7 @@ def importance_weighted_sample(
     dbc = (
         toks.groupBy(id_col, "_is_t", "_b")
         .agg(F.count(F.lit(1)).alias("_c"))
-        .localCheckpoint(eager=True)
+        .transform(lineage_cut)
     )
     counts = dbc.groupBy("_b").agg(
         F.sum("_c").alias("_cc"),

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from .aggregates import decimal_avg
 from .windows import topk_per_group
+from .materialize import lineage_cut
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -933,7 +934,7 @@ def compact_ivf_index(
         .select(id_col, vec_col)
         # the source partitions are rewritten below — cut the lineage so
         # the write doesn't read the files it is replacing
-        .localCheckpoint(eager=True)
+        .transform(lineage_cut)
     )
     indexed = ivf_assign_arrow(
         latest, sorted(centroids), vec_col=vec_col
@@ -1135,7 +1136,7 @@ def retrain_ivf_centroids(
         # survivor set feeds seeding, Lloyd, and the rewrite of the very
         # files it came from: cut the lineage once (id+vector rows — the
         # compressed-intermediate doctrine, ARCHITECTURE §3)
-        .localCheckpoint(eager=True)
+        .transform(lineage_cut)
     )
     seeds = (
         latest.orderBy(id_col).limit(n_centroids).select(id_col, vec_col)
@@ -1557,7 +1558,7 @@ def kmeans_assign(
         )
         # truncate lineage between rounds (k rows, distributed — the
         # collected path's between-round collect, without the driver)
-        cent_df = cent_df.localCheckpoint(eager=True)
+        cent_df = cent_df.transform(lineage_cut)
     final = assign_nearest_distributed(
         corpus, cent_df, coarse_rows, coarse_probe=coarse_probe,
         id_col=id_col, vec_col=vec_col, out_col=out_col,
@@ -1658,7 +1659,7 @@ def semantic_dedup_pairs(
     # this frame, and without a lineage cut the Arrow assign kernel runs
     # twice. This is the cluster-assignment table a production SemDeDup
     # would persist between the clustering and pruning passes anyway.
-    v = v.localCheckpoint(eager=True)
+    v = v.transform(lineage_cut)
     a = v.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("ea"),
         F.col("_n").alias("na"), "cluster",
@@ -2082,7 +2083,7 @@ def pq_codebooks(
                 lambda x: x["m"],
             ).alias("cv")
         )
-        cent = cent.localCheckpoint(eager=True)
+        cent = cent.transform(lineage_cut)
     return cent
 
 
@@ -2148,7 +2149,7 @@ def cosine_topk_pq(
     # materialize (vector, reconstruction, norms) once: both the query and
     # corpus branches read it, and without a lineage cut the whole
     # codebook-train + assign subtree runs twice (the semantic_dedup fix)
-    v = v.localCheckpoint(eager=True)
+    v = v.transform(lineage_cut)
     q = F.broadcast(
         v.filter(F.col(id_col) < n_queries).select(
             F.col(id_col).alias("query_id"),
@@ -2330,7 +2331,7 @@ def cosine_topk_ivfpq(
         .withColumn(
             "rv", F.zip_with("cv", "ccv", lambda x, c: x.cast("double") - c)
         )
-        .localCheckpoint(eager=True)
+        .transform(lineage_cut)
     )
     cb = pq_codebooks(
         resid.select("neighbor_id", "rv"),
@@ -2373,7 +2374,7 @@ def cosine_topk_ivfpq(
         .withColumn("xh", F.zip_with("ccv", "rr", lambda c, r: c + r))
         .withColumn("xn", norm(F.col("xh")))
         .withColumn("cn", norm(F.col("cv")))
-        .localCheckpoint(eager=True)
+        .transform(lineage_cut)
     )
     probes = ivf_assign_arrow(
         corpus.filter(F.col(id_col) < n_queries).select(

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from .materialize import lineage_cut
 
 #: Hash domain: 15 md5 hex chars = 60 bits — exact in a BIGINT on both
 #: engines (DuckDB's hex-digit fold and Spark's conv agree value-for-value).
@@ -333,7 +334,7 @@ def bloom_decontamination_stats(
         gram_rows(benchmark, text_col, id_col, n)
         .select("gram")
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(lineage_cut)
     )
     bitmap = bloom_bitmap(bench_grams)
     doc_grams = gram_rows(corpus, text_col, id_col, n).select(id_col, "gram").distinct()

@@ -14,6 +14,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import normalized_text
+from .materialize import lineage_cut
 
 # Tiny per-language function-word lexicons for the n-gram/stopword heuristic
 # language-ID (deterministic; ordered dict fixes tie-break priority).
@@ -324,7 +325,7 @@ def pack_sequences(
         F.col(id_col),
         F.size(F.split(normalized_text(text_col), " ")).cast("long").alias("n_tokens"),
         (F.col(id_col) / bucket_size).cast("long").alias("_bkt"),
-    ).localCheckpoint(eager=True)
+    ).transform(lineage_cut)
     # three-long rows, one per doc — materialized once so the local cumsum
     # and the bucket-offset aggregate don't each compile their own corpus
     # tokenize (plan_audit detector 4)
@@ -594,7 +595,7 @@ def oov_rate(
     tf = (
         words.groupBy(id_col, "_w")
         .agg(F.count(F.lit(1)).alias("_c"))
-        .localCheckpoint(eager=True)
+        .transform(lineage_cut)
     )
     freq = tf.groupBy("_w").agg(F.sum("_c").alias("_cnt"))
     from .windows import take_ordered  # noqa: PLC0415 (cycle guard)
@@ -745,7 +746,7 @@ def _bpe_learn(
     # The corpus-wide tokenize+count pass runs ONCE: the word-frequency
     # table is vocabulary-sized, so each round folds over a checkpointed
     # handful of rows instead of re-scanning the corpus per round.
-    cur = cur.localCheckpoint(eager=True)
+    cur = cur.transform(lineage_cut)
     merges: list[tuple[int, str, str, str, int]] = []
     for rank in range(1, n_merges + 1):
         sized = cur.select("cnt", "a").filter(F.size("a") >= 2)
@@ -1002,12 +1003,12 @@ def _bpe_fold_words(
         )
         .distinct()
         .select("w", _sym_array(F.col("w")).alias("a"))
-        .localCheckpoint(eager=True)
+        .transform(lineage_cut)
     )
     for i, (left, right) in enumerate(ranked, 1):
         wt = wt.withColumn("a", _apply_merge(F.col("a"), left, right))
         if i % checkpoint_every == 0:
-            wt = wt.localCheckpoint(eager=True)
+            wt = wt.transform(lineage_cut)
     return wt
 
 
@@ -1184,7 +1185,7 @@ def source_tv_drift(df: DataFrame, text_col: str = "text") -> DataFrame:
     2x wall inflation). The checkpointed table is vocab x sources
     sized — bounded by content, not corpus rows — so the cut is cheap
     at any scale and the corpus text is read exactly once."""
-    st = source_token_counts(df, text_col).localCheckpoint(eager=True)
+    st = source_token_counts(df, text_col).transform(lineage_cut)
     return tv_drift_from_counts(st)
 
 

@@ -33,6 +33,7 @@ from ..operators import dedup as dd
 from ..operators import sampling as smp
 from ..operators import text as tx
 from ..plans.pipeline import Pipeline, Stage
+from ..operators.materialize import lineage_cut
 
 
 def build_curation_pipeline(
@@ -149,9 +150,9 @@ def curated_pack(
     # variant persists each stage: d2 feeds both the pair generation and the
     # survivor anti-join, d3 both decontamination sides — without cuts every
     # branch re-executes the whole prefix chain (measured 3x the wall).
-    d2 = d2.localCheckpoint(eager=True)
+    d2 = d2.transform(lineage_cut)
     pairs = dd.minhash_lsh_pairs(d2, threshold=0.5)
-    d3 = dd.near_dup_survivors(d2, pairs).localCheckpoint(eager=True)
+    d3 = dd.near_dup_survivors(d2, pairs).transform(lineage_cut)
     corpus = d3.filter(F.col("source") != bench_source)
     bench = d3.filter(F.col("source") == bench_source)
     hits = dd.contamination_hits(corpus, bench, n=contamination_n)

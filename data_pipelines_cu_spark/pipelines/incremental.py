@@ -47,6 +47,7 @@ from ..operators.table import (
     multi_table_batches,
     read_multi_table,
 )
+from ..operators.materialize import lineage_cut
 
 
 def _load_state(spark: SparkSession, root: str, name: str, schema: str, fs=None):
@@ -91,7 +92,7 @@ def ingest_wave(
     # 2. near-dup against the admitted band index (+ in-wave collisions)
     surviving_bands = incremental_near_dup(
         s1, bands, text_col=text_col, id_col=id_col
-    ).localCheckpoint(eager=True)
+    ).transform(lineage_cut)
     s2 = s1.join(surviving_bands.select(id_col).distinct(), id_col)
 
     # 3. benchmark decontamination (broadcast gram digests, stateless)
@@ -100,7 +101,7 @@ def ingest_wave(
         s3 = s2.join(hits.select(id_col), id_col, "left_anti")
     else:
         s3 = s2
-    s3 = s3.localCheckpoint(eager=True)
+    s3 = s3.transform(lineage_cut)
     admitted_ids = s3.select(id_col)
     admitted_bands = surviving_bands.join(admitted_ids, id_col, "leftsemi")
     admitted_digests = inc.join(admitted_ids, id_col, "leftsemi").select(

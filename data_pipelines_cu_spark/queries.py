@@ -31,6 +31,7 @@ from .operators import similarity as sim
 from .operators import sketches as sk
 from .operators import text as tx
 from .operators import windows as win
+from .operators.materialize import lineage_cut
 
 
 @dataclass(frozen=True)
@@ -1197,7 +1198,7 @@ def embedding_near_dup_pairs(spark, sf_dir):
     # bytes are the input plus one int
     b = sim.with_hyperplane_buckets(
         em.select("vec_id", "embedding")
-    ).localCheckpoint(eager=True)
+    ).transform(lineage_cut)
     a = b.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"), "bucket"
     )
@@ -2457,7 +2458,7 @@ def doc_token_rarity(spark, sf_dir):
     tf = (
         words.groupBy("doc_id", "w")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=True)
+        .transform(lineage_cut)
     )
     freq = tf.groupBy("w").agg(F.sum("c").alias("cnt"))
     return (
@@ -3316,7 +3317,7 @@ def doc_tfidf_top_terms(spark, sf_dir):
     tf = (
         words.groupBy("doc_id", "w")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=True)
+        .transform(lineage_cut)
     )
     doc_len = tf.groupBy(F.col("doc_id").alias("dl_doc")).agg(
         F.sum("c").alias("n")
@@ -4223,7 +4224,7 @@ def doc_bigram_likelihood(spark, sf_dir):
     bic = (
         bi.groupBy("doc_id", "l", "r")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=True)
+        .transform(lineage_cut)
     )
     c2 = bic.groupBy("l", "r").agg(F.sum("c").alias("n2"))
     c1 = bic.groupBy("l").agg(F.sum("c").alias("n1"))
@@ -4294,7 +4295,7 @@ def corpus_datacard(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     proj = d.select(
         "lang", "source", normalized_text("text").alias("nt")
-    ).localCheckpoint(eager=True)
+    ).transform(lineage_cut)
     words = proj.select(F.explode(F.split("nt", " ")).alias("w"))
     tok = words.agg(
         F.count(F.lit(1)).alias("n_tokens"),
@@ -4572,7 +4573,7 @@ def doc_feature_topk(spark, sf_dir):
     feats = (
         tx.hash_doc_features(d)
         .filter(F.col("nrm2") > 0)
-        .localCheckpoint(eager=True)
+        .transform(lineage_cut)
     )
     q = F.broadcast(
         feats.filter(F.col("doc_id") < 5).select(
@@ -4676,7 +4677,7 @@ def curation_v2_shards(spark, sf_dir):
         dd.cdc_chunk_stats(d)
         .filter(F.col("dup_fraction") <= 0.25)
         .select("doc_id")
-        .localCheckpoint(eager=True)
+        .transform(lineage_cut)
     )
     s1 = d.join(cdc_pass, "doc_id")
     picked = smp.importance_weighted_sample(
@@ -5517,7 +5518,7 @@ def leakage_safe_split_q(spark, sf_dir):
     # it once instead of running the inverted-index join twice
     pairs = dd.ngram_jaccard_pairs(
         d, block_col="lang", threshold=0.5
-    ).localCheckpoint(eager=True)
+    ).transform(lineage_cut)
     clusters = dd.dedup_clusters(pairs)
     return smp.leakage_safe_split_report(d, clusters, pairs, train_pct=75)
 
@@ -5961,7 +5962,7 @@ def event_session_concurrency_q(spark, sf_dir):
             F.unix_micros(F.max("ts")).alias("end_us"),
         )
         .select("start_us", "end_us")
-        .localCheckpoint(eager=True)
+        .transform(lineage_cut)
     )
     points = ev.select("event_id", F.unix_micros("ts").alias("t_us"))
     return (

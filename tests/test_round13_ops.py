@@ -822,3 +822,57 @@ def test_should_rebuild_on_empty_index_report_is_false():
     # zero-vector report (a count of 0, not NULL) takes the same path
     out = sim.should_rebuild_centroids({**empty_report, "n_vectors": 0})
     assert out == {"rebuild": False, "reasons": []}
+
+
+# --- engine-wide reliable lineage cuts --------------------------------------------
+
+
+def test_lineage_cut_reliable_mode_routes_to_checkpoint_dir(spark, tmp_path):
+    """The ADVICE round-12 caveat as a switch, not a doc note: every
+    library cut routes through operators.materialize.lineage_cut, so
+    spark.graft.reliableCuts=true re-points the engine's lineage cuts
+    at the SparkContext checkpoint dir (replicated, survives executor
+    loss) with identical results; requesting reliable cuts without a
+    checkpoint dir fails loudly instead of silently handing back the
+    fragility the conf opted out of."""
+    from pyspark.sql import functions as F
+
+    from data_pipelines_cu_spark.operators.dedup import dedup_clusters
+    from data_pipelines_cu_spark.operators.materialize import (
+        RELIABLE_CUTS_CONF,
+        lineage_cut,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pairs = (
+        docs.filter(F.col("doc_id") < 60)
+        .select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + F.lit(1)).alias("id_b"),
+        )
+        .filter(F.col("id_a") % 3 != 2)  # chains with breaks -> real clusters
+    )
+    default = sorted(tuple(r) for r in dedup_clusters(pairs).collect())
+
+    prior_dir = spark.sparkContext._jsc.sc().getCheckpointDir()
+    spark.conf.set(RELIABLE_CUTS_CONF, "true")
+    try:
+        if not prior_dir.isDefined():
+            # no checkpoint dir: the misconfiguration is loud, not a
+            # silent local fallback
+            with pytest.raises(ValueError, match="no checkpoint directory"):
+                lineage_cut(pairs)
+
+        ckdir = str(tmp_path / "reliable")
+        spark.sparkContext.setCheckpointDir(ckdir)
+        reliable = sorted(
+            tuple(r) for r in dedup_clusters(pairs).collect()
+        )
+        assert reliable == default and len(reliable) > 0
+        # the cuts really went to the checkpoint dir (replicated storage)
+        ck_files = list(Path(ckdir).rglob("*"))
+        assert any(f.is_file() for f in ck_files), "no reliable checkpoint written"
+    finally:
+        spark.conf.set(RELIABLE_CUTS_CONF, "false")
+        if prior_dir.isDefined():
+            spark.sparkContext.setCheckpointDir(prior_dir.get())
