@@ -376,6 +376,23 @@ def attach_forensics(spark, queries, sf_dir: str, regressions: list, cap: int = 
     return regressions
 
 
+def selftest_status(selftest: dict | None) -> str:
+    """One-word totals-line verdict for the forensics selftest. "ok"
+    requires a REAL capture — at least one execution AND a plan census —
+    because an empty capture (REST listing lag, planDescription
+    disabled, cursor resync past the execution) is exactly the silent
+    breakage the selftest exists to surface, and must not report
+    healthy."""
+    d = selftest or {}
+    if (
+        "error" not in d
+        and d.get("n_executions", 0) >= 1
+        and d.get("plan") is not None
+    ):
+        return "ok"
+    return "error"
+
+
 def load_anchor(repo_dir: Path) -> tuple[dict | None, str]:
     """Resolve the regression-gate anchor. Preference order:
 
@@ -543,10 +560,8 @@ def main() -> None:
                 # layer can't push the line past the driver's tail window
                 "diagnostics": {
                     **extras,
-                    "forensics_selftest": (
-                        "error"
-                        if "error" in (extras.get("forensics_selftest") or {})
-                        else "ok"
+                    "forensics_selftest": selftest_status(
+                        extras.get("forensics_selftest")
                     ),
                 },
                 # full entries live in BENCH_DETAIL.json; the totals line

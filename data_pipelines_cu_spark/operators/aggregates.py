@@ -11,7 +11,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from .materialize import lineage_cut
 
 
 def decimal_avg(val: Column, count_of: Column | None = None) -> Column:
@@ -715,8 +714,12 @@ def psi_value_drift(
     tagged = ev.crossJoin(cut).select(
         "_id", "_v", (F.col("_d") < F.col("_cut")).alias("_is_ref")
     )
+    # explicit per-call knob, like blocked_row_number's: 'local' means
+    # LOCAL — it must not be upgraded (or turned into a missing-dir
+    # error) by the session-wide spark.graft.reliableCuts conf, which is
+    # why this site bypasses the lineage_cut chokepoint deliberately
     tagged = (
-        tagged.transform(lineage_cut)
+        tagged.localCheckpoint(eager=True)
         if materialize == "local"
         else tagged.checkpoint(eager=True)
     )

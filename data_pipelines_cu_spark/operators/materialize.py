@@ -28,11 +28,11 @@ Out of scope, deliberately:
   per-batch frames with persist/try-finally-unpersist instead (the
   round-12 single-action migration); their recovery story is the
   stream checkpoint itself.
-- ``windows.blocked_row_number``: has its own per-call
-  ``materialize='local'|'reliable'`` knob — a caller ranking a
-  corpus-sized table should choose deliberately at the call site, and
-  an explicit per-call choice must not be silently overridden by a
-  session conf.
+- ``windows.blocked_row_number`` and ``aggregates.psi_value_drift``:
+  both carry their own per-call ``materialize='local'|'reliable'`` knob
+  — a caller ranking a corpus-sized table should choose deliberately at
+  the call site, and an explicit per-call choice must not be silently
+  overridden by a session conf.
 """
 
 from __future__ import annotations

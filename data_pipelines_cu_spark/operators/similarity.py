@@ -922,15 +922,8 @@ def compact_ivf_index(
     → new waves start at 1) and nothing older can replay. Resuming the
     OLD checkpoint after a compaction is the one sequence that corrupts
     silently."""
-    raw = spark.read.parquet(path)
-    if "wave" not in raw.columns:  # pre-round-11 layout: all build rows
-        raw = raw.withColumn("wave", F.lit(0))
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("wave").desc(), F.col(vec_col).cast("string")
-    )
     latest = (
-        raw.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
+        _keep_latest_per_id(spark.read.parquet(path), id_col, vec_col)
         .select(id_col, vec_col)
         # the source partitions are rewritten below — cut the lineage so
         # the write doesn't read the files it is replacing
@@ -980,6 +973,29 @@ def ivf_index_report(spark, path: str, id_col: str = "vec_id") -> DataFrame:
     )
 
 
+def _keep_latest_per_id(
+    raw: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """THE keep-last rule, in one place: newest wave per id, same-wave
+    ties broken by embedding bytes (deterministic). Compaction, the
+    drift report, and the retrain must agree on which row survives —
+    this is a correctness contract, not a convenience (a tiebreak change
+    replicated by hand across call sites would let the lifecycle
+    functions silently disagree about survivors). A legacy cell-only
+    index (no wave column) defaults to wave 0 — all build rows. Returns
+    every input column plus the defaulted ``wave``; callers project."""
+    if "wave" not in raw.columns:  # pre-round-11 layout: all build rows
+        raw = raw.withColumn("wave", F.lit(0))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("wave").desc(), F.col(vec_col).cast("string")
+    )
+    return (
+        raw.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def ivf_drift_report(
     spark,
     path: str,
@@ -993,10 +1009,13 @@ def ivf_drift_report(
     compaction debt; this measures how far the DATA has drifted from the
     FROZEN centroid artifact):
 
-    - ``occupancy_skew``: max/mean latest-vector count across cells. A
-      drifting distribution concentrates new vectors in few cells,
-      eroding partition pruning (one fat cell = scanning most of the
-      index per probe).
+    - ``occupancy_skew``: max latest-vector count across cells over the
+      BALANCED expectation n/k (k = the artifact's centroid count, not
+      the occupied-cell count — with the occupied-only denominator the
+      worst drift case, everything collapsed into one cell, reads a
+      perfect 1.0). A drifting distribution concentrates new vectors in
+      few cells, eroding partition pruning (one fat cell = scanning
+      most of the index per probe); total collapse reads k.
     - ``mean_distortion`` / ``max_distortion``: 1 - cosine(vector, its
       cell's frozen centroid) over the latest vector per id. Growth vs
       the build-time reading means vectors sit far from every centroid —
@@ -1012,15 +1031,8 @@ def ivf_drift_report(
     build/retrain and persist it next to the centroid artifact; the
     decision compares current vs baseline."""
     raw = spark.read.parquet(path)
-    if "wave" not in raw.columns:  # pre-round-11 layout: all build rows
-        raw = raw.withColumn("wave", F.lit(0))
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("wave").desc(), F.col(vec_col).cast("string")
-    )
-    latest = (
-        raw.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("cell", "wave", vec_col)
+    latest = _keep_latest_per_id(raw, id_col, vec_col).select(
+        "cell", "wave", vec_col
     )
     cent_df = F.broadcast(
         spark.createDataFrame(
@@ -1039,12 +1051,13 @@ def ivf_drift_report(
         F.max("_dist").alias("_dmax"),
         F.sum(F.when(F.col("wave") > 0, 1).otherwise(0)).alias("_up"),
     )
+    n_centroids = max(1, len(centroids))
     return per_cell.agg(
         F.sum("_n").cast("long").alias("n_vectors"),
         F.count(F.lit(1)).alias("n_occupied_cells"),
         F.round(
             F.max("_n").cast("double")
-            / (F.sum("_n").cast("double") / F.count(F.lit(1))),
+            / (F.sum("_n").cast("double") / F.lit(float(n_centroids))),
             6,
         ).alias("occupancy_skew"),
         F.round(F.sum("_d") / F.sum("_n"), 6).alias("mean_distortion"),
@@ -1061,13 +1074,18 @@ def should_rebuild_centroids(
     skew_limit: float = 4.0,
     distortion_growth: float = 1.5,
     upsert_frac_limit: float = 0.5,
+    distortion_floor: float = 0.05,
 ) -> dict:
     """The rebuild decision, as a pure function over one-row
     :func:`ivf_drift_report` readings (current, and optionally the
     build-time baseline): rebuild when occupancy skew blows past
-    ``skew_limit`` (pruning eroded), when mean distortion grew more than
-    ``distortion_growth``x the baseline (recall decay — the absolute
-    reading is corpus-dependent, growth is not), or when more than
+    ``skew_limit`` (pruning eroded), when mean distortion grew past
+    ``max(distortion_growth x baseline, distortion_floor)`` (recall
+    decay — the absolute reading is corpus-dependent, growth is not;
+    the floor keeps the check satisfiable when the baseline is a
+    perfectly-quantized 0.0, and a NULL baseline reading — empty index
+    at baseline time — skips the growth check instead of crashing), or
+    when more than
     ``upsert_frac_limit`` of the index arrived under frozen centroids
     (the artifact no longer describes the data that elected it).
     Returns ``{"rebuild": bool, "reasons": [...]}`` — driver-side over
@@ -1083,16 +1101,19 @@ def should_rebuild_centroids(
         reasons.append(
             f"occupancy_skew {report['occupancy_skew']} > {skew_limit}"
         )
-    if (
-        baseline is not None
-        and baseline["mean_distortion"] > 0
-        and report["mean_distortion"]
-        > distortion_growth * baseline["mean_distortion"]
-    ):
-        reasons.append(
-            f"mean_distortion {report['mean_distortion']} > "
-            f"{distortion_growth}x baseline {baseline['mean_distortion']}"
-        )
+    base_dist = (baseline or {}).get("mean_distortion")
+    if base_dist is not None:
+        # a perfectly-quantized baseline (0.0 — vectors coincide with
+        # their centroids) would make a multiplicative growth check
+        # unsatisfiable forever; the floor gives growth a denominator:
+        # fire when distortion exceeds max(growth x baseline, floor)
+        threshold = max(distortion_growth * base_dist, distortion_floor)
+        if (report["mean_distortion"] or 0.0) > threshold:
+            reasons.append(
+                f"mean_distortion {report['mean_distortion']} > "
+                f"max({distortion_growth}x baseline {base_dist}, "
+                f"floor {distortion_floor})"
+            )
     if report["upsert_frac"] > upsert_frac_limit:
         reasons.append(
             f"upsert_frac {report['upsert_frac']} > {upsert_frac_limit}"
@@ -1123,15 +1144,8 @@ def retrain_ivf_centroids(
     Resuming an old checkpoint replays waves assigned under the OLD
     centroids into the new layout — same corruption class as
     compact-under-live-ingest."""
-    raw = spark.read.parquet(path)
-    if "wave" not in raw.columns:  # pre-round-11 layout: all build rows
-        raw = raw.withColumn("wave", F.lit(0))
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("wave").desc(), F.col(vec_col).cast("string")
-    )
     latest = (
-        raw.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
+        _keep_latest_per_id(spark.read.parquet(path), id_col, vec_col)
         .select(id_col, vec_col)
         # survivor set feeds seeding, Lloyd, and the rewrite of the very
         # files it came from: cut the lineage once (id+vector rows — the
@@ -1179,17 +1193,12 @@ def query_ivf_index(
     if "wave" in index.columns:
         # incremental index (build + upsert waves): keep the NEWEST wave
         # per id within the probed cells — a re-ingested vector
-        # supersedes its older same-cell copies; the window runs over
-        # the probed subset only, so its cost is cell-bounded (see
-        # upsert_ivf_index for the cross-cell staleness contract)
-        wlast = Window.partitionBy(id_col).orderBy(
-            F.col("wave").desc(), F.col(vec_col).cast("string")
-        )
-        index = (
-            index.withColumn("_rn", F.row_number().over(wlast))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
+        # supersedes its older same-cell copies; the shared keep-last
+        # rule runs over the probed subset only, so its cost is
+        # cell-bounded (see upsert_ivf_index for the cross-cell
+        # staleness contract). A legacy index skips the window entirely:
+        # one copy per id by construction, no wave column to rank on.
+        index = _keep_latest_per_id(index, id_col, vec_col)
     indexed = index.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "cell"
     )

@@ -1304,7 +1304,11 @@ def run_streaming_ivf_upsert(
     if base_file.exists():
         try:
             base_wave = int(_json.loads(base_file.read_text())["base_wave"])
-        except (ValueError, KeyError) as exc:
+        except (ValueError, KeyError, TypeError) as exc:
+            # TypeError included: valid JSON of the wrong SHAPE — a null
+            # base_wave (int(None)), a list document (["base_wave"] is a
+            # list index) — is foreign damage too and deserves the same
+            # actionable refusal, not a raw int()-argument traceback
             # the sidecar is written atomically (tmp + os.replace below),
             # so a corrupt file is not a crash artifact — it is foreign
             # damage. Re-pinning from the live index here would be the

@@ -211,34 +211,67 @@ class ExecCursor:
         self.last_id = max((e["id"] for e in full), default=-1)
         self.evicting = False
         self._empty_confirmed_at: float | None = None
+        # ids the high-water mark jumped OVER (an execution that had not
+        # surfaced when a later one was read): delivered when they appear
+        # instead of being excluded forever by the id > last_id filter
+        self._gap_ids: set[int] = set()
+
+    def _take(self, listing: list, oldest: int | None = None) -> list:
+        """Fresh items from ``listing``: ids past the high-water mark
+        PLUS any previously-skipped gap ids that have now surfaced.
+        Advances last_id, records newly-skipped ids as gaps, and prunes
+        gaps below the retained window (evicted ids never surface)."""
+        fresh = [
+            e
+            for e in listing
+            if e["id"] > self.last_id or e["id"] in self._gap_ids
+        ]
+        got = {e["id"] for e in fresh}
+        self._gap_ids -= got
+        new_last = max((i for i in got), default=self.last_id)
+        if new_last > self.last_id:
+            self._gap_ids |= (
+                set(range(self.last_id + 1, new_last)) - got
+            )
+            self.last_id = new_last
+        # prune gaps that will never surface: ids below the retained
+        # window (evicted), and ids far behind the high-water mark — an
+        # id allocated but never registered (failed pre-registration)
+        # would otherwise pin the cursor on full fetches forever
+        floor = max(oldest or 0, self.last_id - 1000)
+        self._gap_ids = {g for g in self._gap_ids if g >= floor}
+        return fresh
 
     def new_executions(self) -> list:
         import time  # noqa: PLC0415
 
         if not self.evicting:
             new = _sql_executions(self.base, self.app_id, self.offset)
-            if new and new[0]["id"] == self.last_id + 1:
+            if (
+                new
+                and new[0]["id"] == self.last_id + 1
+                and not self._gap_ids
+            ):
                 self.offset += len(new)
-                self.last_id = new[-1]["id"]
                 self._empty_confirmed_at = None
-                return new
-            if new:
-                # NON-EMPTY discontinuous page: either the retained window
-                # shifted (eviction) or a lower id simply hadn't surfaced
-                # yet when the page was read (a natural, transient gap).
-                # Only the full listing distinguishes them: eviction is
-                # proven iff the OLDEST retained id moved past last_id+1;
-                # a transient gap keeps the fast path, with the offset
-                # resynced to the full listing. (Degrading permanently on
+                return self._take(new)
+            if new or self._gap_ids:
+                # NON-EMPTY discontinuous page (or gap ids outstanding):
+                # either the retained window shifted (eviction) or a
+                # lower id simply hadn't surfaced yet when the page was
+                # read (a natural, transient gap). Only the full listing
+                # distinguishes them: eviction is proven iff the OLDEST
+                # retained id moved past last_id+1; a transient gap
+                # keeps the fast path, with the offset resynced to the
+                # full listing and the skipped ids tracked so they are
+                # DELIVERED when they surface. (Degrading permanently on
                 # every gap — the pre-r13 behavior — made one transient
                 # gap cost a full fetch per call forever.)
                 full = _sql_executions(self.base, self.app_id)
                 oldest = min((e["id"] for e in full), default=None)
                 if oldest is not None and oldest > self.last_id + 1:
                     self.evicting = True
-                fresh = [e for e in full if e["id"] > self.last_id]
-                if fresh:
-                    self.last_id = max(e["id"] for e in fresh)
+                fresh = self._take(full, oldest=oldest)
                 if not self.evicting:
                     self.offset = len(full)
                 self._empty_confirmed_at = None
@@ -254,15 +287,14 @@ class ExecCursor:
                 and now - self._empty_confirmed_at < self.EMPTY_CACHE_SEC
             ):
                 return []
-        fresh = [
-            e
-            for e in _sql_executions(self.base, self.app_id)
-            if e["id"] > self.last_id
-        ]
+        pre_last = self.last_id
+        full = _sql_executions(self.base, self.app_id)
+        fresh = self._take(
+            full, oldest=min((e["id"] for e in full), default=None)
+        )
         if fresh:
-            if not self.evicting:
+            if not self.evicting and self.last_id > pre_last:
                 self.evicting = True  # offset missed them: window shifted
-            self.last_id = max(e["id"] for e in fresh)
             self._empty_confirmed_at = None
         elif not self.evicting:
             self._empty_confirmed_at = time.monotonic()

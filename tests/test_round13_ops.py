@@ -144,9 +144,11 @@ def _cursor_with(pa, fake):
 
 def test_exec_cursor_transient_gap_keeps_fast_path():
     """A natural id gap (an execution not yet surfaced when the page was
-    read) must NOT permanently degrade the cursor: the full listing shows
-    the oldest retained id unchanged, so the cursor resyncs its offset
-    and stays on the cheap incremental path."""
+    read) must NOT permanently degrade the cursor: eviction mode stays
+    off, the skipped id is TRACKED (full fetches continue only while it
+    is outstanding, hunting for it), and once the gap resolves — here by
+    falling out of the retained window — the cheap incremental path
+    resumes."""
     pa = _load("plan_audit")
     fake = _FakeSql([{"id": 0}, {"id": 1}])
     cur = _cursor_with(pa, fake)
@@ -155,13 +157,24 @@ def test_exec_cursor_transient_gap_keeps_fast_path():
     got = cur.new_executions()
     assert [e["id"] for e in got] == [3]
     assert cur.evicting is False
-    # subsequent call rides the fast path (offset resynced to 3)
+    assert cur._gap_ids == {2}
+    # while the gap is outstanding the cursor full-fetches (hunting for
+    # id 2) but stays un-degraded and delivers the new tail
     fake.listing = [{"id": 0}, {"id": 1}, {"id": 3}, {"id": 4}]
-    before = fake.full_fetches
     got = cur.new_executions()
     assert [e["id"] for e in got] == [4]
     assert cur.evicting is False
-    assert fake.full_fetches == before  # no full fetch on the fast path
+    # gap resolves by eviction: id 2's slot left the retained window
+    fake.listing = [{"id": 3}, {"id": 4}, {"id": 5}]
+    got = cur.new_executions()
+    assert [e["id"] for e in got] == [5]
+    assert cur._gap_ids == set()
+    # fast path resumes: no full fetch once nothing is outstanding
+    fake.listing = [{"id": 3}, {"id": 4}, {"id": 5}, {"id": 6}]
+    before = fake.full_fetches
+    assert [e["id"] for e in cur.new_executions()] == [6]
+    assert fake.full_fetches == before
+    assert cur.evicting is False
 
 
 def test_exec_cursor_confirmed_eviction_degrades():
@@ -876,3 +889,152 @@ def test_lineage_cut_reliable_mode_routes_to_checkpoint_dir(spark, tmp_path):
         spark.conf.set(RELIABLE_CUTS_CONF, "false")
         if prior_dir.isDefined():
             spark.sparkContext.setCheckpointDir(prior_dir.get())
+
+
+# --- self-review fixes (round-13 diff review pass) --------------------------------
+
+
+def test_selftest_status_requires_real_capture():
+    """'ok' needs >=1 execution AND a plan census — an empty capture is
+    the silent breakage the selftest exists to surface and must report
+    'error', not healthy."""
+    bench = _load("bench")
+    good = {"n_executions": 1, "plan": {"n_scans": 4}, "max_task_ms": 9.0}
+    assert bench.selftest_status(good) == "ok"
+    assert bench.selftest_status({"error": "boom"}) == "error"
+    assert (
+        bench.selftest_status(
+            {"n_executions": 0, "plan": None, "max_task_ms": None}
+        )
+        == "error"
+    )
+    assert bench.selftest_status(None) == "error"
+
+
+def test_psi_materialize_local_is_not_overridden_by_reliable_cuts(spark):
+    """psi_value_drift's per-call materialize knob keeps the same
+    contract as blocked_row_number's: an EXPLICIT 'local' stays local
+    even when spark.graft.reliableCuts=true — the session conf must not
+    upgrade (or, with no checkpoint dir, break) a deliberate per-call
+    choice."""
+    from pyspark.sql import functions as F
+
+    from data_pipelines_cu_spark.operators.aggregates import psi_value_drift
+    from data_pipelines_cu_spark.operators.materialize import (
+        RELIABLE_CUTS_CONF,
+    )
+
+    ev = spark.range(400).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id") * 3600).alias(
+            "ts"
+        ),
+        (F.col("id") % 37).cast("double").alias("value"),
+    )
+    spark.conf.set(RELIABLE_CUTS_CONF, "true")
+    try:
+        # must not raise even with no checkpoint dir guaranteed: the
+        # explicit 'local' bypasses the session-wide chokepoint
+        out = psi_value_drift(ev, materialize="local")
+        assert out.count() > 0
+    finally:
+        spark.conf.set(RELIABLE_CUTS_CONF, "false")
+
+
+def test_occupancy_skew_detects_total_collapse(spark, tmp_path):
+    """The worst drift case — every vector concentrated in ONE of k
+    cells — must read skew ~= k, not 1.0 (the occupied-cells-only
+    denominator bug): total collapse is exactly the pruning erosion the
+    metric exists to flag."""
+    from data_pipelines_cu_spark.operators import similarity as sim
+
+    # 8 centroids along 8 axes; all data on axis 0 -> one occupied cell
+    dim = 8
+    cents = [(c, [1.0 if d == c else 0.0 for d in range(dim)]) for c in range(dim)]
+    rows = [
+        (i, [1.0 if d == 0 else 0.01 * (i % 3) if d == 3 else 0.0 for d in range(dim)])
+        for i in range(40)
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    idx = str(tmp_path / "ivf")
+    sim.build_ivf_index(corpus, idx, centroids=cents)
+    report = sim.ivf_drift_report(spark, idx, cents).first().asDict()
+    assert report["n_occupied_cells"] == 1
+    assert report["occupancy_skew"] == 8.0
+    assert sim.should_rebuild_centroids(report)["rebuild"]  # skew > 4
+
+
+def test_should_rebuild_null_and_zero_baselines():
+    """A NULL baseline distortion (empty index at baseline time) skips
+    the growth check instead of raising TypeError; a perfectly-quantized
+    0.0 baseline doesn't disable it — the floor keeps it satisfiable."""
+    from data_pipelines_cu_spark.operators import similarity as sim
+
+    current = {
+        "n_vectors": 100,
+        "n_occupied_cells": 4,
+        "occupancy_skew": 1.2,
+        "mean_distortion": 0.3,
+        "max_distortion": 0.6,
+        "upsert_frac": 0.1,
+    }
+    null_base = {**current, "mean_distortion": None, "n_vectors": None}
+    out = sim.should_rebuild_centroids(current, null_base)
+    assert out["rebuild"] is False  # growth check skipped, others calm
+
+    zero_base = {**current, "mean_distortion": 0.0}
+    out = sim.should_rebuild_centroids(current, zero_base)
+    assert out["rebuild"] is True  # 0.3 > max(1.5*0.0, floor 0.05)
+    assert any("distortion" in r for r in out["reasons"])
+    # below the floor stays calm against a zero baseline
+    calm = {**current, "mean_distortion": 0.01}
+    assert not sim.should_rebuild_centroids(calm, zero_base)["rebuild"]
+
+
+def test_sidecar_wrong_shape_json_rejected_with_guidance(spark, tmp_path):
+    """Valid JSON of the wrong SHAPE ({'base_wave': null}, a list) is
+    foreign damage too: the guard catches TypeError and raises the same
+    actionable refusal, not a raw int()-argument traceback."""
+    import json as _json
+
+    from data_pipelines_cu_spark.operators import similarity as sim
+    from data_pipelines_cu_spark.streaming.jobs import run_streaming_ivf_upsert
+
+    em = _embeddings(spark)
+    rows = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in em.limit(3).select("vec_id", "embedding").collect()
+    ]
+    idx = str(tmp_path / "ivf")
+    cents = sim.build_ivf_index(em, idx, n_centroids=8, lloyd_iters=1)
+    ck = tmp_path / "ck"
+    ck.mkdir()
+    for damaged in ('{"base_wave": null}', "[1, 2]"):
+        (ck / "ivf_wave_base.json").write_text(damaged)
+        s = _stream_vectors(spark, tmp_path / "in", rows)
+        with pytest.raises(ValueError, match="sidecar .* is unreadable"):
+            run_streaming_ivf_upsert(s, idx, cents, checkpoint=str(ck))
+
+
+def test_exec_cursor_delivers_gap_id_when_it_surfaces():
+    """A gapped-over execution id must be DELIVERED when it finally
+    surfaces, not excluded forever by the id > last_id filter — the
+    detectors would silently miss that execution's scan census."""
+    pa = _load("plan_audit")
+    fake = _FakeSql([{"id": 0}, {"id": 1}])
+    cur = _cursor_with(pa, fake)
+    # id 2 in flight; 3 surfaces first
+    fake.listing = [{"id": 0}, {"id": 1}, {"id": 3}]
+    assert [e["id"] for e in cur.new_executions()] == [3]
+    assert cur._gap_ids == {2}
+    # id 2 surfaces (inserts BEFORE 3): next read must include it
+    fake.listing = [{"id": 0}, {"id": 1}, {"id": 2}, {"id": 3}]
+    got = [e["id"] for e in cur.new_executions()]
+    assert got == [2]
+    assert cur._gap_ids == set()
+    assert cur.evicting is False
+    # and the cursor is healthy afterwards: new tail rides the fast path
+    fake.listing = [{"id": 0}, {"id": 1}, {"id": 2}, {"id": 3}, {"id": 4}]
+    before = fake.full_fetches
+    assert [e["id"] for e in cur.new_executions()] == [4]
+    assert fake.full_fetches == before

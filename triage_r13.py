@@ -9,7 +9,6 @@ silently degrade to SMJ when size stats vanish)."""
 from __future__ import annotations
 
 import json
-import re
 import statistics
 import sys
 import time
@@ -18,7 +17,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from bench import cpu_probe, sched_probe  # noqa: E402
-from plan_audit import ExecCursor  # noqa: E402
+from plan_audit import ExecCursor, exec_plan_census  # noqa: E402
 from data_pipelines_cu_spark.queries import all_queries  # noqa: E402
 from data_pipelines_cu_spark.session import get_spark  # noqa: E402
 
@@ -27,24 +26,23 @@ SF_DIR = "/root/testdata/sf0.1"
 
 
 def plan_census(executions: list) -> dict:
-    """Summarise the executed plans of one query's /sql executions: max
-    scans/exchanges/joins across executions (AQE final plan strings)."""
-    out = {"n_executions": len(executions), "max_scans": 0, "max_exchanges": 0,
-           "broadcast_joins": 0, "sort_merge_joins": 0, "shuffle_hash_joins": 0}
-    for ex in executions:
-        desc = ex.get("planDescription", "") or ""
-        final = desc.split("== Initial Plan ==")[0]
-        out["max_scans"] = max(out["max_scans"],
-                               len(re.findall(r"Scan parquet\s*\(\d+\)", final)))
-        out["max_exchanges"] = max(out["max_exchanges"],
-                                   len(re.findall(r"Exchange\s*\(\d+\)", final)))
-        out["broadcast_joins"] = max(out["broadcast_joins"],
-                                     final.count("BroadcastHashJoin"))
-        out["sort_merge_joins"] = max(out["sort_merge_joins"],
-                                      final.count("SortMergeJoin"))
-        out["shuffle_hash_joins"] = max(out["shuffle_hash_joins"],
-                                        final.count("ShuffledHashJoin"))
-    return out
+    """Max-over-executions summary of the shared exec_plan_census (one
+    parser for the /sql plan format, pinned by the characterization
+    test — this script must not fork its own copy that drifts)."""
+    per = [
+        exec_plan_census(ex.get("planDescription", "") or "")
+        for ex in executions
+    ]
+    agg = {"n_executions": len(executions)}
+    for key in (
+        "n_scans",
+        "n_exchanges",
+        "broadcast_hash_joins",
+        "sort_merge_joins",
+        "shuffled_hash_joins",
+    ):
+        agg[key] = max((c[key] for c in per), default=0)
+    return agg
 
 
 def main() -> None:
