@@ -791,7 +791,13 @@ def build_ivf_index(
     BY I/O, not just by compute (`query_ivf_index` asserts PartitionFilters
     in its plan test). Same deterministic seeding + Lloyd refinement as
     `cosine_topk_ivf`, so a fresh index over the same corpus is
-    reproducible bit-for-bit."""
+    reproducible bit-for-bit.
+
+    NULL vectors are never ingested (the index admission rule the
+    lifecycle gate's oracle mirrors): dropped here at entry, because a
+    None row reaching the Arrow assign kernel crashes it with an
+    opaque (0,)-dim numpy error."""
+    corpus = drop_null_vectors(corpus, vec_col)
     if centroids is not None:
         # rebuild/compact under FROZEN centroids: cell assignment is a
         # pure function of (vector, centroids), so the index layout is
@@ -870,6 +876,10 @@ def upsert_ivf_index(
             f"upsert_ivf_index: wave must be >= 1 (wave 0 is the build), "
             f"got {wave}"
         )
+    # the admission rule, enforced at EVERY write path: NULL vectors are
+    # never ingested (a None row crashes the Arrow assign kernel, and a
+    # NULL landing in the index would poison every downstream cosine)
+    new_vectors = drop_null_vectors(new_vectors, vec_col)
     if check_layout:
         from pyspark.errors import AnalysisException  # noqa: PLC0415
 
@@ -973,6 +983,23 @@ def ivf_index_report(spark, path: str, id_col: str = "vec_id") -> DataFrame:
     )
 
 
+def _read_index(spark, path: str, op: str) -> DataFrame:
+    """Read a persisted IVF index for a lifecycle operator, translating
+    the raw AnalysisException (PATH_NOT_FOUND / UNABLE_TO_INFER_SCHEMA
+    on an empty dir) into the same actionable error the serving stream
+    raises — the operator's next step is always the same: build the
+    index first."""
+    from pyspark.errors import AnalysisException  # noqa: PLC0415
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as exc:
+        raise ValueError(
+            f"{op}: no readable IVF index at {path}; build it "
+            "(similarity.build_ivf_index) first"
+        ) from exc
+
+
 def _keep_latest_per_id(
     raw: DataFrame, id_col: str, vec_col: str
 ) -> DataFrame:
@@ -1030,7 +1057,7 @@ def ivf_drift_report(
     driver state. Baseline discipline: collect this right after
     build/retrain and persist it next to the centroid artifact; the
     decision compares current vs baseline."""
-    raw = spark.read.parquet(path)
+    raw = _read_index(spark, path, "ivf_drift_report")
     latest = _keep_latest_per_id(raw, id_col, vec_col).select(
         "cell", "wave", vec_col
     )
@@ -1145,7 +1172,11 @@ def retrain_ivf_centroids(
     centroids into the new layout — same corruption class as
     compact-under-live-ingest."""
     latest = (
-        _keep_latest_per_id(spark.read.parquet(path), id_col, vec_col)
+        _keep_latest_per_id(
+            _read_index(spark, path, "retrain_ivf_centroids"),
+            id_col,
+            vec_col,
+        )
         .select(id_col, vec_col)
         # survivor set feeds seeding, Lloyd, and the rewrite of the very
         # files it came from: cut the lineage once (id+vector rows — the

@@ -215,12 +215,33 @@ class ExecCursor:
         # surfaced when a later one was read): delivered when they appear
         # instead of being excluded forever by the id > last_id filter
         self._gap_ids: set[int] = set()
+        # smallest id ever observed in a listing: eviction is confirmed
+        # only when the CURRENT oldest moved past it — i.e. an id we
+        # actually saw has vanished. "oldest > last_id+1" alone is
+        # ambiguous: at a fresh store the first ids may simply not have
+        # surfaced yet, and treating that as eviction would prune their
+        # gap entries and lose them (caught by the exactly-once property
+        # test).
+        self._min_seen: int | None = min(
+            (e["id"] for e in full), default=None
+        )
+
+    def _observe_oldest(self, oldest: int | None) -> None:
+        """Fold a full listing's oldest id into the eviction evidence:
+        a previously-SEEN id now gone proves the window shifted."""
+        if oldest is None:
+            return
+        if self._min_seen is not None and oldest > self._min_seen:
+            self.evicting = True
+        self._min_seen = (
+            oldest if self._min_seen is None else min(self._min_seen, oldest)
+        )
 
     def _take(self, listing: list, oldest: int | None = None) -> list:
         """Fresh items from ``listing``: ids past the high-water mark
         PLUS any previously-skipped gap ids that have now surfaced.
         Advances last_id, records newly-skipped ids as gaps, and prunes
-        gaps below the retained window (evicted ids never surface)."""
+        gaps that can no longer surface."""
         fresh = [
             e
             for e in listing
@@ -235,10 +256,13 @@ class ExecCursor:
             )
             self.last_id = new_last
         # prune gaps that will never surface: ids below the retained
-        # window (evicted), and ids far behind the high-water mark — an
-        # id allocated but never registered (failed pre-registration)
-        # would otherwise pin the cursor on full fetches forever
-        floor = max(oldest or 0, self.last_id - 1000)
+        # window ONLY once eviction is confirmed (otherwise a low id may
+        # merely not have surfaced yet), and ids far behind the
+        # high-water mark — an id allocated but never registered would
+        # otherwise pin the cursor on full fetches forever
+        floor = self.last_id - 1000
+        if self.evicting and oldest is not None:
+            floor = max(floor, oldest)
         self._gap_ids = {g for g in self._gap_ids if g >= floor}
         return fresh
 
@@ -269,8 +293,7 @@ class ExecCursor:
                 # gap cost a full fetch per call forever.)
                 full = _sql_executions(self.base, self.app_id)
                 oldest = min((e["id"] for e in full), default=None)
-                if oldest is not None and oldest > self.last_id + 1:
-                    self.evicting = True
+                self._observe_oldest(oldest)
                 fresh = self._take(full, oldest=oldest)
                 if not self.evicting:
                     self.offset = len(full)
@@ -289,9 +312,9 @@ class ExecCursor:
                 return []
         pre_last = self.last_id
         full = _sql_executions(self.base, self.app_id)
-        fresh = self._take(
-            full, oldest=min((e["id"] for e in full), default=None)
-        )
+        oldest = min((e["id"] for e in full), default=None)
+        self._observe_oldest(oldest)
+        fresh = self._take(full, oldest=oldest)
         if fresh:
             if not self.evicting and self.last_id > pre_last:
                 self.evicting = True  # offset missed them: window shifted

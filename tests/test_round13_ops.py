@@ -164,17 +164,16 @@ def test_exec_cursor_transient_gap_keeps_fast_path():
     got = cur.new_executions()
     assert [e["id"] for e in got] == [4]
     assert cur.evicting is False
-    # gap resolves by eviction: id 2's slot left the retained window
+    # ids 0-1 VANISH: previously-seen ids gone = real eviction — the
+    # cursor degrades (correctly) and prunes the gap id that can no
+    # longer surface
     fake.listing = [{"id": 3}, {"id": 4}, {"id": 5}]
     got = cur.new_executions()
     assert [e["id"] for e in got] == [5]
     assert cur._gap_ids == set()
-    # fast path resumes: no full fetch once nothing is outstanding
-    fake.listing = [{"id": 3}, {"id": 4}, {"id": 5}, {"id": 6}]
-    before = fake.full_fetches
-    assert [e["id"] for e in cur.new_executions()] == [6]
-    assert fake.full_fetches == before
-    assert cur.evicting is False
+    assert cur.evicting is True
+    # (fast-path resumption after a gap resolves by SURFACING — no
+    # eviction — is pinned by test_exec_cursor_delivers_gap_id_...)
 
 
 def test_exec_cursor_confirmed_eviction_degrades():
@@ -1038,3 +1037,96 @@ def test_exec_cursor_delivers_gap_id_when_it_surfaces():
     before = fake.full_fetches
     assert [e["id"] for e in cur.new_executions()] == [4]
     assert fake.full_fetches == before
+
+
+def test_lifecycle_operators_degenerate_paths(spark, tmp_path):
+    """Degenerate probes for the round-13 lifecycle surfaces (the probe
+    pattern that found 7 crashes in r11 and 3 in r12): NULL vectors are
+    dropped at EVERY index write path per the admission rule (a None row
+    used to crash the Arrow assign kernel with an opaque numpy error);
+    drift/retrain on a missing or empty index raise the same actionable
+    build-it-first error as the serving stream; recall report with an
+    empty query set is a schema-stable empty table."""
+    from pyspark.sql import functions as F
+
+    from data_pipelines_cu_spark.operators import similarity as sim
+
+    schema = "vec_id long, embedding array<float>"
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]), (7, None)],
+        schema,
+    )
+    idx = str(tmp_path / "ivf")
+    # build with a NULL row present: dropped, not crashed
+    cents = sim.build_ivf_index(corpus, idx, n_centroids=2, lloyd_iters=1)
+    assert spark.read.parquet(idx).count() == 3
+
+    # upsert wave that is ENTIRELY NULL vectors: a no-op landing, and the
+    # admission rule holds (no NULL ever reaches the index)
+    nulls = spark.createDataFrame([(9, None), (0, None)], schema)
+    sim.upsert_ivf_index(nulls, idx, cents, wave=1)
+    landed = spark.read.parquet(idx)
+    assert landed.filter(F.col("embedding").isNull()).count() == 0
+    assert landed.count() == 3
+
+    # drift / retrain on missing + empty-dir indexes: actionable errors
+    (tmp_path / "emptydir").mkdir()
+    for bad in (str(tmp_path / "missing"), str(tmp_path / "emptydir")):
+        with pytest.raises(ValueError, match="no readable IVF index"):
+            sim.ivf_drift_report(spark, bad, cents).collect()
+        with pytest.raises(ValueError, match="no readable IVF index"):
+            sim.retrain_ivf_centroids(spark, bad, n_centroids=2)
+
+    # recall report over an empty query set: schema-stable empty result
+    rep = sim.ivf_recall_report(
+        spark, idx, cents, corpus, corpus.filter("vec_id < 0")
+    )
+    assert rep.columns == ["query_id", "n_true", "n_hits", "recall"]
+    assert rep.count() == 0
+
+
+def test_exec_cursor_exactly_once_property():
+    """Property (hypothesis): under ANY out-of-order surfacing schedule
+    without eviction, interleaved with reads at arbitrary points, the
+    cursor delivers every execution exactly once — no duplicates (a
+    double-counted plan inflates detector metrics), no losses (a missed
+    execution blinds them). Eviction cases are pinned by the dedicated
+    unit tests above."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    pa = _load("plan_audit")
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.data())
+    def run(data):
+        n = data.draw(st.integers(min_value=1, max_value=25))
+        # surfacing order: ids may surface late by a bounded displacement
+        order = list(range(n))
+        for i in range(n - 1):
+            if data.draw(st.booleans()):
+                order[i], order[i + 1] = order[i + 1], order[i]
+        surfaced: list[int] = []
+        fake = _FakeSql([])
+        pa._sql_executions = fake
+        cur = pa.ExecCursor("http://x", "app")
+        cur.EMPTY_CACHE_SEC = 0.0  # property runs faster than the TTL
+        delivered: list[int] = []
+        i = 0
+        while i < len(order) or True:
+            if i < len(order):
+                batch = data.draw(st.integers(min_value=1, max_value=4))
+                surfaced.extend(order[i : i + batch])
+                i += batch
+                fake.listing = [{"id": x} for x in sorted(surfaced)]
+            if data.draw(st.booleans()) or i >= len(order):
+                delivered.extend(e["id"] for e in cur.new_executions())
+            if i >= len(order):
+                # drain: two final reads pick up any outstanding gaps
+                delivered.extend(e["id"] for e in cur.new_executions())
+                delivered.extend(e["id"] for e in cur.new_executions())
+                break
+        assert sorted(delivered) == list(range(n)), (order, delivered)
+        assert len(delivered) == len(set(delivered)), "duplicate delivery"
+
+    run()
