@@ -1198,6 +1198,75 @@ def retrain_ivf_centroids(
     return new_cents
 
 
+def ivf_probe_sweep(
+    spark,
+    path: str,
+    centroids: list[tuple[int, list[float]]],
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    probes: tuple[int, ...] = (1, 2, 4),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The n_probe tuning curve for a persisted IVF index — the IVF
+    analog of ``lsh_band_sweep``: (n_probe, mean_recall, min_recall,
+    n_queries, cells_scanned), one row per candidate setting, recall
+    graded against ONE brute-force truth pass shared by every setting
+    (the truth table is the expensive side — it is cut once and reused;
+    each approximate side reads only its probed cells, so the sweep's
+    marginal cost per setting is the setting's own query cost).
+    ``cells_scanned`` is the distinct probe-cell count that setting
+    touched — the I/O knob the operator trades recall against: pick the
+    smallest n_probe whose recall clears the serving floor."""
+    truth = cosine_topk(
+        corpus, queries, k=k, id_col=id_col, vec_col=vec_col
+    ).transform(lineage_cut)
+    rows = []
+    for n_probe in probes:
+        probed = ivf_assign_arrow(
+            queries.select(
+                F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+            ),
+            sorted(centroids),
+            vec_col="qv",
+            n_best=n_probe,
+        )
+        n_cells = probed.select("cell").distinct().count()
+        graded = _grade_recall(
+            truth,
+            query_ivf_index(
+                spark,
+                path,
+                centroids,
+                queries,
+                k=k,
+                n_probe=n_probe,
+                id_col=id_col,
+                vec_col=vec_col,
+            ),
+        )
+        agg = graded.agg(
+            F.round(F.avg("recall"), 6).alias("mean_recall"),
+            F.round(F.min("recall"), 6).alias("min_recall"),
+            F.count(F.lit(1)).alias("n_queries"),
+        ).first()
+        rows.append(
+            (
+                n_probe,
+                float(agg["mean_recall"]) if agg["mean_recall"] is not None else None,
+                float(agg["min_recall"]) if agg["min_recall"] is not None else None,
+                int(agg["n_queries"]),
+                n_cells,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "n_probe int, mean_recall double, min_recall double, "
+        "n_queries long, cells_scanned long",
+    )
+
+
 def query_ivf_index(
     spark,
     path: str,

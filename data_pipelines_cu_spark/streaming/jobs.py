@@ -1242,6 +1242,9 @@ def run_streaming_ivf_upsert(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     available_now: bool = True,
+    drift_monitor_path: str | None = None,
+    drift_baseline: dict | None = None,
+    report_every: int = 1,
 ) -> StreamingQuery:
     """Live ingest half of the ANN index lifecycle: embedding vectors
     arrive as a stream and land in the persisted IVF index as one
@@ -1275,7 +1278,21 @@ def run_streaming_ivf_upsert(
     compacting under a live ingest. Run one ingest stream per index
     path; scale ingest by widening the stream's partitions, not by
     adding streams (the quiesce protocol in compact_ivf_index applies
-    to writers too: stop, compact, fresh checkpoint)."""
+    to writers too: stop, compact, fresh checkpoint).
+
+    CONTINUOUS DRIFT MONITORING (``drift_monitor_path``): after every
+    ``report_every``-th wave lands, the full drift report
+    (similarity.ivf_drift_report — one linear pass over the index) plus
+    the mechanical rebuild decision against the frozen
+    ``drift_baseline`` land as one row in the batch_id partition —
+    replay-idempotent like the waves themselves. The operator watches
+    the newest row's ``rebuild`` flag and, when it fires, runs the
+    quiesce protocol (stop → retrain_ivf_centroids → fresh checkpoint +
+    new artifact + NEW baseline). The report pass costs one index read
+    per monitored batch — set ``report_every`` to the ingest-to-review
+    cadence, not 1, on a high-frequency stream. The decision runs on
+    the driver over a 1-row collect (the report is a single row by
+    construction)."""
     import json as _json
     from pathlib import Path
     from urllib.parse import urlparse
@@ -1361,6 +1378,38 @@ def run_streaming_ivf_upsert(
             # file listing per micro-batch for a check that cannot change
             check_layout=False,
         )
+        if drift_monitor_path and (batch_id + 1) % max(1, report_every) == 0:
+            from ..operators.similarity import (  # noqa: PLC0415
+                ivf_drift_report,
+                should_rebuild_centroids,
+            )
+            from ..operators.upsert import upsert_partitions  # noqa: PLC0415
+
+            spark_b = batch.sparkSession
+            report = ivf_drift_report(
+                spark_b, index_path, cent_rows, id_col=id_col, vec_col=vec_col
+            ).first()
+            decision = should_rebuild_centroids(
+                report.asDict(), drift_baseline
+            )
+            row = spark_b.createDataFrame(
+                [
+                    (
+                        *report,
+                        bool(decision["rebuild"]),
+                        "; ".join(decision["reasons"]),
+                        batch_id,
+                    )
+                ],
+                # explicit schema: an all-NULL report row (index still
+                # empty — e.g. every wave so far was NULL-vector-only)
+                # breaks type inference but must still land a row
+                "n_vectors long, n_occupied_cells long, "
+                "occupancy_skew double, mean_distortion double, "
+                "max_distortion double, upsert_frac double, "
+                "rebuild boolean, reasons string, batch_id long",
+            )
+            upsert_partitions(row, drift_monitor_path, ["batch_id"])
 
     writer = (
         vectors.writeStream.outputMode("append")

@@ -1130,3 +1130,78 @@ def test_exec_cursor_exactly_once_property():
         assert len(delivered) == len(set(delivered)), "duplicate delivery"
 
     run()
+
+
+def test_ivf_probe_sweep_tuning_curve(spark, tmp_path):
+    """The n_probe tuning curve: recall is non-decreasing in n_probe,
+    probing every cell recovers brute force exactly (recall 1.0), and
+    cells_scanned exposes the I/O side of the trade. Uses the drift
+    fixture's boundary family, where n_probe=1 measurably under-recalls."""
+    from pyspark.sql import functions as F
+
+    from data_pipelines_cu_spark.operators import similarity as sim
+
+    original, wave1, wave2 = _drift_fixture(spark)
+    corpus = original.unionByName(wave1).unionByName(wave2)
+    idx = str(tmp_path / "ivf")
+    cents = sim.build_ivf_index(corpus, idx, n_centroids=2, lloyd_iters=2)
+    queries = wave1.filter(F.col("vec_id") < 8)
+
+    sweep = {
+        r["n_probe"]: r
+        for r in sim.ivf_probe_sweep(
+            spark, idx, cents, corpus, queries, k=5, probes=(1, 2)
+        ).collect()
+    }
+    assert sweep[1]["mean_recall"] < sweep[2]["mean_recall"]
+    assert sweep[2]["mean_recall"] == 1.0  # 2 probes of 2 cells = brute force
+    assert sweep[1]["cells_scanned"] <= sweep[2]["cells_scanned"]
+    assert all(r["n_queries"] == queries.count() for r in sweep.values())
+
+
+def test_streaming_ivf_drift_monitor_parity_and_trigger(spark, tmp_path):
+    """Continuous drift monitoring on the ingest stream: each monitored
+    batch lands the FULL drift report + the mechanical rebuild decision
+    in a replay-idempotent batch_id partition; the final row equals the
+    one-shot batch ivf_drift_report on the final index, and the drifted
+    stream flips the rebuild flag against the frozen build-time
+    baseline."""
+    from pyspark.sql import functions as F
+
+    from data_pipelines_cu_spark.operators import similarity as sim
+    from data_pipelines_cu_spark.streaming.jobs import run_streaming_ivf_upsert
+
+    original, wave1, wave2 = _drift_fixture(spark)
+    idx = str(tmp_path / "ivf")
+    cents = sim.build_ivf_index(original, idx, n_centroids=2, lloyd_iters=2)
+    baseline = sim.ivf_drift_report(spark, idx, cents).first().asDict()
+
+    rows = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in wave1.unionByName(wave2).collect()
+    ]
+    mid = len(rows) // 2
+    src = tmp_path / "in"
+    mon = str(tmp_path / "mon")
+    _stream_vectors(spark, src, rows[:mid])
+    s = _stream_vectors(spark, src, rows[mid:])  # 2 files -> 2 batches
+    assert run_streaming_ivf_upsert(
+        s,
+        idx,
+        cents,
+        checkpoint=str(tmp_path / "ck"),
+        drift_monitor_path=mon,
+        drift_baseline=baseline,
+    ).awaitTermination(120)
+
+    landed = spark.read.parquet(mon)
+    assert landed.count() == 2  # one report row per batch, no duplicates
+    last = landed.orderBy(F.col("batch_id").desc()).first()
+    batch_now = sim.ivf_drift_report(spark, idx, cents).first()
+    for f in batch_now.__fields__:
+        assert last[f] == batch_now[f], f
+    assert last["rebuild"] is True
+    assert "upsert_frac" in last["reasons"]
+    # first-batch row reflects the index AS OF that batch: fewer vectors
+    first = landed.orderBy("batch_id").first()
+    assert first["n_vectors"] < last["n_vectors"]
