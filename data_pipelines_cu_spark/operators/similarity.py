@@ -1198,6 +1198,182 @@ def retrain_ivf_centroids(
     return new_cents
 
 
+def build_sq8_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 8,
+    lloyd_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
+    bounds: tuple[list[float], list[float]] | None = None,
+) -> tuple[list[tuple[int, list[float]]], tuple[list[float], list[float]]]:
+    """Scalar-quantized persisted IVF index — the compressed serving
+    artifact the float lifecycle's 100 TB story needs: rows store int8
+    CODES (array<int>, 0..255 — parquet's bit-packed encoding lands them
+    at ~1 byte/dim on disk vs 4 for float32, a ~4x cut in index bytes
+    and probe I/O), partitioned by (cell, wave) exactly like the float
+    index so partition pruning, wave upserts, and keep-last semantics
+    carry over unchanged. Returns the TWO frozen artifacts the caller
+    persists: the centroids (cell assignment) and the per-dimension
+    quantization bounds (mn, mx) — both are index metadata with the same
+    lifetime discipline (a retrain mints new ones; mixing artifacts
+    across builds corrupts silently, exactly like centroids alone).
+
+    Cell assignment runs on the FULL-PRECISION vectors (quantization
+    error must cost recall at the re-ranking margin, not move vectors
+    across cells); only the stored payload is compressed. NULL vectors
+    are dropped per the admission rule."""
+    corpus = drop_null_vectors(corpus, vec_col)
+    if bounds is None:
+        dim_row = corpus.select(F.size(vec_col)).first()
+        dim = int(dim_row[0]) if dim_row else 0
+        b = sq8_bounds(corpus, vec_col=vec_col, dim=dim).first()
+        bounds = ([float(x) for x in b["mn"]], [float(x) for x in b["mx"]])
+    if centroids is not None:
+        cent_rows = sorted(centroids)
+    else:
+        seeds = corpus.filter(F.col(id_col) < n_centroids).select(
+            id_col, vec_col
+        )
+        seed_rows = [(r[0], [float(x) for x in r[1]]) for r in seeds.collect()]
+        cent_rows = (
+            lloyd_refine_rows(
+                corpus, seed_rows, n_iters=lloyd_iters, vec_col=vec_col
+            )
+            if lloyd_iters > 0
+            else sorted(seed_rows)
+        )
+    mn, mx = (F.array(*[F.lit(v) for v in bounds[0]]),
+              F.array(*[F.lit(v) for v in bounds[1]]))
+    indexed = (
+        ivf_assign_arrow(
+            corpus.select(id_col, vec_col), cent_rows, vec_col=vec_col
+        )
+        .select(
+            id_col,
+            sq8_codes(F.col(vec_col), mn, mx).alias("codes"),
+            "cell",
+        )
+        .withColumn("wave", F.lit(0))
+    )
+    (
+        indexed.write.partitionBy("cell", "wave")
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .parquet(path)
+    )
+    return cent_rows, bounds
+
+
+def upsert_sq8_ivf_index(
+    new_vectors: DataFrame,
+    path: str,
+    centroids: list[tuple[int, list[float]]],
+    bounds: tuple[list[float], list[float]],
+    wave: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Wave append to a persisted SQ8 index under the FROZEN centroid +
+    bounds artifacts: new float vectors are cell-assigned at full
+    precision, encoded under the build-time bounds (values outside them
+    clamp to 0/255 — the scalar-quantization saturation trade; a drifted
+    value range is one more signal the drift trigger's retrain refreshes
+    BOTH artifacts), and land in (cell, wave) dynamic-overwrite
+    partitions with the same replay-idempotency and cross-cell staleness
+    contract as the float upsert. Same guards: wave >= 1, NULL vectors
+    dropped, a codes-less (foreign/float) layout rejected loudly."""
+    if wave < 1:
+        raise ValueError(
+            f"upsert_sq8_ivf_index: wave must be >= 1 (wave 0 is the "
+            f"build), got {wave}"
+        )
+    new_vectors = drop_null_vectors(new_vectors, vec_col)
+    from pyspark.errors import AnalysisException  # noqa: PLC0415
+
+    try:
+        existing = new_vectors.sparkSession.read.parquet(path).columns
+    except AnalysisException:
+        existing = None  # no index yet — this wave creates it
+    if existing is not None and ("codes" not in existing or "wave" not in existing):
+        raise ValueError(
+            f"upsert_sq8_ivf_index: index at {path} is not an SQ8 wave "
+            "index (expected codes + wave columns); writing SQ8 waves "
+            "into a float or legacy tree would create a mixed layout no "
+            "reader can open"
+        )
+    from .upsert import upsert_partitions  # noqa: PLC0415
+
+    mn, mx = (F.array(*[F.lit(v) for v in bounds[0]]),
+              F.array(*[F.lit(v) for v in bounds[1]]))
+    assigned = ivf_assign_arrow(
+        new_vectors.select(id_col, vec_col), sorted(centroids), vec_col=vec_col
+    ).select(
+        id_col,
+        sq8_codes(F.col(vec_col), mn, mx).alias("codes"),
+        "cell",
+    ).withColumn("wave", F.lit(wave))
+    upsert_partitions(assigned, path, ["cell", "wave"])
+
+
+def query_sq8_ivf_index(
+    spark,
+    path: str,
+    centroids: list[tuple[int, list[float]]],
+    bounds: tuple[list[float], list[float]],
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN over the persisted SQ8 index: probe-cell partition pruning and
+    newest-wave-per-id exactly as the float query path, but the scan
+    reads ~1/4 the bytes and scoring is ASYMMETRIC — the float query
+    against the dequantized code (standard SQ practice: keeping the
+    query at full precision costs nothing and beats symmetric
+    reconstruction on recall). Output contract matches query_ivf_index:
+    (query_id, neighbor_id, cos_sim, rank), cos_sim computed over the
+    reconstructed neighbor."""
+    probes = ivf_assign_arrow(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
+        sorted(centroids),
+        vec_col="qv",
+        n_best=n_probe,
+    )
+    probe_cells = sorted(
+        {r["cell"] for r in probes.select("cell").distinct().collect()}
+    )
+    index = spark.read.parquet(path).filter(F.col("cell").isin(probe_cells))
+    index = _keep_latest_per_id(index, id_col, "codes")
+    mn, mx = (F.array(*[F.lit(v) for v in bounds[0]]),
+              F.array(*[F.lit(v) for v in bounds[1]]))
+    indexed = index.select(
+        F.col(id_col).alias("neighbor_id"),
+        sq8_decode(F.col("codes"), mn, mx).alias("cv"),
+        "cell",
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(indexed, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    return topk_per_group(
+        scored,
+        ["query_id"],
+        [F.col("cos_sim").desc(), F.col("neighbor_id").asc()],
+        k=k,
+        rank_col="rank",
+    ).select("query_id", "neighbor_id", "cos_sim", "rank")
+
+
 def ivf_probe_sweep(
     spark,
     path: str,
@@ -1923,6 +2099,22 @@ def sq8_codes(vec: Column, mn: Column, mx: Column) -> Column:
         )
 
     return F.transform(vec, code)
+
+
+def sq8_decode(codes: Column, mn: Column, mx: Column) -> Column:
+    """Dequantize STORED codes (array<int>, 0..255): lo + code*(hi-lo)/255
+    per dimension — the read half of :func:`sq8_codes`, arithmetic
+    identical to :func:`sq8_reconstruct`'s (which quantizes and
+    dequantizes a float vector in one expression), so a vector round-
+    tripped through the persisted code artifact reconstructs to the same
+    IEEE doubles as the in-plan reconstruction."""
+
+    def dec(c, i):
+        lo = F.element_at(mn, i + 1)
+        hi = F.element_at(mx, i + 1)
+        return lo + (c.cast("double") * (hi - lo)) / F.lit(255.0)
+
+    return F.transform(codes, dec)
 
 
 def sq8_reconstruct(vec: Column, mn: Column, mx: Column) -> Column:

@@ -1205,3 +1205,121 @@ def test_streaming_ivf_drift_monitor_parity_and_trigger(spark, tmp_path):
     # first-batch row reflects the index AS OF that batch: fewer vectors
     first = landed.orderBy("batch_id").first()
     assert first["n_vectors"] < last["n_vectors"]
+
+
+def test_sq8_persisted_index_lifecycle(spark, tmp_path):
+    """The compressed serving artifact: build -> wave upsert -> query
+    over a persisted SQ8 IVF index. Pins (a) the on-disk compression —
+    the SQ8 index is at most half the float index's parquet bytes on the
+    same vectors (~4x in the data pages; dictionary/footers dilute the
+    ratio at this tiny scale); (b) asymmetric query results equal the
+    float-query-vs-reconstructed-corpus answer computed in-plan (the
+    codec is exact w.r.t. its own decode); (c) recall vs the exact float
+    index stays high (quantization costs margin, not cells); (d) a wave
+    update is visible keep-last, exactly as in the float lifecycle;
+    (e) guards — wave 0 rejected, float tree rejected."""
+    from pyspark.sql import functions as F
+
+    from data_pipelines_cu_spark.operators import similarity as sim
+
+    em = (
+        _embeddings(spark)
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id", "embedding")
+    )
+    fidx, qidx = str(tmp_path / "float"), str(tmp_path / "sq8")
+    cents = sim.build_ivf_index(em, fidx, n_centroids=8, lloyd_iters=2)
+    cents_q, bounds = sim.build_sq8_ivf_index(em, qidx, centroids=cents)
+    assert cents_q == cents
+
+    def tree_bytes(p):
+        return sum(
+            f.stat().st_size for f in Path(p).rglob("*.parquet") if f.is_file()
+        )
+
+    assert tree_bytes(qidx) <= 0.5 * tree_bytes(fidx), (
+        tree_bytes(qidx),
+        tree_bytes(fidx),
+    )
+
+    queries = em.filter(F.col("vec_id") < 5)
+    got = sorted(
+        tuple(r)
+        for r in sim.query_sq8_ivf_index(
+            spark, qidx, cents, bounds, queries, k=5, n_probe=2
+        ).collect()
+    )
+    # in-plan oracle: float queries vs reconstructed corpus, same probes
+    mn = F.array(*[F.lit(v) for v in bounds[0]])
+    mx = F.array(*[F.lit(v) for v in bounds[1]])
+    recon = em.select(
+        "vec_id", sim.sq8_reconstruct(F.col("embedding"), mn, mx).alias("rv")
+    )
+    probes = sim.ivf_assign_arrow(
+        queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")),
+        sorted(cents),
+        vec_col="qv",
+        n_best=2,
+    )
+    cells = {r["cell"] for r in probes.select("cell").distinct().collect()}
+    corpus_cells = sim.ivf_assign_arrow(em.select("vec_id", "embedding"), sorted(cents))
+    in_cells = corpus_cells.filter(F.col("cell").isin(sorted(cells))).select("vec_id", "cell")
+    want_scored = (
+        F.broadcast(probes)
+        .join(in_cells.join(recon, "vec_id"), "cell")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(sim.cosine(F.col("qv"), F.col("rv")), 6).alias("cos_sim"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    from data_pipelines_cu_spark.operators.windows import topk_per_group
+
+    want = sorted(
+        tuple(r)
+        for r in topk_per_group(
+            want_scored,
+            ["query_id"],
+            [F.col("cos_sim").desc(), F.col("neighbor_id").asc()],
+            k=5,
+            rank_col="rank",
+        )
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+        .collect()
+    )
+    assert got == want and len(got) > 0
+
+    # recall vs the exact float index: quantization costs margin only
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.query_ivf_index(
+            spark, fidx, cents, queries, k=5, n_probe=2
+        ).collect()
+    }
+    approx = {(q, n) for q, n, _, _ in got}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, recall
+
+    # wave update visible keep-last (doubled vector -> doubled norm order)
+    upd = em.filter(F.col("vec_id") == 0).select(
+        "vec_id",
+        F.transform("embedding", lambda x: (x * F.lit(0.0)).cast("float")).alias(
+            "embedding"
+        ),
+    )
+    sim.upsert_sq8_ivf_index(upd, qidx, cents, bounds, wave=1)
+    landed = spark.read.parquet(qidx)
+    assert landed.filter("vec_id = 0").count() >= 2  # both waves on disk
+    # the zeroed vector has no cosine: id 0 drops out of every top-k
+    post = sim.query_sq8_ivf_index(
+        spark, qidx, cents, bounds, queries, k=5, n_probe=2
+    )
+    assert post.filter("neighbor_id = 0").count() == 0
+
+    # guards
+    with pytest.raises(ValueError, match="wave must be >= 1"):
+        sim.upsert_sq8_ivf_index(upd, qidx, cents, bounds, wave=0)
+    with pytest.raises(ValueError, match="not an SQ8 wave index"):
+        sim.upsert_sq8_ivf_index(upd, fidx, cents, bounds, wave=1)
