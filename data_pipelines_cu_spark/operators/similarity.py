@@ -1374,6 +1374,248 @@ def query_sq8_ivf_index(
     ).select("query_id", "neighbor_id", "cos_sim", "rank")
 
 
+PQ_M = 4
+PQ_K = 16
+
+
+def _pq_encode(
+    vectors: DataFrame,
+    cent: DataFrame,
+    m: int,
+    dsub: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes): each vector's m one-byte PQ codes under a FROZEN
+    codebook table (j, cell, cv) — the encode half shared by the build
+    and upsert paths of the persisted PQ index. Assignment is argmin
+    squared-L2 per (row, subspace) against the broadcast m*k codebook
+    (ties: lowest cell), codes ordered by subspace."""
+    sub = _pq_subvecs(vectors, m=m, dsub=dsub, id_col=id_col, vec_col=vec_col)
+    return (
+        sub.join(F.broadcast(cent), "j")
+        .withColumn("_d", _l2_sq(F.col("sv"), F.col("cv")))
+        .withColumn(
+            "_r",
+            F.row_number().over(
+                Window.partitionBy(id_col, "j").orderBy(
+                    F.col("_d").asc(), F.col("cell").asc()
+                )
+            ),
+        )
+        .filter(F.col("_r") == 1)
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "cell"))),
+                lambda x: x["cell"],
+            ).alias("pq_codes")
+        )
+    )
+
+
+def _pq_codebook_df(spark, codebooks: list[tuple[int, int, list[float]]]):
+    """The frozen codebook artifact ((j, cell, cv) rows, m*k total) as a
+    broadcast-ready DataFrame."""
+    return spark.createDataFrame(
+        [(j, c, [float(x) for x in cv]) for j, c, cv in sorted(codebooks)],
+        "j int, cell int, cv array<double>",
+    )
+
+
+def build_pq_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 8,
+    m: int = PQ_M,
+    dsub: int = 16,
+    k: int = PQ_K,
+    lloyd_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
+    codebooks: list[tuple[int, int, list[float]]] | None = None,
+) -> tuple[
+    list[tuple[int, list[float]]], list[tuple[int, int, list[float]]]
+]:
+    """Product-quantized persisted IVF index — the deepest compression
+    tier of the serving family (float -> SQ8 -> PQ): rows store m
+    one-byte codes (m=4 on 64-dim vectors = 16x fewer values than
+    float32; parquet bit-packs them to ~1 byte each), under the same
+    (cell, wave) partitioning/lifecycle as the float and SQ8 indexes.
+    Returns the TWO frozen artifacts: IVF centroids (full-precision cell
+    assignment, as always) and the m*k PQ codebook rows — the retrain
+    lifetime discipline applies to both. NULL vectors dropped per the
+    admission rule."""
+    corpus = drop_null_vectors(corpus, vec_col)
+    if centroids is not None:
+        cent_rows = sorted(centroids)
+    else:
+        seeds = corpus.filter(F.col(id_col) < n_centroids).select(
+            id_col, vec_col
+        )
+        seed_rows = [(r[0], [float(x) for x in r[1]]) for r in seeds.collect()]
+        cent_rows = (
+            lloyd_refine_rows(
+                corpus, seed_rows, n_iters=lloyd_iters, vec_col=vec_col
+            )
+            if lloyd_iters > 0
+            else sorted(seed_rows)
+        )
+    spark = corpus.sparkSession
+    if codebooks is None:
+        cb_df = pq_codebooks(
+            corpus,
+            m=m,
+            dsub=dsub,
+            k=k,
+            lloyd_iters=lloyd_iters,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        codebooks = sorted(
+            (r["j"], r["cell"], [float(x) for x in r["cv"]])
+            for r in cb_df.collect()  # m*k rows — artifact, never corpus
+        )
+    cent = _pq_codebook_df(spark, codebooks)
+    assigned = ivf_assign_arrow(
+        corpus.select(id_col, vec_col), cent_rows, vec_col=vec_col
+    ).select(id_col, "cell")
+    encoded = _pq_encode(
+        corpus, cent, m=m, dsub=dsub, id_col=id_col, vec_col=vec_col
+    )
+    indexed = assigned.join(encoded, id_col).withColumn("wave", F.lit(0))
+    (
+        indexed.write.partitionBy("cell", "wave")
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .parquet(path)
+    )
+    return cent_rows, codebooks
+
+
+def upsert_pq_ivf_index(
+    new_vectors: DataFrame,
+    path: str,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[tuple[int, int, list[float]]],
+    wave: int,
+    m: int = PQ_M,
+    dsub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Wave append to a persisted PQ index under the FROZEN centroid +
+    codebook artifacts — guards, replay idempotency, and the cross-cell
+    staleness contract exactly as the float/SQ8 upserts."""
+    if wave < 1:
+        raise ValueError(
+            f"upsert_pq_ivf_index: wave must be >= 1 (wave 0 is the "
+            f"build), got {wave}"
+        )
+    new_vectors = drop_null_vectors(new_vectors, vec_col)
+    from pyspark.errors import AnalysisException  # noqa: PLC0415
+
+    try:
+        existing = new_vectors.sparkSession.read.parquet(path).columns
+    except AnalysisException:
+        existing = None  # no index yet — this wave creates it
+    if existing is not None and (
+        "pq_codes" not in existing or "wave" not in existing
+    ):
+        raise ValueError(
+            f"upsert_pq_ivf_index: index at {path} is not a PQ wave index "
+            "(expected pq_codes + wave columns); writing PQ waves into a "
+            "float/SQ8/legacy tree would create a mixed layout no reader "
+            "can open"
+        )
+    from .upsert import upsert_partitions  # noqa: PLC0415
+
+    spark = new_vectors.sparkSession
+    cent = _pq_codebook_df(spark, codebooks)
+    assigned = ivf_assign_arrow(
+        new_vectors.select(id_col, vec_col), sorted(centroids), vec_col=vec_col
+    ).select(id_col, "cell")
+    encoded = _pq_encode(
+        new_vectors, cent, m=m, dsub=dsub, id_col=id_col, vec_col=vec_col
+    )
+    landed = assigned.join(encoded, id_col).withColumn("wave", F.lit(wave))
+    upsert_partitions(landed, path, ["cell", "wave"])
+
+
+def query_pq_ivf_index(
+    spark,
+    path: str,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[tuple[int, int, list[float]]],
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN over the persisted PQ index: probe-cell partition pruning and
+    the shared keep-last rule, neighbors RECONSTRUCTED from their m
+    codes via the broadcast codebook (asymmetric — the float query never
+    quantizes), cosine over the reconstruction, per-query top-k. Output
+    contract matches query_ivf_index."""
+    probes = ivf_assign_arrow(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        ),
+        sorted(centroids),
+        vec_col="qv",
+        n_best=n_probe,
+    )
+    probe_cells = sorted(
+        {r["cell"] for r in probes.select("cell").distinct().collect()}
+    )
+    index = spark.read.parquet(path).filter(F.col("cell").isin(probe_cells))
+    index = _keep_latest_per_id(index, id_col, "pq_codes")
+    cent = _pq_codebook_df(spark, codebooks)
+    recon = (
+        index.select(
+            id_col, "cell", F.posexplode("pq_codes").alias("j", "code")
+        )
+        .join(
+            F.broadcast(
+                cent.select("j", F.col("cell").alias("code"), "cv")
+            ),
+            ["j", "code"],
+        )
+        .groupBy(id_col, "cell")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("j", "cv"))),
+                    lambda x: x["cv"],
+                )
+            ).alias("rv")
+        )
+    )
+    indexed = recon.select(
+        F.col(id_col).alias("neighbor_id"), F.col("rv").alias("cv"), "cell"
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(indexed, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    return topk_per_group(
+        scored,
+        ["query_id"],
+        [F.col("cos_sim").desc(), F.col("neighbor_id").asc()],
+        k=k,
+        rank_col="rank",
+    ).select("query_id", "neighbor_id", "cos_sim", "rank")
+
+
 def ivf_probe_sweep(
     spark,
     path: str,
@@ -2298,8 +2540,6 @@ def jl_distortion_oracle_sql(
 # queries score via ADC (asymmetric distance computation: the QUERY stays
 # exact, only the corpus side is reconstructed from codebooks).
 
-PQ_M = 4
-PQ_K = 16
 
 
 def _l2_sq(a: Column, b: Column) -> Column:

@@ -1323,3 +1323,136 @@ def test_sq8_persisted_index_lifecycle(spark, tmp_path):
         sim.upsert_sq8_ivf_index(upd, qidx, cents, bounds, wave=0)
     with pytest.raises(ValueError, match="not an SQ8 wave index"):
         sim.upsert_sq8_ivf_index(upd, fidx, cents, bounds, wave=1)
+
+
+def test_pq_persisted_index_lifecycle(spark, tmp_path):
+    """The deepest compression tier of the serving family: build -> wave
+    upsert -> query over a persisted PQ index (m one-byte codes per
+    vector). Pins the on-disk compression vs the float index, result
+    equality with an in-plan reconstruction oracle, keep-last wave
+    semantics, recall sanity vs the float index, and the layout guards."""
+    from pyspark.sql import functions as F
+
+    from data_pipelines_cu_spark.operators import similarity as sim
+    from data_pipelines_cu_spark.operators.windows import topk_per_group
+
+    em = (
+        _embeddings(spark)
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id", "embedding")
+    )
+    fidx, pidx = str(tmp_path / "float"), str(tmp_path / "pq")
+    cents = sim.build_ivf_index(em, fidx, n_centroids=8, lloyd_iters=2)
+    cents_p, codebooks = sim.build_pq_ivf_index(em, pidx, centroids=cents)
+    assert cents_p == cents
+    assert len(codebooks) == sim.PQ_M * sim.PQ_K
+
+    def tree_bytes(p):
+        return sum(
+            f.stat().st_size for f in Path(p).rglob("*.parquet") if f.is_file()
+        )
+
+    # m=4 codes vs 64 floats: even with footer overhead the PQ tree must
+    # be well under half the float tree
+    assert tree_bytes(pidx) <= 0.5 * tree_bytes(fidx)
+
+    queries = em.filter(F.col("vec_id") < 5)
+    got = sorted(
+        tuple(r)
+        for r in sim.query_pq_ivf_index(
+            spark, pidx, cents, codebooks, queries, k=5, n_probe=2
+        ).collect()
+    )
+    assert len(got) > 0
+
+    # in-plan oracle: reconstruct every corpus vector from its codes via
+    # the SAME frozen codebooks, score the float queries against the
+    # probed cells' reconstructions
+    cent_df = sim._pq_codebook_df(spark, codebooks)
+    codes = sim._pq_encode(em, cent_df, m=sim.PQ_M, dsub=16)
+    recon = (
+        codes.select("vec_id", F.posexplode("pq_codes").alias("j", "code"))
+        .join(
+            F.broadcast(cent_df.select("j", F.col("cell").alias("code"), "cv")),
+            ["j", "code"],
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("j", "cv"))),
+                    lambda x: x["cv"],
+                )
+            ).alias("rv")
+        )
+    )
+    probes = sim.ivf_assign_arrow(
+        queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")),
+        sorted(cents),
+        vec_col="qv",
+        n_best=2,
+    )
+    cells = sorted(
+        {r["cell"] for r in probes.select("cell").distinct().collect()}
+    )
+    in_cells = (
+        sim.ivf_assign_arrow(em.select("vec_id", "embedding"), sorted(cents))
+        .filter(F.col("cell").isin(cells))
+        .select("vec_id", "cell")
+    )
+    want_scored = (
+        F.broadcast(probes)
+        .join(in_cells.join(recon, "vec_id"), "cell")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(sim.cosine(F.col("qv"), F.col("rv")), 6).alias("cos_sim"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    want = sorted(
+        tuple(r)
+        for r in topk_per_group(
+            want_scored,
+            ["query_id"],
+            [F.col("cos_sim").desc(), F.col("neighbor_id").asc()],
+            k=5,
+            rank_col="rank",
+        )
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+        .collect()
+    )
+    assert got == want
+
+    # recall sanity vs the exact float index. m=4/k=16 on 64-dim
+    # unstructured vectors is VERY lossy by design (measured 0.24 here —
+    # production PQ runs m=16+/k=256; the gate-exactness config keeps the
+    # codebook oracle-trainable): the pinned contract is codec exactness
+    # (got == want above) and the lifecycle; recall gets a sanity floor
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.query_ivf_index(
+            spark, fidx, cents, queries, k=5, n_probe=2
+        ).collect()
+    }
+    approx = {(q, n) for q, n, _, _ in got}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.12, recall
+
+    # wave update visible keep-last: re-ingest id 1 as a copy of id 0's
+    # vector — its codes become id 0's, so its reconstruction ties id 0's
+    v0 = [float(x) for x in em.filter("vec_id = 0").first()["embedding"]]
+    upd = spark.createDataFrame([(1, v0)], "vec_id long, embedding array<float>")
+    sim.upsert_pq_ivf_index(upd, pidx, cents, codebooks, wave=1)
+    post = sim.query_pq_ivf_index(
+        spark, pidx, cents, codebooks, queries.filter("vec_id = 0"),
+        k=1, n_probe=2,
+    ).first()
+    assert post["neighbor_id"] == 1  # identical reconstruction, id ASC tie
+
+    # guards
+    with pytest.raises(ValueError, match="wave must be >= 1"):
+        sim.upsert_pq_ivf_index(upd, pidx, cents, codebooks, wave=0)
+    with pytest.raises(ValueError, match="not a PQ wave index"):
+        sim.upsert_pq_ivf_index(upd, fidx, cents, codebooks, wave=1)
