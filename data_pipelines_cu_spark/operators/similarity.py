@@ -1317,6 +1317,101 @@ def upsert_sq8_ivf_index(
     upsert_partitions(assigned, path, ["cell", "wave"])
 
 
+def _compact_coded_ivf_index(
+    spark,
+    path: str,
+    centroids: list[tuple[int, list[float]]],
+    code_col: str,
+    decode,
+    id_col: str,
+) -> None:
+    """Shared compaction for the quantized (SQ8/PQ) index trees:
+    collapse all waves keep-last per id, REASSIGN each survivor's cell
+    from its RECONSTRUCTED vector under the frozen centroids — the same
+    vector the query path scores, so post-compact probe behavior is
+    self-consistent — and rewrite as a fresh wave 0. The stored codes
+    are carried through UNCHANGED (no decode→re-encode round trip to
+    accumulate quantization error); quiesce protocol exactly as
+    :func:`compact_ivf_index`."""
+    latest = (
+        _keep_latest_per_id(spark.read.parquet(path), id_col, code_col)
+        .select(id_col, code_col)
+        .transform(lineage_cut)
+    )
+    recon = latest.select(
+        id_col, code_col, decode(F.col(code_col)).alias("_rv")
+    )
+    indexed = (
+        ivf_assign_arrow(
+            recon.select(id_col, "_rv"), sorted(centroids), vec_col="_rv"
+        )
+        .select(id_col, "cell")
+        .join(latest, id_col)
+        .withColumn("wave", F.lit(0))
+    )
+    (
+        indexed.write.partitionBy("cell", "wave")
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .parquet(path)
+    )
+
+
+def compact_sq8_ivf_index(
+    spark,
+    path: str,
+    centroids: list[tuple[int, list[float]]],
+    bounds: tuple[list[float], list[float]],
+    id_col: str = "vec_id",
+) -> None:
+    """Compaction for the SQ8 index: keep-last + reconstruct-and-reassign
+    (see :func:`_compact_coded_ivf_index`); codes stored unchanged."""
+    mn = F.array(*[F.lit(v) for v in bounds[0]])
+    mx = F.array(*[F.lit(v) for v in bounds[1]])
+    _compact_coded_ivf_index(
+        spark,
+        path,
+        centroids,
+        "codes",
+        lambda c: F.transform(sq8_decode(c, mn, mx), lambda x: x.cast("float")),
+        id_col,
+    )
+
+
+def compact_pq_ivf_index(
+    spark,
+    path: str,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[tuple[int, int, list[float]]],
+    id_col: str = "vec_id",
+) -> None:
+    """Compaction for the PQ index: keep-last + reconstruct-and-reassign
+    via the broadcast codebook; codes stored unchanged."""
+    cb = {(j, c): cv for j, c, cv in codebooks}
+    m = 1 + max(j for j, _ in cb)
+
+    def decode(codes: Column) -> Column:
+        parts = []
+        for j in range(m):
+            code = F.element_at(codes, j + 1)
+            # fold the k sub-centroids of subspace j into a CASE chain —
+            # the codebook is m*k rows of index metadata, never data
+            cells = sorted(c for (jj, c) in cb if jj == j)
+            expr = F.array(
+                *[F.lit(x) for x in cb[(j, cells[0])]]
+            )
+            for c in cells[1:]:
+                expr = F.when(
+                    code == c, F.array(*[F.lit(x) for x in cb[(j, c)]])
+                ).otherwise(expr)
+            parts.append(expr)
+        return F.transform(
+            F.flatten(F.array(*parts)), lambda x: x.cast("float")
+        )
+
+    _compact_coded_ivf_index(spark, path, centroids, "pq_codes", decode, id_col)
+
+
 def query_sq8_ivf_index(
     spark,
     path: str,

@@ -1432,6 +1432,8 @@ def run_streaming_ann_query(
     id_col: str = "query_id",
     vec_col: str = "embedding",
     available_now: bool = True,
+    bounds: tuple | None = None,
+    codebooks: list | None = None,
 ) -> StreamingQuery:
     """Online ANN serving — the READ side of the index lifecycle: query
     vectors arrive as a stream and each micro-batch is answered against
@@ -1457,12 +1459,24 @@ def run_streaming_ann_query(
     error surfaces as an opaque StreamingQueryException after the
     stream has already committed a checkpoint dir. A legacy cell-only
     index serves fine (query_ivf_index treats it as all build rows) —
-    only WRITES are barred from the pre-wave layout."""
-    from ..operators.similarity import query_ivf_index
+    only WRITES are barred from the pre-wave layout.
+
+    CODEC DISPATCH: the index schema read at start also decides the
+    query path — a ``codes`` column routes to query_sq8_ivf_index (pass
+    the frozen ``bounds`` artifact), ``pq_codes`` to query_pq_ivf_index
+    (pass the frozen ``codebooks``), anything else to the float path —
+    so the serving job is unchanged when the operator swaps the index
+    codec; a quantized index with its artifact missing fails fast with
+    the artifact named."""
+    from ..operators.similarity import (
+        query_ivf_index,
+        query_pq_ivf_index,
+        query_sq8_ivf_index,
+    )
     from ..operators.upsert import upsert_partitions
 
     try:
-        queries.sparkSession.read.parquet(index_path).schema
+        index_cols = queries.sparkSession.read.parquet(index_path).columns
     except AnalysisException as exc:
         raise ValueError(
             f"run_streaming_ann_query: no readable IVF index at "
@@ -1471,6 +1485,36 @@ def run_streaming_ann_query(
         ) from exc
 
     cent_rows = sorted(centroids)
+    if "codes" in index_cols:
+        if bounds is None:
+            raise ValueError(
+                f"run_streaming_ann_query: {index_path} is an SQ8 index "
+                "(codes column) — pass its frozen quantization bounds"
+            )
+
+        def query_fn(spark_b, qdf):
+            return query_sq8_ivf_index(
+                spark_b, index_path, cent_rows, bounds, qdf,
+                k=k, n_probe=n_probe,
+            )
+    elif "pq_codes" in index_cols:
+        if codebooks is None:
+            raise ValueError(
+                f"run_streaming_ann_query: {index_path} is a PQ index "
+                "(pq_codes column) — pass its frozen codebooks"
+            )
+
+        def query_fn(spark_b, qdf):
+            return query_pq_ivf_index(
+                spark_b, index_path, cent_rows, codebooks, qdf,
+                k=k, n_probe=n_probe,
+            )
+    else:
+
+        def query_fn(spark_b, qdf):
+            return query_ivf_index(
+                spark_b, index_path, cent_rows, qdf, k=k, n_probe=n_probe
+            )
 
     def process(batch: DataFrame, batch_id: int) -> None:
         # cache, not localCheckpoint: the probe collect and the scoring
@@ -1478,13 +1522,9 @@ def run_streaming_ann_query(
         # the blocks deterministically per batch on a continuous stream
         batch = batch.persist()
         try:
-            res = query_ivf_index(
+            res = query_fn(
                 batch.sparkSession,
-                index_path,
-                cent_rows,
                 batch.select(F.col(id_col).alias("vec_id"), vec_col),
-                k=k,
-                n_probe=n_probe,
             )
             upsert_partitions(
                 res.withColumn("batch_id", F.lit(batch_id)),

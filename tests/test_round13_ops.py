@@ -1456,3 +1456,140 @@ def test_pq_persisted_index_lifecycle(spark, tmp_path):
         sim.upsert_pq_ivf_index(upd, pidx, cents, codebooks, wave=0)
     with pytest.raises(ValueError, match="not a PQ wave index"):
         sim.upsert_pq_ivf_index(upd, fidx, cents, codebooks, wave=1)
+
+
+def test_quantized_index_compaction_and_serving_dispatch(spark, tmp_path):
+    """Quantized-tree compaction + codec dispatch in the serving stream:
+    a cross-cell update in an SQ8 index reconciles at compaction (stale
+    copy gone, codes carried through unchanged, post-compact queries
+    identical to pre-compact at full probe); the serving stream detects
+    the index codec from its schema and answers an SQ8 index identically
+    to the batch query path; a quantized index without its artifact
+    fails fast with the artifact named."""
+    from pyspark.sql import functions as F
+
+    from data_pipelines_cu_spark.operators import similarity as sim
+    from data_pipelines_cu_spark.streaming.jobs import run_streaming_ann_query
+
+    em = (
+        _embeddings(spark)
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id", "embedding")
+    )
+    qidx = str(tmp_path / "sq8")
+    cents, bounds = sim.build_sq8_ivf_index(em, qidx, n_centroids=8, lloyd_iters=2)
+
+    # cross-cell update: negate a vector; its new copy lands in a new
+    # cell, the stale one stays behind until compaction
+    moved = em.filter(F.col("vec_id") == 3).select(
+        "vec_id",
+        F.transform("embedding", lambda x: (-x).cast("float")).alias("embedding"),
+    )
+    sim.upsert_sq8_ivf_index(moved, qidx, cents, bounds, wave=1)
+    pre = spark.read.parquet(qidx)
+    assert pre.filter("vec_id = 3").count() == 2  # both copies on disk
+
+    queries = em.filter(F.col("vec_id") < 5)
+    full_probe = len(cents)
+    pre_rows = sorted(
+        tuple(r)
+        for r in sim.query_sq8_ivf_index(
+            spark, qidx, cents, bounds, queries, k=5, n_probe=full_probe
+        ).collect()
+    )
+    sim.compact_sq8_ivf_index(spark, qidx, cents, bounds)
+    post = spark.read.parquet(qidx)
+    assert post.filter("vec_id = 3").count() == 1  # stale copy reconciled
+    assert post.filter("wave > 0").count() == 0
+    post_rows = sorted(
+        tuple(r)
+        for r in sim.query_sq8_ivf_index(
+            spark, qidx, cents, bounds, queries, k=5, n_probe=full_probe
+        ).collect()
+    )
+    # at full probe the keep-last answer is probe-layout-independent:
+    # compaction must not change any result
+    assert post_rows == pre_rows
+
+    # serving stream auto-dispatches on the codes column
+    rows = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in queries.collect()
+    ]
+    qs = _stream_vectors(spark, tmp_path / "q", rows)
+    res = str(tmp_path / "res")
+    assert run_streaming_ann_query(
+        qs, qidx, cents, res, str(tmp_path / "ck"),
+        k=5, n_probe=2, id_col="vec_id", bounds=bounds,
+    ).awaitTermination(120)
+    got = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in spark.read.parquet(res).collect()
+    )
+    want = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in sim.query_sq8_ivf_index(
+            spark, qidx, cents, bounds, queries, k=5, n_probe=2
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+    # artifact missing: loud, named
+    qs2 = _stream_vectors(spark, tmp_path / "q2", rows[:1])
+    with pytest.raises(ValueError, match="SQ8 index .* quantization bounds"):
+        run_streaming_ann_query(
+            qs2, qidx, cents, str(tmp_path / "res2"), str(tmp_path / "ck2"),
+            id_col="vec_id",
+        )
+
+
+def test_pq_index_compaction_reconciles_cross_cell(spark, tmp_path):
+    """PQ-tree compaction: the CASE-chain codebook decode reassigns each
+    survivor's cell from its reconstruction; codes carried through
+    unchanged; stale cross-cell copy gone; full-probe queries identical
+    pre/post."""
+    from pyspark.sql import functions as F
+
+    from data_pipelines_cu_spark.operators import similarity as sim
+
+    em = (
+        _embeddings(spark)
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id", "embedding")
+    )
+    pidx = str(tmp_path / "pq")
+    cents, codebooks = sim.build_pq_ivf_index(em, pidx, n_centroids=8)
+    moved = em.filter(F.col("vec_id") == 3).select(
+        "vec_id",
+        F.transform("embedding", lambda x: (-x).cast("float")).alias("embedding"),
+    )
+    sim.upsert_pq_ivf_index(moved, pidx, cents, codebooks, wave=1)
+    queries = em.filter(F.col("vec_id") < 5)
+    full_probe = len(cents)
+    pre_rows = sorted(
+        tuple(r)
+        for r in sim.query_pq_ivf_index(
+            spark, pidx, cents, codebooks, queries, k=5, n_probe=full_probe
+        ).collect()
+    )
+    codes_pre = {
+        r["vec_id"]: list(r["pq_codes"])
+        for r in spark.read.parquet(pidx)
+        .filter("wave = 1")
+        .select("vec_id", "pq_codes")
+        .collect()
+    }
+    sim.compact_pq_ivf_index(spark, pidx, cents, codebooks)
+    post = spark.read.parquet(pidx)
+    assert post.filter("vec_id = 3").count() == 1
+    assert post.filter("wave > 0").count() == 0
+    # the kept codes are the wave-1 codes, unchanged (no re-encode drift)
+    kept = post.filter("vec_id = 3").first()["pq_codes"]
+    assert list(kept) == codes_pre[3]
+    post_rows = sorted(
+        tuple(r)
+        for r in sim.query_pq_ivf_index(
+            spark, pidx, cents, codebooks, queries, k=5, n_probe=full_probe
+        ).collect()
+    )
+    assert post_rows == pre_rows
