@@ -771,6 +771,27 @@ def cosine_topk_lsh_oracle_sql(
 
 # --- Persisted IVF index -----------------------------------------------------
 
+def _seed_centroids(
+    corpus: DataFrame,
+    n_centroids: int,
+    lloyd_iters: int,
+    id_col: str,
+    vec_col: str,
+) -> list[tuple[int, list[float]]]:
+    """THE centroid-training rule for every index builder (float, SQ8,
+    PQ): deterministic seeds (the n lowest-id vectors) refined by the
+    order-independent Lloyd pass. One place, not three — a seeding or
+    refinement tweak replicated by hand would let a rebuilt index
+    silently disagree with the one it replaces."""
+    seeds = corpus.filter(F.col(id_col) < n_centroids).select(id_col, vec_col)
+    seed_rows = [(r[0], [float(x) for x in r[1]]) for r in seeds.collect()]
+    return (
+        lloyd_refine_rows(corpus, seed_rows, n_iters=lloyd_iters, vec_col=vec_col)
+        if lloyd_iters > 0
+        else sorted(seed_rows)
+    )
+
+
 def build_ivf_index(
     corpus: DataFrame,
     path: str,
@@ -804,16 +825,8 @@ def build_ivf_index(
         # reproducible without re-running the training loop
         cent_rows = sorted(centroids)
     else:
-        seeds = corpus.filter(F.col(id_col) < n_centroids).select(
-            id_col, vec_col
-        )
-        seed_rows = [(r[0], [float(x) for x in r[1]]) for r in seeds.collect()]
-        cent_rows = (
-            lloyd_refine_rows(
-                corpus, seed_rows, n_iters=lloyd_iters, vec_col=vec_col
-            )
-            if lloyd_iters > 0
-            else sorted(seed_rows)
+        cent_rows = _seed_centroids(
+            corpus, n_centroids, lloyd_iters, id_col, vec_col
         )
     indexed = ivf_assign_arrow(
         corpus.select(id_col, vec_col), cent_rows, vec_col=vec_col
@@ -1233,16 +1246,8 @@ def build_sq8_ivf_index(
     if centroids is not None:
         cent_rows = sorted(centroids)
     else:
-        seeds = corpus.filter(F.col(id_col) < n_centroids).select(
-            id_col, vec_col
-        )
-        seed_rows = [(r[0], [float(x) for x in r[1]]) for r in seeds.collect()]
-        cent_rows = (
-            lloyd_refine_rows(
-                corpus, seed_rows, n_iters=lloyd_iters, vec_col=vec_col
-            )
-            if lloyd_iters > 0
-            else sorted(seed_rows)
+        cent_rows = _seed_centroids(
+            corpus, n_centroids, lloyd_iters, id_col, vec_col
         )
     mn, mx = (F.array(*[F.lit(v) for v in bounds[0]]),
               F.array(*[F.lit(v) for v in bounds[1]]))
@@ -1324,6 +1329,8 @@ def _compact_coded_ivf_index(
     code_col: str,
     decode,
     id_col: str,
+    op: str,
+    expect_dim: int,
 ) -> None:
     """Shared compaction for the quantized (SQ8/PQ) index trees:
     collapse all waves keep-last per id, REASSIGN each survivor's cell
@@ -1332,15 +1339,33 @@ def _compact_coded_ivf_index(
     self-consistent — and rewrite as a fresh wave 0. The stored codes
     are carried through UNCHANGED (no decode→re-encode round trip to
     accumulate quantization error); quiesce protocol exactly as
-    :func:`compact_ivf_index`."""
+    :func:`compact_ivf_index`.
+
+    A survivor whose codes fail to reconstruct to ``expect_dim`` values
+    (corrupt/foreign codes, e.g. a wave replayed under a retrained
+    codebook) ABORTS the compaction loudly before any write — the query
+    path scores such a row as NULL cosine (it never ranks), but
+    compaction rewriting it under a fabricated cell would launder the
+    corruption into a valid-looking wave 0. The check is one extra pass
+    over the keep-last survivors; compaction is an offline op."""
     latest = (
-        _keep_latest_per_id(spark.read.parquet(path), id_col, code_col)
+        _keep_latest_per_id(_read_index(spark, path, op), id_col, code_col)
         .select(id_col, code_col)
         .transform(lineage_cut)
     )
     recon = latest.select(
         id_col, code_col, decode(F.col(code_col)).alias("_rv")
     )
+    n_bad = recon.filter(
+        F.col("_rv").isNull() | (F.size("_rv") != expect_dim)
+    ).count()
+    if n_bad:
+        raise ValueError(
+            f"{op}: {n_bad} row(s) at {path} failed to reconstruct to "
+            f"{expect_dim} dims — corrupt or foreign codes (codes written "
+            "under a different codebook/bounds artifact?); refusing to "
+            "compact them into a fresh wave 0"
+        )
     indexed = (
         ivf_assign_arrow(
             recon.select(id_col, "_rv"), sorted(centroids), vec_col="_rv"
@@ -1375,6 +1400,8 @@ def compact_sq8_ivf_index(
         "codes",
         lambda c: F.transform(sq8_decode(c, mn, mx), lambda x: x.cast("float")),
         id_col,
+        op="compact_sq8_ivf_index",
+        expect_dim=len(bounds[0]),
     )
 
 
@@ -1386,30 +1413,20 @@ def compact_pq_ivf_index(
     id_col: str = "vec_id",
 ) -> None:
     """Compaction for the PQ index: keep-last + reconstruct-and-reassign
-    via the broadcast codebook; codes stored unchanged."""
-    cb = {(j, c): cv for j, c, cv in codebooks}
-    m = 1 + max(j for j, _ in cb)
-
-    def decode(codes: Column) -> Column:
-        parts = []
-        for j in range(m):
-            code = F.element_at(codes, j + 1)
-            # fold the k sub-centroids of subspace j into a CASE chain —
-            # the codebook is m*k rows of index metadata, never data
-            cells = sorted(c for (jj, c) in cb if jj == j)
-            expr = F.array(
-                *[F.lit(x) for x in cb[(j, cells[0])]]
-            )
-            for c in cells[1:]:
-                expr = F.when(
-                    code == c, F.array(*[F.lit(x) for x in cb[(j, c)]])
-                ).otherwise(expr)
-            parts.append(expr)
-        return F.transform(
-            F.flatten(F.array(*parts)), lambda x: x.cast("float")
-        )
-
-    _compact_coded_ivf_index(spark, path, centroids, "pq_codes", decode, id_col)
+    via the shared literal-lookup decode (:func:`_pq_decode_expr` — the
+    same reconstruction the query path scores); codes stored
+    unchanged."""
+    m, dsub = _pq_geometry(codebooks)
+    _compact_coded_ivf_index(
+        spark,
+        path,
+        centroids,
+        "pq_codes",
+        _pq_decode_expr(codebooks),
+        id_col,
+        op="compact_pq_ivf_index",
+        expect_dim=m * dsub,
+    )
 
 
 def query_sq8_ivf_index(
@@ -1473,6 +1490,16 @@ PQ_M = 4
 PQ_K = 16
 
 
+def _pq_geometry(codebooks: list[tuple[int, int, list[float]]]) -> tuple[int, int]:
+    """(m, dsub) derived from the frozen codebook artifact itself — the
+    artifact is the only truth about the PQ geometry; every consumer
+    derives from it instead of trusting caller-passed parameters that
+    can silently disagree."""
+    m = 1 + max(j for j, _, _ in codebooks)
+    dsub = len(codebooks[0][2])
+    return m, dsub
+
+
 def _pq_encode(
     vectors: DataFrame,
     cent: DataFrame,
@@ -1481,25 +1508,25 @@ def _pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(id, codes): each vector's m one-byte PQ codes under a FROZEN
-    codebook table (j, cell, cv) — the encode half shared by the build
-    and upsert paths of the persisted PQ index. Assignment is argmin
-    squared-L2 per (row, subspace) against the broadcast m*k codebook
-    (ties: lowest cell), codes ordered by subspace."""
-    sub = _pq_subvecs(vectors, m=m, dsub=dsub, id_col=id_col, vec_col=vec_col)
+    """(id, _vkey, codes): each vector's m one-byte PQ codes under a
+    FROZEN codebook table (j, cell, cv) — the encode half shared by the
+    build and upsert paths of the persisted PQ index. Assignment is
+    argmin squared-L2 per (row, subspace) against the broadcast m*k
+    codebook (ties: lowest cell), codes ordered by subspace. Rows are
+    keyed by (id, vector-as-string), NOT id alone: a batch carrying the
+    same id twice with different vectors must encode each vector's own
+    codes — an id-keyed argmin would mix subspaces across the duplicates
+    into a chimera code vector equal to neither input. Callers join the
+    result back on BOTH keys and drop ``_vkey``."""
+    src = vectors.select(
+        id_col, vec_col, F.col(vec_col).cast("string").alias("_vkey")
+    )
+    sub = _pq_subvecs(
+        src, m=m, dsub=dsub, id_col=id_col, vec_col=vec_col, carry=("_vkey",)
+    )
     return (
-        sub.join(F.broadcast(cent), "j")
-        .withColumn("_d", _l2_sq(F.col("sv"), F.col("cv")))
-        .withColumn(
-            "_r",
-            F.row_number().over(
-                Window.partitionBy(id_col, "j").orderBy(
-                    F.col("_d").asc(), F.col("cell").asc()
-                )
-            ),
-        )
-        .filter(F.col("_r") == 1)
-        .groupBy(id_col)
+        _pq_assign_codes(sub, cent, keys=(id_col, "_vkey"))
+        .groupBy(id_col, "_vkey")
         .agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("j", "cell"))),
@@ -1507,6 +1534,50 @@ def _pq_encode(
             ).alias("pq_codes")
         )
     )
+
+
+def _pq_decode_expr(codebooks: list[tuple[int, int, list[float]]]):
+    """THE PQ reconstruction rule, shared by compaction and the query
+    path (two hand-rolled decodes would let them silently disagree
+    about the vector a row of codes means): returns a Column fn mapping
+    an m-element code array to its flattened reconstruction via
+    LITERAL per-subspace lookup arrays — element_at on an m*k-entry
+    constant, row-local, NO shuffle (the explode + codebook-join +
+    regroup alternative pays an exchange of m× the probed rows on the
+    serving hot path). A code that is NULL, negative, out of range, or
+    pointing at a cell absent from the codebook yields a NULL
+    reconstruction for the WHOLE row (flatten propagates the NULL
+    part): queries score it as NULL cosine (never outranks a real row),
+    compaction refuses it loudly — corruption surfaces, consistently,
+    instead of being laundered through a fabricated substitute cell."""
+    cb: dict[int, dict[int, list[float]]] = {}
+    for j, c, cv in codebooks:
+        cb.setdefault(j, {})[c] = cv
+    m = 1 + max(cb)
+
+    def decode(codes: Column) -> Column:
+        parts = []
+        for j in range(m):
+            cells = cb.get(j, {})
+            kmax = max(cells)
+            lut = F.array(
+                *[
+                    F.array(*[F.lit(float(x)) for x in cells[c]])
+                    if c in cells
+                    else F.lit(None).cast("array<double>")
+                    for c in range(kmax + 1)
+                ]
+            )
+            code = F.element_at(codes, j + 1)
+            parts.append(
+                F.when(
+                    (code >= 0) & (code <= kmax),
+                    F.element_at(lut, code + F.lit(1)),
+                )
+            )
+        return F.flatten(F.array(*parts))
+
+    return decode
 
 
 def _pq_codebook_df(spark, codebooks: list[tuple[int, int, list[float]]]):
@@ -1546,18 +1617,16 @@ def build_pq_ivf_index(
     if centroids is not None:
         cent_rows = sorted(centroids)
     else:
-        seeds = corpus.filter(F.col(id_col) < n_centroids).select(
-            id_col, vec_col
-        )
-        seed_rows = [(r[0], [float(x) for x in r[1]]) for r in seeds.collect()]
-        cent_rows = (
-            lloyd_refine_rows(
-                corpus, seed_rows, n_iters=lloyd_iters, vec_col=vec_col
-            )
-            if lloyd_iters > 0
-            else sorted(seed_rows)
+        cent_rows = _seed_centroids(
+            corpus, n_centroids, lloyd_iters, id_col, vec_col
         )
     spark = corpus.sparkSession
+    if codebooks is not None:
+        # rebuild under a FROZEN codebook artifact: its geometry is the
+        # only truth — passed m/dsub that disagree with it would encode
+        # subvectors against wrong-dimension sub-centroids (NULL L2,
+        # effectively random codes) with no error anywhere
+        m, dsub = _pq_geometry(codebooks)
     if codebooks is None:
         cb_df = pq_codebooks(
             corpus,
@@ -1573,13 +1642,20 @@ def build_pq_ivf_index(
             for r in cb_df.collect()  # m*k rows — artifact, never corpus
         )
     cent = _pq_codebook_df(spark, codebooks)
+    # join back on (id, vector-string): duplicate ids in one batch keep
+    # their OWN codes and cells (see _pq_encode), matching the float and
+    # SQ8 paths which carry each duplicate row's payload through
     assigned = ivf_assign_arrow(
         corpus.select(id_col, vec_col), cent_rows, vec_col=vec_col
-    ).select(id_col, "cell")
+    ).select(id_col, F.col(vec_col).cast("string").alias("_vkey"), "cell")
     encoded = _pq_encode(
         corpus, cent, m=m, dsub=dsub, id_col=id_col, vec_col=vec_col
     )
-    indexed = assigned.join(encoded, id_col).withColumn("wave", F.lit(0))
+    indexed = (
+        assigned.join(encoded, [id_col, "_vkey"])
+        .drop("_vkey")
+        .withColumn("wave", F.lit(0))
+    )
     (
         indexed.write.partitionBy("cell", "wave")
         .mode("overwrite")
@@ -1595,14 +1671,15 @@ def upsert_pq_ivf_index(
     centroids: list[tuple[int, list[float]]],
     codebooks: list[tuple[int, int, list[float]]],
     wave: int,
-    m: int = PQ_M,
-    dsub: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> None:
     """Wave append to a persisted PQ index under the FROZEN centroid +
     codebook artifacts — guards, replay idempotency, and the cross-cell
-    staleness contract exactly as the float/SQ8 upserts."""
+    staleness contract exactly as the float/SQ8 upserts. The PQ geometry
+    (m, dsub) is DERIVED from the codebook artifact, never passed: an
+    independent parameter that disagreed with the artifact would encode
+    garbage codes into the index with no error anywhere."""
     if wave < 1:
         raise ValueError(
             f"upsert_pq_ivf_index: wave must be >= 1 (wave 0 is the "
@@ -1627,14 +1704,19 @@ def upsert_pq_ivf_index(
     from .upsert import upsert_partitions  # noqa: PLC0415
 
     spark = new_vectors.sparkSession
+    m, dsub = _pq_geometry(codebooks)
     cent = _pq_codebook_df(spark, codebooks)
     assigned = ivf_assign_arrow(
         new_vectors.select(id_col, vec_col), sorted(centroids), vec_col=vec_col
-    ).select(id_col, "cell")
+    ).select(id_col, F.col(vec_col).cast("string").alias("_vkey"), "cell")
     encoded = _pq_encode(
         new_vectors, cent, m=m, dsub=dsub, id_col=id_col, vec_col=vec_col
     )
-    landed = assigned.join(encoded, id_col).withColumn("wave", F.lit(wave))
+    landed = (
+        assigned.join(encoded, [id_col, "_vkey"])
+        .drop("_vkey")
+        .withColumn("wave", F.lit(wave))
+    )
     upsert_partitions(landed, path, ["cell", "wave"])
 
 
@@ -1651,8 +1733,12 @@ def query_pq_ivf_index(
 ) -> DataFrame:
     """ANN over the persisted PQ index: probe-cell partition pruning and
     the shared keep-last rule, neighbors RECONSTRUCTED from their m
-    codes via the broadcast codebook (asymmetric — the float query never
-    quantizes), cosine over the reconstruction, per-query top-k. Output
+    codes via the shared literal-lookup decode (:func:`_pq_decode_expr`
+    — row-local, no shuffle on the serving hot path; an explode + join +
+    regroup here would pay an exchange of m× the probed rows per query
+    batch), asymmetric scoring (the float query never quantizes), cosine
+    over the reconstruction, per-query top-k. A corrupt/foreign code row
+    reconstructs NULL → NULL cos_sim → never outranks a real row. Output
     contract matches query_ivf_index."""
     probes = ivf_assign_arrow(
         queries.select(
@@ -1667,29 +1753,11 @@ def query_pq_ivf_index(
     )
     index = spark.read.parquet(path).filter(F.col("cell").isin(probe_cells))
     index = _keep_latest_per_id(index, id_col, "pq_codes")
-    cent = _pq_codebook_df(spark, codebooks)
-    recon = (
-        index.select(
-            id_col, "cell", F.posexplode("pq_codes").alias("j", "code")
-        )
-        .join(
-            F.broadcast(
-                cent.select("j", F.col("cell").alias("code"), "cv")
-            ),
-            ["j", "code"],
-        )
-        .groupBy(id_col, "cell")
-        .agg(
-            F.flatten(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("j", "cv"))),
-                    lambda x: x["cv"],
-                )
-            ).alias("rv")
-        )
-    )
-    indexed = recon.select(
-        F.col(id_col).alias("neighbor_id"), F.col("rv").alias("cv"), "cell"
+    decode = _pq_decode_expr(codebooks)
+    indexed = index.select(
+        F.col(id_col).alias("neighbor_id"),
+        decode(F.col("pq_codes")).alias("cv"),
+        "cell",
     )
     scored = (
         F.broadcast(probes)
@@ -2653,21 +2721,69 @@ def _pq_subvecs(
     dsub: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, j, sv): the corpus exploded into its m subspace views — a
-    row-local map, no shuffle."""
+    row-local map, no shuffle. Any extra columns named in ``carry`` ride
+    along unchanged.
+
+    The vector dimension is guarded IN THE PLAN (row-local when, no
+    extra job): a vector whose size is not exactly m*dsub dies loudly at
+    execution. Without the guard F.slice silently returns short/empty
+    subvectors, the codebook join then yields NULL distances, and every
+    downstream cosine over the truncated reconstruction is NULL — an
+    index full of garbage with no error anywhere."""
+    checked = F.when(F.size(F.col(vec_col)) == m * dsub, F.col(vec_col)).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"PQ geometry mismatch: vector dim must be m*dsub = {m * dsub}, got "
+                ),
+                F.size(F.col(vec_col)).cast("string"),
+                F.lit(f" (id_col={id_col})"),
+            )
+        )
+    )
     subs = F.array(
         *[
             F.struct(
                 F.lit(j).alias("j"),
-                F.slice(F.col(vec_col), j * dsub + 1, dsub).alias("sv"),
+                F.slice(checked, j * dsub + 1, dsub).alias("sv"),
             )
             for j in range(m)
         ]
     )
     return corpus.select(
-        F.col(id_col), F.explode(subs).alias("_s")
-    ).select(id_col, F.col("_s.j").alias("j"), F.col("_s.sv").alias("sv"))
+        F.col(id_col), *carry, F.explode(subs).alias("_s")
+    ).select(
+        id_col, *carry, F.col("_s.j").alias("j"), F.col("_s.sv").alias("sv")
+    )
+
+
+def _pq_assign_codes(
+    sub: DataFrame, cent: DataFrame, keys: tuple[str, ...]
+) -> DataFrame:
+    """THE PQ code-assignment rule, in one place: argmin squared-L2 per
+    (row, subspace) against the broadcast (j, cell, cv) codebook, ties
+    broken by lowest cell. The codebook trainer, the in-plan ADC
+    operator, and the persisted-index encode must agree on this rule —
+    a tiebreak tweak replicated by hand would let the index and its
+    oracle silently disagree. Returns the winning joined row per
+    (*keys, j) with ``_d``/``_r`` dropped; callers project."""
+    return (
+        sub.join(F.broadcast(cent), "j")
+        .withColumn("_d", _l2_sq(F.col("sv"), F.col("cv")))
+        .withColumn(
+            "_r",
+            F.row_number().over(
+                Window.partitionBy(*keys, "j").orderBy(
+                    F.col("_d").asc(), F.col("cell").asc()
+                )
+            ),
+        )
+        .filter(F.col("_r") == 1)
+        .drop("_r", "_d")
+    )
 
 
 def pq_codebooks(
@@ -2695,19 +2811,7 @@ def pq_codebooks(
         .select("j", F.col(id_col).alias("cell"), F.col("sv").alias("cv"))
     )
     for _ in range(lloyd_iters):
-        assigned = (
-            sub.join(F.broadcast(cent), "j")
-            .withColumn("_d", _l2_sq(F.col("sv"), F.col("cv")))
-            .withColumn(
-                "_r",
-                F.row_number().over(
-                    Window.partitionBy(id_col, "j").orderBy(
-                        F.col("_d").asc(), F.col("cell").asc()
-                    )
-                ),
-            )
-            .filter(F.col("_r") == 1)
-        )
+        assigned = _pq_assign_codes(sub, cent, keys=(id_col,))
         means = (
             assigned.select("j", "cell", F.posexplode("sv").alias("pos", "val"))
             .groupBy("j", "cell", "pos")
@@ -2748,19 +2852,8 @@ def cosine_topk_pq(
         id_col=id_col, vec_col=vec_col,
     )
     sub = _pq_subvecs(corpus, m=m, dsub=dsub, id_col=id_col, vec_col=vec_col)
-    codes = (
-        sub.join(F.broadcast(cent), "j")
-        .withColumn("_d", _l2_sq(F.col("sv"), F.col("cv")))
-        .withColumn(
-            "_r",
-            F.row_number().over(
-                Window.partitionBy(id_col, "j").orderBy(
-                    F.col("_d").asc(), F.col("cell").asc()
-                )
-            ),
-        )
-        .filter(F.col("_r") == 1)
-        .select(id_col, "j", "cell")
+    codes = _pq_assign_codes(sub, cent, keys=(id_col,)).select(
+        id_col, "j", "cell"
     )
     recon = (
         codes.join(F.broadcast(cent), ["j", "cell"])

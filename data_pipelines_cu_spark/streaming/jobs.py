@@ -1522,9 +1522,17 @@ def run_streaming_ann_query(
         # the blocks deterministically per batch on a continuous stream
         batch = batch.persist()
         try:
+            # alias BOTH columns to the query functions' defaults: the
+            # closures call query_*_ivf_index without id/vec overrides,
+            # so a caller's non-default vec_col must be renamed here or
+            # the first micro-batch dies on an unresolved column AFTER
+            # the checkpoint dir is committed
             res = query_fn(
                 batch.sparkSession,
-                batch.select(F.col(id_col).alias("vec_id"), vec_col),
+                batch.select(
+                    F.col(id_col).alias("vec_id"),
+                    F.col(vec_col).alias("embedding"),
+                ),
             )
             upsert_partitions(
                 res.withColumn("batch_id", F.lit(batch_id)),

@@ -1593,3 +1593,147 @@ def test_pq_index_compaction_reconciles_cross_cell(spark, tmp_path):
         ).collect()
     )
     assert post_rows == pre_rows
+
+
+def test_pq_geometry_guards_and_duplicate_batch(spark, tmp_path):
+    """The PQ geometry lives in the artifact, and the encode is
+    duplicate-safe: (a) building with a non-default geometry then
+    upserting works with NO m/dsub parameters (derived from the
+    codebooks); (b) a wrong-dimension vector dies loudly in the plan
+    instead of silently encoding truncated subvectors; (c) a batch
+    carrying one id twice with different vectors lands each vector's
+    OWN codes (an id-keyed encode would mix subspaces across the two
+    into a chimera equal to neither)."""
+    from pyspark.sql import functions as F
+
+    from data_pipelines_cu_spark.operators import similarity as sim
+
+    em = (
+        _embeddings(spark)
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id", "embedding")
+    )
+    # (a) non-default geometry end-to-end: m=8 subspaces of 8 dims
+    pidx = str(tmp_path / "pq88")
+    cents, codebooks = sim.build_pq_ivf_index(
+        em, pidx, n_centroids=8, m=8, dsub=8, k=8
+    )
+    assert sim._pq_geometry(codebooks) == (8, 8)
+    upd = em.filter(F.col("vec_id") == 7)
+    sim.upsert_pq_ivf_index(upd, pidx, cents, codebooks, wave=1)
+    got = spark.read.parquet(pidx).filter("vec_id = 7 and wave = 1").first()
+    assert len(got["pq_codes"]) == 8
+    res = sim.query_pq_ivf_index(
+        spark, pidx, cents, codebooks, em.filter(F.col("vec_id") < 3), k=3
+    )
+    assert res.count() > 0
+
+    # (b) wrong-dim vectors: loud plan-side failure, not silent garbage
+    short = em.select("vec_id", F.slice("embedding", 1, 32).alias("embedding"))
+    with pytest.raises(Exception, match="PQ geometry mismatch"):
+        sim.build_pq_ivf_index(short, str(tmp_path / "bad"), n_centroids=4)
+
+    # (c) duplicate id, two different vectors in ONE wave: each keeps its
+    # own codes — compare against encoding each vector alone
+    v7 = em.filter(F.col("vec_id") == 7)
+    neg7 = v7.select(
+        "vec_id",
+        F.transform("embedding", lambda x: (-x).cast("float")).alias("embedding"),
+    )
+    dup = v7.unionAll(neg7)
+    sim.upsert_pq_ivf_index(dup, pidx, cents, codebooks, wave=2)
+    landed = spark.read.parquet(pidx).filter("vec_id = 7 and wave = 2")
+    assert landed.count() == 2
+    cent_df = sim._pq_codebook_df(spark, codebooks)
+    want = {
+        tuple(r["pq_codes"])
+        for df in (v7, neg7)
+        for r in sim._pq_encode(df, cent_df, m=8, dsub=8).collect()
+    }
+    assert {tuple(r["pq_codes"]) for r in landed.collect()} == want
+
+
+def test_quantized_compaction_refuses_corrupt_codes(spark, tmp_path):
+    """Corruption surfaces, consistently: a PQ row whose code points
+    outside the codebook (a wave written under a foreign/retrained
+    artifact) reconstructs NULL — the query path scores it NULL cos_sim
+    (never outranks a real row), and compaction ABORTS loudly instead of
+    rewriting it under a fabricated cell into a valid-looking wave 0."""
+    from pyspark.sql import functions as F
+
+    from data_pipelines_cu_spark.operators import similarity as sim
+
+    em = (
+        _embeddings(spark)
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id", "embedding")
+    )
+    pidx = str(tmp_path / "pq")
+    cents, codebooks = sim.build_pq_ivf_index(em, pidx, n_centroids=8)
+    # forge a corrupt wave: code 99 exists in no 16-cell codebook
+    corrupt = spark.createDataFrame(
+        [(9001, [99, 0, 0, 0], 0, 1)], "vec_id long, pq_codes array<int>, cell int, wave int"
+    )
+    corrupt.write.partitionBy("cell", "wave").mode("append").parquet(pidx)
+
+    queries = em.filter(F.col("vec_id") < 3)
+    res = sim.query_pq_ivf_index(
+        spark, pidx, cents, codebooks, queries, k=5, n_probe=len(cents)
+    )
+    bad_hits = res.filter(F.col("neighbor_id") == 9001).collect()
+    assert all(r["cos_sim"] is None for r in bad_hits)  # never a real score
+
+    with pytest.raises(ValueError, match="failed to reconstruct"):
+        sim.compact_pq_ivf_index(spark, pidx, cents, codebooks)
+    # the corrupt row is still there — nothing was laundered
+    assert spark.read.parquet(pidx).filter("vec_id = 9001").count() == 1
+
+    # missing path: the shared _read_index contract, not a raw
+    # AnalysisException
+    with pytest.raises(ValueError, match="no readable IVF index"):
+        sim.compact_pq_ivf_index(
+            spark, str(tmp_path / "nowhere"), cents, codebooks
+        )
+
+
+def test_streaming_ann_query_nondefault_vec_col(spark, tmp_path):
+    """The serving stream renames BOTH caller columns to the query-path
+    defaults: a stream whose vector column is not 'embedding' serves
+    correctly instead of dying on an unresolved column inside the first
+    micro-batch (after the checkpoint dir is already committed)."""
+    from pyspark.sql import functions as F
+
+    from data_pipelines_cu_spark.operators import similarity as sim
+    from data_pipelines_cu_spark.streaming.jobs import run_streaming_ann_query
+
+    em = (
+        _embeddings(spark)
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id", "embedding")
+    )
+    fidx = str(tmp_path / "float")
+    cents = sim.build_ivf_index(em, fidx, n_centroids=8, lloyd_iters=2)
+    queries = em.filter(F.col("vec_id") < 5)
+    rows = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in queries.collect()
+    ]
+    qs = _stream_vectors(spark, tmp_path / "q", rows).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vector")
+    )
+    res = str(tmp_path / "res")
+    assert run_streaming_ann_query(
+        qs, fidx, cents, res, str(tmp_path / "ck"),
+        k=5, n_probe=2, id_col="qid", vec_col="vector",
+    ).awaitTermination(120)
+    got = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in spark.read.parquet(res).collect()
+    )
+    want = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in sim.query_ivf_index(
+            spark, fidx, cents, queries, k=5, n_probe=2
+        ).collect()
+    )
+    assert got == want and len(got) > 0
