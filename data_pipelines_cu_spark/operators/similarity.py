@@ -1013,6 +1013,39 @@ def _read_index(spark, path: str, op: str) -> DataFrame:
         ) from exc
 
 
+def _codec_view(
+    columns: list[str],
+    bounds: tuple[list[float], list[float]] | None,
+    codebooks: list[tuple[int, int, list[float]]] | None,
+    op: str,
+):
+    """THE codec-detection rule for every lifecycle operator that must
+    work over any index tree (float / SQ8 / PQ): given the tree's
+    columns, return ``(payload_col, decode_fn)`` where ``payload_col``
+    is the stored column the keep-last rule ties on and ``decode_fn``
+    maps it to a float view, or ``(None, None)`` for a float tree. A
+    quantized tree whose frozen artifact was not passed fails fast with
+    the artifact named — reconstructing without it is impossible, and
+    guessing silently would be worse."""
+    if "codes" in columns:
+        if bounds is None:
+            raise ValueError(
+                f"{op}: index is an SQ8 tree (codes column) — pass its "
+                "frozen quantization bounds"
+            )
+        mn = F.array(*[F.lit(v) for v in bounds[0]])
+        mx = F.array(*[F.lit(v) for v in bounds[1]])
+        return "codes", lambda c: sq8_decode(c, mn, mx)
+    if "pq_codes" in columns:
+        if codebooks is None:
+            raise ValueError(
+                f"{op}: index is a PQ tree (pq_codes column) — pass its "
+                "frozen codebooks"
+            )
+        return "pq_codes", _pq_decode_expr(codebooks)
+    return None, None
+
+
 def _keep_latest_per_id(
     raw: DataFrame, id_col: str, vec_col: str
 ) -> DataFrame:
@@ -1042,6 +1075,8 @@ def ivf_drift_report(
     centroids: list[tuple[int, list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bounds: tuple[list[float], list[float]] | None = None,
+    codebooks: list[tuple[int, int, list[float]]] | None = None,
 ) -> DataFrame:
     """One-row centroid-drift report for a persisted IVF index — the
     input to :func:`should_rebuild_centroids`, closing the last
@@ -1069,11 +1104,25 @@ def ivf_drift_report(
     k-row centroid table; the output is a single row, never corpus-sized
     driver state. Baseline discipline: collect this right after
     build/retrain and persist it next to the centroid artifact; the
-    decision compares current vs baseline."""
+    decision compares current vs baseline.
+
+    CODEC-AWARE: a quantized tree (SQ8/PQ, detected from its schema)
+    reports distortion over the RECONSTRUCTED vectors — the same view
+    the query path scores, so the drift reading describes what serving
+    actually sees; pass the tree's frozen artifact (``bounds`` /
+    ``codebooks``) or fail fast with it named."""
     raw = _read_index(spark, path, "ivf_drift_report")
-    latest = _keep_latest_per_id(raw, id_col, vec_col).select(
-        "cell", "wave", vec_col
+    payload, decode = _codec_view(
+        raw.columns, bounds, codebooks, "ivf_drift_report"
     )
+    if payload is not None:
+        latest = _keep_latest_per_id(raw, id_col, payload).select(
+            "cell", "wave", decode(F.col(payload)).alias(vec_col)
+        )
+    else:
+        latest = _keep_latest_per_id(raw, id_col, vec_col).select(
+            "cell", "wave", vec_col
+        )
     cent_df = F.broadcast(
         spark.createDataFrame(
             [(c, [float(x) for x in v]) for c, v in sorted(centroids)],
@@ -1211,6 +1260,95 @@ def retrain_ivf_centroids(
     return new_cents
 
 
+def retrain_quantized_ivf(
+    spark,
+    path: str,
+    n_centroids: int = 8,
+    lloyd_iters: int = 2,
+    id_col: str = "vec_id",
+    bounds: tuple[list[float], list[float]] | None = None,
+    codebooks: list[tuple[int, int, list[float]]] | None = None,
+) -> tuple:
+    """The retrain action for a QUANTIZED tree (SQ8/PQ, detected from
+    its schema) — completes codec parity of the lifecycle: collapse to
+    keep-last survivors, RECONSTRUCT them under the old artifact, then
+    re-seed/re-train centroids over the reconstructions (the same
+    lowest-surviving-id rule as :func:`retrain_ivf_centroids`) and
+    rebuild the tree with FRESH quantization artifacts learned from the
+    survivor set (new bounds for SQ8; new codebooks of the SAME (m,
+    dsub) geometry for PQ, seeded from the k lowest surviving ids).
+    Returns ``(new_centroids, new_bounds_or_codebooks)`` — both replace
+    the old artifacts for every subsequent call; cells are renumbered.
+
+    Quantization error COMPOUNDS once per retrain here (the tree only
+    holds codes, so the rebuild re-encodes reconstructions — standard
+    LSM-on-codes trade); an operator that retains the original float
+    vectors should rebuild from source instead. HARD LIMIT: information
+    the old artifact never stored cannot come back — an SQ8 dimension
+    whose ingested values saturated the frozen bounds (clamped to the
+    0/255 endpoints) reconstructs to the bound, so the retrained tree
+    is a faithful index of the CODES, not of the original vectors
+    (measured in tests: a drift signature living in bound-saturated
+    dims is unrecoverable). The drift trigger firing early is the
+    defense; rebuilding from source is the cure. QUIESCE REQUIRED,
+    exactly as :func:`retrain_ivf_centroids`: stop ingest, retrain,
+    restart with a FRESH checkpoint and the new artifacts."""
+    op = "retrain_quantized_ivf"
+    raw = _read_index(spark, path, op)
+    payload, decode = _codec_view(raw.columns, bounds, codebooks, op)
+    if payload is None:
+        raise ValueError(
+            f"{op}: index at {path} is a float tree — use "
+            "retrain_ivf_centroids"
+        )
+    latest = (
+        _keep_latest_per_id(raw, id_col, payload)
+        .select(id_col, decode(F.col(payload)).alias("_rv"))
+        # survivor reconstructions feed seeding, Lloyd, artifact
+        # learning, AND the rewrite of the very files they came from:
+        # one lineage cut (ARCHITECTURE §3)
+        .transform(lineage_cut)
+    )
+    seeds = latest.orderBy(id_col).limit(n_centroids)
+    seed_rows = [(r[0], [float(x) for x in r[1]]) for r in seeds.collect()]
+    new_cents = (
+        lloyd_refine_rows(latest, seed_rows, n_iters=lloyd_iters, vec_col="_rv")
+        if lloyd_iters > 0
+        else sorted(seed_rows)
+    )
+    if payload == "codes":
+        _, new_bounds = build_sq8_ivf_index(
+            latest, path, centroids=new_cents, id_col=id_col, vec_col="_rv"
+        )
+        return new_cents, new_bounds
+    m, dsub = _pq_geometry(codebooks)
+    k = 1 + max(c for _, c, _ in codebooks)
+    seed_id_rows = latest.select(id_col).orderBy(id_col).limit(k).collect()
+    cb_df = pq_codebooks(
+        latest,
+        m=m,
+        dsub=dsub,
+        k=k,
+        lloyd_iters=lloyd_iters,
+        id_col=id_col,
+        vec_col="_rv",
+        seed_ids=[r[0] for r in seed_id_rows],
+    )
+    new_codebooks = sorted(
+        (r["j"], r["cell"], [float(x) for x in r["cv"]])
+        for r in cb_df.collect()  # m*k rows — artifact, never corpus
+    )
+    build_pq_ivf_index(
+        latest,
+        path,
+        centroids=new_cents,
+        codebooks=new_codebooks,
+        id_col=id_col,
+        vec_col="_rv",
+    )
+    return new_cents, new_codebooks
+
+
 def build_sq8_ivf_index(
     corpus: DataFrame,
     path: str,
@@ -1279,6 +1417,7 @@ def upsert_sq8_ivf_index(
     wave: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    check_layout: bool = True,
 ) -> None:
     """Wave append to a persisted SQ8 index under the FROZEN centroid +
     bounds artifacts: new float vectors are cell-assigned at full
@@ -1288,26 +1427,32 @@ def upsert_sq8_ivf_index(
     BOTH artifacts), and land in (cell, wave) dynamic-overwrite
     partitions with the same replay-idempotency and cross-cell staleness
     contract as the float upsert. Same guards: wave >= 1, NULL vectors
-    dropped, a codes-less (foreign/float) layout rejected loudly."""
+    dropped, a codes-less (foreign/float) layout rejected loudly —
+    ``check_layout=False`` skips the per-call listing for callers that
+    verified the layout once for the index's lifetime (the streaming
+    wrapper, exactly as the float upsert)."""
     if wave < 1:
         raise ValueError(
             f"upsert_sq8_ivf_index: wave must be >= 1 (wave 0 is the "
             f"build), got {wave}"
         )
     new_vectors = drop_null_vectors(new_vectors, vec_col)
-    from pyspark.errors import AnalysisException  # noqa: PLC0415
+    if check_layout:
+        from pyspark.errors import AnalysisException  # noqa: PLC0415
 
-    try:
-        existing = new_vectors.sparkSession.read.parquet(path).columns
-    except AnalysisException:
-        existing = None  # no index yet — this wave creates it
-    if existing is not None and ("codes" not in existing or "wave" not in existing):
-        raise ValueError(
-            f"upsert_sq8_ivf_index: index at {path} is not an SQ8 wave "
-            "index (expected codes + wave columns); writing SQ8 waves "
-            "into a float or legacy tree would create a mixed layout no "
-            "reader can open"
-        )
+        try:
+            existing = new_vectors.sparkSession.read.parquet(path).columns
+        except AnalysisException:
+            existing = None  # no index yet — this wave creates it
+        if existing is not None and (
+            "codes" not in existing or "wave" not in existing
+        ):
+            raise ValueError(
+                f"upsert_sq8_ivf_index: index at {path} is not an SQ8 wave "
+                "index (expected codes + wave columns); writing SQ8 waves "
+                "into a float or legacy tree would create a mixed layout no "
+                "reader can open"
+            )
     from .upsert import upsert_partitions  # noqa: PLC0415
 
     mn, mx = (F.array(*[F.lit(v) for v in bounds[0]]),
@@ -1673,34 +1818,38 @@ def upsert_pq_ivf_index(
     wave: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    check_layout: bool = True,
 ) -> None:
     """Wave append to a persisted PQ index under the FROZEN centroid +
     codebook artifacts — guards, replay idempotency, and the cross-cell
     staleness contract exactly as the float/SQ8 upserts. The PQ geometry
     (m, dsub) is DERIVED from the codebook artifact, never passed: an
     independent parameter that disagreed with the artifact would encode
-    garbage codes into the index with no error anywhere."""
+    garbage codes into the index with no error anywhere.
+    ``check_layout=False`` skips the per-call listing for callers that
+    verified the layout once for the index's lifetime."""
     if wave < 1:
         raise ValueError(
             f"upsert_pq_ivf_index: wave must be >= 1 (wave 0 is the "
             f"build), got {wave}"
         )
     new_vectors = drop_null_vectors(new_vectors, vec_col)
-    from pyspark.errors import AnalysisException  # noqa: PLC0415
+    if check_layout:
+        from pyspark.errors import AnalysisException  # noqa: PLC0415
 
-    try:
-        existing = new_vectors.sparkSession.read.parquet(path).columns
-    except AnalysisException:
-        existing = None  # no index yet — this wave creates it
-    if existing is not None and (
-        "pq_codes" not in existing or "wave" not in existing
-    ):
-        raise ValueError(
-            f"upsert_pq_ivf_index: index at {path} is not a PQ wave index "
-            "(expected pq_codes + wave columns); writing PQ waves into a "
-            "float/SQ8/legacy tree would create a mixed layout no reader "
-            "can open"
-        )
+        try:
+            existing = new_vectors.sparkSession.read.parquet(path).columns
+        except AnalysisException:
+            existing = None  # no index yet — this wave creates it
+        if existing is not None and (
+            "pq_codes" not in existing or "wave" not in existing
+        ):
+            raise ValueError(
+                f"upsert_pq_ivf_index: index at {path} is not a PQ wave index "
+                "(expected pq_codes + wave columns); writing PQ waves into a "
+                "float/SQ8/legacy tree would create a mixed layout no reader "
+                "can open"
+            )
     from .upsert import upsert_partitions  # noqa: PLC0415
 
     spark = new_vectors.sparkSession
@@ -2794,6 +2943,7 @@ def pq_codebooks(
     lloyd_iters: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    seed_ids: list | None = None,
 ) -> DataFrame:
     """Per-subspace codebooks (j, cell, cv) learned by deterministic
     k-means: seeds are the k lowest-id vectors' subvectors, assignment is
@@ -2806,10 +2956,24 @@ def pq_codebooks(
     PQ trains on a sample — the full-corpus pass here is the exactness the
     oracle gate needs, and it is still linear in N."""
     sub = _pq_subvecs(corpus, m=m, dsub=dsub, id_col=id_col, vec_col=vec_col)
-    cent = (
-        sub.filter(F.col(id_col) < k)
-        .select("j", F.col(id_col).alias("cell"), F.col("sv").alias("cv"))
-    )
+    if seed_ids is None:
+        cent = (
+            sub.filter(F.col(id_col) < k)
+            .select("j", F.col(id_col).alias("cell"), F.col("sv").alias("cv"))
+        )
+    else:
+        # retrain path: the default seed rule (id < k) assumes a corpus
+        # whose lowest ids are 0..k-1, which an index's SURVIVOR set need
+        # not satisfy — explicit seed ids map to dense cells 0..k-1 by
+        # rank (a k-entry when-chain; k is codebook metadata, never data)
+        sids = sorted(seed_ids)[:k]
+        cell_of = F.when(F.col(id_col) == sids[0], F.lit(0))
+        for i, sid in enumerate(sids[1:], start=1):
+            cell_of = cell_of.when(F.col(id_col) == sid, F.lit(i))
+        cent = (
+            sub.filter(F.col(id_col).isin(sids))
+            .select("j", cell_of.alias("cell"), F.col("sv").alias("cv"))
+        )
     for _ in range(lloyd_iters):
         assigned = _pq_assign_codes(sub, cent, keys=(id_col,))
         means = (
@@ -3423,6 +3587,8 @@ def ivf_recall_report(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bounds: tuple[list[float], list[float]] | None = None,
+    codebooks: list[tuple[int, int, list[float]]] | None = None,
 ) -> DataFrame:
     """Recall@k of a PERSISTED IVF index — the lifecycle-aware twin of
     :func:`ann_recall_report`, which measures the LSH path only (the
@@ -3434,18 +3600,35 @@ def ivf_recall_report(
     represent. Run it after upsert waves to measure what centroid
     staleness actually costs at fixed n_probe; the drift trigger
     (:func:`should_rebuild_centroids`) decides when that cost warrants
-    a retrain."""
+    a retrain.
+
+    CODEC-AWARE: a quantized tree routes the approximate side through
+    its own query path (query_sq8/pq_ivf_index with the frozen
+    artifact), so the recall reading INCLUDES the quantization error —
+    the number an operator actually serves at, truth side unchanged
+    (brute force over the live float corpus)."""
     truth = cosine_topk(corpus, queries, k=k, id_col=id_col, vec_col=vec_col)
-    approx = query_ivf_index(
-        spark,
-        path,
-        centroids,
-        queries,
-        k=k,
-        n_probe=n_probe,
-        id_col=id_col,
-        vec_col=vec_col,
+    payload, _ = _codec_view(
+        _read_index(spark, path, "ivf_recall_report").columns,
+        bounds,
+        codebooks,
+        "ivf_recall_report",
     )
+    if payload == "codes":
+        approx = query_sq8_ivf_index(
+            spark, path, centroids, bounds, queries,
+            k=k, n_probe=n_probe, id_col=id_col, vec_col=vec_col,
+        )
+    elif payload == "pq_codes":
+        approx = query_pq_ivf_index(
+            spark, path, centroids, codebooks, queries,
+            k=k, n_probe=n_probe, id_col=id_col, vec_col=vec_col,
+        )
+    else:
+        approx = query_ivf_index(
+            spark, path, centroids, queries,
+            k=k, n_probe=n_probe, id_col=id_col, vec_col=vec_col,
+        )
     return _grade_recall(truth, approx)
 
 

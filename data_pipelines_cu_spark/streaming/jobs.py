@@ -1245,6 +1245,8 @@ def run_streaming_ivf_upsert(
     drift_monitor_path: str | None = None,
     drift_baseline: dict | None = None,
     report_every: int = 1,
+    bounds: tuple | None = None,
+    codebooks: list | None = None,
 ) -> StreamingQuery:
     """Live ingest half of the ANN index lifecycle: embedding vectors
     arrive as a stream and land in the persisted IVF index as one
@@ -1292,12 +1294,27 @@ def run_streaming_ivf_upsert(
     per monitored batch — set ``report_every`` to the ingest-to-review
     cadence, not 1, on a high-frequency stream. The decision runs on
     the driver over a 1-row collect (the report is a single row by
-    construction)."""
+    construction).
+
+    CODEC DISPATCH (write side, mirroring run_streaming_ann_query's
+    read side): the index schema read once at stream start decides the
+    wave encoder — a ``codes`` tree lands SQ8 waves under the frozen
+    ``bounds``, a ``pq_codes`` tree lands PQ waves under the frozen
+    ``codebooks``, anything else lands float waves; the drift monitor
+    reports over the same codec view. A quantized tree with its
+    artifact missing — or a float tree WITH one (the caller thinks it
+    is quantized: almost certainly the wrong path) — fails fast before
+    the stream starts. A missing index is created by the first wave in
+    the codec the passed artifacts imply."""
     import json as _json
     from pathlib import Path
     from urllib.parse import urlparse
 
-    from ..operators.similarity import upsert_ivf_index
+    from ..operators.similarity import (
+        upsert_ivf_index,
+        upsert_pq_ivf_index,
+        upsert_sq8_ivf_index,
+    )
 
     cent_rows = sorted(centroids)
     spark = vectors.sparkSession
@@ -1318,6 +1335,48 @@ def run_streaming_ivf_upsert(
         )
     ckpt_dir = Path(parsed.path if parsed.scheme else checkpoint)
     base_file = ckpt_dir / "ivf_wave_base.json"
+    # one index read at stream start serves BOTH the codec dispatch and
+    # (when the sidecar is missing) the wave-base pin — never per batch
+    try:
+        idx = spark.read.parquet(index_path)
+    except AnalysisException:
+        idx = None  # no index yet: the first wave creates it
+    if idx is not None:
+        if "codes" in idx.columns:
+            codec = "sq8"
+        elif "pq_codes" in idx.columns:
+            codec = "pq"
+        else:
+            codec = "float"
+            if bounds is not None or codebooks is not None:
+                raise ValueError(
+                    f"run_streaming_ivf_upsert: index at {index_path} is a "
+                    "FLOAT tree but a quantization artifact was passed — "
+                    "wrong index path, or the tree was rebuilt under a "
+                    "different codec; refusing to ingest float waves the "
+                    "caller believes are quantized"
+                )
+    else:
+        if bounds is not None and codebooks is not None:
+            raise ValueError(
+                "run_streaming_ivf_upsert: both bounds (SQ8) and "
+                "codebooks (PQ) passed for a new index — pick one codec"
+            )
+        codec = (
+            "sq8" if bounds is not None
+            else "pq" if codebooks is not None
+            else "float"
+        )
+    if codec == "sq8" and bounds is None:
+        raise ValueError(
+            f"run_streaming_ivf_upsert: {index_path} is an SQ8 index "
+            "(codes column) — pass its frozen quantization bounds"
+        )
+    if codec == "pq" and codebooks is None:
+        raise ValueError(
+            f"run_streaming_ivf_upsert: {index_path} is a PQ index "
+            "(pq_codes column) — pass its frozen codebooks"
+        )
     if base_file.exists():
         try:
             base_wave = int(_json.loads(base_file.read_text())["base_wave"])
@@ -1339,9 +1398,7 @@ def run_streaming_ivf_upsert(
                 "a fresh checkpoint."
             ) from exc
     else:
-        try:
-            idx = spark.read.parquet(index_path)
-        except AnalysisException:  # no index yet: build namespace is wave 0
+        if idx is None:  # no index yet: build namespace is wave 0
             base_wave = 0
         else:
             if "wave" not in idx.columns:
@@ -1365,19 +1422,36 @@ def run_streaming_ivf_upsert(
         tmp.write_text(_json.dumps({"base_wave": base_wave}))
         _os.replace(tmp, base_file)
 
+    # layout/codec verified once at stream start for the checkpoint's
+    # lifetime — per-batch re-listing would pay a file listing per
+    # micro-batch for a check that cannot change (check_layout=False)
+    if codec == "sq8":
+
+        def land(batch: DataFrame, wave: int) -> None:
+            upsert_sq8_ivf_index(
+                batch.select(id_col, vec_col), index_path, cent_rows,
+                bounds, wave=wave, id_col=id_col, vec_col=vec_col,
+                check_layout=False,
+            )
+    elif codec == "pq":
+
+        def land(batch: DataFrame, wave: int) -> None:
+            upsert_pq_ivf_index(
+                batch.select(id_col, vec_col), index_path, cent_rows,
+                codebooks, wave=wave, id_col=id_col, vec_col=vec_col,
+                check_layout=False,
+            )
+    else:
+
+        def land(batch: DataFrame, wave: int) -> None:
+            upsert_ivf_index(
+                batch.select(id_col, vec_col), index_path, cent_rows,
+                wave=wave, id_col=id_col, vec_col=vec_col,
+                check_layout=False,
+            )
+
     def process(batch: DataFrame, batch_id: int) -> None:
-        upsert_ivf_index(
-            batch.select(id_col, vec_col),
-            index_path,
-            cent_rows,
-            wave=base_wave + batch_id + 1,
-            id_col=id_col,
-            vec_col=vec_col,
-            # layout verified once at wave-base pin time (above) for the
-            # checkpoint's lifetime — per-batch re-listing would pay a
-            # file listing per micro-batch for a check that cannot change
-            check_layout=False,
-        )
+        land(batch, base_wave + batch_id + 1)
         if drift_monitor_path and (batch_id + 1) % max(1, report_every) == 0:
             from ..operators.similarity import (  # noqa: PLC0415
                 ivf_drift_report,
@@ -1387,7 +1461,8 @@ def run_streaming_ivf_upsert(
 
             spark_b = batch.sparkSession
             report = ivf_drift_report(
-                spark_b, index_path, cent_rows, id_col=id_col, vec_col=vec_col
+                spark_b, index_path, cent_rows, id_col=id_col,
+                vec_col=vec_col, bounds=bounds, codebooks=codebooks,
             ).first()
             decision = should_rebuild_centroids(
                 report.asDict(), drift_baseline

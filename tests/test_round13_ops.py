@@ -1737,3 +1737,193 @@ def test_streaming_ann_query_nondefault_vec_col(spark, tmp_path):
         ).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_streaming_quantized_ingest_dispatch(spark, tmp_path):
+    """Write-side codec dispatch, mirroring the serving stream's read
+    side: a streaming ingest against an SQ8 tree lands CODE waves
+    (schema-detected, encoded under the frozen bounds) identical to the
+    batch upsert path, the continuous drift monitor reports over the
+    reconstruction view, and the artifact/codec mismatches fail fast
+    before the stream starts."""
+    from pyspark.sql import functions as F
+
+    from data_pipelines_cu_spark.operators import similarity as sim
+    from data_pipelines_cu_spark.streaming.jobs import run_streaming_ivf_upsert
+
+    original, wave1, wave2 = _drift_fixture(spark)
+    sidx = str(tmp_path / "sq8")
+    cents, bounds = sim.build_sq8_ivf_index(
+        original, sidx, n_centroids=2, lloyd_iters=2
+    )
+    baseline = sim.ivf_drift_report(
+        spark, sidx, cents, bounds=bounds
+    ).first().asDict()
+
+    rows1 = [(r["vec_id"], [float(x) for x in r["embedding"]]) for r in wave1.collect()]
+    rows2 = [(r["vec_id"], [float(x) for x in r["embedding"]]) for r in wave2.collect()]
+    src = tmp_path / "src"
+    stream = _stream_vectors(spark, src, rows1)
+    _stream_vectors(spark, src, rows2)
+    monitor = str(tmp_path / "monitor")
+    assert run_streaming_ivf_upsert(
+        stream, sidx, cents, str(tmp_path / "ck"),
+        drift_monitor_path=monitor, drift_baseline=baseline, bounds=bounds,
+    ).awaitTermination(120)
+
+    landed = spark.read.parquet(sidx)
+    assert "codes" in landed.columns and "embedding" not in landed.columns
+    assert landed.filter("wave > 0").select("wave").distinct().count() == 2
+
+    # parity with the batch write path: same codes for the same rows
+    bidx = str(tmp_path / "batch")
+    sim.build_sq8_ivf_index(original, bidx, centroids=cents, bounds=bounds)
+    sim.upsert_sq8_ivf_index(wave1, bidx, cents, bounds, wave=1)
+    sim.upsert_sq8_ivf_index(wave2, bidx, cents, bounds, wave=2)
+    got = sorted(
+        (r["vec_id"], r["cell"], r["wave"], tuple(r["codes"]))
+        for r in landed.collect()
+    )
+    want = sorted(
+        (r["vec_id"], r["cell"], r["wave"], tuple(r["codes"]))
+        for r in spark.read.parquet(bidx).collect()
+    )
+    assert got == want
+
+    # monitor rows landed with the codec-aware report + decision
+    mon = spark.read.parquet(monitor)
+    assert mon.count() == 2
+    last = mon.orderBy(F.col("batch_id").desc()).first()
+    assert last["n_vectors"] == original.count() + len(rows1) + len(rows2)
+    assert last["upsert_frac"] > 0
+
+    # guards: quantized tree without its artifact; float tree WITH one;
+    # ambiguous artifacts for a new path — all before the stream starts
+    qs = _stream_vectors(spark, tmp_path / "g1", rows1[:1])
+    with pytest.raises(ValueError, match="SQ8 index .* quantization bounds"):
+        run_streaming_ivf_upsert(qs, sidx, cents, str(tmp_path / "ckg1"))
+    fidx = str(tmp_path / "float")
+    sim.build_ivf_index(original, fidx, centroids=cents)
+    with pytest.raises(ValueError, match="FLOAT tree but a quantization"):
+        run_streaming_ivf_upsert(
+            qs, fidx, cents, str(tmp_path / "ckg2"), bounds=bounds
+        )
+    with pytest.raises(ValueError, match="pick one codec"):
+        run_streaming_ivf_upsert(
+            qs, str(tmp_path / "new"), cents, str(tmp_path / "ckg3"),
+            bounds=bounds, codebooks=[(0, 0, [0.0, 0.0])],
+        )
+
+
+def test_quantized_drift_degrade_and_recover(spark, tmp_path):
+    """Codec parity of the LAST lifecycle step: the drifted-ingest
+    degrade -> mechanical trigger -> retrain -> recover arc runs
+    end-to-end on a QUANTIZED tree — drift report and recall report
+    read the reconstruction view (what serving actually scores), and
+    retrain_quantized_ivf mints fresh centroids AND fresh quantization
+    artifacts from the survivor reconstructions."""
+    from pyspark.sql import functions as F
+
+    from data_pipelines_cu_spark.operators import similarity as sim
+
+    original, wave1, wave2 = _drift_fixture(spark)
+    idx = str(tmp_path / "sq8")
+    # explicit bounds COVERING the drifted range: build-time bounds
+    # learned from `original` would clamp the drift family's signature
+    # dims (zero in the build corpus) to [0,0] — saturation destroys
+    # that information AT INGEST, and no retrain-from-codes can recover
+    # it (the documented SQ8 trade; retrain_quantized_ivf's docstring
+    # pins it). This test isolates the retrain MECHANICS from it.
+    wide = ([0.0] * 8, [1.6] * 8)
+    cents, bounds = sim.build_sq8_ivf_index(
+        original, idx, n_centroids=2, lloyd_iters=2, bounds=wide
+    )
+    baseline = sim.ivf_drift_report(
+        spark, idx, cents, bounds=bounds
+    ).first().asDict()
+    assert not sim.should_rebuild_centroids(baseline, baseline)["rebuild"]
+
+    sim.upsert_sq8_ivf_index(wave1, idx, cents, bounds, wave=1)
+    sim.upsert_sq8_ivf_index(wave2, idx, cents, bounds, wave=2)
+
+    live = original.unionByName(wave1).unionByName(wave2)
+    queries = wave1.filter(F.col("vec_id") < 8)
+
+    def mean_recall(c, b):
+        rep = sim.ivf_recall_report(
+            spark, idx, c, live, queries, k=5, n_probe=1, bounds=b
+        )
+        return float(rep.agg(F.avg("recall")).first()[0])
+
+    degraded = mean_recall(cents, bounds)
+    assert degraded <= 0.75, f"drift did not degrade recall: {degraded}"
+
+    report = sim.ivf_drift_report(spark, idx, cents, bounds=bounds).first().asDict()
+    decision = sim.should_rebuild_centroids(report, baseline)
+    assert decision["rebuild"], (report, baseline)
+
+    new_cents, new_bounds = sim.retrain_quantized_ivf(
+        spark, idx, n_centroids=3, bounds=bounds
+    )
+    recovered = mean_recall(new_cents, new_bounds)
+    assert recovered >= 0.85, f"retrain did not recover recall: {recovered}"
+    assert recovered > degraded
+    fresh = sim.ivf_drift_report(
+        spark, idx, new_cents, bounds=new_bounds
+    ).first().asDict()
+    assert not sim.should_rebuild_centroids(fresh, fresh)["rebuild"]
+    assert fresh["upsert_frac"] == 0.0
+
+
+def test_retrain_quantized_pq_and_codec_guards(spark, tmp_path):
+    """PQ leg of the quantized retrain (fresh codebooks of the SAME
+    geometry, seeded from the k lowest SURVIVING ids — the builder's
+    id<k rule does not hold for survivors) plus the codec guards: a
+    float tree refuses the quantized retrain, and the codec-aware
+    reports name the missing artifact."""
+    from pyspark.sql import functions as F
+
+    from data_pipelines_cu_spark.operators import similarity as sim
+
+    original, wave1, _ = _drift_fixture(spark)
+    pidx = str(tmp_path / "pq")
+    cents, codebooks = sim.build_pq_ivf_index(
+        original, pidx, n_centroids=2, m=4, dsub=2, k=8
+    )
+    sim.upsert_pq_ivf_index(wave1, pidx, cents, codebooks, wave=1)
+
+    new_cents, new_codebooks = sim.retrain_quantized_ivf(
+        spark, pidx, n_centroids=3, codebooks=codebooks
+    )
+    assert sim._pq_geometry(new_codebooks) == (4, 2)
+    post = spark.read.parquet(pidx)
+    assert post.filter("wave > 0").count() == 0  # fresh wave 0
+    live_ids = {r[0] for r in original.select("vec_id").collect()} | {
+        r[0] for r in wave1.select("vec_id").collect()
+    }
+    assert post.count() == len(live_ids)
+    queries = original.filter(F.col("vec_id") < 2)
+    res = sim.query_pq_ivf_index(
+        spark, pidx, new_cents, new_codebooks, queries, k=3,
+        n_probe=len(new_cents),
+    )
+    assert res.count() > 0 and res.filter("cos_sim is null").count() == 0
+
+    fidx = str(tmp_path / "float")
+    sim.build_ivf_index(original, fidx, centroids=cents)
+    with pytest.raises(ValueError, match="use\\s+retrain_ivf_centroids"):
+        sim.retrain_quantized_ivf(spark, fidx, codebooks=codebooks)
+    with pytest.raises(ValueError, match="pass its frozen codebooks"):
+        sim.ivf_drift_report(spark, pidx, new_cents)
+    with pytest.raises(ValueError, match="pass its frozen codebooks"):
+        sim.ivf_recall_report(
+            spark, pidx, new_cents, original, queries
+        )
+    # recall report on the PQ tree with its artifact: quantization error
+    # included, still a valid [0,1] recall
+    rec = sim.ivf_recall_report(
+        spark, pidx, new_cents, original.unionByName(wave1), queries,
+        k=3, n_probe=len(new_cents), codebooks=new_codebooks,
+    )
+    vals = [r["recall"] for r in rec.collect()]
+    assert vals and all(0.0 <= v <= 1.0 for v in vals)
