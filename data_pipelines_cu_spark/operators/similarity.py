@@ -1013,6 +1013,23 @@ def _read_index(spark, path: str, op: str) -> DataFrame:
         ) from exc
 
 
+def _pin_scoring_parallelism(latest: DataFrame) -> DataFrame:
+    """AQE sizes post-shuffle parallelism by SHUFFLE BYTES, and
+    quantized codes are 16-64x smaller than the vectors they decode to:
+    the keep-last exchange over a PQ tree coalesces to ~1 partition,
+    and that one task then pays the decode plus the per-pair cosine for
+    the WHOLE probed set (measured: a 20k-row probed set fanning to
+    320k scored pairs ran as a 7.7s single-task stage inside an 11s
+    query that takes 3.5s once parallelism is restored — the compute
+    amplification of decode + pair fan-out is invisible to byte-based
+    sizing). An explicit round-robin exchange of
+    the still-COMPRESSED rows pins the scoring stage's width (AQE
+    respects explicit numPartitions); the extra shuffle moves codes,
+    never decoded vectors."""
+    n = latest.sparkSession.sparkContext.defaultParallelism
+    return latest.repartition(n)
+
+
 def _codec_view(
     columns: list[str],
     bounds: tuple[list[float], list[float]] | None,
@@ -1604,6 +1621,7 @@ def query_sq8_ivf_index(
     )
     index = spark.read.parquet(path).filter(F.col("cell").isin(probe_cells))
     index = _keep_latest_per_id(index, id_col, "codes")
+    index = _pin_scoring_parallelism(index)
     mn, mx = (F.array(*[F.lit(v) for v in bounds[0]]),
               F.array(*[F.lit(v) for v in bounds[1]]))
     indexed = index.select(
@@ -1902,6 +1920,7 @@ def query_pq_ivf_index(
     )
     index = spark.read.parquet(path).filter(F.col("cell").isin(probe_cells))
     index = _keep_latest_per_id(index, id_col, "pq_codes")
+    index = _pin_scoring_parallelism(index)
     decode = _pq_decode_expr(codebooks)
     indexed = index.select(
         F.col(id_col).alias("neighbor_id"),
@@ -1994,6 +2013,120 @@ def ivf_probe_sweep(
         rows,
         "n_probe int, mean_recall double, min_recall double, "
         "n_queries long, cells_scanned long",
+    )
+
+
+def index_codec_frontier(
+    spark,
+    corpus: DataFrame,
+    queries: DataFrame,
+    base_dir: str,
+    k: int = 5,
+    n_probe: int = 2,
+    n_centroids: int = 8,
+    lloyd_iters: int = 2,
+    m: int = PQ_M,
+    dsub: int = 16,
+    pq_k: int = PQ_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The recall-for-bytes frontier across the serving family's three
+    codecs — the report an operator reads to PICK the tier: builds a
+    float, an SQ8, and a PQ index over the same corpus under ONE shared
+    centroid artifact (training once isolates codec error from cell
+    assignment — every tree probes identically), grades each against
+    ONE shared brute-force truth pass at the same (k, n_probe), and
+    measures each tree's actual parquet bytes. One row per codec:
+    (codec, n_rows, bytes_on_disk, bytes_per_vector, mean_recall,
+    min_recall, n_queries).
+
+    The corpus is cut once (it feeds seeding, Lloyd, three builds, and
+    the truth pass — six-plus traversals of the same id+vector rows);
+    every per-codec side reads only its own tree. Bytes are measured by
+    a local directory walk — the trees this report builds are
+    throwaway comparison artifacts under ``base_dir``, not the serving
+    index, so the report is local-path-only by design (a remote-scheme
+    base_dir is refused loudly)."""
+    import os  # noqa: PLC0415
+    from urllib.parse import urlparse  # noqa: PLC0415
+
+    parsed = urlparse(base_dir)
+    if parsed.scheme not in ("", "file"):
+        raise ValueError(
+            f"index_codec_frontier: base_dir {base_dir!r} is not a local "
+            "filesystem location; the comparison trees and their byte "
+            "measurement are local-only by design"
+        )
+    root = parsed.path if parsed.scheme else base_dir
+    corpus = drop_null_vectors(corpus, vec_col).select(id_col, vec_col)
+    corpus = corpus.transform(lineage_cut)
+    cents = _seed_centroids(corpus, n_centroids, lloyd_iters, id_col, vec_col)
+    truth = cosine_topk(
+        corpus, queries, k=k, id_col=id_col, vec_col=vec_col
+    ).transform(lineage_cut)
+
+    fpath, spath, ppath = (os.path.join(root, c) for c in ("float", "sq8", "pq"))
+    build_ivf_index(corpus, fpath, centroids=cents, id_col=id_col, vec_col=vec_col)
+    _, bounds = build_sq8_ivf_index(
+        corpus, spath, centroids=cents, id_col=id_col, vec_col=vec_col
+    )
+    _, codebooks = build_pq_ivf_index(
+        corpus, ppath, centroids=cents, m=m, dsub=dsub, k=pq_k,
+        id_col=id_col, vec_col=vec_col,
+    )
+
+    def tree_bytes(p: str) -> int:
+        total = 0
+        for dirpath, _, files in os.walk(p):
+            total += sum(
+                os.path.getsize(os.path.join(dirpath, f))
+                for f in files
+                if f.endswith(".parquet")
+            )
+        return total
+
+    def approx(codec: str) -> DataFrame:
+        if codec == "sq8":
+            return query_sq8_ivf_index(
+                spark, spath, cents, bounds, queries,
+                k=k, n_probe=n_probe, id_col=id_col, vec_col=vec_col,
+            )
+        if codec == "pq":
+            return query_pq_ivf_index(
+                spark, ppath, cents, codebooks, queries,
+                k=k, n_probe=n_probe, id_col=id_col, vec_col=vec_col,
+            )
+        return query_ivf_index(
+            spark, fpath, cents, queries,
+            k=k, n_probe=n_probe, id_col=id_col, vec_col=vec_col,
+        )
+
+    n_rows = corpus.count()
+    out = []
+    for codec, path in (("float", fpath), ("sq8", spath), ("pq", ppath)):
+        agg = _grade_recall(truth, approx(codec)).agg(
+            F.round(F.avg("recall"), 6).alias("mean_recall"),
+            F.round(F.min("recall"), 6).alias("min_recall"),
+            F.count(F.lit(1)).alias("n_queries"),
+        ).first()
+        b = tree_bytes(path)
+        out.append(
+            (
+                codec,
+                n_rows,
+                b,
+                round(b / max(1, n_rows), 2),
+                float(agg["mean_recall"]) if agg["mean_recall"] is not None else None,
+                float(agg["min_recall"]) if agg["min_recall"] is not None else None,
+                int(agg["n_queries"]),
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "codec string, n_rows long, bytes_on_disk long, "
+        "bytes_per_vector double, mean_recall double, min_recall double, "
+        "n_queries long",
     )
 
 

@@ -1927,3 +1927,46 @@ def test_retrain_quantized_pq_and_codec_guards(spark, tmp_path):
     )
     vals = [r["recall"] for r in rec.collect()]
     assert vals and all(0.0 <= v <= 1.0 for v in vals)
+
+
+def test_index_codec_frontier(spark, tmp_path):
+    """The tier-picking report: one shared centroid artifact + one
+    shared truth pass, three trees, honest bytes. Pins the frontier
+    shape on the deterministic corpus: bytes strictly shrink down the
+    family (pq < sq8 < float, sq8 at most half of float), recall at
+    full probe is exactly 1.0 for the float tree (full probe = brute
+    force) and bounded by it for every compressed tier, and the recall
+    columns are valid fractions."""
+    from pyspark.sql import functions as F
+
+    from data_pipelines_cu_spark.operators import similarity as sim
+
+    em = (
+        _embeddings(spark)
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id", "embedding")
+    )
+    queries = em.filter(F.col("vec_id") < 5)
+    n_cents = 8
+    rep = {
+        r["codec"]: r
+        for r in sim.index_codec_frontier(
+            spark, em, queries, str(tmp_path / "frontier"),
+            k=5, n_probe=n_cents, n_centroids=n_cents,
+        ).collect()
+    }
+    assert set(rep) == {"float", "sq8", "pq"}
+    n = em.count()
+    assert all(r["n_rows"] == n for r in rep.values())
+    assert rep["pq"]["bytes_on_disk"] < rep["sq8"]["bytes_on_disk"]
+    assert rep["sq8"]["bytes_on_disk"] <= 0.5 * rep["float"]["bytes_on_disk"]
+    assert rep["float"]["mean_recall"] == 1.0  # full probe = brute force
+    for codec in ("sq8", "pq"):
+        assert 0.0 <= rep[codec]["mean_recall"] <= rep["float"]["mean_recall"]
+        assert 0.0 <= rep[codec]["min_recall"] <= 1.0
+        assert rep[codec]["n_queries"] == 5
+
+    with pytest.raises(ValueError, match="local-only"):
+        sim.index_codec_frontier(
+            spark, em, queries, "hdfs://nowhere/frontier"
+        )
