@@ -1044,7 +1044,8 @@ def _codec_view(
     quantized tree whose frozen artifact was not passed fails fast with
     the artifact named — reconstructing without it is impossible, and
     guessing silently would be worse."""
-    if "codes" in columns:
+    payload = _codec_payload(columns)
+    if payload == "codes":
         if bounds is None:
             raise ValueError(
                 f"{op}: index is an SQ8 tree (codes column) — pass its "
@@ -1053,7 +1054,7 @@ def _codec_view(
         mn = F.array(*[F.lit(v) for v in bounds[0]])
         mx = F.array(*[F.lit(v) for v in bounds[1]])
         return "codes", lambda c: sq8_decode(c, mn, mx)
-    if "pq_codes" in columns:
+    if payload == "pq_codes":
         if codebooks is None:
             raise ValueError(
                 f"{op}: index is a PQ tree (pq_codes column) — pass its "
@@ -1061,6 +1062,16 @@ def _codec_view(
             )
         return "pq_codes", _pq_decode_expr(codebooks)
     return None, None
+
+
+def _codec_payload(columns: list[str]) -> str | None:
+    """Codec detection alone (no artifact validation, no decoder
+    construction): ``codes`` = SQ8, ``pq_codes`` = PQ, None = float."""
+    if "codes" in columns:
+        return "codes"
+    if "pq_codes" in columns:
+        return "pq_codes"
+    return None
 
 
 def _keep_latest_per_id(
@@ -1326,8 +1337,32 @@ def retrain_quantized_ivf(
         # one lineage cut (ARCHITECTURE §3)
         .transform(lineage_cut)
     )
+    # the same corrupt-codes refusal as compaction: a survivor whose
+    # codes fail to reconstruct would otherwise be SILENTLY DROPPED by
+    # the rebuild's drop_null_vectors (permanent data loss with no
+    # error) — or crash the seed collect with a raw TypeError if its id
+    # lands in the seed window
+    if payload == "codes":
+        expect_dim = len(bounds[0])
+    else:
+        _m, _dsub = _pq_geometry(codebooks)
+        expect_dim = _m * _dsub
+    n_bad = latest.filter(
+        F.col("_rv").isNull() | (F.size("_rv") != expect_dim)
+    ).count()
+    if n_bad:
+        raise ValueError(
+            f"{op}: {n_bad} row(s) at {path} failed to reconstruct to "
+            f"{expect_dim} dims — corrupt or foreign codes; refusing to "
+            "retrain over a survivor set that would silently lose them"
+        )
     seeds = latest.orderBy(id_col).limit(n_centroids)
     seed_rows = [(r[0], [float(x) for x in r[1]]) for r in seeds.collect()]
+    if not seed_rows:
+        raise ValueError(
+            f"{op}: index at {path} has no surviving vectors to retrain "
+            "from (empty tree?) — there is nothing to re-seed Lloyd with"
+        )
     new_cents = (
         lloyd_refine_rows(latest, seed_rows, n_iters=lloyd_iters, vec_col="_rv")
         if lloyd_iters > 0
@@ -2061,6 +2096,10 @@ def index_codec_frontier(
     root = parsed.path if parsed.scheme else base_dir
     corpus = drop_null_vectors(corpus, vec_col).select(id_col, vec_col)
     corpus = corpus.transform(lineage_cut)
+    # queries feed the truth cross-join plus one probe-assign (with its
+    # distinct-collect action) and one broadcast per codec — ~7
+    # traversals; cut them for the same reason as the corpus
+    queries = queries.select(id_col, vec_col).transform(lineage_cut)
     cents = _seed_centroids(corpus, n_centroids, lloyd_iters, id_col, vec_col)
     truth = cosine_topk(
         corpus, queries, k=k, id_col=id_col, vec_col=vec_col
@@ -2068,12 +2107,22 @@ def index_codec_frontier(
 
     fpath, spath, ppath = (os.path.join(root, c) for c in ("float", "sq8", "pq"))
     build_ivf_index(corpus, fpath, centroids=cents, id_col=id_col, vec_col=vec_col)
+    # a schemeless base_dir resolves against fs.defaultFS, which need
+    # not be the driver's local filesystem — if the tree did not land
+    # where tree_bytes() will walk, the bytes column would be silently
+    # zero, the exact wrong-report mode the loud guard above exists for
+    if not os.path.isdir(fpath):
+        raise ValueError(
+            f"index_codec_frontier: {fpath} was not created on the "
+            "driver-local filesystem (non-local fs.defaultFS?); the byte "
+            "measurement is local-only — pass an explicit file: URI"
+        )
     _, bounds = build_sq8_ivf_index(
         corpus, spath, centroids=cents, id_col=id_col, vec_col=vec_col
     )
     _, codebooks = build_pq_ivf_index(
         corpus, ppath, centroids=cents, m=m, dsub=dsub, k=pq_k,
-        id_col=id_col, vec_col=vec_col,
+        lloyd_iters=lloyd_iters, id_col=id_col, vec_col=vec_col,
     )
 
     def tree_bytes(p: str) -> int:
@@ -3100,6 +3149,11 @@ def pq_codebooks(
         # not satisfy — explicit seed ids map to dense cells 0..k-1 by
         # rank (a k-entry when-chain; k is codebook metadata, never data)
         sids = sorted(seed_ids)[:k]
+        if not sids:
+            raise ValueError(
+                "pq_codebooks: seed_ids is empty — no surviving vectors "
+                "to seed the codebooks from (empty index/corpus?)"
+            )
         cell_of = F.when(F.col(id_col) == sids[0], F.lit(0))
         for i, sid in enumerate(sids[1:], start=1):
             cell_of = cell_of.when(F.col(id_col) == sid, F.lit(i))
@@ -3741,6 +3795,9 @@ def ivf_recall_report(
     the number an operator actually serves at, truth side unchanged
     (brute force over the live float corpus)."""
     truth = cosine_topk(corpus, queries, k=k, id_col=id_col, vec_col=vec_col)
+    # one schema-only read (footer listing, no data) detects the codec
+    # and validates the artifact with the named error; the decode side
+    # of _codec_view is a lazy closure, so nothing unused is built
     payload, _ = _codec_view(
         _read_index(spark, path, "ivf_recall_report").columns,
         bounds,

@@ -1377,6 +1377,21 @@ def run_streaming_ivf_upsert(
             f"run_streaming_ivf_upsert: {index_path} is a PQ index "
             "(pq_codes column) — pass its frozen codebooks"
         )
+    # symmetric with the new-index ambiguity guard: a SPURIOUS second
+    # artifact against an existing quantized tree means the operator
+    # mixed up two indexes' artifacts — refuse before the stream starts
+    if codec == "sq8" and codebooks is not None:
+        raise ValueError(
+            f"run_streaming_ivf_upsert: {index_path} is an SQ8 index but "
+            "PQ codebooks were ALSO passed — artifacts from two different "
+            "indexes? pick the one that matches this tree"
+        )
+    if codec == "pq" and bounds is not None:
+        raise ValueError(
+            f"run_streaming_ivf_upsert: {index_path} is a PQ index but "
+            "SQ8 bounds were ALSO passed — artifacts from two different "
+            "indexes? pick the one that matches this tree"
+        )
     if base_file.exists():
         try:
             base_wave = int(_json.loads(base_file.read_text())["base_wave"])

@@ -1970,3 +1970,50 @@ def test_index_codec_frontier(spark, tmp_path):
         sim.index_codec_frontier(
             spark, em, queries, "hdfs://nowhere/frontier"
         )
+
+
+def test_quantized_retrain_guards(spark, tmp_path):
+    """Review-pass regressions on the quantized retrain: (a) a survivor
+    whose codes fail to reconstruct ABORTS the retrain loudly — the
+    rebuild's drop_null_vectors would otherwise silently delete it from
+    the new tree (permanent data loss, no error); (b) an empty tree
+    refuses with the survivor-set named, not a raw IndexError from the
+    codebook seeder; (c) a spurious second artifact against an existing
+    quantized tree stops the ingest stream before it starts."""
+    from pyspark.sql import functions as F
+
+    from data_pipelines_cu_spark.operators import similarity as sim
+    from data_pipelines_cu_spark.streaming.jobs import run_streaming_ivf_upsert
+
+    em = (
+        _embeddings(spark)
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id", "embedding")
+    )
+    pidx = str(tmp_path / "pq")
+    cents, codebooks = sim.build_pq_ivf_index(em, pidx, n_centroids=8)
+    corrupt = spark.createDataFrame(
+        [(9001, [99, 0, 0, 0], 0, 1)],
+        "vec_id long, pq_codes array<int>, cell int, wave int",
+    )
+    corrupt.write.partitionBy("cell", "wave").mode("append").parquet(pidx)
+    with pytest.raises(ValueError, match="failed to reconstruct"):
+        sim.retrain_quantized_ivf(spark, pidx, codebooks=codebooks)
+
+    empty = str(tmp_path / "empty")
+    spark.createDataFrame(
+        [], "vec_id long, codes array<int>, cell int, wave int"
+    ).write.parquet(empty)
+    bounds = ([0.0] * 4, [1.0] * 4)
+    with pytest.raises(ValueError, match="no surviving vectors"):
+        sim.retrain_quantized_ivf(spark, empty, bounds=bounds)
+
+    sidx = str(tmp_path / "sq8")
+    scents, sbounds = sim.build_sq8_ivf_index(em, sidx, n_centroids=8)
+    rows = [(1, [0.0] * 64)]
+    qs = _stream_vectors(spark, tmp_path / "src", rows)
+    with pytest.raises(ValueError, match="PQ codebooks were ALSO passed"):
+        run_streaming_ivf_upsert(
+            qs, sidx, scents, str(tmp_path / "ck"),
+            bounds=sbounds, codebooks=codebooks,
+        )
