@@ -2017,3 +2017,52 @@ def test_quantized_retrain_guards(spark, tmp_path):
             qs, sidx, scents, str(tmp_path / "ck"),
             bounds=sbounds, codebooks=codebooks,
         )
+
+
+def test_streaming_ann_query_serves_pq_index(spark, tmp_path):
+    """PQ leg of the serving stream's codec dispatch (the SQ8 leg is
+    pinned in test_quantized_index_compaction_and_serving_dispatch):
+    pq_codes routes through query_pq_ivf_index with the frozen
+    codebooks, parity with the batch query path; missing codebooks
+    fail fast with the artifact named."""
+    from pyspark.sql import functions as F
+
+    from data_pipelines_cu_spark.operators import similarity as sim
+    from data_pipelines_cu_spark.streaming.jobs import run_streaming_ann_query
+
+    em = (
+        _embeddings(spark)
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id", "embedding")
+    )
+    pidx = str(tmp_path / "pq")
+    cents, codebooks = sim.build_pq_ivf_index(em, pidx, n_centroids=8)
+    queries = em.filter(F.col("vec_id") < 5)
+    rows = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in queries.collect()
+    ]
+    qs = _stream_vectors(spark, tmp_path / "q", rows)
+    res = str(tmp_path / "res")
+    assert run_streaming_ann_query(
+        qs, pidx, cents, res, str(tmp_path / "ck"),
+        k=5, n_probe=2, id_col="vec_id", codebooks=codebooks,
+    ).awaitTermination(120)
+    got = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in spark.read.parquet(res).collect()
+    )
+    want = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in sim.query_pq_ivf_index(
+            spark, pidx, cents, codebooks, queries, k=5, n_probe=2
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+    qs2 = _stream_vectors(spark, tmp_path / "q2", rows[:1])
+    with pytest.raises(ValueError, match="PQ index .* frozen codebooks"):
+        run_streaming_ann_query(
+            qs2, pidx, cents, str(tmp_path / "res2"), str(tmp_path / "ck2"),
+            id_col="vec_id",
+        )
