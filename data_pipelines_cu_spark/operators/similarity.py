@@ -782,9 +782,20 @@ def _seed_centroids(
     PQ): deterministic seeds (the n lowest-id vectors) refined by the
     order-independent Lloyd pass. One place, not three — a seeding or
     refinement tweak replicated by hand would let a rebuilt index
-    silently disagree with the one it replaces."""
+    silently disagree with the one it replaces. An empty seed set —
+    empty corpus after NULL-vector admission, or every id outside the
+    seed range — refuses loudly: continuing would write an empty/
+    garbage tree and return empty artifacts with no error anywhere
+    (measured: the SQ8 builder died later with an opaque 'exprs should
+    not be empty' assert, the PQ builder silently returned ([], []))."""
     seeds = corpus.filter(F.col(id_col) < n_centroids).select(id_col, vec_col)
     seed_rows = [(r[0], [float(x) for x in r[1]]) for r in seeds.collect()]
+    if not seed_rows:
+        raise ValueError(
+            f"_seed_centroids: no seed vectors ({id_col} < {n_centroids} "
+            "matched nothing) — empty corpus after the NULL-vector "
+            "admission rule, or ids outside the seed range"
+        )
     return (
         lloyd_refine_rows(corpus, seed_rows, n_iters=lloyd_iters, vec_col=vec_col)
         if lloyd_iters > 0
@@ -1431,6 +1442,11 @@ def build_sq8_ivf_index(
     if bounds is None:
         dim_row = corpus.select(F.size(vec_col)).first()
         dim = int(dim_row[0]) if dim_row else 0
+        if dim == 0:
+            raise ValueError(
+                "build_sq8_ivf_index: corpus has no non-NULL vectors to "
+                "learn quantization bounds from — nothing to index"
+            )
         b = sq8_bounds(corpus, vec_col=vec_col, dim=dim).first()
         bounds = ([float(x) for x in b["mn"]], [float(x) for x in b["mx"]])
     if centroids is not None:
@@ -1839,6 +1855,11 @@ def build_pq_ivf_index(
             (r["j"], r["cell"], [float(x) for x in r["cv"]])
             for r in cb_df.collect()  # m*k rows — artifact, never corpus
         )
+        if not codebooks:
+            raise ValueError(
+                "build_pq_ivf_index: corpus has no non-NULL vectors to "
+                "learn codebooks from — nothing to index"
+            )
     cent = _pq_codebook_df(spark, codebooks)
     # join back on (id, vector-string): duplicate ids in one batch keep
     # their OWN codes and cells (see _pq_encode), matching the float and
@@ -3059,12 +3080,19 @@ def _pq_subvecs(
     along unchanged.
 
     The vector dimension is guarded IN THE PLAN (row-local when, no
-    extra job): a vector whose size is not exactly m*dsub dies loudly at
-    execution. Without the guard F.slice silently returns short/empty
-    subvectors, the codebook join then yields NULL distances, and every
-    downstream cosine over the truncated reconstruction is NULL — an
-    index full of garbage with no error anywhere."""
-    checked = F.when(F.size(F.col(vec_col)) == m * dsub, F.col(vec_col)).otherwise(
+    extra job): a NON-NULL vector whose size is not exactly m*dsub dies
+    loudly at execution. Without the guard F.slice silently returns
+    short/empty subvectors, the codebook join then yields NULL
+    distances, and every downstream cosine over the truncated
+    reconstruction is NULL — an index full of garbage with no error
+    anywhere. NULL vectors pass through untouched (size(NULL) is NULL,
+    never a mismatch): the admission rule / null-cosine semantics
+    downstream own them, exactly as before the guard existed — the
+    all-NULL corpus sweep caught a first version that raised on them."""
+    checked = F.when(
+        F.col(vec_col).isNull() | (F.size(F.col(vec_col)) == m * dsub),
+        F.col(vec_col),
+    ).otherwise(
         F.raise_error(
             F.concat(
                 F.lit(

@@ -2066,3 +2066,54 @@ def test_streaming_ann_query_serves_pq_index(spark, tmp_path):
             qs2, pidx, cents, str(tmp_path / "res2"), str(tmp_path / "ck2"),
             id_col="vec_id",
         )
+
+
+def test_quantized_builders_degenerate_paths(spark, tmp_path):
+    """Degenerate probes for the codec family (the probe pattern that
+    found 7 crashes in r11, 3 in r12, and — this session — a guard that
+    raised on NULL vectors in the all-NULL corpus sweep): an empty
+    corpus refuses every builder with a NAMED error instead of an
+    opaque 'exprs should not be empty' assert (SQ8) or silently
+    returning empty artifacts over a garbage tree (PQ); all-NULL waves
+    are no-op landings on quantized trees per the admission rule; the
+    PQ paths keep their NULL-pass-through semantics (NULL vector in a
+    gate-shaped in-plan op never raises the dim guard)."""
+    from pyspark.sql import functions as F
+
+    from data_pipelines_cu_spark.operators import similarity as sim
+
+    schema = "vec_id long, embedding array<float>"
+    all_null = spark.createDataFrame([(7, None)], schema)
+    for name, fn in (
+        ("sq8", lambda: sim.build_sq8_ivf_index(
+            all_null, str(tmp_path / "sq8"), n_centroids=2)),
+        ("pq", lambda: sim.build_pq_ivf_index(
+            all_null, str(tmp_path / "pq"), n_centroids=2)),
+        ("float", lambda: sim.build_ivf_index(
+            all_null, str(tmp_path / "float"), n_centroids=2)),
+        ("frontier", lambda: sim.index_codec_frontier(
+            spark, all_null, all_null, str(tmp_path / "frontier"))),
+    ):
+        with pytest.raises(ValueError, match="no (non-NULL|seed) vectors"):
+            fn()
+
+    # valid small corpus; all-NULL waves are no-op landings everywhere
+    em = (
+        _embeddings(spark)
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id", "embedding")
+    )
+    sidx, pidx = str(tmp_path / "s2"), str(tmp_path / "p2")
+    cents, bounds = sim.build_sq8_ivf_index(em, sidx, n_centroids=8)
+    _, codebooks = sim.build_pq_ivf_index(em, pidx, centroids=cents)
+    n_s, n_p = (spark.read.parquet(p).count() for p in (sidx, pidx))
+    sim.upsert_sq8_ivf_index(all_null, sidx, cents, bounds, wave=1)
+    sim.upsert_pq_ivf_index(all_null, pidx, cents, codebooks, wave=1)
+    assert spark.read.parquet(sidx).count() == n_s
+    assert spark.read.parquet(pidx).count() == n_p
+
+    # NULL vector flowing through the IN-PLAN PQ ops (the gate shape)
+    # must not trip the dim guard — covered corpus-wide by
+    # test_empty_corpus, pinned here at the operator grain
+    mixed = em.limit(20).unionByName(all_null)
+    assert sim.cosine_topk_pq(mixed, k_neighbors=2, n_queries=2).count() >= 0
