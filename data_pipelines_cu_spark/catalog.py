@@ -51,6 +51,23 @@ def ensure_session_confs(spark: SparkSession) -> None:
     PYTHONPATH doesn't cover the repo."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Driver-side plan-construction speed (see session.py): PySpark 4's
+    # per-call call-site capture costs ~2 ms per Column/DataFrame op —
+    # 6x the py4j cost of the engine's expression-heavy builders.
+    # spark.python.sql.dataFrameDebugging.enabled is a STATIC conf
+    # (settable only at session build — session.py does), so for an
+    # externally-created vanilla session the only lever is pyspark's
+    # process-local cache of the flag; flip it directly, guarded so a
+    # pyspark that renames the internals degrades to slow-but-correct.
+    # Results are unaffected either way — only error-message call-site
+    # decoration is lost.
+    if os.environ.get("SPARK_GRAFT_DF_DEBUGGING", "false") == "false":
+        try:  # noqa: SIM105
+            from pyspark.errors import utils as _pyspark_err_utils  # noqa: PLC0415
+
+            _pyspark_err_utils._enable_debugging_cache = False
+        except (ImportError, AttributeError):
+            pass
     _ensure_workers_can_import(spark)
 
 
@@ -85,11 +102,55 @@ def _ensure_workers_can_import(spark: SparkSession) -> None:
     sc._dpcs_pyfile_added = True
 
 
+# Per-session cache of RESOLVED table handles: (session id, path, mtime,
+# size) -> DataFrame. spark.read.parquet pays DataSource resolution + file
+# listing + footer schema inference on EVERY call (~120 ms measured, even
+# for a 4-row dimension file), and the engine's 200 query fns call
+# load_table ~500 times per bench sweep — ~60 s of pure metadata work per
+# run. A metastore/manifest catalog (Hive, Iceberg — guide §6) exists to
+# amortize exactly this; the cache is this repo's stand-in. It holds plan
+# HANDLES only — schema + file listing, never rows; every action on a
+# cached handle still scans the parquet — and the (mtime, size) key
+# invalidates it if a fixture is rewritten in place, so a stale handle is
+# impossible for any test that regenerates its inputs.
+# Values are (session, DataFrame): holding the session keeps id(session)
+# from being recycled by the allocator while its entries are live.
+_TABLE_HANDLES: dict[tuple, tuple] = {}
+
+
+def _path_stamp(path: str) -> tuple:
+    try:
+        st = os.stat(path)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (None, None)
+
+
+def _raw_table(spark: SparkSession, path: str) -> DataFrame:
+    """The cached spark.read.parquet handle (pre-conversion — callers that
+    need the stored representation, e.g. events_between's pushdown on the
+    raw int64 ts, share this entry with load_table's conversion layer)."""
+    key = (id(spark), "raw", path, *_path_stamp(path))
+    hit = _TABLE_HANDLES.get(key)
+    if hit is None:
+        df = spark.read.parquet(path)
+        if len(_TABLE_HANDLES) > 256:
+            _TABLE_HANDLES.clear()
+        _TABLE_HANDLES[key] = (spark, df)
+        return df
+    return hit[1]
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     ensure_session_confs(spark)
-    df = spark.read.parquet(table_path(sf_dir, name))
+    path = table_path(sf_dir, name)
+    key = (id(spark), path, *_path_stamp(path))
+    hit = _TABLE_HANDLES.get(key)
+    if hit is not None:
+        return hit[1]
+    df = _raw_table(spark, path)
     # Nanosecond-timestamp columns arrive as long (nanosAsLong, session.py);
     # convert to Spark's microsecond TimestampType. The fixture generator
     # writes microsecond-precision values, so the floordiv loses nothing.
@@ -104,6 +165,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for cname, dtype in df.dtypes:
         if dtype == "timestamp_ntz":
             df = df.withColumn(cname, F.col(cname).cast("timestamp"))
+    # Bound the cache: one entry per (session, table file) — a long-lived
+    # process cycling many sessions/sf_dirs must not grow it unboundedly.
+    if len(_TABLE_HANDLES) > 256:
+        _TABLE_HANDLES.clear()
+    _TABLE_HANDLES[key] = (spark, df)
     return df
 
 
@@ -120,7 +186,7 @@ def events_between(
     which is the difference between scanning a day and scanning 100 TB.
     """
     ensure_session_confs(spark)
-    raw = spark.read.parquet(table_path(sf_dir, "events"))
+    raw = _raw_table(spark, table_path(sf_dir, "events"))
     ts_type = dict(raw.dtypes).get("ts")
     if ts_type == "bigint":
         lo = F.lit(start_ts).cast("timestamp")

@@ -323,19 +323,26 @@ def dedup_clusters(
         # (id, id) pair table a production run would persist anyway.
         .transform(lineage_cut)
     )
+    # Lazy cut: the fixpoint probe right below materializes the label table
+    # and computes its sum in the SAME job — an eager cut here would run a
+    # separate full pass first (2 jobs per table where 1 suffices; the same
+    # fusion is applied to every round's cut+probe pair in the loop).
     labels = (
         edges.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .transform(lineage_cut)
+        .transform(lambda d: lineage_cut(d, eager=False))
     )
     # Identity edges (node, node) folded into the adjacency let each round
     # compute min(self ∪ neighbors) with ONE join+aggregate — the separate
     # "least(own label, neighbor min)" left-join the loop used to run is a
     # full label-table shuffle per round that the union makes redundant.
+    # No cut on adj: both inputs are already materialized cuts, and the
+    # union of two checkpointed RDDs is a zero-compute narrow op — an
+    # eager cut here was one more full-table job that bought nothing.
     adj = edges.unionByName(
         labels.select(F.col("node").alias("a"), F.col("node").alias("b"))
-    ).transform(lineage_cut)
+    )
 
     # Fixpoint probe: labels only ever DECREASE (least of self and
     # neighbors), so the exact sum of labels is strictly monotone until
@@ -370,12 +377,15 @@ def dedup_clusters(
                 ).alias("label"),
             )
         )
-        # Checkpoint BEFORE the fixpoint probe: the round's plan (two joins
-        # + agg) executes exactly once and both the changed-count and the
-        # next round read the materialized labels. Checkpointing after the
-        # count re-executed the whole round plan a second time (and the
-        # doubling self-join a third) — measured 3x the round wall.
-        new_labels = new_labels.transform(lineage_cut)
+        # LAZY checkpoint fused with the fixpoint probe: the probe's job
+        # materializes the round's plan (two joins + agg) into checkpoint
+        # blocks AND computes the label sum in one pass — the eager-cut +
+        # separate-probe sequence this replaces ran two full jobs per
+        # round for the same result (the round plan still executes
+        # exactly once; the next round reads the materialized labels).
+        new_labels = new_labels.transform(
+            lambda d: lineage_cut(d, eager=False)
+        )
         new_sum = _label_sum(new_labels)
         labels = new_labels
         if new_sum == prev_sum:
@@ -543,40 +553,48 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     # holds a per-doc one-count, so it saturates only past 2^21 distinct
     # words in ONE document — far beyond any real document. The ±1 vote
     # sign is recovered as ones*2 > n.
-    def _bit(i: int) -> Column:
+    # The vote/digit expressions are GENERATED AS SQL STRINGS and parsed by
+    # one F.expr call each: the Column-by-Column construction this replaces
+    # issued ~800 py4j round trips (~1.7 s of driver wall per call at any
+    # data size — measured; the parsed trees are the same Catalyst
+    # expressions, so the plan and the results are bit-identical).
+    def _bit(i: int) -> str:
         d, k = divmod(i, 4)
-        half = F.col("hi") if d < 8 else F.col("lo")
-        digit = F.shiftright(half, 4 * (7 - d % 8)).bitwiseAND(F.lit(15))
-        return F.shiftright(digit, 3 - k).bitwiseAND(F.lit(1))
+        half = "hi" if d < 8 else "lo"
+        digit = f"(shiftright({half}, {4 * (7 - d % 8)}) & 15)"
+        return f"(shiftright({digit}, {3 - k}) & 1)"
 
     sums = [F.count(F.lit(1)).alias("n")]
     for g in range(22):
-        packed = None
+        terms = []
         for lane in range(3):
             i = 3 * g + lane
             if i >= SIMHASH_BITS:
                 break
-            term = _bit(i) if lane == 0 else F.shiftleft(_bit(i), 21 * lane)
-            packed = term if packed is None else packed + term
-        sums.append(F.sum(packed).alias(f"g{g}"))
+            terms.append(
+                _bit(i) if lane == 0 else f"shiftleft({_bit(i)}, {21 * lane})"
+            )
+        sums.append(F.expr(f"sum({' + '.join(terms)})").alias(f"g{g}"))
     votes = words.groupBy(id_col).agg(*sums)
 
-    def _ones(i: int) -> Column:
+    def _ones(i: int) -> str:
         g, lane = divmod(i, 3)
-        return F.shiftright(F.col(f"g{g}"), 21 * lane).bitwiseAND(
-            F.lit((1 << 21) - 1)
-        )
+        return f"(shiftright(g{g}, {21 * lane}) & {(1 << 21) - 1})"
 
     # reassemble: hex digit d = sum over k of (ones_{4d+k}*2 > n) << (3-k)
     digits = []
     for d in range(16):
-        val = None
-        for k in range(4):
-            majority = _ones(4 * d + k) * 2 > F.col("n")
-            bit = F.when(majority, F.lit(1 << (3 - k))).otherwise(0)
-            val = bit if val is None else val + bit
-        digits.append(F.substring(F.lit("0123456789abcdef"), val + 1, 1))
-    return votes.select(F.col(id_col), F.concat(*digits).alias("simhash"))
+        val = " + ".join(
+            f"(CASE WHEN ({_ones(4 * d + k)} * 2) > n "
+            f"THEN {1 << (3 - k)} ELSE 0 END)"
+            for k in range(4)
+        )
+        digits.append(
+            f"substring('0123456789abcdef', ({val}) + 1, 1)"
+        )
+    return votes.select(
+        F.col(id_col), F.expr(f"concat({', '.join(digits)})").alias("simhash")
+    )
 
 
 def simhash_oracle_sql(table: str = "documents", text_expr: str = "text", id_col: str = "doc_id") -> str:

@@ -160,6 +160,17 @@ def edit_distance_pairs(
         F.col(c).alias("_s"),
         F.length(c).alias("_len"),
     )
+    # Pin the segment/probe explode's parallelism (the byte-blind-AQE rule,
+    # ARCHITECTURE §12): the explode below amplifies each input row into
+    # ~k + k(d+1)(d+1) index/probe rows plus a substring+hash per row, so a
+    # narrow input (one small parquet split, or an AQE-coalesced exchange)
+    # runs the whole amplification serially — measured here as two
+    # single-task BroadcastExchange builds of 1.1 s and 2.7 s CPU inside a
+    # 5.5 s query at sf0.1. One round-robin exchange of the (id, string)
+    # base rows spreads it; every consumer (index, probe, verify-side name
+    # lookups, short-string brute path) reuses the same exchange, which
+    # also collapses the plan's 3 identical scans to 1 + ReusedExchange.
+    base = base.repartition(df.sparkSession.sparkContext.defaultParallelism)
     # 0-based even-partition scheme for a length-L string: segment i has
     # length l_i = (L div k) + [i >= k - L%k], start p_i = i*(L div k) +
     # max(0, i - (k - L%k)).
@@ -231,6 +242,7 @@ def edit_distance_pairs(
     seg_key = F.xxhash64("idx_len", "seg_idx", "seg").alias("_h")
     pair_ids = (
         probe.select("_blk", "_pid", seg_key)
+        .hint("shuffle_hash")
         .join(idx.select("_blk", "_iid", seg_key), ["_blk", "_h"])
         .filter(F.col("_pid") != F.col("_iid"))
         .select(

@@ -28,6 +28,18 @@ _DEFAULT_CONF = {
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"),
     # Arrow for any pandas_udf / toPandas path (10-100x over pickle).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # PySpark 4's DataFrame-debugging layer captures the user call site on
+    # EVERY DataFrame/Column function call (a Python stack walk plus two
+    # extra py4j round trips: a conf read + PySparkCurrentOrigin.set).
+    # Measured on this engine's expression-heavy builders: 2.2 ms/op with
+    # it on vs 0.35 ms/op off — 6x the driver-side plan-construction cost,
+    # which for the banded/hashed operators (minhash, simhash, PQ) was a
+    # full second per query. The only loss is call-site decoration in
+    # error messages; plans and results are identical. Overridable for
+    # debugging sessions via the env knob.
+    "spark.python.sql.dataFrameDebugging.enabled": os.environ.get(
+        "SPARK_GRAFT_DF_DEBUGGING", "false"
+    ),
     # Dynamic partition overwrite: idempotent per-partition recompute
     # (reference's delete-matching-then-insert upsert, SURVEY.md §2.6 O5).
     "spark.sql.sources.partitionOverwriteMode": "dynamic",
