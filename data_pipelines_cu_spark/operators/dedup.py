@@ -90,33 +90,46 @@ def ngram_jaccard_pairs(
     in block size (measured 25x slower at sf0.1) and cannot survive a
     100x corpus. Blocking still bounds the candidate key space; unblocked
     near-dup at scale goes through minhash_lsh_pairs below."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    # Per-doc gram-set size rides the gram rows via one window over the
+    # already-distinct table instead of a third consumption of the whole
+    # tokenize→distinct subtree (the old separate groupBy(id) aggregate +
+    # two size joins after the pair count: one extra full tokenize pass
+    # and two extra joins for values the gram rows can carry themselves;
+    # same integer counts → bit-identical jaccard).
     grams = (
         gram_rows(df, text_col, id_col, n)
         .select(F.col(id_col), "gram")
         .distinct()
         .join(df.select(id_col, block_col), id_col)
+        .withColumn(
+            "n_grams", F.count(F.lit(1)).over(Window.partitionBy(id_col))
+        )
     )
-    sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
     a = grams.select(
-        F.col(block_col).alias("_blk"), F.col(id_col).alias("id_a"), "gram"
+        F.col(block_col).alias("_blk"), F.col(id_col).alias("id_a"),
+        "gram", F.col("n_grams").alias("size_a"),
     )
     b = grams.select(
-        F.col(block_col).alias("_blk"), F.col(id_col).alias("id_b"), "gram"
+        F.col(block_col).alias("_blk"), F.col(id_col).alias("id_b"),
+        "gram", F.col("n_grams").alias("size_b"),
     )
     shared = (
         a.join(b, ["_blk", "gram"])
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            # constant within the (id_a, id_b) group — carried, not joined
+            F.first("size_a").alias("size_a"),
+            F.first("size_b").alias("size_b"),
+        )
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_grams").alias("size_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_grams").alias("size_b"))
     inter = F.col("n_shared").cast("double")
     union = (F.col("size_a") + F.col("size_b")).cast("double") - inter
     return (
-        shared.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn("jac", inter / union)
+        shared.withColumn("jac", inter / union)
         .filter(F.col("jac") >= threshold)
         .select("id_a", "id_b", F.round("jac", 6).alias("jac"))
     )

@@ -415,12 +415,31 @@ def ivf_assign(
     return best.drop("_centroid_v", "_cscore", "_crank")
 
 
+def _widen_if_narrow(df: DataFrame) -> DataFrame:
+    """Round-robin repartition ONLY when the input plan has fewer
+    partitions than the cluster's parallelism — the corpus-side guard of
+    the byte-blind-AQE rule (ARCHITECTURE §12): an Arrow kernel amplifies
+    compute per byte (k-centroid cosine per row), so a narrow source (one
+    small parquet split) runs the whole pass on one core while 31 idle. At
+    scale a real scan already has >= cores partitions and this is a no-op
+    — the check reads the planned partitioning, it never runs a job."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    try:
+        if df.rdd.getNumPartitions() >= target:
+            return df
+    except Exception:  # noqa: BLE001 — planning hiccup: keep the plan as-is
+        return df
+    return df.repartition(target)
+
+
 def ivf_assign_arrow(
     vectors: DataFrame,
     centroids: list[tuple[int, list[float]]],
     vec_col: str = "embedding",
     out_col: str = "cell",
     n_best: int = 1,
+    widen: bool = False,
 ) -> DataFrame:
     """Arrow fast path for ``ivf_assign``: centroids arrive as a collected
     (cell_id, vector) list — small BY CONTRACT (the index's cell count, not
@@ -435,6 +454,8 @@ def ivf_assign_arrow(
     cents = sorted(centroids)  # cell ASC → stable-sort tie-break on ties
     cell_ids = np.array([c[0] for c in cents], dtype=np.int64)
     C = np.array([c[1] for c in cents], dtype=np.float64)
+    if widen:  # corpus-side callers only — query batches stay narrow
+        vectors = _widen_if_narrow(vectors)
 
     def fn(batches):
         for pdf in batches:
@@ -501,7 +522,7 @@ def lloyd_refine_rows(
     cent_rows = sorted(seed_rows)
     for _ in range(n_iters):
         assigned = ivf_assign_arrow(
-            corpus.select(vec_col), cent_rows, vec_col=vec_col
+            corpus.select(vec_col), cent_rows, vec_col=vec_col, widen=True
         )
         exploded = assigned.select(
             "cell", F.posexplode(F.col(vec_col)).alias("pos", "val")
@@ -557,6 +578,7 @@ def cosine_topk_ivf(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
         cent_rows,
         vec_col="cv",
+        widen=True,
     )
     probes = ivf_assign_arrow(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
@@ -2498,7 +2520,7 @@ def assign_nearest_distributed(
     )
     probes = ivf_assign_arrow(
         vectors.select(F.col(id_col), F.col(vec_col)), coarse_rows,
-        vec_col=vec_col, out_col="coarse", n_best=probe,
+        vec_col=vec_col, out_col="coarse", n_best=probe, widen=True,
     )
 
     def local_best(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
@@ -2565,7 +2587,9 @@ def kmeans_assign(
             if lloyd_iters > 0
             else sorted(seed_rows)
         )
-        return ivf_assign_arrow(corpus, cent_rows, vec_col=vec_col, out_col=out_col)
+        return ivf_assign_arrow(
+            corpus, cent_rows, vec_col=vec_col, out_col=out_col, widen=True
+        )
 
     # --- large-k path: centroids never materialize on the driver ---
     import math  # noqa: PLC0415
@@ -3128,20 +3152,30 @@ def _pq_assign_codes(
     operator, and the persisted-index encode must agree on this rule —
     a tiebreak tweak replicated by hand would let the index and its
     oracle silently disagree. Returns the winning joined row per
-    (*keys, j) with ``_d``/``_r`` dropped; callers project."""
-    return (
-        sub.join(F.broadcast(cent), "j")
-        .withColumn("_d", _l2_sq(F.col("sv"), F.col("cv")))
-        .withColumn(
-            "_r",
-            F.row_number().over(
-                Window.partitionBy(*keys, "j").orderBy(
-                    F.col("_d").asc(), F.col("cell").asc()
-                )
-            ),
-        )
-        .filter(F.col("_r") == 1)
-        .drop("_r", "_d")
+    (*keys, j) with ``_d`` dropped; callers project.
+
+    The argmin is a hash aggregate over min(struct(_d, cell, ...)) —
+    struct ordering compares _d first, then cell, so the winner and the
+    tie-break are EXACTLY the old row_number window's (_d asc, cell asc),
+    but the aggregate partial-aggregates map-side: the shuffle carries one
+    candidate per (row, subspace) instead of the full k-way candidate
+    fan-out, and there is no sort (k-fold fewer shuffled rows at any
+    scale). The trailing struct fields ride along for free: cell is
+    unique per (row, j) group, so fields after it never affect ordering."""
+    joined = sub.join(F.broadcast(cent), "j").withColumn(
+        "_d", _l2_sq(F.col("sv"), F.col("cv"))
+    )
+    extra = [
+        c for c in joined.columns if c not in (*keys, "j", "_d", "cell")
+    ]
+    win = joined.groupBy(*keys, "j").agg(
+        F.min(F.struct("_d", "cell", *extra)).alias("_w")
+    )
+    return win.select(
+        *keys,
+        "j",
+        F.col("_w.cell").alias("cell"),
+        *[F.col(f"_w.{c}").alias(c) for c in extra],
     )
 
 
@@ -3433,6 +3467,7 @@ def cosine_topk_ivfpq(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
         cent_rows,
         vec_col="cv",
+        widen=True,
     )
     resid = (
         indexed.join(cent_df, "cell")
@@ -3450,19 +3485,15 @@ def cosine_topk_ivfpq(
         resid.select("neighbor_id", "rv"), m=m, dsub=dsub,
         id_col="neighbor_id", vec_col="rv",
     )
+    # same argmin-as-aggregate shape as _pq_assign_codes (min over
+    # struct(_d, code) ≡ the old (_d asc, code asc) window, partial-
+    # aggregable map-side — k-fold fewer shuffled rows)
     codes = (
         sub.join(F.broadcast(cb), "j")
         .withColumn("_d", _l2_sq(F.col("sv"), F.col("pcv")))
-        .withColumn(
-            "_r",
-            F.row_number().over(
-                Window.partitionBy("neighbor_id", "j").orderBy(
-                    F.col("_d").asc(), F.col("code").asc()
-                )
-            ),
-        )
-        .filter(F.col("_r") == 1)
-        .select("neighbor_id", "j", "code")
+        .groupBy("neighbor_id", "j")
+        .agg(F.min(F.struct("_d", "code")).alias("_w"))
+        .select("neighbor_id", "j", F.col("_w.code").alias("code"))
     )
     rrec = (
         codes.join(F.broadcast(cb), ["j", "code"])
@@ -3476,13 +3507,16 @@ def cosine_topk_ivfpq(
             ).alias("rr")
         )
     )
+    # no cut: xhat has exactly ONE consumer (the probe join below) — a
+    # materialization here was a full extra pass that bought nothing
+    # (the cuts that stay, resid and the codebook rounds, each feed 2+
+    # consumers)
     xhat = (
         resid.select("neighbor_id", "cell", "cv", "ccv")
         .join(rrec, "neighbor_id")
         .withColumn("xh", F.zip_with("ccv", "rr", lambda c, r: c + r))
         .withColumn("xn", norm(F.col("xh")))
         .withColumn("cn", norm(F.col("cv")))
-        .transform(lineage_cut)
     )
     probes = ivf_assign_arrow(
         corpus.filter(F.col(id_col) < n_queries).select(
