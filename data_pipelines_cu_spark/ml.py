@@ -485,9 +485,20 @@ def nb_lang_predict(
         F.sum("mult").cast("long").alias("c")
     )
     ntot = dbc.groupBy(label_col).agg(F.sum("mult").cast("long").alias("n"))
-    ndocs = df.count()
-    priors = df.groupBy(label_col).agg(
-        (F.count(F.lit(1)).cast("double") / F.lit(float(ndocs))).alias("pr")
+    # corpus total as an in-plan broadcast scalar (was a separate df.count()
+    # action — one full pass for a value the prior only needs as a divisor;
+    # long->double cast equals the old float(ndocs) literal bit-for-bit)
+    ndocs = df.agg(F.count(F.lit(1)).alias("_nd"))
+    priors = (
+        df.groupBy(label_col)
+        .agg(F.count(F.lit(1)).alias("_nl"))
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            label_col,
+            (F.col("_nl").cast("double") / F.col("_nd").cast("double")).alias(
+                "pr"
+            ),
+        )
     )
     langs = F.broadcast(df.select(F.col(label_col).alias("cand")).distinct())
     cand_counts = F.broadcast(
@@ -692,12 +703,24 @@ def pca_top_component(
     identically on both engines (the oracle generates exactly dim
     positions)."""
     spark = df.sparkSession
-    vecs = df.select(
-        F.col(id_col).alias("_id"),
-        F.expr(
-            f"transform(slice({vec_col}, 1, {dim}), x -> CAST(x AS DOUBLE))"
-        ).alias("_v"),
-    ).transform(lineage_cut)  # one materialization, reused per round
+    # widen BEFORE the cut: a checkpointed small table keeps its (often
+    # AQE-coalesced-to-1) partitioning, so every round's decimal-fold
+    # projection ran single-task (3 x ~325 ms measured); the repartition
+    # stores the cut wide and the per-round folds run on all cores. The
+    # projection/re-mix sums are exact decimals — order-independent, so
+    # partitioning cannot change a bit of the result.
+    from .operators.similarity import _widen_if_narrow  # noqa: PLC0415
+
+    vecs = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.expr(
+                f"transform(slice({vec_col}, 1, {dim}), x -> CAST(x AS DOUBLE))"
+            ).alias("_v"),
+        )
+        .transform(_widen_if_narrow)
+        .transform(lineage_cut)  # one materialization, reused per round
+    )
     seed = 1.0 / math.sqrt(dim)  # unit-norm seed: the round-1 Rayleigh
     # estimate ||C w0|| is only an eigenvalue estimate if ||w0|| = 1
     w_arr = spark.range(1).select(

@@ -1302,7 +1302,11 @@ def quality_quantile_calibrate(
 
     from .windows import blocked_row_number  # noqa: PLC0415
 
-    n_total = df.count()
+    # corpus total as an in-plan broadcast 1-row aggregate: the old
+    # df.count() was a separate full pass over the SCORED frame (the
+    # quality scorer executed once extra) for a value the rank arithmetic
+    # only needs as a long scalar
+    n_total = df.agg(F.count(F.lit(1)).alias("_ntot"))
     ws = W.partitionBy(group_col).orderBy(score_col, id_col)
     ranked = df.select(
         F.col(id_col),
@@ -1310,11 +1314,11 @@ def quality_quantile_calibrate(
         F.col(score_col),
         F.row_number().over(ws).alias("src_rank"),
         F.count(F.lit(1)).over(W.partitionBy(group_col)).alias("_n_src"),
-    )
+    ).crossJoin(F.broadcast(n_total))
     # ceil(r*N / n_src) in exact integer arithmetic — SQL `div` on longs,
     # never `/`: double division drifts past 2^53 and can pick a
     # different selection member than the oracle's integer `//`.
-    target = F.expr(f"(src_rank * {n_total}L + _n_src - 1) div _n_src")
+    target = F.expr("(src_rank * _ntot + _n_src - 1) div _n_src")
     glob = blocked_row_number(
         df.select(
             F.col(score_col).alias("_gscore"), F.col(id_col).alias("_gid")
