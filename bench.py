@@ -542,47 +542,62 @@ def main() -> None:
         )
     except OSError:
         pass
-    # The VERY LAST stdout write is a totals-only line, well under 1 KB, so
-    # the driver's tail window always contains the complete JSON object.
+    # The VERY LAST stdout write is the driver-visible line. The driver
+    # captures only the last ~2,000 chars of stdout (measured: the recorded
+    # tail in every BENCH_r*.json is exactly 2,000 chars), so this line must
+    # stay under that or its head — "metric", "value" — is truncated and the
+    # whole artifact parses to null (rounds 1-3). Round 14 restores the
+    # per-query timings contract here (VERDICT r13, item 1: the totals-only
+    # "queries": {} line left PERF_r13 with no per-query table, no geomean
+    # and an empty scaling block): the dict is filled MOST-EXPENSIVE-FIRST
+    # from the full headline+long-tail walls, up to a hard character budget
+    # that keeps the complete JSON object inside the tail window. Same
+    # timings, same methodology — only where they are printed changes; the
+    # complete dicts still go to the first stdout line and BENCH_DETAIL.json.
     sys.stdout.flush()
     sys.stderr.flush()
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "n": REPEATS,
-                "n_queries": len(timings),
-                "queries": {},
-                # the full selftest census lives in the detail artifact; the
-                # totals line carries a one-word status so the forensics
-                # layer can't push the line past the driver's tail window
-                "diagnostics": {
-                    **extras,
-                    "forensics_selftest": selftest_status(
-                        extras.get("forensics_selftest")
-                    ),
-                },
-                # full entries live in BENCH_DETAIL.json; the totals line
-                # carries at most the 10 worst names plus the total count
-                # so even a catastrophically-degraded box that flags half
-                # the registry cannot push the line past the driver's
-                # ~2KB tail window and truncate the JSON head
-                "regressions": [r["query"] for r in regressions[:10]],
-                "n_regressions": len(regressions),
-                # flags whose per-query MIN cleared the threshold the
-                # median tripped: mechanically attributable to scheduler
-                # stalls (see sched_probe), not plan changes
-                "n_stall_suspect": sum(
-                    1 for r in regressions if r.get("stall_suspect")
-                ),
-                "sf": sf_val,
-            },
-            separators=(",", ":"),
-        ),
-        flush=True,
-    )
+    final = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "n": REPEATS,
+        "n_queries": len(timings),
+        "queries": {},
+        # the full selftest census lives in the detail artifact; the
+        # totals line carries a one-word status so the forensics
+        # layer can't push the line past the driver's tail window
+        "diagnostics": {
+            **extras,
+            "forensics_selftest": selftest_status(extras.get("forensics_selftest")),
+        },
+        # flag NAMES live in the detail line / BENCH_DETAIL.json; the final
+        # line spends its budget on per-query walls (the gate's input) and
+        # keeps only the counts — a catastrophically-degraded box that flags
+        # half the registry cannot push the line past the tail window
+        "n_regressions": len(regressions),
+        # flags whose per-query MIN cleared the threshold the
+        # median tripped: mechanically attributable to scheduler
+        # stalls (see sched_probe), not plan changes
+        "n_stall_suspect": sum(1 for r in regressions if r.get("stall_suspect")),
+        "sf": sf_val,
+    }
+    budget = 1880 - len(json.dumps(final, separators=(",", ":")))
+    fill: dict[str, float] = {}
+    used = 0
+    for name, wall in sorted(
+        {**long_tail, **timings}.items(), key=lambda kv: (-kv[1], kv[0])
+    ):
+        # 0.1 floor: a 0.0 entry would poison the driver's ratio math
+        val = max(round(wall, 1), 0.1)
+        cost = len(name) + 4 + len(json.dumps(val)) + 1  # "name":val,
+        if used + cost > budget:
+            break
+        fill[name] = val
+        used += cost
+    final["queries"] = fill
+    line = json.dumps(final, separators=(",", ":"))
+    assert len(line) < 1950, f"final bench line {len(line)} chars > tail window"
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -65,8 +65,14 @@ def ensure_session_confs(spark: SparkSession) -> None:
         try:  # noqa: SIM105
             from pyspark.errors import utils as _pyspark_err_utils  # noqa: PLC0415
 
-            _pyspark_err_utils._enable_debugging_cache = False
-        except (ImportError, AttributeError):
+            # hasattr first: a bare assignment always succeeds, so the old
+            # except-AttributeError guard could never fire — a pyspark that
+            # renames the internal would get a dead attribute and silently
+            # keep the slow path. Verified present on the pinned 4.1.2
+            # (tests/test_round14_opt.py pins the assumption).
+            if hasattr(_pyspark_err_utils, "_enable_debugging_cache"):
+                _pyspark_err_utils._enable_debugging_cache = False
+        except ImportError:
             pass
     _ensure_workers_can_import(spark)
 
@@ -119,26 +125,77 @@ _TABLE_HANDLES: dict[tuple, tuple] = {}
 
 
 def _path_stamp(path: str) -> tuple:
+    """Invalidation stamp for a table path. For a single parquet FILE the
+    (mtime_ns, size) pair changes on any rewrite. For a DIRECTORY-shaped
+    table the root stat alone is not enough: replacing one part-file's
+    contents in place (same name, same entry count) leaves the directory's
+    own mtime/size untouched, so the stamp folds in the direct children's
+    (name, mtime_ns, size) — one listdir, no recursion. Depth contract:
+    this covers rewrites one level down; the cache's only callers
+    (_raw_table / load_table) serve the flat fixture layout (one parquet
+    file, or a dir of part-files), never the multi-level partitioned
+    index trees, which are read uncached at their call sites."""
     try:
         st = os.stat(path)
-        return (st.st_mtime_ns, st.st_size)
     except OSError:
         return (None, None)
+    stamp: tuple = (st.st_mtime_ns, st.st_size)
+    if os.path.isdir(path):
+        try:
+            children = tuple(
+                sorted(
+                    (e.name, e.stat().st_mtime_ns, e.stat().st_size)
+                    for e in os.scandir(path)
+                )
+            )
+        except OSError:
+            return (None, None)
+        stamp = (*stamp, hash(children))
+    return stamp
 
 
 def _raw_table(spark: SparkSession, path: str) -> DataFrame:
     """The cached spark.read.parquet handle (pre-conversion — callers that
     need the stored representation, e.g. events_between's pushdown on the
     raw int64 ts, share this entry with load_table's conversion layer)."""
-    key = (id(spark), "raw", path, *_path_stamp(path))
+    key = (id(spark), "raw", path, _path_stamp(path))
     hit = _TABLE_HANDLES.get(key)
     if hit is None:
+        _evict_stale(key, spark, path)
         df = spark.read.parquet(path)
-        if len(_TABLE_HANDLES) > 256:
-            _TABLE_HANDLES.clear()
-        _TABLE_HANDLES[key] = (spark, df)
+        _handle_insert(key, spark, df)
         return df
     return hit[1]
+
+
+def _evict_stale(key: tuple, spark: SparkSession, path: str) -> None:
+    """Targeted eviction BEFORE re-resolving a rewritten path: drop stale
+    entries for the same (session, path) — a repeatedly-rewritten fixture
+    otherwise accumulates dead (session, DataFrame) pairs until the size
+    bound trips and a mass clear() evicts every hot entry too (ADVICE
+    r13) — and refresh Spark's OWN session-level file-status cache for
+    that path: a stamp change means the files were rewritten in place,
+    and a fresh spark.read.parquet would otherwise resolve footers
+    against the cached (stale) file lengths and fail or serve garbage
+    (observed: EOF reading a rewritten part-file's footer)."""
+    prefix = key[:-1]  # (session id, [tag,] path) — the stamp is the last slot
+    stale = [k for k in _TABLE_HANDLES if k[:-1] == prefix and k != key]
+    if not stale:
+        return
+    for k in stale:
+        del _TABLE_HANDLES[k]
+    try:  # noqa: SIM105
+        spark.catalog.refreshByPath(path)
+    except Exception:  # noqa: BLE001 — refresh is best-effort on odd paths
+        pass
+
+
+def _handle_insert(key: tuple, spark: SparkSession, df: DataFrame) -> None:
+    """Bounded insert; stale same-path entries were evicted by
+    ``_evict_stale`` on the miss path before the re-read."""
+    if len(_TABLE_HANDLES) > 256:
+        _TABLE_HANDLES.clear()
+    _TABLE_HANDLES[key] = (spark, df)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -146,10 +203,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     ensure_session_confs(spark)
     path = table_path(sf_dir, name)
-    key = (id(spark), path, *_path_stamp(path))
+    key = (id(spark), path, _path_stamp(path))
     hit = _TABLE_HANDLES.get(key)
     if hit is not None:
         return hit[1]
+    _evict_stale(key, spark, path)
     df = _raw_table(spark, path)
     # Nanosecond-timestamp columns arrive as long (nanosAsLong, session.py);
     # convert to Spark's microsecond TimestampType. The fixture generator
@@ -165,11 +223,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for cname, dtype in df.dtypes:
         if dtype == "timestamp_ntz":
             df = df.withColumn(cname, F.col(cname).cast("timestamp"))
-    # Bound the cache: one entry per (session, table file) — a long-lived
-    # process cycling many sessions/sf_dirs must not grow it unboundedly.
-    if len(_TABLE_HANDLES) > 256:
-        _TABLE_HANDLES.clear()
-    _TABLE_HANDLES[key] = (spark, df)
+    _handle_insert(key, spark, df)
     return df
 
 

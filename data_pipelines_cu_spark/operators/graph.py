@@ -204,7 +204,12 @@ def co_occurrence_lift(
     # basket total as an IN-PLAN broadcast 1-row aggregate (the oracle's
     # nb CTE shape) — the old driver-side distinct().count() was a
     # separate full-scan action (measured 2.6 s at sf0.1) run before the
-    # plan could even start, for a value the plan only needs as a scalar
+    # plan could even start, for a value the plan only needs as a scalar.
+    # NULL semantics (ADVICE r13): count_distinct ignores a NULL basket,
+    # which MATCHES the oracle's COUNT(DISTINCT b) — the old distinct()
+    # .count() would have over-counted by one on a nullable basket_col.
+    # (The pair join on _b drops NULL baskets on both engines either way;
+    # the fixture's l_orderkey is non-null by construction.)
     n_baskets = items.agg(F.count_distinct(F.col("_b")).alias("_nb"))
     item_counts = items.groupBy("_i").agg(F.count(F.lit(1)).alias("_c"))
     a = items.select("_b", F.col("_i").alias("item_a"))

@@ -415,16 +415,48 @@ def ivf_assign(
     return best.drop("_centroid_v", "_cscore", "_crank")
 
 
+# Optimized-logical-plan node names that imply an exchange (or an
+# already-wide layout) somewhere in the frame: on such a frame the
+# `.rdd` probe below is NOT job-free — under AQE, producing the final
+# RDD materializes upstream shuffle stages at call time — and the
+# post-shuffle layout is already spark.sql.shuffle.partitions wide, so
+# widening has nothing to fix. Checked textually on the optimized plan
+# (driver-side analysis only, never executes a stage).
+_WIDEN_BARRIER_NODES = (
+    "Join",
+    "Aggregate",
+    "Window",
+    "Sort",
+    "Deduplicate",
+    "Repartition",
+    "RepartitionByExpression",
+    "Exchange",
+    "GlobalLimit",
+)
+
+
 def _widen_if_narrow(df: DataFrame) -> DataFrame:
     """Round-robin repartition ONLY when the input plan has fewer
     partitions than the cluster's parallelism — the corpus-side guard of
     the byte-blind-AQE rule (ARCHITECTURE §12): an Arrow kernel amplifies
     compute per byte (k-centroid cosine per row), so a narrow source (one
     small parquet split) runs the whole pass on one core while 31 idle. At
-    scale a real scan already has >= cores partitions and this is a no-op
-    — the check reads the planned partitioning, it never runs a job."""
+    scale a real scan already has >= cores partitions and this is a no-op.
+
+    PRECONDITION (enforced): the frame must be scan-rooted — scans,
+    projections, filters, generators only. On a shuffle-rooted frame the
+    ``.rdd`` partition probe is not job-free (AQE materializes the plan's
+    shuffle stages to produce the final RDD), so any barrier node in the
+    optimized plan makes this a no-op instead (r13 verdict item 3: the
+    helper was a footgun if applied after a shuffle; now it refuses)."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:  # noqa: BLE001 — planning hiccup: keep the plan as-is
+        return df
+    if any(node in plan for node in _WIDEN_BARRIER_NODES):
+        return df
     try:
         if df.rdd.getNumPartitions() >= target:
             return df
@@ -3143,6 +3175,21 @@ def _pq_subvecs(
     )
 
 
+def _contains_map(dt) -> bool:
+    """True when a dataType contains a MapType anywhere — the one Spark
+    type family that struct ordering (and thus the min-struct argmin)
+    cannot compare."""
+    from pyspark.sql.types import ArrayType, MapType, StructType  # noqa: PLC0415
+
+    if isinstance(dt, MapType):
+        return True
+    if isinstance(dt, ArrayType):
+        return _contains_map(dt.elementType)
+    if isinstance(dt, StructType):
+        return any(_contains_map(f.dataType) for f in dt.fields)
+    return False
+
+
 def _pq_assign_codes(
     sub: DataFrame, cent: DataFrame, keys: tuple[str, ...]
 ) -> DataFrame:
@@ -3168,6 +3215,19 @@ def _pq_assign_codes(
     extra = [
         c for c in joined.columns if c not in (*keys, "j", "_d", "cell")
     ]
+    # Orderability guard (ADVICE r13): every carried column rides inside
+    # min(struct(...)), which requires an orderable type — a map-typed
+    # carry would fail at analysis with an opaque error. The fields must
+    # come from the WINNING row (first() would detach them from the
+    # argmin), so the honest contract is a loud, early refusal.
+    unorderable = [c for c in extra if _contains_map(joined.schema[c].dataType)]
+    if unorderable:
+        raise TypeError(
+            f"_pq_assign_codes: carried column(s) {unorderable} contain a "
+            "MapType, which cannot ride inside the min(struct(...)) argmin "
+            "(struct ordering requires orderable fields). Project them out "
+            f"and re-join on ({', '.join(keys)}, j, cell) after assignment."
+        )
     win = joined.groupBy(*keys, "j").agg(
         F.min(F.struct("_d", "cell", *extra)).alias("_w")
     )

@@ -71,11 +71,15 @@ def test_pq_assign_codes_tiebreak_matches_window_rule(spark):
     assert by_id[2]["cv"] == [0.0, 1.0]
 
 
-def test_widen_if_narrow_widens_and_noops(spark):
-    """Narrow plans get defaultParallelism partitions; already-wide plans
-    pass through UNCHANGED (the at-scale no-op contract)."""
+def test_widen_if_narrow_widens_and_noops(spark, tmp_path):
+    """Narrow SCAN-ROOTED plans get defaultParallelism partitions;
+    already-wide / shuffle-rooted plans pass through UNCHANGED (the
+    at-scale no-op contract; since r14 the helper also refuses any plan
+    with a barrier node — see test_round14_opt for that side)."""
     par = spark.sparkContext.defaultParallelism
-    narrow = spark.createDataFrame([(i,) for i in range(10)], "x long").coalesce(1)
+    p = str(tmp_path / "narrow.parquet")
+    spark.range(10).coalesce(1).write.parquet(p)
+    narrow = spark.read.parquet(p)  # one tiny split -> 1-partition scan
     assert sim._widen_if_narrow(narrow).rdd.getNumPartitions() == par
     wide = spark.range(1000).repartition(par + 4)
     out = sim._widen_if_narrow(wide)
