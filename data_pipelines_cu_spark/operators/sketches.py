@@ -53,16 +53,26 @@ def kmv_distinct(
     relative error. Groups with fewer than k distinct values report the
     exact count (the sketch IS the value set there, error 0).
 
-    The sketch side goes through kmv_sketch's partial top-k (per-partition
+    The sketch side goes through the shared partial top-k (per-partition
     k-smallest candidates, capped array merge — the shuffle is at most k
     longs per group per input partition, and no task ever sorts a group's
     full distinct-hash set). The exact count — present only because this is
-    an error-PROFILE operator — is a map-side-partial countDistinct; at
-    100 TB you run the sketch without it, which is its reason to exist."""
+    an error-PROFILE operator — rides the SAME distinct (group, h) table
+    as the sketch (r14, guide §2.4: the old shape scanned the source and
+    ran the md5→60-bit hash TWICE, once per side; countDistinct's partial
+    dedup shuffles the same distinct pairs this explicit distinct does,
+    so the exchange volume is unchanged and one full scan + hash pass
+    disappears). The distinct table is lineage-cut: two consumers, and
+    (group, h) compresses far below the source (§3 doctrine). At 100 TB
+    you run the sketch without the exact side, which is its reason to
+    exist."""
+    from .materialize import lineage_cut  # noqa: PLC0415 (cycle guard)
+
     hashed = df.select(*group_cols, hash60(F.col(value_col)).alias("h"))
-    sk = kmv_sketch(df, group_cols, value_col, k=k)
-    exact = hashed.groupBy(*group_cols).agg(
-        F.countDistinct("h").alias("n_exact")
+    distinct_h = hashed.distinct().transform(lineage_cut)
+    sk = _kmv_partial_topk(distinct_h, list(group_cols), k=k)
+    exact = distinct_h.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_exact")
     )
     hk = F.when(F.size("kmv") >= k, F.element_at("kmv", k))
     est = F.when(
@@ -505,12 +515,21 @@ def kmv_sketch(
     distinct-hash set, and no task sorts a group's full hash set (the
     global-sort window this replaces made the sketch cost the same as the
     exact distinct count it exists to avoid)."""
+    gcols = list(group_cols)
+    hashed = df.select(*gcols, hash60(F.col(value_col)).alias("h"))
+    return _kmv_partial_topk(hashed, gcols, k=k)
+
+
+def _kmv_partial_topk(hashed: DataFrame, gcols: list[str], k: int) -> DataFrame:
+    """Partial top-k over a (group..., h) table: per-partition k-smallest
+    distinct hashes per group in place, then one capped-array merge.
+    Works identically on a raw (duplicate-bearing) hash table and an
+    already-distinct one — pd.unique inside the partial dedups either
+    way — which is what lets kmv_distinct feed it the shared distinct
+    table while kmv_sketch keeps its single-pass zero-dedup path."""
     import numpy as np  # noqa: PLC0415
     import pandas as pd  # noqa: PLC0415
     from pyspark.sql import types as T  # noqa: PLC0415
-
-    gcols = list(group_cols)
-    hashed = df.select(*gcols, hash60(F.col(value_col)).alias("h"))
 
     def partial(batches):
         for pdf in batches:

@@ -5739,6 +5739,13 @@ def customer_rfm_segments_q(spark, sf_dir, materialize="local"):
             2,
         ).alias("total_spend"),
     )
+    # NOTE (r14, measured): deriving this scalar from base's own
+    # aggregate (max of last_order) LOOKS like it should share base's
+    # exchange, but column pruning gives the two aggregate subtrees
+    # different partial schemas, reuse never fires, and the broadcast
+    # side then pays a full hash-exchange it avoids today (A/B min-of-3:
+    # 7.1 s as-is vs 13.9 s rewritten). The second orders scan with a
+    # no-shuffle max IS the cheaper shape; left alone deliberately.
     max_date = F.broadcast(o.agg(F.max("o_orderdate").alias("_maxd")))
     tiers = base.crossJoin(max_date).withColumn(
         "recency_days",

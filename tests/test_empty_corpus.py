@@ -24,6 +24,7 @@ def empty_sf_dir(spark, sf_dir, tmp_path_factory):
     return str(out)
 
 
+@pytest.mark.tier2
 def test_every_query_survives_an_empty_corpus(spark, empty_sf_dir):
     failures = []
     for name, q in sorted(all_queries().items()):
@@ -64,6 +65,7 @@ def null_sf_dir(spark, sf_dir, tmp_path_factory):
     return str(out)
 
 
+@pytest.mark.tier2
 def test_every_query_survives_all_null_payloads(spark, null_sf_dir):
     failures = []
     for name, q in sorted(all_queries().items()):
@@ -137,6 +139,7 @@ def degenerate_text_sf_dir(spark, sf_dir, tmp_path_factory):
     return str(out)
 
 
+@pytest.mark.tier2
 def test_every_query_survives_degenerate_payloads(spark, degenerate_text_sf_dir):
     failures = []
     for name, q in sorted(all_queries().items()):

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import gzip
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from data_pipelines_cu_spark.pipelines import binance, goldwar, stocksense
@@ -297,6 +299,7 @@ def test_write_range_clustered_files_have_disjoint_ranges(spark, tmp_path):
     assert spark.read.parquet(out).count() == ev.count()
 
 
+@pytest.mark.tier2
 def test_curation_pipeline_end_to_end(spark):
     """The full curation DAG at sf0.001: stages run in order, every stage
     only shrinks the corpus, the final packed set carries sequence

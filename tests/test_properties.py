@@ -6,6 +6,7 @@ examples must be reproducible."""
 from __future__ import annotations
 
 import pandas as pd
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -344,6 +345,7 @@ def test_sliding_chunks_cover_every_token(spark, n_words, window):
     )
 )
 @settings(**SETTINGS)
+@pytest.mark.tier2
 def test_quantile_calibration_is_distribution_preserving(spark, scores):
     """Calibrated values are members of the global score multiset; within
     each source, calibration is monotone in the raw rank; a single-source
@@ -594,6 +596,7 @@ def test_progressive_jpeg_equals_baseline_any_shape(h, w, amp):
     n_tiles=st.sampled_from([1, 3, 4, 10]),
 )
 @settings(**SETTINGS)
+@pytest.mark.tier2
 def test_blocked_rank_and_ntile_match_windows(spark, rows, n_blocks, n_tiles):
     """blocked_row_number / blocked_ntile equal the single-window forms on
     ARBITRARY inputs — ties, NULLs, empty, any block count (the property

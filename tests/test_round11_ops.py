@@ -541,6 +541,7 @@ def test_streaming_bpe_encode_over_frozen_artifact(spark, tmp_path):
 # --- BPE artifact property test ----------------------------------------------
 
 
+@pytest.mark.tier2
 def test_bpe_artifact_property_random_corpora(spark):
     """Hypothesis differential: for GENERATED corpora, train-then-freeze
     (bpe_merges → bpe_encode_with) equals inline train-and-encode

@@ -460,6 +460,7 @@ def test_ivf_gate_reentry_on_dirty_index_dir(spark, tmp_path, monkeypatch):
 # --- incremental-index recall audit + centroid-drift retrain trigger -------------
 
 
+@pytest.mark.tier2
 def test_ivf_recall_report_incremental_lifecycle(spark, tmp_path):
     """Round-12 verdict item 4 (the open quality question on the serving
     path): measure recall@k of the INCREMENTAL index — build + an upsert
@@ -597,6 +598,7 @@ def _drift_fixture(spark):
     )
 
 
+@pytest.mark.tier2
 def test_centroid_drift_trigger_degrade_and_recover(spark, tmp_path):
     """Round-12 verdict item 7, the last un-automated lifecycle step:
     a drifted ingest degrades fixed-artifact recall; ivf_drift_report +
@@ -1739,6 +1741,7 @@ def test_streaming_ann_query_nondefault_vec_col(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
+@pytest.mark.tier2
 def test_streaming_quantized_ingest_dispatch(spark, tmp_path):
     """Write-side codec dispatch, mirroring the serving stream's read
     side: a streaming ingest against an SQ8 tree lands CODE waves
@@ -1815,6 +1818,7 @@ def test_streaming_quantized_ingest_dispatch(spark, tmp_path):
         )
 
 
+@pytest.mark.tier2
 def test_quantized_drift_degrade_and_recover(spark, tmp_path):
     """Codec parity of the LAST lifecycle step: the drifted-ingest
     degrade -> mechanical trigger -> retrain -> recover arc runs
@@ -1875,6 +1879,7 @@ def test_quantized_drift_degrade_and_recover(spark, tmp_path):
     assert fresh["upsert_frac"] == 0.0
 
 
+@pytest.mark.tier2
 def test_retrain_quantized_pq_and_codec_guards(spark, tmp_path):
     """PQ leg of the quantized retrain (fresh codebooks of the SAME
     geometry, seeded from the k lowest SURVIVING ids — the builder's
