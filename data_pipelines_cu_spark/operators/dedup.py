@@ -157,9 +157,16 @@ def _base_hash32(gram_col: str = "gram") -> Column:
 
 
 def _minhash_cols(x_col: str = "gx") -> list[Column]:
-    x = F.col(x_col)
+    """The 16 affine-min aggregate columns, parsed from SQL strings (r14,
+    the r13 simhash technique): the Column-by-Column form cost ~100 py4j
+    round trips per call — material because minhash_band_rows runs once
+    per STREAMING MICRO-BATCH (measured: construction is ~half the
+    near-dup batch wall). One F.expr per aggregate builds the identical
+    Catalyst tree (int literals < 2^31 parse as INT exactly like F.lit;
+    the prime > 2^31 parses as BIGINT; promotions match — pinned by
+    tests/test_round14_opt.py::test_minhash_sql_exprs_match_column_form)."""
     return [
-        F.min((F.lit(a) * x + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"h{i}")
+        F.expr(f"min(({a} * {x_col} + {b}) % {MINHASH_PRIME}) AS h{i}")
         for i, (a, b) in enumerate(MINHASH_COEFFS)
     ]
 
@@ -170,22 +177,24 @@ def gram_rows(
     """One row per (doc, shingle position): posexplode words, then n-grams
     via window lead — linear work per word (exploding a nested-array
     transform re-inlines the split into the generator and goes quadratic
-    per doc; measured 15x slower). One shuffle on id."""
-    from pyspark.sql import Window
+    per doc; measured 15x slower). One shuffle on id.
 
-    words = df.select(
-        F.col(id_col),
-        F.posexplode(F.split(normalized_text(text_col), " ")).alias("pos", "w"),
+    Built from SQL strings (r14): three selectExpr calls instead of ~80
+    py4j round trips of Window/lead/alias Column plumbing — gram_rows is
+    on the construction path of every shingle-based operator including
+    the per-micro-batch streaming bodies. Trees are identical to the old
+    Column form (pinned by test_round14_opt)."""
+    norm = f"regexp_replace(lower(trim({text_col})), '\\\\s+', ' ')"
+    words = df.selectExpr(
+        id_col, f"posexplode(split({norm}, ' ')) AS (pos, w)"
     )
-    w = Window.partitionBy(id_col).orderBy("pos")
-    parts = [F.col("w")] + [F.lead("w", j).over(w) for j in range(1, n)]
-    grams = words.select(
-        F.col(id_col), *[p.alias(f"_p{j}") for j, p in enumerate(parts)]
-    ).filter(F.col(f"_p{n - 1}").isNotNull())
-    return grams.select(
-        F.col(id_col),
-        F.concat_ws(" ", *[F.col(f"_p{j}") for j in range(n)]).alias("gram"),
-    )
+    parts = ["w AS _p0"] + [
+        f"lead(w, {j}) OVER (PARTITION BY {id_col} ORDER BY pos) AS _p{j}"
+        for j in range(1, n)
+    ]
+    grams = words.selectExpr(id_col, *parts).filter(f"_p{n - 1} IS NOT NULL")
+    gram = "concat_ws(' ', " + ", ".join(f"_p{j}" for j in range(n)) + ")"
+    return grams.selectExpr(id_col, f"{gram} AS gram")
 
 
 def minhash_signatures(
@@ -211,27 +220,23 @@ def minhash_band_rows(
     pair generation (minhash_lsh_pairs) and the persisted band index of
     incremental/streaming near-dup."""
     sigs = minhash_signatures(df, text_col, id_col, n)
-    band_cols = [
-        F.md5(
-            F.concat_ws(
-                "|",
-                F.col(f"h{2 * b}").cast("string"),
-                F.col(f"h{2 * b + 1}").cast("string"),
-            )
-        ).alias(f"b{b}")
+    # SQL-string construction (r14): the band md5s and the explode of 8
+    # (band, bhash) structs as two selectExpr calls — identical Catalyst
+    # trees to the old Column-by-Column form (~80 py4j round trips
+    # saved per call; this runs per streaming micro-batch). CAST AS
+    # STRING matches Column.cast("string"); the int band literals match
+    # F.lit(int).
+    band_exprs = [
+        f"md5(concat_ws('|', CAST(h{2 * b} AS STRING),"
+        f" CAST(h{2 * b + 1} AS STRING))) AS b{b}"
         for b in range(N_BANDS)
     ]
-    banded = sigs.select(id_col, *band_cols)
-    return banded.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), F.col(f"b{b}").alias("bhash"))
-                    for b in range(N_BANDS)
-                ]
-            )
-        ).alias("bb"),
+    banded = sigs.selectExpr(id_col, *band_exprs)
+    structs = ", ".join(
+        f"struct({b} AS band, b{b} AS bhash)" for b in range(N_BANDS)
+    )
+    return banded.selectExpr(
+        id_col, f"explode(array({structs})) AS bb"
     ).select(id_col, "bb.band", "bb.bhash")
 
 

@@ -2819,15 +2819,27 @@ def semantic_dedup_oracle_sql(
 # chain of pairs) makes the quality claim a gated number instead of a cite.
 
 
-def jl_project(vec: Column, planes: list[list[float]]) -> Column:
+def jl_project(vec: Column | str, planes: list[list[float]]) -> Column:
     """k-dim signed-random projection of a vector column: one sequential
-    +-1 fold per output dim (same IEEE order as the bucket kernel)."""
+    +-1 fold per output dim (same IEEE order as the bucket kernel).
+
+    Parsed from ONE SQL string (r14): the Column form built out_dim ×
+    in_dim literal Columns plus two lambda conversions per plane —
+    ~1,100 py4j round trips, ~2 s of driver wall per call. The weights
+    are exactly ±1.0 (seeded_hyperplanes), so the `1.0D` / `-1.0D` SQL
+    literals are the same IEEE doubles F.lit produced; the lambda fold
+    order is unchanged. Accepts the column NAME (preferred) or any
+    Column whose SQL rendering is a bare attribute reference."""
+    vec_expr = vec if isinstance(vec, str) else vec._jc.toString()
     projs = []
     for plane in planes:
-        weights = F.array(*[F.lit(w) for w in plane])
-        prods = F.zip_with(vec, weights, lambda x, w: x.cast("double") * w)
-        projs.append(F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v))
-    return F.array(*projs)
+        arr = ", ".join(f"{w!r}D" for w in plane)
+        projs.append(
+            f"aggregate(zip_with({vec_expr}, array({arr}),"
+            " (x, w) -> CAST(x AS DOUBLE) * w),"
+            " 0.0D, (acc, v) -> acc + v)"
+        )
+    return F.expr(f"array({', '.join(projs)})")
 
 
 def jl_distortion_pairs(
@@ -2846,7 +2858,7 @@ def jl_distortion_pairs(
     planes = seeded_hyperplanes(n_bits=out_dim, dim=in_dim, seed=seed)
     v = corpus.select(
         F.col(id_col), F.col(vec_col).alias("v"),
-        jl_project(F.col(vec_col), planes).alias("p"),
+        jl_project(vec_col, planes).alias("p"),
     )
     a = v.select(
         F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("p").alias("pa")

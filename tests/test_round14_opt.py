@@ -122,3 +122,152 @@ def test_handle_cache_targeted_eviction(spark, tmp_path):
     # untouched path keeps its hot handle
     assert catalog._raw_table(spark, pb) is hb
     assert ha is not None  # silence linters; the old handle simply ages out
+
+
+def test_minhash_sql_exprs_match_column_form(spark):
+    """The r14 SQL-string construction of the minhash aggregate and band
+    expressions must build the IDENTICAL analyzed trees (and therefore
+    bit-identical results) as the old Column-by-Column form."""
+    from pyspark.sql import functions as F
+
+    from data_pipelines_cu_spark.operators import dedup as dd
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over a lazy dog"),
+            (3, "pack my box with five dozen liquor jugs today ok"),
+        ],
+        "doc_id long, text string",
+    )
+    gx = dd.gram_rows(docs, "text", "doc_id", 3).select(
+        F.col("doc_id"), dd._base_hash32("gram").alias("gx")
+    )
+    # old Column-by-Column formulation, inlined as the reference
+    old_aggs = [
+        F.min(
+            (F.lit(a) * F.col("gx") + F.lit(b)) % F.lit(dd.MINHASH_PRIME)
+        ).alias(f"h{i}")
+        for i, (a, b) in enumerate(dd.MINHASH_COEFFS)
+    ]
+    old_sigs = gx.groupBy("doc_id").agg(*old_aggs)
+    new_sigs = gx.groupBy("doc_id").agg(*dd._minhash_cols("gx"))
+    assert new_sigs.schema == old_sigs.schema
+    assert sorted(map(tuple, new_sigs.collect())) == sorted(
+        map(tuple, old_sigs.collect())
+    )
+    # full band rows: new selectExpr path vs old-form reconstruction
+    old_band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col(f"h{2 * b}").cast("string"),
+                F.col(f"h{2 * b + 1}").cast("string"),
+            )
+        ).alias(f"b{b}")
+        for b in range(dd.N_BANDS)
+    ]
+    old_banded = old_sigs.select("doc_id", *old_band_cols)
+    old_rows = old_banded.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), F.col(f"b{b}").alias("bhash")
+                    )
+                    for b in range(dd.N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bhash")
+    new_rows = dd.minhash_band_rows(docs, "text", "doc_id", 3)
+    assert new_rows.schema == old_rows.schema
+    assert sorted(map(tuple, new_rows.collect())) == sorted(
+        map(tuple, old_rows.collect())
+    )
+
+
+def test_gram_rows_sql_form_matches_column_form(spark):
+    """gram_rows' r14 SQL-string construction must reproduce the old
+    Window/lead Column form exactly (rows AND schema), including the
+    n=2 and n=4 shapes and whitespace normalization."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_pipelines_cu_spark.operators import dedup as dd
+
+    docs = spark.createDataFrame(
+        [
+            (1, "  The   quick\tbrown fox JUMPS  over the lazy dog  "),
+            (2, "one two"),
+            (3, "single"),
+            (4, ""),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+
+    def old_gram_rows(df, text_col, id_col, n):
+        words = df.select(
+            F.col(id_col),
+            F.posexplode(
+                F.split(dd.normalized_text(text_col), " ")
+            ).alias("pos", "w"),
+        )
+        w = Window.partitionBy(id_col).orderBy("pos")
+        parts = [F.col("w")] + [F.lead("w", j).over(w) for j in range(1, n)]
+        grams = words.select(
+            F.col(id_col), *[p.alias(f"_p{j}") for j, p in enumerate(parts)]
+        ).filter(F.col(f"_p{n - 1}").isNotNull())
+        return grams.select(
+            F.col(id_col),
+            F.concat_ws(" ", *[F.col(f"_p{j}") for j in range(n)]).alias(
+                "gram"
+            ),
+        )
+
+    for n in (2, 3, 4):
+        old = old_gram_rows(docs, "text", "doc_id", n)
+        new = dd.gram_rows(docs, "text", "doc_id", n)
+        assert new.schema == old.schema, f"n={n}"
+        assert sorted(map(tuple, new.collect())) == sorted(
+            map(tuple, old.collect())
+        ), f"n={n}"
+
+
+def test_jl_project_sql_form_matches_column_form(spark):
+    """jl_project's r14 one-string construction must reproduce the old
+    per-plane Column/lambda fold bit-for-bit (±1.0 literals, same IEEE
+    fold order)."""
+    from pyspark.sql import functions as F
+
+    from data_pipelines_cu_spark.operators import similarity as sim
+
+    planes = sim.seeded_hyperplanes(n_bits=4, dim=6, seed=11)
+
+    def old_jl_project(vec, planes):
+        projs = []
+        for plane in planes:
+            weights = F.array(*[F.lit(w) for w in plane])
+            prods = F.zip_with(vec, weights, lambda x, w: x.cast("double") * w)
+            projs.append(
+                F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+            )
+        return F.array(*projs)
+
+    df = spark.createDataFrame(
+        [
+            (1, [0.5, -1.25, 3.0, 0.125, -0.75, 2.5]),
+            (2, [1e-3, 2.0, -4.5, 0.0, 9.75, -0.001]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    old = df.select(
+        "vec_id", old_jl_project(F.col("embedding"), planes).alias("p")
+    )
+    new = df.select("vec_id", sim.jl_project("embedding", planes).alias("p"))
+    assert new.schema == old.schema
+    assert sorted(map(tuple, new.collect())) == sorted(
+        map(tuple, old.collect())
+    )
