@@ -305,16 +305,18 @@ def cooccurrence_triangles(
     the edge list duplicate-density-sized — the fact table shuffles once
     into pairs and never again; both self-joins run on the (small) edge
     relation, shuffle-keyed on single item ids."""
+    # Materialize the projected (basket, item) base ONCE: the self-join's
+    # two sides are structurally identical but exchange reuse does not
+    # fire across their differing output aliases (measured r14: 2 fact
+    # scans in the cut job), so both sides re-scanned the fact. Two
+    # longs/row compresses far below the source (§3 doctrine) — the
+    # parts_co_ordered treatment applied to the triangle counter.
+    base = fact.select(
+        F.col(basket_col).alias("_bk"), F.col(item_col).alias("_i")
+    ).transform(lineage_cut)
     pairs = (
-        fact.select(
-            F.col(basket_col).alias("_bk"), F.col(item_col).alias("_ia")
-        )
-        .join(
-            fact.select(
-                F.col(basket_col).alias("_bk"), F.col(item_col).alias("_ib")
-            ),
-            "_bk",
-        )
+        base.select("_bk", F.col("_i").alias("_ia"))
+        .join(base.select("_bk", F.col("_i").alias("_ib")), "_bk")
         .filter(F.col("_ia") < F.col("_ib"))
         .groupBy("_ia", "_ib")
         .agg(F.count(F.lit(1)).alias("_c"))
