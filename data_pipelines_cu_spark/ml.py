@@ -67,13 +67,20 @@ def accuracy(model, df: DataFrame, label_col: str = "target") -> float:
     """Recomputed accuracy, the way lecture6/test_model.py:26-52 checks a
     shipped model: fraction of rows where prediction == label."""
     scored = model.transform(df)
-    n = scored.count()
-    if n == 0:
+    # one pass, not two (r14): count + conditional count in a single
+    # aggregate — the old count()/filter().count() pair re-ran the whole
+    # scoring subtree twice. Same integers, same float division.
+    row = scored.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(
+            F.when(
+                F.col("prediction") == F.col(label_col).cast("double"), 1
+            )
+        ).alias("hits"),
+    ).first()
+    if row["n"] == 0:
         return 0.0
-    hits = scored.filter(
-        F.col("prediction") == F.col(label_col).cast("double")
-    ).count()
-    return hits / n
+    return row["hits"] / row["n"]
 
 
 def linear_margin(

@@ -136,16 +136,24 @@ def compact_partitions(
     from pyspark.sql import functions as F
 
     df = spark.read.format(fmt).load(path)
-    # size on disk per partition directory (driver-side listing of partition
-    # dirs only — never data): ceil(bytes/target) = files for that partition
+    # size on disk AND live-partition count from ONE driver-side walk
+    # (metadata only — never data): a leaf directory holding at least one
+    # data file IS a live partition (dynamic overwrite keeps live
+    # partitions' files; a stale emptied dir has none), and NULL keys
+    # land in __HIVE_DEFAULT_PARTITION__ dirs just like distinct() counts
+    # them. The old df.select(partition_cols).distinct().count() was a
+    # FULL TABLE PASS for the same integer (r14, guide §5: the sizing
+    # decision is metadata work, the table can be 100 TB).
     total_bytes = 0
+    part_dirs: set[str] = set()
     for root, _dirs, files in os.walk(path):
+        data_files = [f for f in files if not f.startswith(("_", "."))]
         total_bytes += sum(
-            os.path.getsize(os.path.join(root, f))
-            for f in files
-            if not f.startswith(("_", "."))
+            os.path.getsize(os.path.join(root, f)) for f in data_files
         )
-    n_parts = df.select(*partition_cols).distinct().count()
+        if data_files and root != path:
+            part_dirs.add(root)
+    n_parts = max(1, len(part_dirs))  # floor guards a degenerate flat dir
     per_part = total_bytes / max(n_parts, 1)
     files_per_part = max(1, math.ceil(per_part / target_file_bytes))
     # Shuffle on (partition cols + within-partition salt), not the partition

@@ -161,6 +161,7 @@ def test_jaccard_pairs_match_naive_sets(spark, docs):
 
 @given(docs=words_strategy)
 @settings(**SETTINGS)
+@pytest.mark.tier2
 def test_containment_pairs_match_naive_sets(spark, docs):
     from data_pipelines_cu_spark.operators import dedup as dd
 
@@ -254,6 +255,7 @@ text_docs_strategy = st.lists(
 
 @given(docs=text_docs_strategy)
 @settings(**SETTINGS)
+@pytest.mark.tier2
 def test_ngram_novelty_invariants(spark, docs):
     """novelty in [0,1]; total novel grams == corpus-wide distinct gram
     count (every gram is novel in exactly one doc); a doc repeated later
@@ -308,6 +310,7 @@ def test_stratified_kfold_exactly_balanced(spark, n_rows, k):
     window=st.integers(min_value=2, max_value=20),
 )
 @settings(**SETTINGS)
+@pytest.mark.tier2
 def test_sliding_chunks_cover_every_token(spark, n_words, window):
     """Chunks tile the doc: first chunk starts at token 0, consecutive
     chunks advance by stride, the union of [start, start+len) covers
@@ -765,6 +768,7 @@ def test_interval_point_join_matches_brute_force(spark, ivs, pts, long_factor):
     n_shards=st.integers(min_value=1, max_value=4),
 )
 @settings(**SETTINGS)
+@pytest.mark.tier2
 def test_pack_sequences_matches_python_referee(spark, toks, budget, n_shards):
     """Greedy contiguous packing vs an independent pure-Python referee
     reimplementing the contract from its prose (deterministic md5

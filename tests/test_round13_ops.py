@@ -431,6 +431,7 @@ def test_streaming_ann_query_kill_restart_no_duplicate_results(
     assert got == want
 
 
+@pytest.mark.tier2
 def test_ivf_gate_reentry_on_dirty_index_dir(spark, tmp_path, monkeypatch):
     """Gate re-entry contract: the lifecycle query's build is a STATIC
     overwrite, so a dirty deterministic temp dir — stale waves from a
@@ -733,6 +734,7 @@ def test_sql_rest_plan_format_markers_stable(spark):
     ), "/sql nodes[].nodeName 'Scan parquet' prefix moved"
 
 
+@pytest.mark.tier2
 def test_streaming_drift_quiesce_retrain_lifecycle(spark, tmp_path):
     """The full operational story, end-to-end on the STREAMING paths:
     a drifted ingest stream degrades fixed-artifact recall; the drift
@@ -1327,6 +1329,7 @@ def test_sq8_persisted_index_lifecycle(spark, tmp_path):
         sim.upsert_sq8_ivf_index(upd, fidx, cents, bounds, wave=1)
 
 
+@pytest.mark.tier2
 def test_pq_persisted_index_lifecycle(spark, tmp_path):
     """The deepest compression tier of the serving family: build -> wave
     upsert -> query over a persisted PQ index (m one-byte codes per
@@ -1934,6 +1937,7 @@ def test_retrain_quantized_pq_and_codec_guards(spark, tmp_path):
     assert vals and all(0.0 <= v <= 1.0 for v in vals)
 
 
+@pytest.mark.tier2
 def test_index_codec_frontier(spark, tmp_path):
     """The tier-picking report: one shared centroid artifact + one
     shared truth pass, three trees, honest bytes. Pins the frontier
@@ -1977,6 +1981,7 @@ def test_index_codec_frontier(spark, tmp_path):
         )
 
 
+@pytest.mark.tier2
 def test_quantized_retrain_guards(spark, tmp_path):
     """Review-pass regressions on the quantized retrain: (a) a survivor
     whose codes fail to reconstruct ABORTS the retrain loudly — the
@@ -2073,6 +2078,7 @@ def test_streaming_ann_query_serves_pq_index(spark, tmp_path):
         )
 
 
+@pytest.mark.tier2
 def test_quantized_builders_degenerate_paths(spark, tmp_path):
     """Degenerate probes for the codec family (the probe pattern that
     found 7 crashes in r11, 3 in r12, and — this session — a guard that
