@@ -1,4 +1,4 @@
-"""Round-14 dedup_clusters candidates, measured by /tmp/cc_harness.py
+"""Round-14 dedup_clusters candidates, measured by cc_harness_r14.py
 before any of them touches the repo."""
 
 from __future__ import annotations
